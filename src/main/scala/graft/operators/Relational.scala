@@ -1,0 +1,314 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator suite on the TPC-H-ish star schema — the
+  * categories the reference lacks (SURVEY.md §2.5: "extension surface
+  * adds representatives of each missing category"): multi-way joins,
+  * semi/anti joins, window functions, set operations, rollup, distinct
+  * aggregates.
+  *
+  * Scale design notes (100 TB):
+  *  - Dimension joins (`region`,`nation`,`customer`,`supplier`,`part`)
+  *    are explicitly `broadcast()` — no shuffle of the fact table on a
+  *    dim key, ever. Only fact-fact joins (orders ⋈ lineitem) shuffle,
+  *    and they shuffle once on the join key.
+  *  - Money arithmetic is done in DECIMAL(18,2): decimal sums are
+  *    exact and order-independent, so results are identical across
+  *    partitionings, engines (DuckDB oracle), and cluster sizes —
+  *    double summation would drift with partition count. Final values
+  *    are cast to double for a stable output schema.
+  *  - Top-K uses orderBy+limit (TakeOrderedAndProject: per-partition
+  *    heap, K-row driver merge), never a full sort.
+  */
+object Relational {
+
+  /** exact 2-decimal money type for order-independent aggregation */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary: scan-heavy partial/final hash
+    * aggregate over 6 measures, grouping key cardinality 6.
+    */
+  def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style shipping priority: dim-filtered customer broadcast
+    * into orders, shuffle join with lineitem on orderkey, top-10 by
+    * revenue (deterministic tiebreak on orderkey).
+    */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier volume: five-way join where every
+    * dimension side is broadcast; lineitem shuffles once (on orderkey).
+    */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val asia = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, sfDir)
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** Left-semi join (EXISTS): customers that have at least one
+    * high-priority order. Semi joins ship only the key column of the
+    * probe side and stop at first match.
+    */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    Tables.customer(spark, sfDir)
+      .join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): orders that have no lineitems. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val liKeys = Tables.lineitem(spark, sfDir).select(col("l_orderkey"))
+    Tables.orders(spark, sfDir)
+      .join(liKeys, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
+  /** Window ranking: top-3 customers per nation by account balance
+    * (row_number with deterministic tiebreak). The shuffle is on the
+    * partition key only; state per group is bounded by the frame.
+    */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, sfDir)
+      .withColumn("rank_in_nation", row_number().over(w))
+      .filter(col("rank_in_nation") <= 3)
+      .select("c_nationkey", "rank_in_nation", "c_custkey", "c_name", "c_acctbal")
+  }
+
+  /** Running-total window: cumulative shipped quantity per supplier in
+    * ship order (unique ordering key ⇒ deterministic frame). Quantity
+    * accumulates in DECIMAL so the running values are exact.
+    */
+  def windowRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp"))
+      .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast("double"))
+      .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
+  }
+
+  /** INTERSECT (distinct semantics): users who both clicked and
+    * purchased.
+    */
+  def setopIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+  }
+
+  /** EXCEPT (distinct semantics): users with a high-value click but no
+    * high-value purchase. (Value filter keeps both sides selective so
+    * the difference is non-empty at every scale factor.)
+    */
+  def setopExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("value") > 180)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+  }
+
+  /** ROLLUP hierarchy totals: (flag, status), (flag), () — one pass,
+    * grouping-set expansion handled by Catalyst's Expand node.
+    */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Exact distinct aggregation: distinct users per event type.
+    * (Catalyst plans count(distinct) as a two-stage expand+aggregate.)
+    */
+  def distinctExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+
+  /** Sketch-based distinct (HLL++): the 100 TB-scale form of
+    * [[distinctExact]] — no expand, constant memory per group. Not
+    * oracle-comparable (DuckDB's approx sketch differs); driver records
+    * a rows-only check.
+    */
+  def distinctApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
+  /** Multi-way broadcast enrichment chain: orders → customer → nation
+    * → region, aggregated per region. The fact table never shuffles —
+    * every join is a broadcast hash join, then one shuffle for the
+    * final 5-key aggregate.
+    */
+  def regionOrderVolume(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir).select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+                CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""",
+    "join_anti" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""",
+    "window_rank" ->
+      """SELECT c_nationkey, rank_in_nation, c_custkey, c_name, c_acctbal FROM (
+           SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+                  row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_nation
+           FROM customer)
+         WHERE rank_in_nation <= 3""",
+    "window_running_sum" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                     OVER (PARTITION BY l_suppkey
+                           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+         FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'""",
+    "setop_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase'""",
+    "setop_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'click' AND value > 180
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180""",
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "distinct_exact" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type""",
+    "region_order_volume" ->
+      """SELECT r_name, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    // distinct_approx: sketch values are engine-specific — rows-only check.
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q3_shipping_priority" -> q3ShippingPriority _,
+    "q5_local_supplier" -> q5LocalSupplier _,
+    "join_semi" -> joinSemi _,
+    "join_anti" -> joinAnti _,
+    "window_rank" -> windowRank _,
+    "window_running_sum" -> windowRunningSum _,
+    "setop_intersect" -> setopIntersect _,
+    "setop_except" -> setopExcept _,
+    "agg_rollup" -> aggRollup _,
+    "distinct_exact" -> distinctExact _,
+    "distinct_approx" -> distinctApprox _,
+    "region_order_volume" -> regionOrderVolume _,
+  )
+}
