@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.EventPatterns.queries ++
-      operators.Relational.queries
+      operators.Relational.queries ++
+      functions.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     operators.EventPatterns.oracleSql ++
-      operators.Relational.oracleSql
+      operators.Relational.oracleSql ++
+      functions.TextAnalysis.oracleSql
 }

@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * over the `documents` table: quality scoring, token counting,
+  * language identification, and document fingerprinting.
+  *
+  * Everything here is a single narrow scan → per-row expression
+  * evaluation (no shuffle at all, no UDFs — pure `functions._`
+  * higher-order array expressions, fully codegen'd). At 100 TB these
+  * queries scale linearly with input and are bounded by parquet scan
+  * throughput, which is exactly the profile a corpus-prep pass wants.
+  */
+object TextAnalysis {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Stopword list for quality scoring (for the synthetic corpus the
+    * function words are 'the'/'a'; real deployments swap in a full
+    * stopword list — the expression shape is unchanged).
+    */
+  private val Stopwords = Seq("the", "a")
+
+  /** Per-language marker-word lists for [[langId]]. The synthetic
+    * corpus is English word soup, so these are deterministic stand-ins
+    * that exercise the real operator shape (score = marker hits,
+    * classify = argmax with fixed precedence); production would use
+    * per-language stopword/character-n-gram tables.
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "data", "fast"),
+    "de" -> Seq("group", "hash", "merge"),
+    "es" -> Seq("query", "row", "scan"),
+    "fr" -> Seq("table", "value", "vector"),
+    "zh" -> Seq("stream", "spark", "sort"))
+
+  private def hitCount(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isin(markers.map(_.asInstanceOf[Any]): _*)))
+
+  /** Document quality metrics: token counts, lexical diversity, average
+    * token length, stopword ratio, and a composite quality score —
+    * the length/punct/stopword-ratio heuristics of corpus filtering.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nTokens = size(ws)
+    val nStop = hitCount(ws, Stopwords)
+    val stopRatio = nStop.cast("double") / nTokens
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      size(array_distinct(ws)).as("n_distinct_tokens"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens)
+        .as("avg_token_len"),
+      array_max(transform(ws, w => length(w))).as("max_token_len"),
+      stopRatio.as("stopword_ratio"),
+      (least(lit(1.0), nTokens.cast("double") / 256.0) * (lit(1.0) - stopRatio))
+        .as("quality_score"))
+  }
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * tokenizer (letter runs), plus distinct-token count.
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(ws).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("re_tokens"),
+      size(array_distinct(ws)).as("distinct_tokens"),
+      size(filter(ws, w => length(w) >= 5)).as("long_tokens"))
+  }
+
+  /** Language identification: marker-hit score per language, argmax
+    * with fixed precedence (en > de > es > fr > zh) so classification
+    * is deterministic under ties.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val scores = LangMarkers.map { case (l, m) => l -> hitCount(ws, m) }
+    // precedence chain: lang i wins if its score >= max of all later langs
+    val predicted = scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case ((((l, s), i)), elseCol) =>
+        val later = scores.drop(i + 1).map(_._2)
+        when(s >= (if (later.size == 1) later.head else greatest(later: _*)), l)
+          .otherwise(elseCol)
+    }
+    Tables.documents(spark, sfDir).select(
+      (col("doc_id") +: scores.map { case (l, s) => s.as(s"score_$l") }) :+
+        predicted.as("predicted_lang") :+
+        col("lang").as("labeled_lang"): _*)
+  }
+
+  /** Document fingerprinting: whole-text MD5 plus a min-hash-of-shingles
+    * fingerprint (minimum MD5 over word 5-gram shingles) — a one-band
+    * MinHash usable as a near-dup blocking key. Shingling is done with
+    * codegen'd higher-order array functions, no UDF.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val shingleHashes = transform(
+      sequence(lit(1), size(ws) - 4),
+      i => md5(array_join(slice(ws, i, lit(5)), " ")))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(col("text")).as("md5_full"),
+      when(size(ws) >= 5, array_min(shingleHashes)).as("min_shingle_hash"),
+      when(size(ws) >= 5, size(ws) - 4).otherwise(0).as("n_shingles"))
+  }
+
+  private def markerList(markers: Seq[String]): String =
+    markers.map(m => s"'$m'").mkString(", ")
+
+  val oracleSql: Map[String, String] = {
+    val stopList = markerList(Stopwords)
+    val scoreExprs = LangMarkers.map { case (l, m) =>
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${markerList(m)}))) AS score_$l"
+    }.mkString(",\n                  ")
+    Map(
+      "text_quality" ->
+        s"""SELECT doc_id, n_tokens, n_distinct_tokens, avg_token_len,
+                   max_token_len, stopword_ratio,
+                   least(1.0, CAST(n_tokens AS DOUBLE) / 256.0) * (1.0 - stopword_ratio) AS quality_score
+            FROM (
+              SELECT doc_id,
+                     len(ws) AS n_tokens,
+                     len(list_distinct(ws)) AS n_distinct_tokens,
+                     CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS avg_token_len,
+                     list_max(list_transform(ws, w -> length(w))) AS max_token_len,
+                     CAST(len(list_filter(ws, w -> w IN ($stopList))) AS DOUBLE) / len(ws) AS stopword_ratio
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))""",
+      "text_token_count" ->
+        """SELECT doc_id,
+                  len(string_split(text, ' ')) AS ws_tokens,
+                  len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
+                  len(list_distinct(string_split(text, ' '))) AS distinct_tokens,
+                  len(list_filter(string_split(text, ' '), w -> length(w) >= 5)) AS long_tokens
+           FROM documents""",
+      "text_langid" ->
+        s"""SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+                   CASE WHEN score_en >= greatest(score_de, score_es, score_fr, score_zh) THEN 'en'
+                        WHEN score_de >= greatest(score_es, score_fr, score_zh) THEN 'de'
+                        WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+                        WHEN score_fr >= score_zh THEN 'fr'
+                        ELSE 'zh' END AS predicted_lang,
+                   lang AS labeled_lang
+            FROM (
+              SELECT doc_id, lang,
+                  $scoreExprs
+              FROM documents)""",
+      "text_fingerprint" ->
+        """SELECT doc_id,
+                  md5(text) AS md5_full,
+                  CASE WHEN len(ws) >= 5
+                       THEN list_min([md5(array_to_string(ws[i:i+4], ' '))
+                                      for i in range(1, len(ws) - 3)])
+                       ELSE NULL END AS min_shingle_hash,
+                  CASE WHEN len(ws) >= 5 THEN len(ws) - 4 ELSE 0 END AS n_shingles
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)""",
+    )
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> quality _,
+    "text_token_count" -> tokenCount _,
+    "text_langid" -> langId _,
+    "text_fingerprint" -> fingerprint _,
+  )
+}
