@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.EventPatterns.queries ++
       operators.Relational.queries ++
-      functions.TextAnalysis.queries
+      functions.TextAnalysis.queries ++
+      ext.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.EventPatterns.oracleSql ++
       operators.Relational.oracleSql ++
-      functions.TextAnalysis.oracleSql
+      functions.TextAnalysis.oracleSql ++
+      ext.Dedup.oracleSql
 }

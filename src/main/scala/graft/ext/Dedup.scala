@@ -1,0 +1,234 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for large-scale corpus preparation, over the
+  * `documents` table: exact (content-hash groupBy), n-gram Jaccard,
+  * MinHash + LSH banding, and SimHash.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash-groupBy — a single shuffle on a 128-bit
+  *    content hash, no data skew (hashes are uniform).
+  *  - Near-dup candidate generation NEVER does an O(n²) cross join:
+  *    candidates come from equi-joins on blocking keys (shared shingle,
+  *    shared LSH band signature, shared SimHash chunk). On this corpus
+  *    the max shingle document-frequency is 4, so the shingle join's
+  *    output is ~|near-dup pairs|, not |docs|².  With adversarial data
+  *    a df-cap filter (drop shingles with df > limit) bounds the join;
+  *    the MinHash/LSH and SimHash paths have fixed fan-out (16 hashes /
+  *    4 bands / 4 chunks per doc) by construction.
+  *  - All hashing is MD5-derived so the DuckDB oracle can reproduce
+  *    values bit-for-bit. In production the same pipeline would use
+  *    `xxhash64(shingle, seed_i)` — one cheap 64-bit hash per seed —
+  *    without changing any of the dataflow.
+  */
+object Dedup {
+
+  /** Word 5-gram shingles (distinct per doc), one row per (doc, shingle).
+    * Docs shorter than 5 words contribute no shingles, matching the
+    * empty-comprehension behavior of the oracle.
+    */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val sh = transform(
+      sequence(lit(1), size(ws) - 4),
+      i => array_join(slice(ws, i, lit(5)), " "))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(when(size(ws) >= 5, array_distinct(sh))).as("shingle"))
+  }
+
+  /** Exact dedup: group by content hash; keeper = lowest doc_id.
+    * One shuffle on md5(text).
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** N-gram Jaccard near-dup pairs: shingle equi-join → per-pair
+    * intersection count → |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.5.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = shingles(spark, sfDir)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val l = ex.toDF("doc_a", "shingle")
+    val r = ex.toDF("doc_b", "shingle_r")
+    val inter = l.join(r, col("shingle") === col("shingle_r") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  private val NumHashes = 16
+  private val NumBands = 4 // 4 rows per band
+
+  /** MinHash signatures + LSH banding: 16 min-hashes per doc (min over
+    * shingles of md5(i ++ "|" ++ shingle)), banded 4×4; candidate pairs
+    * share a band signature; estimated Jaccard = fraction of agreeing
+    * minhash positions. Fixed per-doc fan-out ⇒ linear scaling.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = shingles(spark, sfDir)
+    val mh = ex
+      .withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
+      .groupBy("doc_id", "i")
+      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("shingle")))).as("mh"))
+    val sig = mh.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh")).as("mhs"))
+    val bands = sig
+      .withColumn("b", explode(sequence(lit(0), lit(NumBands - 1))))
+      .select(col("doc_id"), col("b"),
+        md5(array_join(slice(col("mhs"), col("b") * 4 + 1, lit(4)), "|")).as("bsig"))
+    val cand = bands.toDF("doc_a", "b", "bsig")
+      .join(bands.toDF("doc_b", "b_r", "bsig_r"),
+        col("b") === col("b_r") && col("bsig") === col("bsig_r") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sig.toDF("doc_a", "mhs_a"), "doc_a")
+      .join(sig.toDF("doc_b", "mhs_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("mhs_a"), col("mhs_b"), (p, q) => p === q),
+          x => x)).cast("double") / NumHashes).as("est_jaccard"))
+  }
+
+  /** 60-bit SimHash per document: per-word 60-bit hash (first 15 hex
+    * chars of md5 — stays in signed-long range), each bit voted +count /
+    * −count, sign of the vote becomes the bit. One explode(60) per
+    * distinct word — fixed fan-out, single aggregation shuffle.
+    */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val wc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+    wc.withColumn("j", explode(sequence(lit(0), lit(59))))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("shiftright(h, j) & 1") === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 15-bit chunks (two docs within
+    * Hamming distance 3 of a 60-bit signature must agree on at least
+    * one of 4 chunks), verify with bit_count(xor) ≤ 8. The chunk join
+    * replaces the O(n²) Hamming scan.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhash(spark, sfDir)
+    val chunks = sig
+      .withColumn("c", explode(sequence(lit(0), lit(3))))
+      .select(col("doc_id"), col("c"),
+        expr("shiftright(simhash, 15 * c) & 32767").as("chunk"), col("simhash"))
+    chunks.toDF("doc_a", "c", "chunk", "sim_a")
+      .join(chunks.toDF("doc_b", "c_r", "chunk_r", "sim_b"),
+        col("c") === col("c_r") && col("chunk") === col("chunk_r") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+  }
+
+  /** Shared oracle fragment: per-doc distinct word-5-gram shingles. */
+  private val ShingleCte =
+    """sh AS (
+         SELECT doc_id,
+                list_distinct(CASE WHEN len(ws) >= 5
+                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+                  ELSE [] END) AS s
+         FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
+       ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+                count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $ShingleCte,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+                 CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
+          FROM inter
+          JOIN sizes x ON doc_a = x.doc_id
+          JOIN sizes y ON doc_b = y.doc_id
+          WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5""",
+    "dedup_minhash_lsh" ->
+      s"""WITH $ShingleCte,
+          mh AS (
+            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+            FROM ex, range(16) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+            FROM sig, range(4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16
+                   AS est_jaccard
+          FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id""",
+    "dedup_simhash" ->
+      """WITH wc AS (
+           SELECT doc_id, word, count(*) AS cnt,
+                  ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+           GROUP BY doc_id, word, md5(word)),
+         votes AS (
+           SELECT doc_id, j,
+                  sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
+           FROM wc, range(60) t(j) GROUP BY doc_id, j)
+         SELECT doc_id,
+                sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+         FROM votes GROUP BY doc_id""",
+    "dedup_simhash_pairs" ->
+      """WITH wc AS (
+           SELECT doc_id, word, count(*) AS cnt,
+                  ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+           GROUP BY doc_id, word, md5(word)),
+         votes AS (
+           SELECT doc_id, j,
+                  sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
+           FROM wc, range(60) t(j) GROUP BY doc_id, j),
+         sig AS (
+           SELECT doc_id,
+                  sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+           FROM votes GROUP BY doc_id),
+         chunks AS (
+           SELECT doc_id, c, (simhash >> (15 * c)) & 32767 AS chunk, simhash
+           FROM sig, range(4) t(c))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM chunks a JOIN chunks b
+           ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact _,
+    "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_simhash" -> simhash _,
+    "dedup_simhash_pairs" -> simhashPairs _,
+  )
+}
