@@ -21,7 +21,8 @@ object SparkEntry {
     operators.EventPatterns.queries ++
       operators.Relational.queries ++
       functions.TextAnalysis.queries ++
-      ext.Dedup.queries
+      ext.Dedup.queries ++
+      ext.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
     operators.EventPatterns.oracleSql ++
       operators.Relational.oracleSql ++
       functions.TextAnalysis.oracleSql ++
-      ext.Dedup.oracleSql
+      ext.Dedup.oracleSql ++
+      ext.Similarity.oracleSql
 }

@@ -1,0 +1,166 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TopK.topK
+import graft.functions.expressions.GraftFunctions
+
+/** Similarity search over the `embeddings` table (`array<float>`,
+  * dim 64): brute-force cosine top-K as the exact baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - The query set is always `broadcast()` — the corpus is scanned
+  *    exactly once, never shuffled.
+  *  - Scoring uses the native codegen'd [[graft.functions.expressions.CosineSimilarity]]
+  *    expression (fused dot+norms loop, zero allocation per row).
+  *  - Per-query top-K runs through [[graft.functions.TopKAgg]]:
+  *    partial aggregation trims to K per map task, so the exchange
+  *    carries O(partitions × K) rows instead of the whole scored
+  *    corpus (a window+row_number would shuffle every scored row).
+  *  - The LSH variant buckets vectors by 8 deterministic hyperplane
+  *    signs (256 buckets); candidates are an equi-join on bucket id —
+  *    the corpus-side work drops by the bucket selectivity, the exact
+  *    re-rank only touches candidates. More planes / multi-probe are
+  *    parameter changes, not dataflow changes. Hyperplanes derive from
+  *    md5 so the DuckDB oracle reproduces them exactly; production
+  *    would draw Gaussian planes from a seeded RNG.
+  */
+object Similarity {
+
+  private val NumQueryVecs = 5
+  private val Dim = 64
+  private val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplane weights in [-1, 1]:
+    * md5("p_d") → first 15 hex chars → long → % 2001 − 1000 → /1000.
+    * Bit-for-bit reproducible in the DuckDB oracle.
+    */
+  private[ext] lazy val planes: Seq[Seq[Double]] = {
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L) - 1000L) / 1000.0
+      }
+    }
+  }
+
+  /** Sign-bucket of a vector: bit p set iff dot(v, plane_p) >= 0. */
+  private[ext] def bucketCol(emb: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(emb, typedLit(planes(p)), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+
+  /** Exact brute-force cosine top-10 per query vector (query set =
+    * vec_id < 5, self excluded). One corpus scan, broadcast queries,
+    * heap-trimmed partial top-K.
+    */
+  def bruteforceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("score"))
+      .groupBy("query_id")
+      .agg(topK(10)(col("vec_id"), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("neighbor_id"),
+        round(col("col._2"), 6).as("score"))
+  }
+
+  /** LSH-bucketed approximate top-3: candidates share the query's
+    * 8-bit hyperplane sign bucket; exact cosine re-rank within the
+    * bucket. Recall < 1 by construction — the tradeoff the scale path
+    * buys throughput with.
+    */
+  def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", bucketCol(col("embedding")))
+    val q = emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    emb.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_bucket"), col("vec_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("score"))
+      .groupBy("query_id", "q_bucket")
+      .agg(topK(3)(col("vec_id"), col("score")).as("hits"))
+      .select(col("query_id"), col("q_bucket"), posexplode(col("hits")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("neighbor_id"),
+        round(col("col._2"), 6).as("score"),
+        col("q_bucket").as("bucket"))
+  }
+
+  /** Oracle fragment: per-vector double-precision cosine pieces. */
+  private val CosExpr =
+    """list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+                 for i in range(len(q.embedding))])
+       / (sqrt(list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)
+                 for i in range(len(q.embedding))]))
+          * sqrt(list_sum([CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+                 for i in range(len(c.embedding))])))"""
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   $CosExpr AS score
+            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < $NumQueryVecs)
+          SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+                 round(score, 6) AS score
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rn
+                FROM scored)
+          WHERE rn <= 10""",
+    "sim_ann_lsh" ->
+      s"""WITH planes AS (
+            SELECT p, list(w ORDER BY d) AS pw FROM (
+              SELECT p, d,
+                ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+                  % 2001) - 1000) / 1000.0 AS w
+              FROM range($NumPlanes) tp(p), range($Dim) td(d))
+            GROUP BY p),
+          sigs AS (
+            SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+            FROM (
+              SELECT e.vec_id, pl.p,
+                     list_sum([CAST(e.embedding[i+1] AS DOUBLE) * pl.pw[i+1]
+                               for i in range(len(e.embedding))]) AS dot
+              FROM embeddings e, planes pl)
+            GROUP BY vec_id),
+          b AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sigs s USING (vec_id)),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+                   $CosExpr AS score
+            FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+            WHERE q.vec_id < $NumQueryVecs)
+          SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+                 round(score, 6) AS score, bucket
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rn
+                FROM scored)
+          WHERE rn <= 3""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> bruteforceTopK _,
+    "sim_ann_lsh" -> annLshTopK _,
+  )
+}
