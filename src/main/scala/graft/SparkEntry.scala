@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Relational.queries ++
       functions.TextAnalysis.queries ++
       ext.Dedup.queries ++
-      ext.Similarity.queries
+      ext.Similarity.queries ++
+      ext.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       operators.Relational.oracleSql ++
       functions.TextAnalysis.oracleSql ++
       ext.Dedup.oracleSql ++
-      ext.Similarity.oracleSql
+      ext.Similarity.oracleSql ++
+      ext.Multimodal.oracleSql
 }
