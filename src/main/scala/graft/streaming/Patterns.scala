@@ -1,0 +1,236 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The reference's four streaming-ingestion + incremental-aggregation
+  * patterns, restated on Structured Streaming (SURVEY.md §0, §3).
+  * Each pattern takes a streaming (or batch, for the bonus pattern)
+  * `DataFrame` of typed events — produced by `EventCodec.parse` from
+  * a Kafka/file/MemoryStream source — so the patterns are
+  * source-agnostic: in production the source is
+  * `spark.readStream.format("kafka")...` (exactly reference
+  * pattern_2.py:38-43); in tests it is a `MemoryStream[String]`.
+  */
+object Patterns {
+
+  /** The shared summary query: per-user click counts + latest activity
+    * (reference pattern_1_1.py:99-106, pattern_2.py:53-57).
+    */
+  def clickSummary(events: DataFrame, clickType: String = "CLICK"): DataFrame =
+    events
+      .filter(col("event_type") === clickType)
+      .groupBy("user_id", "user_name")
+      .agg(
+        count(lit(1)).as("count_of_clicks"),
+        max(col("timestamp")).as("updated_at"))
+}
+
+/** Pattern 1.1 — high-watermark delta MERGE, Spark-native form.
+  *
+  * The reference (pattern_1_1.py:85-124) re-reads
+  * `max(updated_at)`, re-aggregates only rows past it, and MERGEs
+  * into `user_clicks`. In Spark the watermark read, delta predicate,
+  * and monoid merge are exactly what update-mode stateful
+  * aggregation does internally: the state store holds the per-user
+  * aggregate, each micro-batch updates only touched keys, and
+  * `foreachBatch` receives the changed keys' NEW TOTALS, which the
+  * sink upserts by replacement. The two reference threads (ingest +
+  * aggregate loop) collapse into one streaming query (SURVEY §3.1).
+  *
+  * Late data: the reference silently drops events at or before the
+  * watermark (SURVEY §2.6 T6 quirk). Spark's state store has no such
+  * loss — late events update their key. We keep the correct behavior
+  * and document the deviation; callers wanting bounded state at
+  * unbounded key cardinality add `.withWatermark` before
+  * [[Patterns.clickSummary]].
+  */
+object Pattern11 {
+  def start(
+      events: DataFrame,
+      store: VersionedStore,
+      checkpoint: String,
+      clickType: String = "CLICK"): StreamingQuery =
+    Patterns.clickSummary(events, clickType)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (changed: DataFrame, batchId: Long) =>
+        // MERGE by replacement: changed keys carry their new totals
+        val delta = changed.cache()
+        try {
+          store.transact(batchId) {
+            case None => delta
+            case Some(cur) =>
+              cur.join(delta.select("user_id"), Seq("user_id"), "left_anti")
+                .unionByName(delta)
+          }
+        } finally { delta.unpersist(); () }
+      }
+      .start()
+}
+
+/** Pattern 1.2 — change-data-feed increments, Spark-native form.
+  *
+  * The reference appends to a DuckLake table and computes deltas with
+  * `table_changes(raw_events, from_snapshot, to_snapshot)`
+  * (pattern_1_2.py:93-118). In Structured Streaming the micro-batch
+  * IS the change set and `batchId` IS the snapshot id (SURVEY §2.1
+  * S4/S5): each batch is (1) appended to the raw log partitioned by
+  * `batch_id` — a queryable change feed with partition-pruned
+  * snapshot-range scans — and (2) aggregated as a DELTA and
+  * monoid-merged (count: +, updated_at: max) into the summary,
+  * stamped with `last_snapshot = batchId` (reference
+  * pattern_1_2.py:104 `? AS last_snapshot`).
+  */
+object Pattern12 {
+  def start(
+      events: DataFrame,
+      rawLogDir: String,
+      store: VersionedStore,
+      checkpoint: String,
+      clickType: String = "CLICK"): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stamped = batch.withColumn("batch_id", lit(batchId)).cache()
+        try {
+          // 1) change feed: append-only log, one partition dir per snapshot
+          stamped.write.mode("append").partitionBy("batch_id").parquet(rawLogDir)
+          // 2) delta aggregate, merged into the summary
+          val delta = Patterns.clickSummary(stamped.drop("batch_id"), clickType)
+            .withColumn("last_snapshot", lit(batchId))
+          store.transact(batchId) {
+            case None => delta
+            case Some(cur) =>
+              cur.unionByName(delta)
+                .groupBy("user_id", "user_name")
+                .agg(
+                  sum(col("count_of_clicks")).as("count_of_clicks"),
+                  max(col("updated_at")).as("updated_at"),
+                  max(col("last_snapshot")).cast("long").as("last_snapshot"))
+          }
+        } finally { stamped.unpersist(); () }
+      }
+      .start()
+
+  /** `snapshots()` analogue (reference pattern_1_2.py:94): committed
+    * snapshot ids in the raw log.
+    */
+  def snapshots(spark: SparkSession, rawLogDir: String): DataFrame =
+    spark.read.parquet(rawLogDir).select("batch_id").distinct()
+
+  /** `table_changes(tbl, from, to)` analogue (reference
+    * pattern_1_2.py:105): rows appended in snapshot range
+    * (fromExclusive, toInclusive]. Partition pruning makes this a
+    * directory-selective scan, not a full-log read.
+    */
+  def tableChanges(
+      spark: SparkSession, rawLogDir: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame =
+    spark.read.parquet(rawLogDir)
+      .filter(col("batch_id") > fromExclusive && col("batch_id") <= toInclusive)
+}
+
+/** Pattern 2 — complete-mode recompute + transactional overwrite,
+  * the reference's own Spark pattern reproduced 1:1
+  * (pattern_2.py:38-68: Kafka → parse → filter → groupBy/agg →
+  * complete mode → foreachBatch JDBC overwrite). The overwrite goes
+  * through [[VersionedStore]] for the DELETE+INSERT-in-transaction
+  * semantics of pattern_2.py:108-113.
+  *
+  * Scale note (SURVEY §7.4): complete mode re-emits the whole
+  * aggregate every batch — right only when |keys| is small (the
+  * reference's 40 users). At large key cardinality use Pattern 1.1
+  * (update mode).
+  */
+object Pattern2 {
+  def start(
+      events: DataFrame,
+      store: VersionedStore,
+      checkpoint: String,
+      clickType: String = "CLICK"): StreamingQuery =
+    Patterns.clickSummary(events, clickType)
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (full: DataFrame, batchId: Long) =>
+        store.transact(batchId)(_ => full) // atomic full overwrite (K3/K5)
+      }
+      .start()
+
+  /** The reference's staging variant (pattern_2.py:81-113, K4+K5):
+    * per-batch PARTIAL aggregates append to a staging log; the target
+    * is rebuilt from staging by a second-level aggregation
+    * (sum of partial counts, max of partial watermarks) inside one
+    * atomic commit — an explicit partial→final two-phase aggregation.
+    */
+  def startWithStaging(
+      events: DataFrame,
+      stagingDir: String,
+      store: VersionedStore,
+      checkpoint: String,
+      clickType: String = "CLICK"): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Patterns.clickSummary(batch, clickType)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(stagingDir)
+        val spark = batch.sparkSession
+        store.transact(batchId) { _ =>
+          spark.read.parquet(stagingDir)
+            .groupBy("user_id", "user_name")
+            .agg(
+              sum(col("count_of_clicks")).as("count_of_clicks"),
+              max(col("updated_at")).as("updated_at"))
+        }
+      }
+      .start()
+}
+
+/** Bonus pattern — stateless streaming views (reference
+  * bonus_pattern.py:17-55): the topic is exposed as a scannable
+  * relation; two stacked views re-derive the summary on EVERY query;
+  * a poll loop reads the top-5. No state anywhere — each query
+  * re-scans the source (SURVEY §2.1 S3: batch Kafka scan with
+  * earliest→latest offsets; here any re-readable batch DataFrame).
+  *
+  * `registerViews` is called per poll, mirroring the per-query
+  * re-scan: view inlining makes each top-5 query re-execute the full
+  * parse → filter → aggregate over the source's current contents.
+  * O(topic) per query by design — the semantic spec of a streaming
+  * view, not a perf path (SURVEY §7.4).
+  */
+object BonusPattern {
+  /** @param rawMessages batch frame with a `message` column of JSON
+    *                    bytes/strings (reference's
+    *                    `tributary_scan_topic` relation shape).
+    */
+  def registerViews(
+      spark: SparkSession,
+      rawMessages: DataFrame,
+      clickType: String = "CLICK"): Unit = {
+    // raw_events_view: SELECT * EXCLUDE message + decoded fields
+    // (bonus_pattern.py:17-23)
+    EventCodec.parse(rawMessages, "message").createOrReplaceTempView("raw_events_view")
+    // user_clicks_view: the stacked aggregate view (bonus_pattern.py:24-41)
+    spark.sql(
+      s"""SELECT user_id, user_name,
+                 count(*) AS count_of_clicks,
+                 max(timestamp) AS updated_at
+          FROM raw_events_view
+          WHERE event_type = '$clickType'
+          GROUP BY user_id, user_name""")
+      .createOrReplaceTempView("user_clicks_view")
+  }
+
+  /** The polled top-K query (bonus_pattern.py:50). */
+  def topUsers(spark: SparkSession, n: Int): DataFrame =
+    spark.sql(
+      s"""SELECT * FROM user_clicks_view
+          ORDER BY count_of_clicks DESC, user_id ASC LIMIT $n""")
+}

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Pattern-level end-to-end tests (SURVEY.md §5.3): replay JSON event
+  * messages through a MemoryStream source in multiple micro-batches
+  * and assert the maintained summary equals the batch ground truth
+  * computed from the same messages — the streaming ≡ batch-recompute
+  * property that defines all four patterns.
+  */
+class PatternsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(ts: String, uid: String, name: String, typ: String): String =
+    s"""{"timestamp":"$ts","user_id":"$uid","user_name":"$name","event_type":"$typ"}"""
+
+  private val batch1 = Seq(
+    ev("2024-01-01T00:00:01.000000", "u1", "Alice", "CLICK"),
+    ev("2024-01-01T00:00:02.000000", "u1", "Alice", "CLICK"),
+    ev("2024-01-01T00:00:03.000000", "u2", "Bob", "CLICK"),
+    ev("2024-01-01T00:00:04.000000", "u2", "Bob", "IMPRESSION"),
+    ev("2024-01-01T00:00:05.000000", "u3", "Cara", "HOVER_MOUSE"))
+
+  private val batch2 = Seq(
+    ev("2024-01-01T00:01:01.000000", "u2", "Bob", "CLICK"),
+    ev("2024-01-01T00:01:02.000000", "u3", "Cara", "CLICK"),
+    // late arrival: event-time BEFORE batch1's max — the reference's
+    // pattern 1.1 would drop this (SURVEY T6); our engine counts it
+    ev("2024-01-01T00:00:00.500000", "u1", "Alice", "CLICK"),
+    // poison messages: malformed JSON / missing fields are skipped
+    // (reference per-message try/except, pattern_1_1.py:64-76)
+    """not a json message""",
+    """{"user_id":"u9","event_type":"CLICK"}""")
+
+  /** Batch ground truth over the exact same wire messages. */
+  private def groundTruth(messages: Seq[String]): Set[(String, String, Long, String)] =
+    summarySet(Patterns.clickSummary(
+      EventCodec.parse(messages.toDF("value"))))
+
+  private def summarySet(df: DataFrame): Set[(String, String, Long, String)] =
+    df.select("user_id", "user_name", "count_of_clicks", "updated_at")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getTimestamp(3).toString))
+      .toSet
+
+  test("pattern 1.1: update-mode stateful aggregation maintains the summary across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val store = new VersionedStore(spark, TestSpark.tmpDir("p11-store"))
+    val q = Pattern11.start(EventCodec.parse(input.toDF()), store, TestSpark.tmpDir("p11-ckpt"))
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      assert(summarySet(store.read().get) === groundTruth(batch1 ++ batch2))
+    } finally q.stop()
+  }
+
+  test("pattern 1.1: late events update their key (documented deviation from reference drop)") {
+    val truth = groundTruth(batch1 ++ batch2)
+    // u1's count includes the late 00:00:00.5 click => 3 clicks
+    assert(truth.exists(t => t._1 == "u1" && t._3 == 3L))
+  }
+
+  test("pattern 1.2: batch-id change feed + delta merge") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val store = new VersionedStore(spark, TestSpark.tmpDir("p12-store"))
+    val rawLog = TestSpark.tmpDir("p12-rawlog") + "/log"
+    val q = Pattern12.start(EventCodec.parse(input.toDF()), rawLog, store, TestSpark.tmpDir("p12-ckpt"))
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+
+      val summary = store.read().get
+      assert(summarySet(summary) === groundTruth(batch1 ++ batch2))
+
+      // snapshot bookkeeping: last_snapshot stamps the latest batch id
+      val snaps = Pattern12.snapshots(spark, rawLog).collect().map(_.getInt(0)).sorted
+      assert(snaps.length === 2)
+      val maxSnap = snaps.max.toLong
+      assert(summary.select("last_snapshot").distinct().collect().map(_.getLong(0)).max === maxSnap)
+
+      // table_changes(from, to] returns exactly the second batch's parsed rows
+      val changes = Pattern12.tableChanges(spark, rawLog, snaps.min.toLong, maxSnap)
+      assert(changes.count() === 3) // 5 messages - 2 poison
+    } finally q.stop()
+  }
+
+  test("pattern 2: complete-mode recompute with atomic overwrite") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val store = new VersionedStore(spark, TestSpark.tmpDir("p2-store"))
+    val q = Pattern2.start(EventCodec.parse(input.toDF()), store, TestSpark.tmpDir("p2-ckpt"))
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      assert(summarySet(store.read().get) === groundTruth(batch1 ++ batch2))
+    } finally q.stop()
+  }
+
+  test("pattern 2 staging variant: partial aggregates re-aggregate to the same truth") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val store = new VersionedStore(spark, TestSpark.tmpDir("p2s-store"))
+    val q = Pattern2.startWithStaging(
+      EventCodec.parse(input.toDF()), TestSpark.tmpDir("p2s-staging") + "/st",
+      store, TestSpark.tmpDir("p2s-ckpt"))
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      assert(summarySet(store.read().get) === groundTruth(batch1 ++ batch2))
+    } finally q.stop()
+  }
+
+  test("bonus pattern: stateless views recompute on every registration/query") {
+    BonusPattern.registerViews(spark, batch1.toDF("message"))
+    val top1 = BonusPattern.topUsers(spark, 5).collect()
+    assert(top1.map(_.getString(0)).toSeq === Seq("u1", "u2")) // 2 clicks, 1 click
+    // "topic" grows; re-register (per-poll re-scan) and the view reflects it
+    BonusPattern.registerViews(spark, (batch1 ++ batch2).toDF("message"))
+    val top2 = BonusPattern.topUsers(spark, 5).collect()
+    assert(top2.map(r => (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("u1", 3L), ("u2", 2L), ("u3", 1L)))
+  }
+
+  test("versioned store: retried commit is idempotent (bases on the prior snapshot)") {
+    val store = new VersionedStore(spark, TestSpark.tmpDir("vs"))
+    def applyBatch1(cur: Option[DataFrame]): DataFrame =
+      cur.get.unionByName(Seq(("b", 2L)).toDF("k", "v"))
+    store.transact(0)(_ => Seq(("a", 1L)).toDF("k", "v"))
+    store.transact(1)(applyBatch1)
+    assert(store.read().get.count() === 2)
+    // streaming replay of batch 1 after a crash-after-commit: the same
+    // delta is re-applied, but against v0 — no double counting
+    store.transact(1)(applyBatch1)
+    assert(store.currentVersion === Some(1L))
+    assert(store.read().get.count() === 2)
+  }
+}
