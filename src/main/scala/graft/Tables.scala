@@ -20,6 +20,22 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The test parquet files are single-row-group, so Spark's scan
+    * yields ONE input partition regardless of `maxPartitionBytes` —
+    * and every downstream per-row computation would run on one core.
+    * Tables whose pipelines do heavy per-row compute (hashing,
+    * vector math) therefore get an explicit round-robin repartition
+    * to the session's parallelism; light scan→aggregate pipelines
+    * stay un-repartitioned because the extra exchange/stage costs
+    * more than one core saves at this size. On a real deployment the
+    * input is thousands of files and this is a no-op concern. Safe
+    * because every query in this library is partitioning-order
+    * independent by construction (exact integer aggregation,
+    * total-order ranks).
+    */
+  private def parallel(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark's parquet reader rejects (PARQUET_TYPE_ILLEGAL). We read the
     * nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) and
@@ -40,8 +56,10 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    parallel(spark, table(spark, sfDir, "documents"))
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    parallel(spark, table(spark, sfDir, "embeddings"))
 
   /** Register every table as a temp view so `spark.sql` queries (and the
     * bonus-pattern "streaming view" semantics — reference

@@ -26,18 +26,21 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Word 5-gram shingles (distinct per doc), one row per (doc, shingle).
-    * Docs shorter than 5 words contribute no shingles, matching the
-    * empty-comprehension behavior of the oracle.
+  /** Distinct word 5-gram shingle array per doc (docs shorter than 5
+    * words get null, matching the oracle's empty comprehension).
     */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+  private def shingleArray: Column = {
     val ws = split(col("text"), " ")
     val sh = transform(
       sequence(lit(1), size(ws) - 4),
       i => array_join(slice(ws, i, lit(5)), " "))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(when(size(ws) >= 5, array_distinct(sh))).as("shingle"))
+    when(size(ws) >= 5, array_distinct(sh))
   }
+
+  /** One row per (doc, shingle). */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingleArray).as("shingle"))
 
   /** Exact dedup: group by content hash; keeper = lowest doc_id.
     * One shuffle on md5(text).
@@ -51,16 +54,18 @@ object Dedup {
     * intersection count → |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.5.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = shingles(spark, sfDir)
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val l = ex.toDF("doc_a", "shingle")
-    val r = ex.toDF("doc_b", "shingle_r")
-    val inter = l.join(r, col("shingle") === col("shingle_r") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    // set size rides along with each exploded row, so the pair
+    // aggregation needs no extra size-lookup joins afterwards
+    val ex = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleArray.as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+      .cache() // both join sides reference this — without caching the
+               // whole shingle pipeline executes once per reference
+    val l = ex.toDF("doc_a", "sz_a", "shingle")
+    val r = ex.toDF("doc_b", "sz_b", "shingle_r")
+    l.join(r, col("shingle") === col("shingle_r") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= 0.5)
@@ -76,14 +81,22 @@ object Dedup {
     * minhash positions. Fixed per-doc fan-out ⇒ linear scaling.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = shingles(spark, sfDir)
-    val mh = ex
-      .withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
-      .groupBy("doc_id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("shingle")))).as("mh"))
-    val sig = mh.groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh")).as("mhs"))
+    // All 16 minhashes are computed as 16 independent min() aggregates
+    // over the exploded shingle rows in ONE groupBy — every md5/concat/
+    // min stays inside whole-stage codegen, and the plan has a single
+    // exchange before banding. (A higher-order-function formulation —
+    // transform(sequence(..), i -> array_min(..)) — is interpreted
+    // per-element in Spark and benches ~8x slower; HOFs stay out of
+    // this hot path deliberately.)
+    val sig = shingles(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
+        (1 until NumHashes).map(i =>
+          min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mhs"))
+      .cache() // referenced 4x downstream (band self-join + est join)
     val bands = sig
       .withColumn("b", explode(sequence(lit(0), lit(NumBands - 1))))
       .select(col("doc_id"), col("b"),
@@ -107,19 +120,30 @@ object Dedup {
     * distinct word — fixed fan-out, single aggregation shuffle.
     */
   def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val wc = Tables.documents(spark, sfDir)
+    // One row per word INSTANCE (±1 vote per instance sums to the same
+    // total as count-weighted votes per distinct word), then all 60 bit
+    // votes as 60 sum() aggregates in a single codegen'd groupBy — one
+    // exchange total, no per-(doc,word) pre-aggregation, no
+    // interpreted higher-order functions.
+    val words = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .groupBy("doc_id", "word")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
-    wc.withColumn("j", explode(sequence(lit(0), lit(59))))
-      .groupBy("doc_id", "j")
-      .agg(sum(when(expr("shiftright(h, j) & 1") === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as("vote"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long").as("h"))
+    words
       .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(lit(0L))).as("simhash"))
+      .agg(
+        voteBit(0).as("v0"),
+        (1 until 60).map(j => voteBit(j).as(s"v$j")): _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
+
+  /** +1/−1 vote for bit `j` of the per-word hash. */
+  private def voteBit(j: Int): Column =
+    sum(when((shiftright(col("h"), j).bitwiseAND(lit(1L))) === 1, lit(1L))
+      .otherwise(lit(-1L)))
 
   /** SimHash near-dup pairs: block on 15-bit chunks (two docs within
     * Hamming distance 3 of a 60-bit signature must agree on at least
@@ -127,7 +151,7 @@ object Dedup {
     * replaces the O(n²) Hamming scan.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhash(spark, sfDir)
+    val sig = simhash(spark, sfDir).cache() // self-joined below
     val chunks = sig
       .withColumn("c", explode(sequence(lit(0), lit(3))))
       .select(col("doc_id"), col("c"),

@@ -48,13 +48,15 @@ object Similarity {
     }
   }
 
-  /** Sign-bucket of a vector: bit p set iff dot(v, plane_p) >= 0. */
+  /** Sign-bucket of a vector: bit p set iff dot(v, plane_p) >= 0.
+    * Projections run through the codegen'd [[GraftFunctions.vectorDot]]
+    * expression (a zip_with/aggregate formulation is interpreted and
+    * measurably slower; accumulation order and results are identical).
+    */
   private[ext] def bucketCol(emb: Column): Column =
     (0 until NumPlanes).map { p =>
-      val dot = aggregate(
-        zip_with(emb, typedLit(planes(p)), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1 << p)).otherwise(lit(0))
+      when(GraftFunctions.vectorDot(emb, typedLit(planes(p))) >= 0, lit(1 << p))
+        .otherwise(lit(0))
     }.reduce(_ + _).cast("int")
 
   /** Exact brute-force cosine top-10 per query vector (query set =
@@ -88,6 +90,7 @@ object Similarity {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
       .withColumn("bucket", bucketCol(col("embedding")))
+      .cache() // bucket signature is interpreted-HOF work; compute once
     val q = emb.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))

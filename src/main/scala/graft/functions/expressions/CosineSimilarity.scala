@@ -91,12 +91,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val CosineName = "graft_cosine_similarity"
+  val DotName = "graft_vector_dot"
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column-API handle: `cosineSim($"a", $"b")`. */
   def cosineSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function(CosineName, a, b)
+
+  /** Column-API handle: `vectorDot($"embedding", typedLit(plane))`. */
+  def vectorDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(DotName, a, b)
 }

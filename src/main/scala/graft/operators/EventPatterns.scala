@@ -138,6 +138,9 @@ object EventPatterns {
   def parseRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
+      // JSON (de)serialization is the rare per-row-heavy event query:
+      // spread the single-row-group scan across all cores
+      .repartition(spark.sparkContext.defaultParallelism)
     val schema = ev.schema
     // default timestampFormat truncates to millis; keep full microseconds
     val fmt = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")

@@ -16,18 +16,24 @@ import graft.Tables
   *    are explicitly `broadcast()` — no shuffle of the fact table on a
   *    dim key, ever. Only fact-fact joins (orders ⋈ lineitem) shuffle,
   *    and they shuffle once on the join key.
-  *  - Money arithmetic is done in DECIMAL(18,2): decimal sums are
-  *    exact and order-independent, so results are identical across
-  *    partitionings, engines (DuckDB oracle), and cluster sizes —
-  *    double summation would drift with partition count. Final values
-  *    are cast to double for a stable output schema.
+  *  - Money arithmetic runs in exact integer cents (see [[cents]]):
+  *    sums are exact and order-independent — identical across
+  *    partitionings, engines (DuckDB oracle), and cluster sizes,
+  *    where double summation would drift with partition count — and
+  *    aggregate as primitive codegen longs, far faster than decimal.
   *  - Top-K uses orderBy+limit (TakeOrderedAndProject: per-partition
   *    heap, K-row driver merge), never a full sort.
   */
 object Relational {
 
-  /** exact 2-decimal money type for order-independent aggregation */
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** Exact integer-cents representation of a 2-decimal money/ratio
+    * column. Long sums are exact and order-independent like decimal
+    * sums, but run as codegen primitive arithmetic (decimal aggregation
+    * boxes every value). The final division back to double converts an
+    * exact integer identically in any engine, so results stay
+    * bit-for-bit reproducible across partitionings and vs the oracle.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** TPC-H Q1-style pricing summary: scan-heavy partial/final hash
     * aggregate over 6 measures, grouping key cardinality 6.
@@ -37,15 +43,15 @@ object Relational {
       .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
-          * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
-        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
-        (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          / lit(10000.0)).as("sum_disc_price"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+          * (lit(100L) + cents(col("l_tax")))) / lit(1000000.0)).as("sum_charge"),
+        (sum(cents(col("l_quantity"))) / lit(100.0) / count(lit(1))).as("avg_qty"),
+        (sum(cents(col("l_extendedprice"))) / lit(100.0) / count(lit(1))).as("avg_price"),
+        (sum(cents(col("l_discount"))) / lit(100.0) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-style shipping priority: dim-filtered customer broadcast
@@ -65,8 +71,8 @@ object Relational {
     li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        / lit(10000.0)).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
@@ -93,8 +99,8 @@ object Relational {
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-        .cast("double").as("revenue"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        / lit(10000.0)).as("revenue"))
   }
 
   /** Left-semi join (EXISTS): customers that have at least one
@@ -133,7 +139,7 @@ object Relational {
 
   /** Running-total window: cumulative shipped quantity per supplier in
     * ship order (unique ordering key ⇒ deterministic frame). Quantity
-    * accumulates in DECIMAL so the running values are exact.
+    * accumulates in exact integer cents so running values are exact.
     */
   def windowRunningSum(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
@@ -141,7 +147,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("2001-01-01 00:00:00").cast("timestamp"))
-      .withColumn("running_qty", sum(dec(col("l_quantity"))).over(w).cast("double"))
+      .withColumn("running_qty", sum(cents(col("l_quantity"))).over(w) / lit(100.0))
       .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
   }
 
@@ -171,7 +177,7 @@ object Relational {
     Tables.lineitem(spark, sfDir)
       .rollup("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
   /** Exact distinct aggregation: distinct users per event type.
@@ -190,7 +196,7 @@ object Relational {
   def distinctApprox(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
 
   /** Multi-way broadcast enrichment chain: orders → customer → nation
     * → region, aggregated per region. The fact table never shuffles —
@@ -208,25 +214,30 @@ object Relational {
       .groupBy("r_name")
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+        (sum(cents(col("o_totalprice"))) / lit(100.0)).as("total_price"))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-                CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+      """WITH c AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(round(l_quantity*100) AS BIGINT) AS qty,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS price,
+                  CAST(round(l_discount*100) AS BIGINT) AS disc,
+                  CAST(round(l_tax*100) AS BIGINT) AS tax
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00')
+         SELECT l_returnflag, l_linestatus,
+                sum(qty) / CAST(100 AS DOUBLE) AS sum_qty,
+                sum(price) / CAST(100 AS DOUBLE) AS sum_base_price,
+                sum(price * (100 - disc)) / CAST(10000 AS DOUBLE) AS sum_disc_price,
+                sum(price * (100 - disc) * (100 + tax)) / CAST(1000000 AS DOUBLE) AS sum_charge,
+                sum(qty) / CAST(100 AS DOUBLE) / count(*) AS avg_qty,
+                sum(price) / CAST(100 AS DOUBLE) / count(*) AS avg_price,
+                sum(disc) / CAST(100 AS DOUBLE) / count(*) AS avg_disc,
                 count(*) AS count_order
-         FROM lineitem
-         WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
-         GROUP BY l_returnflag, l_linestatus""",
+         FROM c GROUP BY l_returnflag, l_linestatus""",
     "q3_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+                sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / CAST(10000 AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -237,7 +248,7 @@ object Relational {
          ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
     "q5_local_supplier" ->
       """SELECT n_name,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+                sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / CAST(10000 AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN supplier ON l_suppkey = s_suppkey
@@ -264,10 +275,10 @@ object Relational {
          WHERE rank_in_nation <= 3""",
     "window_running_sum" ->
       """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                sum(CAST(round(l_quantity*100) AS BIGINT))
                      OVER (PARTITION BY l_suppkey
                            ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST(100 AS DOUBLE) AS running_qty
          FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'""",
     "setop_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
@@ -279,7 +290,7 @@ object Relational {
          SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180""",
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                sum(CAST(round(l_quantity*100) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_qty,
                 count(*) AS n_rows
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     "distinct_exact" ->
@@ -287,7 +298,7 @@ object Relational {
          FROM events GROUP BY event_type""",
     "region_order_volume" ->
       """SELECT r_name, count(*) AS n_orders,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+                sum(CAST(round(o_totalprice*100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_price
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
