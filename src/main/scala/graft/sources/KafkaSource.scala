@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Kafka source builders, mirroring the reference's consumer configs.
+  *
+  * These construct the standard Spark Kafka source plans (columns
+  * `key`,`value`,`topic`,`partition`,`offset`,`timestamp`,...). The
+  * `spark-sql-kafka-0-10` package must be on the classpath at deploy
+  * time — exactly how the reference ships it (pattern_2.py:22-24 adds
+  * it via `--packages`); this build environment has no broker or
+  * connector jars, so these builders are exercised in production
+  * deployments while everything downstream of them (EventCodec parse,
+  * the four patterns) is broker-independent and tested via
+  * MemoryStream/file replay (SURVEY.md §7.4 risk 4).
+  */
+object KafkaSource {
+
+  /** Streaming scan of a topic from the earliest offset — the Spark
+    * form of the reference's consumer loop (pattern_1_1.py:44-66:
+    * `auto.offset.reset=earliest`) and literally pattern_2.py:38-43.
+    */
+  def stream(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+
+  /** Whole-topic batch scan (earliest → latest) — the reference's
+    * `tributary_scan_topic` relation (bonus_pattern.py:22): the topic
+    * exposed as a scannable table, re-read in full on every query.
+    * Feed the result (renamed `value` → `message`) to
+    * [[graft.streaming.BonusPattern.registerViews]].
+    */
+  def batchScan(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    spark.read
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+      .load()
+      .withColumnRenamed("value", "message")
+}

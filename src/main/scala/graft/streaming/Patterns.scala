@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
 
 /** The reference's four streaming-ingestion + incremental-aggregation
   * patterns, restated on Structured Streaming (SURVEY.md §0, §3).
@@ -25,6 +26,15 @@ object Patterns {
       .agg(
         count(lit(1)).as("count_of_clicks"),
         max(col("timestamp")).as("updated_at"))
+
+  /** The reference fires its aggregation loop every 5 s
+    * (pattern_1_1.py:124 `time.sleep(5)`; SURVEY §2.6 T1) — the Spark
+    * form is a processing-time trigger. `None` (tests) = as-available.
+    */
+  private[streaming] def withTrigger(
+      w: DataStreamWriter[Row], trigger: Option[Trigger]): DataStreamWriter[Row] =
+    trigger.map(w.trigger).getOrElse(w)
+
 }
 
 /** Pattern 1.1 — high-watermark delta MERGE, Spark-native form.
@@ -51,11 +61,13 @@ object Pattern11 {
       events: DataFrame,
       store: VersionedStore,
       checkpoint: String,
-      clickType: String = "CLICK"): StreamingQuery =
-    Patterns.clickSummary(events, clickType)
-      .writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
+      clickType: String = "CLICK",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      Patterns.clickSummary(events, clickType)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint), trigger)
       .foreachBatch { (changed: DataFrame, batchId: Long) =>
         // MERGE by replacement: changed keys carry their new totals
         val delta = changed.cache()
@@ -67,6 +79,54 @@ object Pattern11 {
                 .unionByName(delta)
           }
         } finally { delta.unpersist(); () }
+      }
+      .start()
+
+  /** Strict-parity variant: the reference's OWN delta mechanism —
+    * each cycle filters raw events by the stored high watermark
+    * `max(updated_at)` and monoid-merges the delta aggregate
+    * (pattern_1_1.py:93 watermark read, :105 delta predicate,
+    * :110-112 merge). This faithfully reproduces the T6 quirk: an
+    * event whose event-time is at or before the watermark when it
+    * arrives is SILENTLY DROPPED (SURVEY §2.6 T6). [[start]] is the
+    * corrected form (no loss); both are pinned in PatternsSpec.
+    * (Spark's `withWatermark` cannot express this: for a
+    * non-windowed aggregation there is no event-time key, so the
+    * engine neither evicts state nor filters late rows.)
+    *
+    * The watermark is read from the SAME base snapshot the commit
+    * merges into, so crash-replayed batches filter identically —
+    * idempotent like everything else on [[VersionedStore]].
+    */
+  def startStrict(
+      events: DataFrame,
+      store: VersionedStore,
+      checkpoint: String,
+      clickType: String = "CLICK",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      events.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint), trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val raw = batch.cache()
+        try {
+          store.transact(batchId) { cur =>
+            val wm = cur.flatMap(c =>
+              Option(c.agg(max(col("updated_at"))).first().getTimestamp(0)))
+            val fresh = wm.map(w => raw.filter(col("timestamp") > lit(w))).getOrElse(raw)
+            val delta = Patterns.clickSummary(fresh, clickType)
+            cur match {
+              case None => delta
+              case Some(c) =>
+                c.unionByName(delta)
+                  .groupBy("user_id", "user_name")
+                  .agg(
+                    sum(col("count_of_clicks")).as("count_of_clicks"),
+                    max(col("updated_at")).as("updated_at"))
+            }
+          }
+        } finally { raw.unpersist(); () }
       }
       .start()
 }
@@ -90,10 +150,12 @@ object Pattern12 {
       rawLogDir: String,
       store: VersionedStore,
       checkpoint: String,
-      clickType: String = "CLICK"): StreamingQuery =
-    events.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
+      clickType: String = "CLICK",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      events.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint), trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val stamped = batch.withColumn("batch_id", lit(batchId)).cache()
         try {
@@ -151,11 +213,13 @@ object Pattern2 {
       events: DataFrame,
       store: VersionedStore,
       checkpoint: String,
-      clickType: String = "CLICK"): StreamingQuery =
-    Patterns.clickSummary(events, clickType)
-      .writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", checkpoint)
+      clickType: String = "CLICK",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      Patterns.clickSummary(events, clickType)
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint), trigger)
       .foreachBatch { (full: DataFrame, batchId: Long) =>
         store.transact(batchId)(_ => full) // atomic full overwrite (K3/K5)
       }
@@ -172,10 +236,12 @@ object Pattern2 {
       stagingDir: String,
       store: VersionedStore,
       checkpoint: String,
-      clickType: String = "CLICK"): StreamingQuery =
-    events.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
+      clickType: String = "CLICK",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      events.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint), trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Patterns.clickSummary(batch, clickType)
           .withColumn("batch_id", lit(batchId))

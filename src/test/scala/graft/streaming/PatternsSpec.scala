@@ -127,6 +127,41 @@ class PatternsSpec extends AnyFunSuite {
       Seq(("u1", 3L), ("u2", 2L), ("u3", 1L)))
   }
 
+  test("pattern 1.1 strict mode reproduces the reference's late-drop quirk (T6)") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val store = new VersionedStore(spark, TestSpark.tmpDir("p11s-store"))
+    val q = Pattern11.startStrict(EventCodec.parse(input.toDF()), store,
+      TestSpark.tmpDir("p11s-ckpt"))
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val summary = summarySet(store.read().get)
+      // the late 00:00:00.5 click is at/before the stored watermark
+      // (u1's updated_at from batch1) and fails the delta predicate —
+      // silently dropped, exactly reference pattern_1_1.py:105. The
+      // default Pattern11.start counts it (first test: u1 -> 3).
+      assert(summary.find(_._1 == "u1").get._3 === 2L)
+      // on-time rows in batch2 still merge normally
+      assert(summary.find(_._1 == "u3").get._3 === 1L)
+    } finally q.stop()
+  }
+
+  test("compaction rewrites the raw log into fewer files, same rows") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val store = new VersionedStore(spark, TestSpark.tmpDir("cmp-store"))
+    val rawLog = TestSpark.tmpDir("cmp-rawlog") + "/log"
+    val q = Pattern12.start(EventCodec.parse(input.toDF()), rawLog, store, TestSpark.tmpDir("cmp-ckpt"))
+    try {
+      batch1.foreach { m => input.addData(m); q.processAllAvailable() } // 1 tiny file-batch per message
+    } finally q.stop()
+    val rowsBefore = spark.read.parquet(rawLog).count()
+    val filesBefore = graft.sinks.Compaction.compact(spark, rawLog, numFiles = 1)
+    assert(filesBefore >= 5)
+    assert(spark.read.parquet(rawLog).count() === rowsBefore)
+  }
+
   test("versioned store: retried commit is idempotent (bases on the prior snapshot)") {
     val store = new VersionedStore(spark, TestSpark.tmpDir("vs"))
     def applyBatch1(cur: Option[DataFrame]): DataFrame =
