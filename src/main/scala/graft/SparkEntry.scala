@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.EventPatterns.queries ++
       operators.Relational.queries ++
+      operators.Advanced.queries ++
       functions.TextAnalysis.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.EventPatterns.oracleSql ++
       operators.Relational.oracleSql ++
+      operators.Advanced.oracleSql ++
       functions.TextAnalysis.oracleSql ++
       ext.Dedup.oracleSql ++
       ext.Similarity.oracleSql ++

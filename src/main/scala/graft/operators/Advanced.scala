@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Advanced relational operators beyond both the reference and plain
+  * SQL-92: as-of join, vector aggregation, and a composed corpus-prep
+  * pipeline.
+  */
+object Advanced {
+
+  /** As-of join: each event joined to the user's most recent order at
+    * or before the event's time (DuckDB `ASOF JOIN` semantics —
+    * deterministic here because orders are pre-deduplicated to one row
+    * per (custkey, date), keeping the max orderkey).
+    *
+    * Spark lacks a batch as-of join; the scalable formulation is the
+    * union-sentinel + window trick: tag both inputs, sort each user's
+    * timeline once (orders before events at equal timestamps), and
+    * carry the last non-null order forward with an ignore-nulls
+    * last_value. One shuffle + sort on the join key — the same cost
+    * profile as a sort-merge join, no per-row probing, no range
+    * explosion. This beats (a) a theta-join (quadratic) and (b) a
+    * custom SparkPlan (this composition already yields the optimal
+    * plan shape, so per SURVEY §7.3 built-ins win).
+    */
+  def joinAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val ordD = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val oTag = ordD.select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").as("t"),
+      lit(0).as("tag"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey"),
+      col("o_orderdate"))
+    val eTag = Tables.events(spark, sfDir).select(
+      col("user_id"),
+      col("ts").as("t"),
+      lit(1).as("tag"),
+      col("event_id"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("timestamp").as("o_orderdate"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oTag.unionByName(eTag)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_orderdate", last(col("o_orderdate"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts"),
+        col("asof_orderkey"), col("asof_orderdate"))
+  }
+
+  /** Per-label embedding centroids, one output row per (label,
+    * dimension): the vector-aggregate shape of building class
+    * prototypes / IVF coarse quantizer cells. posexplode + two-key
+    * groupBy = one shuffle of (label, pos, value) triples with full
+    * partial aggregation; no array re-assembly on the reduce side.
+    * Values rounded to 6 decimals (float summation order differs
+    * across engines at ~1e-14).
+    */
+  def embLabelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(
+        round(sum(col("col").cast("double")) / count(lit(1)), 6).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("centroid"), col("n_vectors"))
+
+  /** End-to-end corpus preparation: the composition a training-data
+    * pipeline actually runs — quality-score filter, then near-dup
+    * removal (drop the higher doc_id of every MinHash-LSH candidate
+    * pair with estimated Jaccard ≥ 0.8) — emitting the kept documents
+    * with their metrics. Composes [[graft.functions.TextAnalysis]] and
+    * [[graft.ext.Dedup]] plans; Catalyst fuses the shared scans.
+    */
+  def corpusPrep(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = graft.functions.TextAnalysis.quality(spark, sfDir)
+      .select("doc_id", "n_tokens", "quality_score")
+    val dupLosers = graft.ext.Dedup.minhashLsh(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    quality
+      .filter(col("quality_score") >= 0.3)
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH ordd AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey, o_orderdate)
+         SELECT e.event_id, e.user_id, e.ts,
+                o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate
+         FROM events e
+         ASOF LEFT JOIN ordd o
+           ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
+    "emb_label_centroids" ->
+      """SELECT label, i AS pos,
+                round(sum(CAST(embedding[i+1] AS DOUBLE)) / count(*), 6) AS centroid,
+                count(*) AS n_vectors
+         FROM embeddings, range(64) t(i)
+         GROUP BY label, i""",
+    "corpus_prep" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(ws) >= 5
+                    THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+                    ELSE [] END) AS s
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
+         ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         mh AS (
+           SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+           FROM ex, range(16) t(i) GROUP BY doc_id, i),
+         sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+           FROM sig, range(4) t(b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         losers AS (
+           SELECT DISTINCT doc_b AS doc_id FROM cand
+           JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+           WHERE CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16 >= 0.8),
+         q AS (
+           SELECT doc_id, len(ws) AS n_tokens,
+                  least(1.0, CAST(len(ws) AS DOUBLE) / 256.0) *
+                  (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws))
+                    AS quality_score
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+         SELECT doc_id, n_tokens, quality_score FROM q
+         WHERE quality_score >= 0.3
+           AND doc_id NOT IN (SELECT doc_id FROM losers)""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof" -> joinAsOf _,
+    "emb_label_centroids" -> embLabelCentroids _,
+    "corpus_prep" -> corpusPrep _,
+  )
+}

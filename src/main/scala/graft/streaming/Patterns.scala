@@ -258,6 +258,47 @@ object Pattern2 {
       .start()
 }
 
+/** Event-time windowed aggregation with a real watermark — the
+  * operator where `withWatermark` genuinely bounds state (SURVEY
+  * §2.6 T2): tumbling windows keyed by (window, event_type). The
+  * watermark (1) lets the engine finalize and EVICT window state once
+  * event time passes window-end + lateness — the property that keeps
+  * state finite on an unbounded stream — and (2) drops events later
+  * than the bound (contrast Pattern11: a non-windowed aggregate has
+  * no event-time key, so a watermark there can neither evict nor
+  * filter; its strict mode hand-rolls the predicate instead).
+  *
+  * Append output mode emits each window exactly once, when it
+  * finalizes — the streaming form of an hourly/daily rollup feed.
+  */
+object WindowedAgg {
+  def counts(
+      events: DataFrame,
+      windowDuration: String = "1 minute",
+      lateness: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("timestamp", lateness)
+      .groupBy(window(col("timestamp"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  def start(
+      events: DataFrame,
+      queryName: String,
+      windowDuration: String = "1 minute",
+      lateness: String = "1 minute",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      counts(events, windowDuration, lateness)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName), trigger)
+      .start()
+}
+
 /** Bonus pattern — stateless streaming views (reference
   * bonus_pattern.py:17-55): the topic is exposed as a scannable
   * relation; two stacked views re-derive the summary on EVERY query;

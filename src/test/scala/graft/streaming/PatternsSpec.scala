@@ -162,6 +162,32 @@ class PatternsSpec extends AnyFunSuite {
     assert(spark.read.parquet(rawLog).count() === rowsBefore)
   }
 
+  test("windowed aggregation: watermark finalizes windows and drops too-late events") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = WindowedAgg.start(EventCodec.parse(input.toDF()), "win_out")
+    try {
+      // two events in the 00:00 window, one in 00:01
+      input.addData(
+        ev("2024-01-01T00:00:10.000000", "u1", "Alice", "CLICK"),
+        ev("2024-01-01T00:00:40.000000", "u2", "Bob", "CLICK"),
+        ev("2024-01-01T00:01:10.000000", "u1", "Alice", "CLICK"))
+      q.processAllAvailable()
+      // advance event time past 00:00-window-end (00:01) + 1m lateness
+      // => the 00:00 window finalizes and is emitted
+      input.addData(ev("2024-01-01T00:03:00.000000", "u3", "Cara", "CLICK"))
+      q.processAllAvailable()
+      // this event is 2+ minutes behind the watermark: dropped, and the
+      // finalized 00:00 window must NOT change
+      input.addData(ev("2024-01-01T00:00:50.000000", "u9", "Zoe", "CLICK"))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(out.contains(("2024-01-01 00:00:00.0", "CLICK", 2L)))
+      assert(!out.exists { case (w, _, n) => w.startsWith("2024-01-01 00:00:00") && n != 2L })
+    } finally q.stop()
+  }
+
   test("versioned store: retried commit is idempotent (bases on the prior snapshot)") {
     val store = new VersionedStore(spark, TestSpark.tmpDir("vs"))
     def applyBatch1(cur: Option[DataFrame]): DataFrame =
