@@ -68,7 +68,10 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+    // the BUILDING ⋈ pre-1998 side is ~2% of orders after both filters:
+    // broadcast it so the fact table never shuffles for the join (on a
+    // cluster AQE makes the same SMJ→BHJ conversion from runtime stats)
+    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
       .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
@@ -93,7 +96,9 @@ object Relational {
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // one order-year is a small fraction of orders: broadcast it and the
+    // fact table reaches the final aggregate without ever shuffling
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
