@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale properties argued in the
+  * scaladocs — pushdown, pruning, broadcast-only dim joins — asserted
+  * against the actual optimized plans so a refactor can't silently
+  * regress them.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter and column pruning reach the parquet scan") {
+    val plan = executedPlan("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // pruned read schema: no orderkey/partkey/suppkey columns scanned
+    assert(!plan.contains("l_partkey"))
+  }
+
+  test("click aggregation: event_type filter pushed through the ns-timestamp conversion") {
+    val plan = executedPlan("p11_click_agg")
+    assert(plan.contains("EqualTo(event_type,click)"))
+  }
+
+  test("q5: every join is a broadcast hash join — the fact table never shuffles for a join") {
+    val plan = executedPlan("q5_local_supplier")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("bonus_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val df = Tables.embeddings(spark, sf)
+      .select(graft.functions.expressions.GraftFunctions
+        .cosineSim(col("embedding"), col("embedding")).as("c"))
+      .filter(abs(col("c") - 1.0) < 1e-9)
+    // self-cosine of every non-zero vector is 1 (evaluated via codegen)
+    assert(df.collect().length === Tables.embeddings(spark, sf).count())
+    // the action above finalizes THIS DataFrame's adaptive plan; the
+    // expression must sit inside a WholeStageCodegen span, not a
+    // fallback project
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n) Project [cosine_similarity(...)": the star marks a
+    // WholeStageCodegen span containing the expression
+    assert(plan.contains("*(2) Project [cosine_similarity") ||
+      plan.contains("*(1) Project [cosine_similarity"))
+  }
+}

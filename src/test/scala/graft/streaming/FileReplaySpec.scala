@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+
+/** Pattern-level e2e on the REAL driver test data via the file
+  * streaming source (SURVEY §5.3): replay `events.parquet` as a
+  * parquet-directory stream, run Pattern 2 end-to-end, and assert the
+  * maintained summary equals the batch recompute of the same rows —
+  * with a second source type (files) complementing the MemoryStream
+  * suites.
+  */
+class FileReplaySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** testdata events → the reference's Event shape. */
+  private def shaped(df: org.apache.spark.sql.DataFrame) =
+    df.select(
+      col("ts").as("timestamp"),
+      col("user_id").cast("string").as("user_id"),
+      concat(lit("user_"), col("user_id")).as("user_name"),
+      col("event_type"))
+
+  test("pattern 2 over a file-replayed event stream equals batch recompute") {
+    // stage the shaped events as a streamable directory (multiple files
+    // = multiple micro-batches with maxFilesPerTrigger)
+    val stageDir = TestSpark.tmpDir("replay") + "/events"
+    shaped(Tables.events(spark, sf)).repartition(4)
+      .write.parquet(stageDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stageDir).schema)
+      .option("maxFilesPerTrigger", "1") // 4 micro-batches
+      .parquet(stageDir)
+
+    val store = new VersionedStore(spark, TestSpark.tmpDir("replay-store"))
+    val q = Pattern2.start(stream, store, TestSpark.tmpDir("replay-ckpt"),
+      clickType = "click")
+    try q.processAllAvailable() finally q.stop()
+
+    val got = store.read().get
+      .select("user_id", "count_of_clicks", "updated_at")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSet
+    val expected = Patterns.clickSummary(shaped(Tables.events(spark, sf)), "click")
+      .select("user_id", "count_of_clicks", "updated_at")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+}
