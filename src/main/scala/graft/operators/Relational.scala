@@ -203,6 +203,39 @@ object Relational {
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
 
+  /** Skew-safe exact distinct: the two-phase rewrite of
+    * [[distinctExact]] — first aggregate on (group, value) to
+    * deduplicate with a well-distributed composite key, then count per
+    * group. With only 5 event types, a naive count(distinct) funnels
+    * each type's rows through one reducer; the composite first phase
+    * spreads them across the cluster — the same effect as salting the
+    * hot key, with the dedup doubling as the salt. Identical results,
+    * skew-proof shuffle.
+    */
+  def distinctExactSalted(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("dummy"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+
+  /** Statistical profile per group: mean, sample stddev, exact
+    * interpolated median and p90. Exact percentiles need the group's
+    * values together (sort-based), which is why the approx sketch
+    * ([[distinctApprox]]-style) is the 100 TB default; this is the
+    * exact reference form. Moments rounded to 6 (accumulation-order
+    * ulps differ across engines).
+    */
+  def statsSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        round(avg(col("value")), 6).as("avg_value"),
+        round(stddev_samp(col("value")), 6).as("stddev_value"),
+        round(expr("percentile(value, 0.5)"), 6).as("median_value"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90_value"),
+        count(lit(1)).as("n"))
+
   /** Multi-way broadcast enrichment chain: orders → customer → nation
     * → region, aggregated per region. The fact table never shuffles —
     * every join is a broadcast hash join, then one shuffle for the
@@ -301,6 +334,17 @@ object Relational {
     "distinct_exact" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type""",
+    "distinct_exact_salted" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type""",
+    "stats_summary" ->
+      """SELECT event_type,
+                round(avg(value), 6) AS avg_value,
+                round(stddev_samp(value), 6) AS stddev_value,
+                round(quantile_cont(value, 0.5), 6) AS median_value,
+                round(quantile_cont(value, 0.9), 6) AS p90_value,
+                count(*) AS n
+         FROM events GROUP BY event_type""",
     "region_order_volume" ->
       """SELECT r_name, count(*) AS n_orders,
                 sum(CAST(round(o_totalprice*100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_price
@@ -324,6 +368,8 @@ object Relational {
     "setop_except" -> setopExcept _,
     "agg_rollup" -> aggRollup _,
     "distinct_exact" -> distinctExact _,
+    "distinct_exact_salted" -> distinctExactSalted _,
+    "stats_summary" -> statsSummary _,
     "distinct_approx" -> distinctApprox _,
     "region_order_volume" -> regionOrderVolume _,
   )
