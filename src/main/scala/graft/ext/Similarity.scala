@@ -109,6 +109,28 @@ object Similarity {
         col("q_bucket").as("bucket"))
   }
 
+  /** Embedding-cosine near-duplicate pairs — the vector-space member
+    * of the dedup family: candidate pairs share an LSH sign bucket
+    * (each vector lands in exactly one bucket ⇒ pairs are unique, no
+    * distinct needed), then exact cosine ≥ 0.3 confirms. The bucket
+    * equi-join replaces the O(n²) pair scan; recall is tuned with
+    * more/fewer planes exactly like [[annLshTopK]].
+    */
+  def embNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", bucketCol(col("embedding")))
+      .cache()
+    val l = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+    val r = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("bucket").as("bucket_r"))
+    l.join(r, col("bucket") === col("bucket_r") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        GraftFunctions.cosineSim(col("emb_a"), col("emb_b")).as("score"))
+      .filter(col("score") >= 0.3)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
+  }
+
   /** Oracle fragment: per-vector double-precision cosine pieces. */
   private val CosExpr =
     """list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
@@ -160,10 +182,33 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 3""",
+    "dedup_emb_neardup" ->
+      s"""WITH planes AS (
+            SELECT p, list(w ORDER BY d) AS pw FROM (
+              SELECT p, d,
+                ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+                  % 2001) - 1000) / 1000.0 AS w
+              FROM range($NumPlanes) tp(p), range($Dim) td(d))
+            GROUP BY p),
+          sigs AS (
+            SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+            FROM (
+              SELECT e.vec_id, pl.p,
+                     list_sum([CAST(e.embedding[i+1] AS DOUBLE) * pl.pw[i+1]
+                               for i in range(len(e.embedding))]) AS dot
+              FROM embeddings e, planes pl)
+            GROUP BY vec_id),
+          b AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sigs s USING (vec_id))
+          SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+                 round($CosExpr, 6) AS score
+          FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+          WHERE $CosExpr >= 0.3""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> bruteforceTopK _,
     "sim_ann_lsh" -> annLshTopK _,
+    "dedup_emb_neardup" -> embNearDup _,
   )
 }

@@ -258,6 +258,36 @@ object Pattern2 {
       .start()
 }
 
+/** Streaming exact deduplication: first occurrence of each
+  * (user_id, event_type, timestamp) passes, replays are dropped — the
+  * streaming form of exact dedup (at-least-once upstream → effectively
+  * exactly-once downstream). `dropDuplicatesWithinWatermark` keys the
+  * dedup state by the chosen columns and EVICTS entries once the
+  * event-time watermark passes them, so state is bounded by the
+  * lateness horizon rather than growing with the stream — the only
+  * form that survives an unbounded 100 TB stream (plain
+  * `dropDuplicates` on a stream retains every key forever).
+  */
+object StreamingDedup {
+  def distinctEvents(events: DataFrame, lateness: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("timestamp", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "timestamp")
+
+  def start(
+      events: DataFrame,
+      queryName: String,
+      lateness: String = "1 minute",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      distinctEvents(events, lateness)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName), trigger)
+      .start()
+}
+
 /** Event-time windowed aggregation with a real watermark — the
   * operator where `withWatermark` genuinely bounds state (SURVEY
   * §2.6 T2): tumbling windows keyed by (window, event_type). The

@@ -188,6 +188,35 @@ class PatternsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: replayed messages are dropped, state evicted by watermark") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = StreamingDedup.start(EventCodec.parse(input.toDF()), "dedup_out")
+    try {
+      val dup = ev("2024-01-01T00:00:01.000000", "u1", "Alice", "CLICK")
+      input.addData(dup, dup, ev("2024-01-01T00:00:02.000000", "u2", "Bob", "CLICK"))
+      q.processAllAvailable()
+      input.addData(dup) // replay in a later batch: still within watermark → dropped
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("pattern 2 recovers from its checkpoint: restart resumes, no loss or double count") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val ckpt = TestSpark.tmpDir("rec-ckpt")
+    val store = new VersionedStore(spark, TestSpark.tmpDir("rec-store"))
+    val q1 = Pattern2.start(EventCodec.parse(input.toDF()), store, ckpt)
+    input.addData(batch1); q1.processAllAvailable()
+    q1.stop() // crash/redeploy
+    val q2 = Pattern2.start(EventCodec.parse(input.toDF()), store, ckpt)
+    try {
+      input.addData(batch2); q2.processAllAvailable()
+      assert(summarySet(store.read().get) === groundTruth(batch1 ++ batch2))
+    } finally q2.stop()
+  }
+
   test("versioned store: retried commit is idempotent (bases on the prior snapshot)") {
     val store = new VersionedStore(spark, TestSpark.tmpDir("vs"))
     def applyBatch1(cur: Option[DataFrame]): DataFrame =
