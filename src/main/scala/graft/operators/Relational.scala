@@ -180,6 +180,11 @@ object Relational {
     */
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      // Expand triples every input row before the partial aggregate;
+      // spread the single-row-group scan first so that 3x work is
+      // parallel rather than inside one scan task
+      .repartition(spark.sparkContext.defaultParallelism)
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
