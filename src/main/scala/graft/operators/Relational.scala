@@ -208,6 +208,26 @@ object Relational {
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
 
+  /** TPC-H Q14-style promo revenue: lineitem ⋈ broadcast part with a
+    * conditional (CASE-guarded) aggregate — the fraction of revenue
+    * from promotional parts per month. Demonstrates conditional
+    * aggregation and a fact⋈dimension join on the part table.
+    */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("2001-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))) / lit(10000.0))
+          .as("promo_revenue"),
+        (sum(rev) / lit(10000.0)).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Skew-safe exact distinct: the two-phase rewrite of
     * [[distinctExact]] — first aggregate on (group, value) to
     * deduplicate with a well-distributed composite key, then count per
@@ -342,6 +362,18 @@ object Relational {
     "distinct_exact_salted" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type""",
+    "q14_promo_revenue" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+                sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+                    ELSE 0 END) / CAST(10000 AS DOUBLE) AS promo_revenue,
+                sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                  / CAST(10000 AS DOUBLE) AS total_revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+         GROUP BY CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)""",
     "stats_summary" ->
       """SELECT event_type,
                 round(avg(value), 6) AS avg_value,
@@ -375,6 +407,7 @@ object Relational {
     "distinct_exact" -> distinctExact _,
     "distinct_exact_salted" -> distinctExactSalted _,
     "stats_summary" -> statsSummary _,
+    "q14_promo_revenue" -> q14PromoRevenue _,
     "distinct_approx" -> distinctApprox _,
     "region_order_volume" -> regionOrderVolume _,
   )
