@@ -51,12 +51,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // min of two measured runs per query: suppresses shared-machine
+    // min of the measured runs per query: suppresses shared-machine
     // noise (GC pauses, CPU contention) so reported numbers reflect
-    // the query's actual steady-state cost
+    // the query's actual steady-state cost; a third run settles the
+    // cases where the first two disagree badly
     val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
       val a = runOnce(n); val b = runOnce(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      if (a < 0 || b < 0) n -> math.max(a, b)
+      else {
+        val m = math.min(a, b)
+        n -> (if (math.max(a, b) > 1.5 * m) math.min(m, runOnce(n)) else m)
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
