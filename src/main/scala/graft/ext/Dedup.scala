@@ -13,12 +13,14 @@ import graft.Tables
   *    content hash, no data skew (hashes are uniform).
   *  - Near-dup candidate generation NEVER does an O(n²) cross join:
   *    candidates come from equi-joins on blocking keys (shared shingle,
-  *    shared LSH band signature, shared SimHash chunk). On this corpus
-  *    the max shingle document-frequency is 4, so the shingle join's
-  *    output is ~|near-dup pairs|, not |docs|².  With adversarial data
-  *    a df-cap filter (drop shingles with df > limit) bounds the join;
-  *    the MinHash/LSH and SimHash paths have fixed fan-out (16 hashes /
-  *    4 bands / 4 chunks per doc) by construction.
+  *    shared LSH band signature, shared SimHash chunk). The shingle
+  *    join is bounded by a document-frequency cap
+  *    ([[DefaultMaxShingleDf]]): shingles appearing in more than `cap`
+  *    docs (boilerplate) are dropped before the self-join, so join
+  *    output is ≤ |shingles| × cap — linear in corpus size even with
+  *    adversarial boilerplate. The MinHash/LSH and SimHash paths have
+  *    fixed fan-out (16 hashes / 4 bands / 4 chunks per doc) by
+  *    construction.
   *  - All hashing is MD5-derived so the DuckDB oracle can reproduce
   *    values bit-for-bit. In production the same pipeline would use
   *    `xxhash64(shingle, seed_i)` — one cheap 64-bit hash per seed —
@@ -50,20 +52,55 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** N-gram Jaccard near-dup pairs: shingle equi-join → per-pair
-    * intersection count → |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.5.
+  /** Shingles with document frequency above this are dropped before the
+    * candidate self-join: one boilerplate shingle (a shared header, a
+    * license block) otherwise produces df² candidate pairs and the join
+    * goes quadratic at corpus scale. With the cap, join output is
+    * ≤ |shingles| × cap — linear. Jaccard for pairs that share a dropped
+    * shingle is a lower bound (set sizes stay uncapped), the standard
+    * near-dup tradeoff: boilerplate overlap shouldn't count as
+    * similarity anyway.
     */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  val DefaultMaxShingleDf = 128
+
+  /** N-gram Jaccard near-dup pairs: df-capped shingle equi-join →
+    * per-pair intersection count → |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.5.
+    *
+    * Plan shape and why:
+    *  - Shingle strings collapse to 64-bit `xxhash64` keys right after
+    *    the explode — every downstream exchange carries 20-byte rows
+    *    (hash, doc_id, sz) instead of full n-gram text. Hash equality
+    *    stands in for string equality (a 2⁻⁶⁴ collision would need two
+    *    colliding shingles in the same doc pair to perturb one
+    *    intersection count — negligible at any corpus size, and the
+    *    same trade every shingle-blocking dedup pipeline makes).
+    *  - The df-cap is a count-groupBy over the hash keys (map-side
+    *    partial aggregation collapses even a million-doc hot shingle
+    *    to one row per partition — no skew, no OOM) followed by an
+    *    ANTI join. The hot set is almost always tiny (it's the
+    *    boilerplate) and AQE broadcasts it from runtime stats — but
+    *    no hint, because adversarial data can make it grow.
+    *  - Candidates come from the capped self-join: output is bounded
+    *    by |shingles| × cap, linear in corpus size.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     // set size rides along with each exploded row, so the pair
     // aggregation needs no extra size-lookup joins afterwards
     val ex = Tables.documents(spark, sfDir)
       .select(col("doc_id"), shingleArray.as("sh"))
       .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
-      .cache() // both join sides reference this — without caching the
-               // whole shingle pipeline executes once per reference
-    val l = ex.toDF("doc_a", "sz_a", "shingle")
-    val r = ex.toDF("doc_b", "sz_b", "shingle_r")
-    l.join(r, col("shingle") === col("shingle_r") && col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("sz"), xxhash64(col("shingle")).as("h"))
+      .cache() // df count + both join sides read this — without the
+               // cache the shingle pipeline executes once per reference
+    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("h")
+    val kept = ex.join(hot, Seq("h"), "left_anti")
+    val l = kept.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
+    val r = kept.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("h").as("h_r"))
+    l.join(r, col("h") === col("h_r") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
@@ -184,9 +221,12 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte,
           sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+          kept AS (SELECT shingle FROM ex GROUP BY shingle
+                   HAVING count(*) <= $DefaultMaxShingleDf),
+          exc AS (SELECT e.doc_id, e.shingle FROM ex e JOIN kept USING (shingle)),
           inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
           SELECT doc_a, doc_b,
                  CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
@@ -222,7 +262,7 @@ object Dedup {
                   sum(CASE WHEN (h >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS vote
            FROM wc, range(60) t(j) GROUP BY doc_id, j)
          SELECT doc_id,
-                sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+                CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
          FROM votes GROUP BY doc_id""",
     "dedup_simhash_pairs" ->
       """WITH wc AS (
@@ -250,7 +290,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
-    "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,

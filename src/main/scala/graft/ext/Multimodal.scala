@@ -80,7 +80,10 @@ object Multimodal {
     */
   def payloads(spark: SparkSession, sfDir: String): Dataset[MediaPayload] = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    // documentsRaw: no round-robin repartition — the payload bytes must
+    // never cross an exchange; decode runs on the scan partitions and
+    // only the small metadata shuffles afterwards
+    Tables.documentsRaw(spark, sfDir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaPayload]
   }
@@ -112,16 +115,24 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "mm_decode_meta" ->
-      """SELECT doc_id,
-                octet_length(encode(text)) AS n_bytes,
-                ascii(substr(text, 1, 1)) AS first_byte,
-                CASE (ascii(substr(text, 1, 1)) % 3)
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS nb
+           FROM documents)
+         SELECT doc_id,
+                nb AS n_bytes,
+                CASE WHEN nb = 0 THEN 0
+                     ELSE ('0x' || substr(hx, 1, 2))::INT END AS first_byte,
+                CASE ((CASE WHEN nb = 0 THEN 0
+                            ELSE ('0x' || substr(hx, 1, 2))::INT END) % 3)
                   WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-                64 + (octet_length(encode(text)) % 512) AS width,
-                64 + ((octet_length(encode(text)) // 7) % 512) AS height,
-                1 + (octet_length(encode(text)) % 16) AS n_frames,
-                list_sum([ascii(text[i+1]) for i in range(length(text))]) % 65536 AS checksum
-         FROM documents""",
+                64 + (nb % 512) AS width,
+                64 + ((nb // 7) % 512) AS height,
+                1 + (nb % 16) AS n_frames,
+                CAST(coalesce(list_sum(
+                  [('0x' || substr(hx, 2*i+1, 2))::BIGINT for i in range(nb)]), 0)
+                  % 65536 AS BIGINT) AS checksum
+         FROM b""",
     "mm_frame_sample" ->
       """SELECT doc_id, frame_idx, n_frames FROM (
            SELECT doc_id,

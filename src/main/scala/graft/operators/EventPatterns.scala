@@ -136,11 +136,12 @@ object EventPatterns {
     * Output equals the input columns, which is what the oracle checks.
     */
   def parseRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select("event_id", "ts", "user_id", "event_type", "value")
-      // JSON (de)serialization is the rare per-row-heavy event query:
-      // spread the single-row-group scan across all cores
-      .repartition(spark.sparkContext.defaultParallelism)
+    // JSON (de)serialization is the rare per-row-heavy event query:
+    // spread a single-row-group scan across all cores (no-op on
+    // multi-file input — see Tables.spread)
+    val ev = Tables.spread(spark,
+      Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value"))
     val schema = ev.schema
     // default timestampFormat truncates to millis; keep full microseconds
     val fmt = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
@@ -173,7 +174,7 @@ object EventPatterns {
             AND event_type = 'click'
           GROUP BY user_id""",
     "p11_merge_upsert" ->
-      s"""SELECT user_id, sum(count_of_clicks) AS count_of_clicks,
+      s"""SELECT user_id, CAST(sum(count_of_clicks) AS BIGINT) AS count_of_clicks,
                  max(updated_at) AS updated_at
           FROM (
             SELECT user_id, count(*) AS count_of_clicks, max(ts) AS updated_at
@@ -189,7 +190,7 @@ object EventPatterns {
                 42 AS last_snapshot
          FROM events WHERE event_type = 'click' GROUP BY user_id""",
     "p2_staging_reagg" ->
-      """SELECT user_id, sum(partial_clicks) AS count_of_clicks,
+      """SELECT user_id, CAST(sum(partial_clicks) AS BIGINT) AS count_of_clicks,
                 max(partial_updated_at) AS updated_at
          FROM (
            SELECT user_id, date_trunc('day', ts) AS batch_day,

@@ -12,10 +12,12 @@ import graft.Tables
   * aggregates.
   *
   * Scale design notes (100 TB):
-  *  - Dimension joins (`region`,`nation`,`customer`,`supplier`,`part`)
-  *    are explicitly `broadcast()` — no shuffle of the fact table on a
-  *    dim key, ever. Only fact-fact joins (orders ⋈ lineitem) shuffle,
-  *    and they shuffle once on the join key.
+  *  - Only *bounded* dimensions (`region` ≤5 rows, `nation` ≤25 rows,
+  *    fixed query sets) carry explicit `broadcast()` hints. Sides that
+  *    grow with the data — `customer`, `supplier`, filtered `orders` —
+  *    never do: a hardcoded hint overrides AQE's size check and OOMs
+  *    at 100× scale. AQE (enabled in every session) converts SMJ→BHJ
+  *    from runtime stats whenever such a side actually fits.
   *  - Money arithmetic runs in exact integer cents (see [[cents]]):
   *    sums are exact and order-independent — identical across
   *    partitionings, engines (DuckDB oracle), and cluster sizes,
@@ -54,9 +56,10 @@ object Relational {
         (sum(cents(col("l_discount"))) / lit(100.0) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
-  /** TPC-H Q3-style shipping priority: dim-filtered customer broadcast
-    * into orders, shuffle join with lineitem on orderkey, top-10 by
-    * revenue (deterministic tiebreak on orderkey).
+  /** TPC-H Q3-style shipping priority: dim-filtered customer joined
+    * into orders, joined with lineitem on orderkey, top-10 by revenue
+    * (deterministic tiebreak on orderkey). Join strategy is left to
+    * AQE — both non-fact sides grow with sf.
     */
   def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
@@ -68,10 +71,10 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    // the BUILDING ⋈ pre-1998 side is ~2% of orders after both filters:
-    // broadcast it so the fact table never shuffles for the join (on a
-    // cluster AQE makes the same SMJ→BHJ conversion from runtime stats)
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    // customer and filtered-orders both grow linearly with the data —
+    // no hardcoded broadcast (it would OOM at 100× scale); AQE converts
+    // SMJ→BHJ from runtime stats whenever a side is actually small
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
       .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
@@ -80,8 +83,9 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-style local-supplier volume: five-way join where every
-    * dimension side is broadcast; lineitem shuffles once (on orderkey).
+  /** TPC-H Q5-style local-supplier volume: five-way join. Bounded dims
+    * (region, nation) are broadcast; customer/supplier/orders joins are
+    * AQE-decided.
     */
   def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val asia = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
@@ -96,11 +100,13 @@ object Relational {
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    // one order-year is a small fraction of orders: broadcast it and the
-    // fact table reaches the final aggregate without ever shuffling
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+    // orders/supplier/customer all grow with the data: no hardcoded
+    // broadcast hints (OOM at scale) — AQE converts SMJ→BHJ from
+    // runtime stats. Only the bounded dims (region via `nat`, nation)
+    // keep explicit hints.
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
@@ -116,8 +122,10 @@ object Relational {
     val urgent = Tables.orders(spark, sfDir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey"))
+    // URGENT orders ≈ 20% of the fact table — never a safe broadcast;
+    // the semi join ships only o_custkey, and AQE broadcasts when small
     Tables.customer(spark, sfDir)
-      .join(broadcast(urgent), col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name", "c_mktsegment")
   }
 
@@ -179,12 +187,13 @@ object Relational {
     * grouping-set expansion handled by Catalyst's Expand node.
     */
   def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .select("l_returnflag", "l_linestatus", "l_quantity")
-      // Expand triples every input row before the partial aggregate;
-      // spread the single-row-group scan first so that 3x work is
-      // parallel rather than inside one scan task
-      .repartition(spark.sparkContext.defaultParallelism)
+    // Expand triples every input row before the partial aggregate;
+    // spread a single-row-group scan first so that 3x work is
+    // parallel rather than inside one scan task (no-op on multi-file
+    // input — see Tables.spread)
+    Tables.spread(spark,
+      Tables.lineitem(spark, sfDir)
+        .select("l_returnflag", "l_linestatus", "l_quantity"))
       .rollup("l_returnflag", "l_linestatus")
       .agg(
         (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
@@ -267,8 +276,10 @@ object Relational {
     * final 5-key aggregate.
     */
   def regionOrderVolume(spark: SparkSession, sfDir: String): DataFrame =
+    // customer is a billion-row "dimension" at 100 TB — no hint; AQE
+    // broadcasts it only while it actually fits
     Tables.orders(spark, sfDir)
-      .join(broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")),
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, sfDir).select("n_nationkey", "n_name", "n_regionkey")),
         col("c_nationkey") === col("n_nationkey"))

@@ -5,13 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Kafka source builders, mirroring the reference's consumer configs.
   *
   * These construct the standard Spark Kafka source plans (columns
-  * `key`,`value`,`topic`,`partition`,`offset`,`timestamp`,...). The
-  * `spark-sql-kafka-0-10` package must be on the classpath at deploy
-  * time — exactly how the reference ships it (pattern_2.py:22-24 adds
-  * it via `--packages`); this build environment has no broker or
-  * connector jars, so these builders are exercised in production
-  * deployments while everything downstream of them (EventCodec parse,
-  * the four patterns) is broker-independent and tested via
+  * `key`,`value`,`topic`,`partition`,`offset`,`timestamp`,...).
+  *
+  * HARD PRECONDITION: the `spark-sql-kafka-0-10` package MUST be on
+  * the classpath — exactly how the reference ships it
+  * (pattern_2.py:22-24 adds it via `--packages`). Without it every
+  * builder here throws `Failed to find data source: kafka` at plan
+  * time; this environment has no connector jar, and OperatorSpec pins
+  * that failure mode. Everything downstream (EventCodec parse, the
+  * four patterns) is broker-independent and tested via
   * MemoryStream/file replay (SURVEY.md §7.4 risk 4).
   */
 object KafkaSource {

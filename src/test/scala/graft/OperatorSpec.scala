@@ -93,6 +93,87 @@ class OperatorSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh))
   }
 
+  test("ngram-jaccard df-cap bounds boilerplate shingles, keeps genuine dups") {
+    // 20 docs sharing a 9-word boilerplate prefix (5 pure-boilerplate
+    // shingles, df=20) + 2 genuinely identical docs (all shingles df=2)
+    val dir = TestSpark.tmpDir("dfcap")
+    val boiler = "the quick brown fox jumps over the lazy dog"
+    val docs = (0 until 20).map(i => (i.toLong, s"$boiler unique$i")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+          (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // capped: the df=20 boilerplate shingles are dropped before the
+    // self-join, so the 190 boilerplate pairs never become candidates
+    val capped = ext.Dedup.ngramJaccard(spark, dir, maxShingleDf = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 101L)))
+    // uncapped: boilerplate pairs have jaccard 5/7 >= 0.5 and flood out
+    assert(ext.Dedup.ngramJaccard(spark, dir, maxShingleDf = 1000).count() === 191L)
+  }
+
+  test("distinct_approx stays within 5% of exact at sf0.01") {
+    val sf001 = "/root/testdata/sf0.01"
+    val exact = operators.Relational.distinctExact(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = operators.Relational.distinctApprox(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      withClue(s"$k: approx=$ap exact=$ex")(
+        assert(math.abs(ap - ex).toDouble / ex <= 0.05))
+    }
+  }
+
+  test("ANN-LSH top-3 recall vs brute-force ground truth (planted near-dups)") {
+    // The sf corpus is near-uniform random — true top-3 cosine there is
+    // ~0.3, where single-probe LSH recall is ~(1-θ/π)^8 ≈ a few percent
+    // by construction, so pinning it tests nothing. Plant the regime
+    // ANN is FOR: each query gets 3 near-duplicates (cosine ≈ 0.995,
+    // per-pair collision ≈ 0.97^8 ≈ 0.77) in a sea of random vectors;
+    // a bucketing regression (broken plane hash, wrong sign fold)
+    // scatters the planted neighbors and recall collapses to ~0.
+    val dir = TestSpark.tmpDir("annrecall")
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val queries = (0 until 5).map(i => i.toLong -> unit())
+    val planted = queries.flatMap { case (qid, q) =>
+      (0 until 3).map { j =>
+        val noisy = q.zip(unit()).map { case (a, e) => a + 0.07f * e }
+        val n = math.sqrt(noisy.map(x => x.toDouble * x).sum).toFloat
+        (100 + qid * 10 + j, noisy.map(_ / n))
+      }
+    }
+    val filler = (0 until 400).map(i => (1000L + i, unit()))
+    val rows = (queries ++ planted ++ filler).map { case (id, v) => (id, v, 0) }
+    rows.toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val truth = ext.Similarity.bruteforceTopK(spark, dir)
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sanity: ground truth must be the planted near-dups
+    assert(truth.forall { case (q, n) => n / 10 - 10 === q })
+    val ann = ext.Similarity.annLshTopK(spark, dir)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ann).size.toDouble / truth.size
+    withClue(s"recall=$recall")(assert(recall >= 0.4))
+  }
+
+  test("kafka source: connector-on-classpath is a hard precondition (absent here)") {
+    val e = intercept[Exception] {
+      sources.KafkaSource.batchScan(spark, "localhost:9092", "events")
+    }
+    val msg = e.getMessage.toLowerCase
+    withClue(msg)(assert(msg.contains("kafka")))
+  }
+
   test("multimodal decode is deterministic and complete") {
     val meta = ext.Multimodal.decodeMeta(spark, sf)
     assert(meta.count() === Tables.documents(spark, sf).count())

@@ -27,10 +27,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(event_type,click)"))
   }
 
-  test("q5: every join is a broadcast hash join — the fact table never shuffles for a join") {
-    val plan = executedPlan("q5_local_supplier")
+  test("q5: joins on grow-with-data sides become broadcast via AQE/stats, not hints") {
+    // bench sf: the broadcast decision must come from size stats (AQE or
+    // the static planner's parquet stats), never a hardcoded hint that
+    // would OOM at 100× scale
+    val benchSf = "/root/testdata/sf0.1"
+    val df = SparkEntry.queries("q5_local_supplier")(spark, benchSf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("mm_decode_meta: payload bytes never cross an exchange") {
+    // scan → decode with no shuffle at all; any Exchange in this plan
+    // would be carrying the binary payload column
+    val plan = executedPlan("mm_decode_meta")
+    assert(!plan.contains("Exchange"))
   }
 
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
