@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 42 queries × whole-stage-codegen classes × several runs overflow
+  // the 240m default code cache, after which the JIT stops compiling
+  // and random queries run interpreted (3-10x)
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -92,12 +92,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
   val CosineName = "graft_cosine_similarity"
   val DotName = "graft_vector_dot"
+  val AsofName = "graft_asof_last"
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      AsofName, exprs => AsofLast(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column-API handle: `cosineSim($"a", $"b")`. */
@@ -107,4 +110,8 @@ object GraftFunctions {
   /** Column-API handle: `vectorDot($"embedding", typedLit(plane))`. */
   def vectorDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function(DotName, a, b)
+
+  /** Column-API handle: `asofLast($"timeline", $"ts")`. */
+  def asofLast(arr: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(AsofName, arr, key)
 }

@@ -16,43 +16,35 @@ object Advanced {
     * deterministic here because orders are pre-deduplicated to one row
     * per (custkey, date), keeping the max orderkey).
     *
-    * Spark lacks a batch as-of join; the scalable formulation is the
-    * union-sentinel + window trick: tag both inputs, sort each user's
-    * timeline once (orders before events at equal timestamps), and
-    * carry the last non-null order forward with an ignore-nulls
-    * last_value. One shuffle + sort on the join key — the same cost
-    * profile as a sort-merge join, no per-row probing, no range
-    * explosion. This beats (a) a theta-join (quadratic) and (b) a
-    * custom SparkPlan (this composition already yields the optimal
-    * plan shape, so per SURVEY §7.3 built-ins win).
+    * Spark lacks a batch as-of join. Formulation: compress each user's
+    * order history into ONE sorted timeline array (two aggregates on
+    * the orders side — small per user by nature), then probe it per
+    * event with [[graft.functions.expressions.AsofLast]], a codegen'd
+    * O(log n) binary search. The probe side (events — the fact table)
+    * only partakes in an equi-join on user_id: broadcast when the
+    * timeline side fits (no shuffle of events at all), shuffle-join
+    * otherwise — but never globally SORTED, which is what the
+    * alternative union-sentinel + ignore-nulls-window formulation
+    * costs (it sorts events∪orders per user). No per-row range scan,
+    * no range explosion; state per user is its order count, the same
+    * bound the window formulation carries.
     */
   def joinAsOf(spark: SparkSession, sfDir: String): DataFrame = {
-    val ordD = Tables.orders(spark, sfDir)
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.asofLast
+    val timeline = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("o_orderkey"))
-    val oTag = ordD.select(
-      col("o_custkey").as("user_id"),
-      col("o_orderdate").as("t"),
-      lit(0).as("tag"),
-      lit(null).cast("long").as("event_id"),
-      col("o_orderkey"),
-      col("o_orderdate"))
-    val eTag = Tables.events(spark, sfDir).select(
-      col("user_id"),
-      col("ts").as("t"),
-      lit(1).as("tag"),
-      col("event_id"),
-      lit(null).cast("long").as("o_orderkey"),
-      lit(null).cast("timestamp").as("o_orderdate"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("t").asc, col("tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    oTag.unionByName(eTag)
-      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
-      .withColumn("asof_orderdate", last(col("o_orderdate"), ignoreNulls = true).over(w))
-      .filter(col("tag") === 1)
-      .select(col("event_id"), col("user_id"), col("t").as("ts"),
-        col("asof_orderkey"), col("asof_orderdate"))
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(col("o_orderdate"), col("o_orderkey"))))
+        .as("ord_tl"))
+    Tables.events(spark, sfDir)
+      .join(timeline, col("user_id") === col("o_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        asofLast(col("ord_tl"), col("ts")).as("pick"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("pick.o_orderkey").as("asof_orderkey"),
+        col("pick.o_orderdate").as("asof_orderdate"))
   }
 
   /** Per-label embedding centroids, one output row per (label,

@@ -174,6 +174,28 @@ class OperatorSpec extends AnyFunSuite {
     withClue(msg)(assert(msg.contains("kafka")))
   }
 
+  test("asof_last binary search: exact hit, between, before-first, empty, null timeline") {
+    GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.asofLast
+    val tl = Seq((1L, Seq((10L, 100L), (20L, 200L), (30L, 300L))),
+                 (2L, Seq.empty[(Long, Long)]))
+      .toDF("id", "tl")
+    val probes = Seq((1L, 5L), (1L, 10L), (1L, 25L), (1L, 99L), (2L, 10L), (3L, 10L))
+      .toDF("id", "key")
+    val got = probes.join(tl, Seq("id"), "left")
+      .select(col("id"), col("key"), asofLast(col("tl"), col("key")).as("pick"))
+      .select(col("id"), col("key"), col("pick._2").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got === Set(
+      (1L, 5L, -1L),   // before first order → null
+      (1L, 10L, 100L), // exact boundary hit (<=)
+      (1L, 25L, 200L), // between → floor
+      (1L, 99L, 300L), // after last → last
+      (2L, 10L, -1L),  // empty timeline
+      (3L, 10L, -1L))) // no timeline row (left-join miss)
+  }
+
   test("multimodal decode is deterministic and complete") {
     val meta = ext.Multimodal.decodeMeta(spark, sf)
     assert(meta.count() === Tables.documents(spark, sf).count())

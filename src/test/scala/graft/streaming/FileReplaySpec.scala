@@ -51,4 +51,36 @@ class FileReplaySpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("pattern 2 sustains the reference's producer envelope: >=100 ev/s at the 5s cadence") {
+    // BASELINE.md's one functional number: the reference producer emits
+    // ~100 ev/s and every pattern keeps up at a 5 s trigger — i.e. a
+    // 5 s batch of ~500 events must finish well inside its cadence
+    // budget. Replay 10k real events (= 100 producer-seconds of
+    // traffic) through the full pattern and pin end-to-end throughput.
+    val sf01 = "/root/testdata/sf0.01"
+    val stageDir = TestSpark.tmpDir("envelope") + "/events"
+    shaped(Tables.events(spark, sf01)).repartition(4)
+      .write.parquet(stageDir)
+    val nEvents = spark.read.parquet(stageDir).count()
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stageDir).schema)
+      .option("maxFilesPerTrigger", "1") // 4 micro-batches, ~2.5k events each
+      .parquet(stageDir)
+    val store = new VersionedStore(spark, TestSpark.tmpDir("envelope-store"))
+    val q = Pattern2.start(stream, store, TestSpark.tmpDir("envelope-ckpt"),
+      clickType = "click")
+    val t0 = System.nanoTime()
+    try q.processAllAvailable() finally q.stop()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+
+    val evPerSec = nEvents / elapsed
+    withClue(f"$nEvents events in $elapsed%.1f s = $evPerSec%.0f ev/s") {
+      assert(evPerSec >= 100.0)
+      // each ~2.5k-event micro-batch (25 producer-seconds of traffic)
+      // must clear inside one 5 s trigger interval
+      assert(elapsed / 4 < 5.0)
+    }
+  }
 }
