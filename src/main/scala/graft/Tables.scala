@@ -17,8 +17,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Conf key: when set to a directory, table reads for that directory
+    * resolve through the session catalog instead of raw parquet paths —
+    * the catalog tables carry bucketing metadata (hash-partitioned,
+    * sorted buckets), which lets Catalyst drop exchanges for joins and
+    * aggregations on the bucket key. [[graft.Bench]] sets this after
+    * its bucketed ingest; any deployment with a real metastore gets the
+    * same behavior from `saveAsTable` + `spark.table`.
+    */
+  val CatalogDirKey = "spark.graft.catalogDir"
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (spark.conf.getOption(CatalogDirKey).contains(sfDir) &&
+        spark.catalog.tableExists(name)) spark.table(name)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Repartition a scan ONLY when its input is a single file (one
     * row group ⇒ one partition ⇒ every downstream per-row computation
