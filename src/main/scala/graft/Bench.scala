@@ -56,6 +56,11 @@ object Bench {
       // timelines, top-K heaps) the hash path is strictly better.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (4 << 20).toString)
+      // the dedup candidate self-joins exchange ~1M narrow rows; a
+      // shuffled-hash join probes them directly where an SMJ would
+      // sort both sides first. Executors have the memory for the
+      // per-partition build maps (the classic SHJ caveat).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.expressions.GraftFunctions.register(spark)

@@ -85,12 +85,16 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.shingleHashes
     // set size rides along with each exploded row, so the pair
-    // aggregation needs no extra size-lookup joins afterwards
+    // aggregation needs no extra size-lookup joins afterwards.
+    // shingle_hashes is the native one-pass kernel — see
+    // expressions/ShingleHashes.scala for the equivalence proof vs the
+    // declarative transform/array_join/xxhash64 composition.
     val ex = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingleArray.as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("sz"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
       .cache() // df count + both join sides read this — without the
                // cache the shingle pipeline executes once per reference
     val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
@@ -100,6 +104,10 @@ object Dedup {
     val l = kept.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
     val r = kept.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
       col("h").as("h_r"))
+    // no join hint: at bench scale the size-based planner broadcasts
+    // the capped side (measured faster than a shuffled-hash join
+    // here); at corpus scale the exploded table exceeds any broadcast
+    // threshold and the same code plans the shuffle join it must be
     l.join(r, col("h") === col("h_r") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))

@@ -93,6 +93,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine_similarity"
   val DotName = "graft_vector_dot"
   val AsofName = "graft_asof_last"
+  val ShingleName = "graft_shingle_hashes"
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -101,6 +102,12 @@ object GraftFunctions {
       DotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       AsofName, exprs => AsofLast(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShingleName, {
+        case Seq(text) => ShingleHashes(text, 5)
+        case exprs => ShingleHashes(exprs(0),
+          exprs(1).eval().asInstanceOf[Int])
+      }, "built-in")
   }
 
   /** Column-API handle: `cosineSim($"a", $"b")`. */
@@ -114,4 +121,10 @@ object GraftFunctions {
   /** Column-API handle: `asofLast($"timeline", $"ts")`. */
   def asofLast(arr: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function(AsofName, arr, key)
+
+  /** Column-API handle: `shingleHashes($"text")` — distinct xxhash64
+    * of word 5-grams.
+    */
+  def shingleHashes(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(ShingleName, text)
 }

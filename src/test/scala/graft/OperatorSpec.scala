@@ -174,6 +174,28 @@ class OperatorSpec extends AnyFunSuite {
     withClue(msg)(assert(msg.contains("kafka")))
   }
 
+  test("shingle_hashes kernel equals the declarative transform/array_join/xxhash64 form") {
+    GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.shingleHashes
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(Seq(
+        (9001L, "one two three four"),        // < 5 words → null
+        (9002L, "a b c d e"),                 // exactly one shingle
+        (9003L, "x  y z w v u"),              // double space (empty word)
+        (9004L, "r r r r r r r r")            // duplicate shingles
+      ).toDF("doc_id", "text"))
+    val ws = split(col("text"), " ")
+    val declarative = when(size(ws) >= 5,
+      array_distinct(transform(sequence(lit(1), size(ws) - 4),
+        i => xxhash64(array_join(slice(ws, i, lit(5)), " ")))))
+    val diff = docs.select(
+      col("doc_id"),
+      shingleHashes(col("text")).as("fast"),
+      declarative.as("slow"))
+      .filter(!(col("fast") <=> col("slow")))
+    assert(diff.count() === 0)
+  }
+
   test("asof_last binary search: exact hit, between, before-first, empty, null timeline") {
     GraftFunctions.register(spark)
     import graft.functions.expressions.GraftFunctions.asofLast
