@@ -48,4 +48,24 @@ class BucketingSpec extends AnyFunSuite {
     assert(!plan.substring(joinIdx).contains("Exchange"),
       "join subtree must be exchange-free (bucket-co-located)")
   }
+
+  test("groupBy on the bucket key aggregates without an exchange (Bench ingest shape)") {
+    // the layout graft.Bench ingests events into: bucketed by user_id,
+    // so the whole p11 aggregation family satisfies its clustered
+    // distribution straight off the scan
+    val sf = "/root/testdata/sf0.001"
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckets")
+    Tables.events(spark, sf)
+      .write.bucketBy(4, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("buckets.events_b")
+    val agg = spark.table("buckets.events_b")
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("count_of_clicks"), max(col("ts")).as("updated_at"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"),
+      "bucket-key aggregation must be exchange-free")
+  }
 }
