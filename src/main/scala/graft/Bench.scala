@@ -61,6 +61,11 @@ object Bench {
       // sort both sides first. Executors have the memory for the
       // per-partition build maps (the classic SHJ caveat).
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // dev profiling: SPARK_GRAFT_EVENTLOG=<dir> dumps stage timings
+      .config("spark.eventLog.enabled",
+        sys.env.contains("SPARK_GRAFT_EVENTLOG").toString)
+      .config("spark.eventLog.dir",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "/tmp"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.expressions.GraftFunctions.register(spark)

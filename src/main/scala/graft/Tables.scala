@@ -27,10 +27,22 @@ object Tables {
     */
   val CatalogDirKey = "spark.graft.catalogDir"
 
+  /** Memoized source DataFrames: every raw `spark.read.parquet` pays a
+    * driver job for schema inference (footer read) plus a fresh file
+    * listing — ~25-35 ms per table reference, once per query without
+    * memoization. The returned DataFrame is an immutable plan; reusing
+    * it also lets identical downstream plans share cache entries. Keyed
+    * per session so test sessions and bench sessions never mix.
+    */
+  private val sources =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (spark.conf.getOption(CatalogDirKey).contains(sfDir) &&
-        spark.catalog.tableExists(name)) spark.table(name)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    sources.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
+      if (spark.conf.getOption(CatalogDirKey).contains(sfDir) &&
+          spark.catalog.tableExists(name)) spark.table(name)
+      else spark.read.parquet(s"$sfDir/$name.parquet")
+    })
 
   /** Repartition a scan ONLY when its input is a single file (one
     * row group ⇒ one partition ⇒ every downstream per-row computation
