@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning-invariance: the property that makes results trustworthy
+  * on a cluster. Every query must produce the IDENTICAL result set
+  * regardless of shuffle partition count (a 32-partition local run and
+  * a 20 000-partition cluster run differ only in physical layout) —
+  * which holds by construction here (exact integer aggregation,
+  * total-order ranks, deterministic hashing) and is pinned for a
+  * representative query per family.
+  */
+class InvarianceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val representatives = Seq(
+    "p11_click_agg",        // hash aggregation
+    "q1_pricing_summary",   // integer-cents money aggregation
+    "dedup_ngram_jaccard",  // blocked self-join + df-cap
+    "join_asof",            // timeline build + probe
+    "window_rank",          // total-order window
+    "bonus_topk")           // TakeOrderedAndProject
+
+  private def resultSet(name: String): Set[String] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect().map(_.toString).toSet
+  }
+
+  test("results are identical under different shuffle partition counts") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      representatives.foreach { q =>
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        val a = resultSet(q)
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        val b = resultSet(q)
+        withClue(q)(assert(a === b))
+        withClue(q)(assert(a.nonEmpty))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}

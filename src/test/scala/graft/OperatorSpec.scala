@@ -218,6 +218,15 @@ class OperatorSpec extends AnyFunSuite {
       (3L, 10L, -1L))) // no timeline row (left-join miss)
   }
 
+  test("GraftExtensions applies its injections to a fresh SparkSessionExtensions") {
+    // a full end-to-end check needs a new SparkContext (extensions are
+    // applied at session construction); this pins the injector wiring —
+    // the expressions themselves are SQL-exercised via the
+    // GraftFunctions.register path in the other suites
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.expressions.GraftExtensions()(ext)
+  }
+
   test("multimodal decode is deterministic and complete") {
     val meta = ext.Multimodal.decodeMeta(spark, sf)
     assert(meta.count() === Tables.documents(spark, sf).count())
