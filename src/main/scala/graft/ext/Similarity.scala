@@ -109,6 +109,67 @@ object Similarity {
         col("q_bucket").as("bucket"))
   }
 
+  private val NumProbe = 2
+
+  /** IVF (inverted-file) approximate top-3 — the second scale path
+    * next to [[annLshTopK]], the coarse-quantizer design every
+    * billion-vector ANN index uses:
+    *  1. coarse cells = per-label centroids (the k-means step of a
+    *     production IVF, replaced by the dataset's own label structure
+    *     so the oracle can reproduce it bit-for-bit; centroids rounded
+    *     to 6 decimals and cast to float in BOTH engines),
+    *  2. every vector is assigned to its nearest cell (one broadcast
+    *     of ~|cells| rows, [[graft.functions.TopKAgg]] argmax — the
+    *     inverted file),
+    *  3. queries probe their [[NumProbe]] nearest cells and re-rank
+    *     exactly within them — corpus-side work drops by the cell
+    *     selectivity, recall is tuned by nProbe, and the corpus is
+    *     never pairwise-scanned.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val cells = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg((sum(col("col").cast("double")) / count(lit(1))).as("c"))
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"),
+        round(col("c"), 6).cast("float").as("cf")))).as("ps"))
+      .select(col("label").cast("long").as("cell"),
+        expr("transform(ps, x -> x.cf)").as("cw")) // 32 rows: HOF cost nil
+    val scoredCells = emb
+      .join(broadcast(cells)) // |corpus| × |cells| — cells is tiny by design
+      .select(col("vec_id"), col("cell"),
+        GraftFunctions.cosineSim(col("embedding"), col("cw")).as("cscore"))
+    val assigned = scoredCells
+      .groupBy("vec_id")
+      .agg(topK(1)(col("cell"), col("cscore")).as("best"))
+      .select(col("vec_id"), col("best")(0)("_1").as("cell"))
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .cache() // the inverted file: probed by every query
+    val probes = scoredCells
+      .filter(col("vec_id") < NumQueryVecs)
+      .groupBy("vec_id")
+      .agg(topK(NumProbe)(col("cell"), col("cscore")).as("cands"))
+      .select(col("vec_id").as("query_id"), explode(col("cands")).as("pc"))
+      .select(col("query_id"), col("pc._1").as("cell"))
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        "query_id")
+    assigned.join(broadcast(probes),
+        assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("score"))
+      .groupBy("query_id")
+      .agg(topK(3)(col("vec_id"), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("neighbor_id"),
+        round(col("col._2"), 6).as("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family: candidate pairs share an LSH sign bucket
     * (each vector lands in exactly one bucket ⇒ pairs are unique, no
@@ -182,6 +243,44 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 3""",
+    "sim_ivf_topk" ->
+      s"""WITH cent AS (
+            SELECT label, i AS pos,
+                   CAST(round(sum(CAST(embedding[i+1] AS DOUBLE)) / count(*), 6) AS FLOAT) AS cf
+            FROM embeddings, range($Dim) t(i)
+            GROUP BY label, i),
+          cells AS (SELECT label AS cell, list(cf ORDER BY pos) AS cw FROM cent GROUP BY label),
+          scoredc AS (
+            SELECT e.vec_id, cl.cell,
+                   list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(cl.cw[i+1] AS DOUBLE)
+                             for i in range(len(e.embedding))])
+                   / (sqrt(list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)
+                             for i in range(len(e.embedding))]))
+                      * sqrt(list_sum([CAST(cl.cw[i+1] AS DOUBLE) * CAST(cl.cw[i+1] AS DOUBLE)
+                             for i in range(len(cl.cw))]))) AS cscore
+            FROM embeddings e, cells cl),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell ASC) AS rn
+              FROM scoredc) WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS query_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell ASC) AS rn
+              FROM scoredc WHERE vec_id < $NumQueryVecs) WHERE rn <= $NumProbe),
+          scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id, $CosExpr AS score
+            FROM probes p
+            JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.query_id
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN embeddings c ON c.vec_id = a.vec_id)
+          SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+                 round(score, 6) AS score
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rn
+                FROM scored)
+          WHERE rn <= 3""",
     "dedup_emb_neardup" ->
       s"""WITH planes AS (
             SELECT p, list(w ORDER BY d) AS pw FROM (
@@ -209,6 +308,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> bruteforceTopK _,
     "sim_ann_lsh" -> annLshTopK _,
+    "sim_ivf_topk" -> ivfTopK _,
     "dedup_emb_neardup" -> embNearDup _,
   )
 }
