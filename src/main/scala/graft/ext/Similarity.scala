@@ -128,34 +128,42 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
+    import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
-    val cells = emb
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy("label", "pos")
-      .agg((sum(col("col").cast("double")) / count(lit(1))).as("c"))
-      .groupBy("label")
-      .agg(sort_array(collect_list(struct(col("pos"),
-        round(col("c"), 6).cast("float").as("cf")))).as("ps"))
-      .select(col("label").cast("long").as("cell"),
-        expr("transform(ps, x -> x.cf)").as("cw")) // 32 rows: HOF cost nil
-    val scoredCells = emb
-      .join(broadcast(cells)) // |corpus| × |cells| — cells is tiny by design
-      .select(col("vec_id"), col("cell"),
-        GraftFunctions.cosineSim(col("embedding"), col("cw")).as("cscore"))
-    val assigned = scoredCells
-      .groupBy("vec_id")
-      .agg(topK(1)(col("cell"), col("cscore")).as("best"))
-      .select(col("vec_id"), col("best")(0)("_1").as("cell"))
-      .join(emb.select("vec_id", "embedding"), "vec_id")
-      .cache() // the inverted file: probed by every query
-    val probes = scoredCells
-      .filter(col("vec_id") < NumQueryVecs)
-      .groupBy("vec_id")
-      .agg(topK(NumProbe)(col("cell"), col("cscore")).as("cands"))
-      .select(col("vec_id").as("query_id"), explode(col("cands")).as("pc"))
-      .select(col("query_id"), col("pc._1").as("cell"))
-      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-        "query_id")
+    // Index build — a separate stage from search in every real IVF
+    // system. The coarse quantizer is |cells| × dim floats (tiny even
+    // with thousands of k-means cells at 100 TB), so it is collected
+    // and shipped to executors as expression literals: cell assignment
+    // becomes a pure whole-stage-codegen projection on the corpus scan
+    // — no join, no shuffle, no high-cardinality object aggregate
+    // (topK over |corpus| groups would fall back to sort-based
+    // aggregation past the 128-key ObjectHashAggregate threshold).
+    // Centroids as Dim declarative sum-aggregates in ONE codegen
+    // HashAggregate pass (|cells| groups) — a posexplode formulation
+    // would materialize |corpus| × Dim intermediate rows first.
+    val dimAggs: Seq[Column] = count(lit(1)).as("n") +:
+      (0 until Dim).map(i => sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
+    val cells: Array[(Long, Seq[Float])] = emb
+      .groupBy(col("label").cast("long").as("cell"))
+      .agg(dimAggs.head, dimAggs.tail: _*)
+      .select(col("cell"), array((0 until Dim).map(i =>
+        round(col(s"s$i") / col("n"), 6).cast("float")): _*).as("cw"))
+      .orderBy("cell")
+      .as[(Long, Seq[Float])].collect()
+    // struct(cscore, -cell): struct ordering DESC == (cscore DESC,
+    // cell ASC), the same total order the oracle's row_number uses.
+    def cellScores(v: Column): Seq[Column] = cells.toSeq.map { case (id, cw) =>
+      struct(GraftFunctions.cosineSim(v, typedLit(cw)).as("s"),
+        lit(-id).as("nc"))
+    }
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      (-greatest(cellScores(col("embedding")): _*).getField("nc")).as("cell"))
+    val probes = emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        slice(sort_array(array(cellScores(col("embedding")): _*), asc = false),
+          1, NumProbe).as("top"))
+      .select(col("query_id"), col("q_emb"), explode(col("top")).as("pc"))
+      .select(col("query_id"), col("q_emb"), (-col("pc.nc")).as("cell"))
     assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
