@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -49,21 +49,27 @@ object Advanced {
 
   /** Per-label embedding centroids, one output row per (label,
     * dimension): the vector-aggregate shape of building class
-    * prototypes / IVF coarse quantizer cells. posexplode + two-key
-    * groupBy = one shuffle of (label, pos, value) triples with full
-    * partial aggregation; no array re-assembly on the reduce side.
+    * prototypes / IVF coarse quantizer cells. Dim declarative
+    * sum-aggregates in ONE codegen HashAggregate pass over the corpus
+    * (|labels| groups), then the tiny result unpivots to (label, pos)
+    * rows — the exchange carries |labels| × Dim doubles instead of the
+    * |corpus| × Dim triples a posexplode-first formulation shuffles.
     * Values rounded to 6 decimals (float summation order differs
     * across engines at ~1e-14).
     */
-  def embLabelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+  def embLabelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = 64
+    val aggs: Seq[Column] = count(lit(1)).as("n_vectors") +:
+      (0 until dim).map(i => sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
     Tables.embeddings(spark, sfDir)
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy("label", "pos")
-      .agg(
-        round(sum(col("col").cast("double")) / count(lit(1)), 6).as("centroid"),
-        count(lit(1)).as("n_vectors"))
+      .groupBy("label")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("label"), col("n_vectors"),
+        posexplode(array((0 until dim).map(i =>
+          round(col(s"s$i") / col("n_vectors"), 6)): _*)))
       .select(col("label"), col("pos").cast("long").as("pos"),
-        col("centroid"), col("n_vectors"))
+        col("col").as("centroid"), col("n_vectors"))
+  }
 
   /** End-to-end corpus preparation: the composition a training-data
     * pipeline actually runs — quality-score filter, then near-dup

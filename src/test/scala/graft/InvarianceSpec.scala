@@ -21,6 +21,7 @@ class InvarianceSpec extends AnyFunSuite {
     "dedup_ngram_jaccard",  // blocked self-join + df-cap
     "join_asof",            // timeline build + probe
     "window_rank",          // total-order window
+    "sim_ivf_topk",         // driver-held quantizer + broadcast probes
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
