@@ -71,6 +71,41 @@ object Advanced {
         col("col").as("centroid"), col("n_vectors"))
   }
 
+  /** Gap threshold for [[sessionize]]: 8 hours, ~the median inter-event
+    * gap per user in the test corpus, so sessions genuinely split.
+    */
+  private val SessionGapUs = 8L * 3600 * 1000 * 1000
+
+  /** Batch sessionization: group each user's event stream into
+    * sessions separated by > 8 h of silence — the lag → new-session
+    * flag → running-sum session id → per-session aggregate shape every
+    * behavioral pipeline runs. Both windows share one (user_id) hash
+    * partitioning and one (ts, event_id) sort: a single exchange and a
+    * single per-partition sort serve the whole plan at any scale; the
+    * session aggregate then groups within partitions. The streaming
+    * form of the same gap rule is [[graft.streaming.Sessionize]]
+    * (flatMapGroupsWithState; data-dependent extent ⇒ not a fixed
+    * window).
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us",
+        lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+  }
+
   /** End-to-end corpus preparation: the composition a training-data
     * pipeline actually runs — quality-score filter, then near-dup
     * removal (drop the higher doc_id of every MinHash-LSH candidate
@@ -99,6 +134,25 @@ object Advanced {
          FROM events e
          ASOF LEFT JOIN ordd o
            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
+    "sessionize" ->
+      s"""WITH e AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+          s AS (
+            SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM e)
+          SELECT user_id, session_id,
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 count(*) AS n_events,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+                 CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+          FROM s GROUP BY user_id, session_id""",
     "emb_label_centroids" ->
       """SELECT label, i AS pos,
                 round(sum(CAST(embedding[i+1] AS DOUBLE)) / count(*), 6) AS centroid,
@@ -141,6 +195,7 @@ object Advanced {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsOf _,
+    "sessionize" -> sessionize _,
     "emb_label_centroids" -> embLabelCentroids _,
     "corpus_prep" -> corpusPrep _,
   )
