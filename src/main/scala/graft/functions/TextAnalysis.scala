@@ -111,6 +111,54 @@ object TextAnalysis {
       when(size(ws) >= 5, size(ws) - 4).otherwise(0).as("n_shingles"))
   }
 
+  /** Deterministic train/valid/test split (80/10/10) keyed on
+    * md5(doc_id): a pure projection — no shuffle, no RNG state — so
+    * the same document lands in the same split on every run, every
+    * engine, every backfill, and after any repartition. That stability
+    * is the property a training pipeline actually needs from a split
+    * (a `rand()`-based split silently reshuffles leakage across
+    * train/test on every recompute).
+    */
+  def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100).as("hash_mod")
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      h,
+      when(col("hash_mod") < 80, "train")
+        .when(col("hash_mod") < 90, "valid")
+        .otherwise("test").as("split"))
+      .select(col("doc_id"), col("hash_mod"), col("split"))
+  }
+
+  /** Corpus vocabulary statistics: document frequency, total term
+    * frequency, and idf for the top-20 terms by df — the vocabulary /
+    * stopword-discovery pass of corpus prep. No count(DISTINCT): tf
+    * counts exploded tokens, df counts exploded per-doc DISTINCT
+    * tokens — two linear branches whose map-side partial aggregation
+    * reduces each to ~|vocabulary| rows per partition before its
+    * exchange, so shuffled bytes are independent of corpus size — the
+    * shape that survives a 100 TB corpus. Top-20 is a TakeOrdered with
+    * a total order (df DESC, token ASC).
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select(explode(words(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("total_tf"))
+    val df = docs.select(explode(array_distinct(words(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    // vocabulary grows with the corpus — no broadcast hint; both sides
+    // leave their aggregates hash-partitioned on token, so the join
+    // adds no exchange (AQE may still choose BHJ while df fits)
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("df"), col("total_tf"),
+        round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(20)
+  }
+
   private def markerList(markers: Seq[String]): String =
     markers.map(m => s"'$m'").mkString(", ")
 
@@ -151,6 +199,25 @@ object TextAnalysis {
               SELECT doc_id, lang,
                   $scoreExprs
               FROM documents)""",
+      "split_train_test" ->
+        """SELECT doc_id, hash_mod,
+                  CASE WHEN hash_mod < 80 THEN 'train'
+                       WHEN hash_mod < 90 THEN 'valid'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id,
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hash_mod
+                 FROM documents)""",
+      "tfidf_top_terms" ->
+        """WITH tok AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           td AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY token, doc_id),
+           agg AS (SELECT token, CAST(sum(c) AS BIGINT) AS total_tf, count(*) AS df
+                   FROM td GROUP BY token),
+           n AS (SELECT count(*) AS n_docs FROM documents)
+           SELECT token, df, total_tf,
+                  round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+           FROM agg, n
+           ORDER BY df DESC, token ASC LIMIT 20""",
       "text_fingerprint" ->
         """SELECT doc_id,
                   md5(text) AS md5_full,
@@ -168,5 +235,7 @@ object TextAnalysis {
     "text_token_count" -> tokenCount _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
+    "split_train_test" -> trainTestSplit _,
+    "tfidf_top_terms" -> tfidfTopTerms _,
   )
 }

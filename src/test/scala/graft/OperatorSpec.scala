@@ -166,6 +166,50 @@ class OperatorSpec extends AnyFunSuite {
     withClue(s"recall=$recall")(assert(recall >= 0.4))
   }
 
+  test("IVF top-3 recall vs brute-force ground truth (clustered corpus)") {
+    // IVF's accuracy contract: when the corpus HAS cluster structure
+    // (the regime a coarse quantizer is for), probing the query's
+    // nearest cells recovers the true neighbors. 8 near-orthogonal
+    // cluster directions in 64-dim; every vector = its direction +
+    // noise, labeled by cluster (labels feed the centroid build);
+    // queries sit in clusters 0-4 with 3 planted near-duplicates each.
+    // A broken argmax/probe (wrong sign, wrong tiebreak, wrong cell
+    // join) sends the re-rank to the wrong inverted list and recall
+    // collapses; correct IVF recovers essentially all of it.
+    val dir = TestSpark.tmpDir("ivfrecall")
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def near(base: Array[Float], eps: Float): Array[Float] = {
+      val noisy = base.zip(unit()).map { case (a, e) => a + eps * e }
+      val n = math.sqrt(noisy.map(x => x.toDouble * x).sum).toFloat
+      noisy.map(_ / n)
+    }
+    val dirs = (0 until 8).map(_ => unit())
+    val queries = (0 until 5).map(i => (i.toLong, near(dirs(i), 0.3f), i))
+    val planted = queries.flatMap { case (qid, q, lbl) =>
+      (0 until 3).map(j => (100 + qid * 10 + j, near(q, 0.07f), lbl))
+    }
+    val filler = (0 until 400).map { i =>
+      val k = i % 8; (1000L + i, near(dirs(k), 0.3f), k)
+    }
+    (queries ++ planted ++ filler).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val truth = ext.Similarity.bruteforceTopK(spark, dir)
+      .filter(col("rank") <= 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.forall { case (q, n) => n / 10 - 10 === q })
+    val ivf = ext.Similarity.ivfTopK(spark, dir)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & ivf).size.toDouble / truth.size
+    withClue(s"recall=$recall")(assert(recall >= 0.8))
+  }
+
   test("kafka source: connector-on-classpath is a hard precondition (absent here)") {
     val e = intercept[Exception] {
       sources.KafkaSource.batchScan(spark, "localhost:9092", "events")
