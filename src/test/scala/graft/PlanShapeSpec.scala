@@ -46,6 +46,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("split_train_test is a pure projection: zero exchanges, zero aggregates") {
+    val plan = executedPlan("split_train_test")
+    assert(!plan.contains("Exchange"))
+    assert(!plan.contains("Aggregate"))
+  }
+
+  test("sessionize: both windows and the session aggregate share ONE exchange") {
+    // lag-window, cumsum-window, and the final groupBy all cluster by
+    // user_id: a correct plan partitions once and sorts once; a second
+    // Exchange would mean the windows disagree on partitioning
+    val plan = executedPlan("sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"\n$plan")
+  }
+
+  test("tfidf: tf/df branch aggregates pre-shuffle (partial mode), join adds no exchange") {
+    val plan = executedPlan("tfidf_top_terms")
+    // two branch exchanges (tf, df) and nothing else — the token join
+    // reuses the aggregates' hash partitioning
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"\n$plan")
+    assert(plan.contains("partial_count"), "map-side combine must run before the exchange")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = executedPlan("bonus_topk")
     assert(plan.contains("TakeOrderedAndProject"))
