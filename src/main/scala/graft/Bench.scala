@@ -166,14 +166,15 @@ object Bench {
     // min of three measured runs per query: this host shows bursty
     // noisy-neighbor CPU steal (~±30% on identical code), so the min
     // is the only statistic that approximates the query's actual
-    // steady-state cost; a fourth run settles the cases where all
-    // three disagree badly
+    // steady-state cost; a fourth run settles the cases where the
+    // three disagree by more than ordinary jitter (a steal burst can
+    // cover all three back-to-back runs of one query)
     val results = names.map { n =>
       val runs = Seq(runOnce(n), runOnce(n), runOnce(n))
       if (runs.exists(_ < 0)) n -> -1.0
       else {
         val m = runs.min
-        n -> (if (runs.max > 2.0 * m) math.min(m, runOnce(n)) else m)
+        n -> (if (runs.max > 1.5 * m) math.min(m, runOnce(n)) else m)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
