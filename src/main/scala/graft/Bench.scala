@@ -163,14 +163,18 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // min of three measured runs per query: this host shows bursty
-    // noisy-neighbor CPU steal (~±30% on identical code), so the min
-    // is the only statistic that approximates the query's actual
-    // steady-state cost; a fourth run settles the cases where the
-    // three disagree by more than ordinary jitter (a steal burst can
-    // cover all three back-to-back runs of one query)
+    // min of three measured runs per query, taken ROUND-ROBIN: this
+    // host shows bursty noisy-neighbor CPU steal (tens of seconds at
+    // ~±30-1000% on identical code). Back-to-back runs of one query
+    // all fit inside one burst, which then inflates even the min for
+    // that query; interleaving the passes puts minutes between a
+    // query's samples, so a burst costs at most one sample per query
+    // and the min stays a steady-state estimate. A final targeted
+    // re-run settles queries whose samples still disagree by more
+    // than ordinary jitter.
+    val passes = Seq.fill(3)(names.map(n => n -> runOnce(n)).toMap)
     val results = names.map { n =>
-      val runs = Seq(runOnce(n), runOnce(n), runOnce(n))
+      val runs = passes.map(_(n))
       if (runs.exists(_ < 0)) n -> -1.0
       else {
         val m = runs.min

@@ -124,7 +124,50 @@ object Advanced {
       .join(dupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-stratum keep rates (per mille) for [[sampleStratified]]:
+    * downsample the head classes hard, keep the rare ones — the class
+    * rebalancing every training-data pipeline runs before a mix.
+    */
+  private val SampleRatePerMille: Seq[(String, Int)] = Seq(
+    "click" -> 100, "view" -> 50, "purchase" -> 800,
+    "signup" -> 1000, "error" -> 250)
+
+  /** Deterministic stratified sampling: each event type keeps its own
+    * fraction, decided by `md5(event_id) mod 1000` — a pure per-row
+    * filter with zero shuffle that is reproducible across reruns,
+    * engines, partitionings, and backfills, where `rand()`-based
+    * sampling silently changes the kept set every recompute (same
+    * keyed-hash idiom as
+    * [[graft.functions.TextAnalysis.trainTestSplit]]). Rates live in
+    * one map; at 100 TB this is scan-bound and embarrassingly
+    * parallel.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = (conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000).as("hash_mod")
+    val rate = SampleRatePerMille.tail
+      .foldLeft(when(col("event_type") === SampleRatePerMille.head._1,
+        lit(SampleRatePerMille.head._2))) {
+        case (acc, (t, r)) => acc.when(col("event_type") === t, lit(r))
+      }.otherwise(lit(0))
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"), h, rate.as("keep_rate"))
+      .filter(col("hash_mod") < col("keep_rate"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sample_stratified" -> {
+      val rateCase = SampleRatePerMille
+        .map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""SELECT event_id, event_type, user_id, value, hash_mod, keep_rate
+         FROM (SELECT event_id, event_type, user_id, value,
+                      ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS hash_mod,
+                      $rateCase AS keep_rate
+               FROM events)
+         WHERE hash_mod < keep_rate"""
+    },
     "join_asof" ->
       """WITH ordd AS (
            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
@@ -198,5 +241,6 @@ object Advanced {
     "sessionize" -> sessionize _,
     "emb_label_centroids" -> embLabelCentroids _,
     "corpus_prep" -> corpusPrep _,
+    "sample_stratified" -> sampleStratified _,
   )
 }

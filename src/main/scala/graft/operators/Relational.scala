@@ -290,6 +290,88 @@ object Relational {
         count(lit(1)).as("n_orders"),
         (sum(cents(col("o_totalprice"))) / lit(100.0)).as("total_price"))
 
+  /** Event-type values pivoted into columns. Pinned explicitly: an
+    * implicit pivot first runs a distinct-scan JOB to discover the
+    * values — an extra pass over the fact table that a 100 TB pipeline
+    * never wants for a domain it already knows.
+    */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** PIVOT: daily metrics with one (count, value-sum) column pair per
+    * event type. Plans as ONE partial/final hash aggregate on the
+    * grouping key (each pivot cell is a filtered aggregate) — same
+    * shuffle as a plain groupBy, output width × |pivot values|. Cells
+    * with no rows are NULL (pivot's outer semantics), pinned as such
+    * in the oracle (no-ELSE CASE).
+    */
+  def pivotDailyType(spark: SparkSession, sfDir: String): DataFrame = {
+    val pivoted = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(cents(col("value"))) / lit(100.0)).as("val"))
+    // empty count cells: pivot yields NULL, a filtered COUNT yields 0 —
+    // normalize to the COUNT convention (sum cells stay NULL, which
+    // both engines agree on)
+    pivoted.select(col("day") +: EventTypes.flatMap(t => Seq(
+      coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+      col(s"${t}_val"))): _*)
+  }
+
+  /** UNPIVOT (melt): per-type aggregate metrics rotated from one wide
+    * row per type to (type, metric, value) long form — the shape that
+    * feeds metric stores and plotting layers. Unpivot is a zero-shuffle
+    * Expand over the (tiny) aggregate output; all melted values share
+    * one double type, as the operator requires.
+    */
+  def unpivotTypeMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).cast("double").as("n_events"),
+        (sum(cents(col("value"))) / lit(100.0)).as("total_value"),
+        countDistinct(col("user_id")).cast("double").as("n_users"))
+      .unpivot(
+        Array(col("event_type")),
+        Array(col("n_events"), col("total_value"), col("n_users")),
+        "metric", "metric_value")
+
+  /** FULL OUTER join: high-value click counts vs high-value purchase
+    * counts per user — users on either side only surface with NULLs on
+    * the other (the conversion-funnel table). Both sides are aggregates
+    * hash-partitioned on the join key, so the join itself adds no
+    * exchange; the value filter keeps each side selective so exclusive
+    * rows exist at every sf.
+    */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("value") > 180)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_uid"))
+      .agg(count(lit(1)).as("n_hv_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_uid"))
+      .agg(count(lit(1)).as("n_hv_purchases"))
+    clicks.join(purchases, col("c_uid") === col("p_uid"), "full_outer")
+      .select(
+        coalesce(col("c_uid"), col("p_uid")).as("user_id"),
+        col("n_hv_clicks"), col("n_hv_purchases"))
+  }
+
+  /** Sketch-based percentiles (KLL-style): the 100 TB form of
+    * [[statsSummary]]'s exact sort-based percentiles — constant memory
+    * per group, mergeable partials, one pass. Like [[distinctApprox]],
+    * sketch outputs are engine-specific → rows-only driver check; the
+    * ≤2% error vs exact percentiles is pinned in OperatorSpec.
+    */
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
+        approx_percentile(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
+        count(lit(1)).as("n"))
+
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """WITH c AS (
@@ -401,7 +483,40 @@ object Relational {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
-    // distinct_approx: sketch values are engine-specific — rows-only check.
+    "pivot_daily_type" -> {
+      val cells = EventTypes.map { t =>
+        s"""count(CASE WHEN event_type = '$t' THEN 1 END) AS ${t}_n,
+                sum(CASE WHEN event_type = '$t' THEN CAST(round(value*100) AS BIGINT) END) / CAST(100 AS DOUBLE) AS ${t}_val"""
+      }.mkString(",\n                ")
+      s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                $cells
+         FROM events
+         GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP)"""
+    },
+    "unpivot_type_metrics" ->
+      """WITH a AS (
+           SELECT event_type,
+                  CAST(count(*) AS DOUBLE) AS n_events,
+                  sum(CAST(round(value*100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_value,
+                  CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+           FROM events GROUP BY event_type)
+         SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM a
+         UNION ALL
+         SELECT event_type, 'total_value' AS metric, total_value AS metric_value FROM a
+         UNION ALL
+         SELECT event_type, 'n_users' AS metric, n_users AS metric_value FROM a""",
+    "join_full_outer" ->
+      """WITH c AS (
+           SELECT user_id, count(*) AS n_hv_clicks FROM events
+           WHERE event_type = 'click' AND value > 180 GROUP BY user_id),
+         p AS (
+           SELECT user_id, count(*) AS n_hv_purchases FROM events
+           WHERE event_type = 'purchase' AND value > 180 GROUP BY user_id)
+         SELECT coalesce(c.user_id, p.user_id) AS user_id,
+                n_hv_clicks, n_hv_purchases
+         FROM c FULL JOIN p ON c.user_id = p.user_id""",
+    // distinct_approx, stats_quantile_sketch: sketch values are
+    // engine-specific — rows-only check.
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -421,5 +536,9 @@ object Relational {
     "q14_promo_revenue" -> q14PromoRevenue _,
     "distinct_approx" -> distinctApprox _,
     "region_order_volume" -> regionOrderVolume _,
+    "pivot_daily_type" -> pivotDailyType _,
+    "unpivot_type_metrics" -> unpivotTypeMetrics _,
+    "join_full_outer" -> joinFullOuter _,
+    "stats_quantile_sketch" -> quantileSketch _,
   )
 }

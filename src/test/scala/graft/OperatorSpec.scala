@@ -126,6 +126,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_quantile_sketch stays within 2% of exact percentiles at sf0.01") {
+    val sf001 = "/root/testdata/sf0.01"
+    val exact = operators.Relational.statsSummary(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val sketch = operators.Relational.quantileSketch(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(sketch.keySet === exact.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      val (a50, a90) = sketch(k)
+      withClue(s"$k: sketch=($a50,$a90) exact=($p50,$p90)") {
+        assert(math.abs(a50 - p50) / p50 <= 0.02)
+        assert(math.abs(a90 - p90) / p90 <= 0.02)
+      }
+    }
+  }
+
   test("ANN-LSH top-3 recall vs brute-force ground truth (planted near-dups)") {
     // The sf corpus is near-uniform random — true top-3 cosine there is
     // ~0.3, where single-probe LSH recall is ~(1-θ/π)^8 ≈ a few percent
