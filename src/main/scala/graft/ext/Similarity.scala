@@ -118,9 +118,9 @@ object Similarity {
     *     production IVF, replaced by the dataset's own label structure
     *     so the oracle can reproduce it bit-for-bit; centroids rounded
     *     to 6 decimals and cast to float in BOTH engines),
-    *  2. every vector is assigned to its nearest cell (one broadcast
-    *     of ~|cells| rows, [[graft.functions.TopKAgg]] argmax — the
-    *     inverted file),
+    *  2. every vector is assigned to its nearest cell (a broadcast
+    *     join against the ~|cells|-row quantizer + a declarative
+    *     `max_by` argmax — the inverted file),
     *  3. queries probe their [[NumProbe]] nearest cells and re-rank
     *     exactly within them — corpus-side work drops by the cell
     *     selectivity, recall is tuned by nProbe, and the corpus is
@@ -128,39 +128,51 @@ object Similarity {
     */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
     // Index build — a separate stage from search in every real IVF
-    // system. The coarse quantizer is |cells| × dim floats (tiny even
-    // with thousands of k-means cells at 100 TB), so it is collected
-    // and shipped to executors as expression literals: cell assignment
-    // becomes a pure whole-stage-codegen projection on the corpus scan
-    // — no join, no shuffle, no high-cardinality object aggregate
-    // (topK over |corpus| groups would fall back to sort-based
-    // aggregation past the 128-key ObjectHashAggregate threshold).
-    // Centroids as Dim declarative sum-aggregates in ONE codegen
-    // HashAggregate pass (|cells| groups) — a posexplode formulation
-    // would materialize |corpus| × Dim intermediate rows first.
+    // system. Centroids as Dim declarative sum-aggregates in ONE
+    // codegen HashAggregate pass (|cells| groups) — a posexplode
+    // formulation would materialize |corpus| × Dim intermediate rows
+    // first. The coarse quantizer stays DATA, never generated code:
+    // it is folded into ONE row holding array<struct<cell, cw>> and
+    // broadcast to every task through a 1-row join, so a production
+    // 1k-64k-cell k-means quantizer neither blows Janino's constant
+    // pool / method-size limits (the round-2 design shipped |cells|
+    // expression literals) nor forces a re-plan per index build.
+    // Assignment is then a PER-ROW argmax over that array —
+    // array_max(transform(...)) — a pure projection: zero shuffle,
+    // zero aggregate over the |corpus| × |cells| scored pairs.
+    // Why not exploded-pairs + max_by(cell, struct(cscore, -cell)):
+    // a struct-ordered max_by (like any first(array) companion) has a
+    // non-mutable aggregation buffer, so Spark plans a SortAggregate —
+    // a per-partition SORT of all |corpus| × |cells| scored rows plus
+    // a corpus-wide exchange (verified on the executed plan). The
+    // array form trades whole-stage codegen on the cosine loop
+    // (higher-order functions evaluate interpreted) for no sort and
+    // no shuffle — the side that wins at any scale, since the
+    // interpreted loop is still O(|corpus| × |cells| × Dim) with a
+    // constant factor, while the sort is superlinear in corpus size.
     val dimAggs: Seq[Column] = count(lit(1)).as("n") +:
       (0 until Dim).map(i => sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
-    val cells: Array[(Long, Seq[Float])] = emb
+    val cells = emb
       .groupBy(col("label").cast("long").as("cell"))
       .agg(dimAggs.head, dimAggs.tail: _*)
       .select(col("cell"), array((0 until Dim).map(i =>
         round(col(s"s$i") / col("n"), 6).cast("float")): _*).as("cw"))
-      .orderBy("cell")
-      .as[(Long, Seq[Float])].collect()
-    // struct(cscore, -cell): struct ordering DESC == (cscore DESC,
-    // cell ASC), the same total order the oracle's row_number uses.
-    def cellScores(v: Column): Seq[Column] = cells.toSeq.map { case (id, cw) =>
-      struct(GraftFunctions.cosineSim(v, typedLit(cw)).as("s"),
-        lit(-id).as("nc"))
-    }
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      (-greatest(cellScores(col("embedding")): _*).getField("nc")).as("cell"))
+    val quant = cells
+      .agg(sort_array(collect_list(struct(col("cell"), col("cw")))).as("qcells"))
+    // per-cell struct(cscore, -cell): max/sort DESC over it == the
+    // (cscore DESC, cell ASC) total order the oracle's row_number uses
+    def cellScores(v: Column): Column = transform(col("qcells"), c =>
+      struct(GraftFunctions.cosineSim(v, c.getField("cw")).as("s"),
+        (-c.getField("cell")).as("nc")))
+    val assigned = emb.crossJoin(broadcast(quant))
+      .select(col("vec_id"), col("embedding"),
+        (-array_max(cellScores(col("embedding"))).getField("nc")).as("cell"))
     val probes = emb.filter(col("vec_id") < NumQueryVecs)
+      .crossJoin(broadcast(quant))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        slice(sort_array(array(cellScores(col("embedding")): _*), asc = false),
+        slice(sort_array(cellScores(col("embedding")), asc = false),
           1, NumProbe).as("top"))
       .select(col("query_id"), col("q_emb"), explode(col("top")).as("pc"))
       .select(col("query_id"), col("q_emb"), (-col("pc.nc")).as("cell"))

@@ -133,25 +133,35 @@ object TextAnalysis {
 
   /** Corpus vocabulary statistics: document frequency, total term
     * frequency, and idf for the top-20 terms by df — the vocabulary /
-    * stopword-discovery pass of corpus prep. No count(DISTINCT): tf
-    * counts exploded tokens, df counts exploded per-doc DISTINCT
-    * tokens — two linear branches whose map-side partial aggregation
-    * reduces each to ~|vocabulary| rows per partition before its
-    * exchange, so shuffled bytes are independent of corpus size — the
-    * shape that survives a 100 TB corpus. Top-20 is a TakeOrdered with
-    * a total order (df DESC, token ASC).
+    * stopword-discovery pass of corpus prep.
+    *
+    * ONE corpus scan, ONE grouped exchange, no count(DISTINCT): each
+    * document's sorted token array is tagged per-element with a
+    * first-occurrence flag (element ≠ its predecessor — O(L log L)
+    * per doc, all array expressions), then a single explode feeds a
+    * single groupBy(token) computing tf = count(*) and
+    * df = count_if(first). Map-side partial aggregation reduces each
+    * partition to ~|vocabulary| rows before the exchange, so shuffled
+    * bytes are independent of corpus size — the shape that survives a
+    * 100 TB corpus. (A groupBy(token, doc_id) pre-aggregate would
+    * shuffle one row per distinct (token, doc) pair — corpus-sized.)
+    * The n_docs branch re-lists the table but scans ZERO columns (a
+    * parquet count(*) is row-group metadata only). Top-20 is a
+    * TakeOrdered with a total order (df DESC, token ASC).
     */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs.select(explode(words(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("total_tf"))
-    val df = docs.select(explode(array_distinct(words(col("text")))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    // vocabulary grows with the corpus — no broadcast hint; both sides
-    // leave their aggregates hash-partitioned on token, so the join
-    // adds no exchange (AQE may still choose BHJ while df fits)
-    tf.join(df, "token")
+    val sorted = array_sort(words(col("text")))
+    // element i is a doc's first occurrence of its token iff it differs
+    // from its predecessor; `get` is 0-based and yields null (not an
+    // ANSI error) at i-1 = -1, so coalesce marks the first element true
+    val tagged = transform(sorted, (w, i) =>
+      struct(w.as("t"), coalesce(w =!= get(sorted, i - 1), lit(true)).as("f")))
+    docs.select(explode(tagged).as("tok"))
+      .groupBy(col("tok.t").as("token"))
+      .agg(count(lit(1)).as("total_tf"),
+        count_if(col("tok.f")).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("token"), col("df"), col("total_tf"),
         round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))

@@ -136,6 +136,9 @@ class OperatorSpec extends AnyFunSuite {
     exact.foreach { case (k, (p50, p90)) =>
       val (a50, a90) = sketch(k)
       withClue(s"$k: sketch=($a50,$a90) exact=($p50,$p90)") {
+        // guard the denominator: a zero exact percentile would turn the
+        // relative-error check into an opaque NaN assertion
+        assert(p50 > 0 && p90 > 0, "exact percentile is zero — relative error undefined")
         assert(math.abs(a50 - p50) / p50 <= 0.02)
         assert(math.abs(a90 - p90) / p90 <= 0.02)
       }
@@ -224,6 +227,29 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & ivf).size.toDouble / truth.size
     withClue(s"recall=$recall")(assert(recall >= 0.8))
+  }
+
+  test("IVF executes with a 300-cell quantizer (cell count is data, not generated code)") {
+    // the round-2 design shipped the quantizer as |cells|×64 expression
+    // literals — at production cell counts (1k-64k k-means cells) that
+    // blows Janino's constant pool before arithmetic matters. The
+    // broadcast-join + max_by form keeps cell count out of codegen:
+    // this pins that a quantizer 30× the sf label count executes.
+    val dir = TestSpark.tmpDir("ivfcells")
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = (0 until 1200).map(i => (i.toLong, unit(), i % 300))
+    rows.toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val out = ext.Similarity.ivfTopK(spark, dir).collect()
+    // 5 queries × top-3 within their nProbe=2 probed cells (≥7
+    // non-self candidates per query at 4 vectors/cell)
+    assert(out.length === 15)
+    assert(out.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
   test("kafka source: connector-on-classpath is a hard precondition (absent here)") {

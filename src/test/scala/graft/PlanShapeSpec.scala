@@ -61,13 +61,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges === 1, s"\n$plan")
   }
 
-  test("tfidf: tf/df branch aggregates pre-shuffle (partial mode), join adds no exchange") {
+  test("tfidf: ONE corpus scan, ONE grouped exchange, tf+df aggregate pre-shuffle") {
     val plan = executedPlan("tfidf_top_terms")
-    // two branch exchanges (tf, df) and nothing else — the token join
-    // reuses the aggregates' hash partitioning
+    // a single groupBy(token) computes tf and df together from the
+    // first-occurrence-tagged explode — exactly one grouped exchange
+    // (the n_docs branch is a zero-column count + 1-row broadcast)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges <= 2, s"\n$plan")
+    assert(exchanges === 1, s"\n$plan")
     assert(plan.contains("partial_count"), "map-side combine must run before the exchange")
+    // the corpus text column is scanned exactly once
+    val textScans = "ReadSchema: struct<text:string>".r.findAllIn(plan).length
+    assert(textScans === 1, s"\n$plan")
+  }
+
+  test("similarity: query side broadcast, corpus side streamed — never shuffled or sorted") {
+    // brute force: non-equi join ⇒ BroadcastNestedLoopJoin, query set built
+    val bf = executedPlan("sim_topk_bruteforce")
+    assert(bf.contains("BroadcastNestedLoopJoin BuildRight"), s"\n$bf")
+    // LSH: bucket equi-join ⇒ BroadcastHashJoin, probe side built; the
+    // corpus side streams straight from the cached bucket projection
+    val ann = executedPlan("sim_ann_lsh")
+    assert(ann.contains("BroadcastHashJoin"), s"\n$ann")
+    assert(ann.contains("BuildRight"), s"\n$ann")
+    // IVF: cell equi-join ⇒ BroadcastHashJoin with the probes built;
+    // assignment is a per-row argmax projection — no SortAggregate
+    // over the |corpus|×|cells| scored pairs. Grouped exchanges carry
+    // only |cells|-row index-build partials (×2 branches pre-reuse)
+    // and the final O(queries) top-K; the corpus itself NEVER
+    // hash-exchanges — no exchange partitions on vec_id
+    val ivf = executedPlan("sim_ivf_topk")
+    assert(ivf.contains("BroadcastHashJoin"), s"\n$ivf")
+    assert(!ivf.contains("SortAggregate"), s"\n$ivf")
+    val ivfExchanges = "Exchange hashpartitioning".r.findAllIn(ivf).length
+    assert(ivfExchanges <= 3, s"\n$ivf")
+    assert(!ivf.contains("Exchange hashpartitioning(vec_id"), s"\n$ivf")
   }
 
   test("top-k plans as TakeOrderedAndProject, not a global sort") {

@@ -87,11 +87,15 @@ class FileReplaySpec extends AnyFunSuite {
     val batchSecs = progress.toSeq
       .filter(_.numInputRows > 1000)
       .map(_.durationMs.get("triggerExecution").toDouble / 1e3)
+    // steady-state gate: the MEDIAN qualifying batch must clear the 5 s
+    // cadence — a single lucky batch can't satisfy the claim, and a
+    // single noisy-neighbor burst can't fail it
+    val median = batchSecs.sorted.drop((batchSecs.size - 1) / 2).headOption
     withClue(
       f"$nEvents events in $elapsed%.1f s = $evPerSec%.0f ev/s; " +
         s"batch seconds = ${batchSecs.map(s => f"$s%.2f").mkString(",")}") {
       assert(evPerSec >= 100.0)
-      assert(batchSecs.nonEmpty && batchSecs.min < 5.0)
+      assert(median.exists(_ < 5.0))
     }
   }
 }
