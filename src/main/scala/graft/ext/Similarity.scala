@@ -109,6 +109,52 @@ object Similarity {
         col("q_bucket").as("bucket"))
   }
 
+  /** Multi-probe LSH approximate top-3: each query probes its own
+    * sign bucket PLUS every Hamming-1 neighbor bucket (one plane's
+    * sign flipped — the buckets a near-neighbor most likely fell into
+    * when it straddled a single hyperplane). This turns [[annLshTopK]]'s
+    * documented single-probe recall tradeoff into a tunable: recall
+    * rises from ~(1-θ/π)^P per pair toward brute-force as probes are
+    * added, while corpus-side cost stays (nProbe/2^P) of a full scan.
+    *
+    * Scale shape is UNCHANGED from single-probe: the probe fan-out
+    * multiplies only the tiny broadcast query set (|queries| × nProbe
+    * rows); the corpus is still bucketed once, joined once on bucket
+    * equality, and each vector lives in exactly ONE bucket while the
+    * probe buckets are distinct — so candidates are unique by
+    * construction, no distinct, no multi-bucket corpus blow-up.
+    */
+  def annLshMultiProbe(
+      spark: SparkSession, sfDir: String, nProbe: Int = 1 + NumPlanes): DataFrame = {
+    GraftFunctions.register(spark)
+    require(nProbe >= 1 && nProbe <= 1 + NumPlanes,
+      s"nProbe must be in [1, ${1 + NumPlanes}] (own bucket + one per plane)")
+    val emb = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", bucketCol(col("embedding")))
+      .cache() // bucket signature is interpreted-HOF work; compute once
+    // probe sequence: own bucket first, then flip plane p-1 for probe p
+    val probeBuckets = array((0 until nProbe).map {
+      case 0 => col("q_bucket")
+      case p => col("q_bucket").bitwiseXOR(lit(1 << (p - 1)))
+    }: _*)
+    val q = emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+      .select(col("query_id"), col("q_emb"), explode(probeBuckets).as("probe_bucket"))
+    emb.join(broadcast(q),
+        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("score"))
+      .groupBy("query_id")
+      .agg(topK(3)(col("vec_id"), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("neighbor_id"),
+        round(col("col._2"), 6).as("score"))
+  }
+
   private val NumProbe = 2
 
   /** IVF (inverted-file) approximate top-3 — the second scale path
@@ -263,6 +309,36 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 3""",
+    "sim_ann_multiprobe" ->
+      s"""WITH planes AS (
+            SELECT p, list(w ORDER BY d) AS pw FROM (
+              SELECT p, d,
+                ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+                  % 2001) - 1000) / 1000.0 AS w
+              FROM range($NumPlanes) tp(p), range($Dim) td(d))
+            GROUP BY p),
+          sigs AS (
+            SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+            FROM (
+              SELECT e.vec_id, pl.p,
+                     list_sum([CAST(e.embedding[i+1] AS DOUBLE) * pl.pw[i+1]
+                               for i in range(len(e.embedding))]) AS dot
+              FROM embeddings e, planes pl)
+            GROUP BY vec_id),
+          b AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sigs s USING (vec_id)),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   $CosExpr AS score
+            FROM b q JOIN b c
+              ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND c.vec_id != q.vec_id
+            WHERE q.vec_id < $NumQueryVecs)
+          SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+                 round(score, 6) AS score
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rn
+                FROM scored)
+          WHERE rn <= 3""",
     "sim_ivf_topk" ->
       s"""WITH cent AS (
             SELECT label, i AS pos,
@@ -328,6 +404,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> bruteforceTopK _,
     "sim_ann_lsh" -> annLshTopK _,
+    "sim_ann_multiprobe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
     "sim_ivf_topk" -> ivfTopK _,
     "dedup_emb_neardup" -> embNearDup _,
   )

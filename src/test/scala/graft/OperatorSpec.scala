@@ -183,6 +183,18 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & ann).size.toDouble / truth.size
     withClue(s"recall=$recall")(assert(recall >= 0.4))
+    // multi-probe (own bucket + 8 Hamming-1 neighbors) recovers the
+    // planted neighbors that straddled a single hyperplane: per-pair
+    // capture ≈ 0.77 + 8·0.095·0.77⁷ ≈ 0.92 vs 0.77 single-probe —
+    // the recall lift the probe fan-out buys at (9/256)·corpus cost
+    val multi = ext.Similarity.annLshMultiProbe(spark, dir)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multiRecall = (truth & multi).size.toDouble / truth.size
+    withClue(s"single=$recall multi=$multiRecall") {
+      assert(multiRecall >= 0.8)
+      assert(multiRecall >= recall)
+    }
   }
 
   test("IVF top-3 recall vs brute-force ground truth (clustered corpus)") {
