@@ -28,7 +28,36 @@ object StreamJoin {
   def attribution(
       events: DataFrame,
       attributionWindow: String = "1 minute",
-      lateness: String = "1 minute"): DataFrame = {
+      lateness: String = "1 minute"): DataFrame =
+    attributionJoin(events, attributionWindow, lateness, "inner")
+
+  /** Left-outer attribution — the funnel table real attribution needs:
+    * EVERY purchase emits exactly once, matched purchases with each
+    * qualifying click, organic ones with null click_ts / lag_us.
+    *
+    * The outer emission is the watermark-subtle half: a purchase with
+    * no click yet cannot emit null eagerly (its click may still be in
+    * flight), so the engine buffers it until the GLOBAL watermark (min
+    * across both sides' event-time columns) passes the end of its
+    * attribution window plus lateness — the earliest point where "no
+    * qualifying click can ever arrive" is provable — then emits the
+    * null row exactly once and evicts the state. Same bounded-state
+    * guarantee as the inner form: state is (window + lateness) of
+    * history, never the stream's past, on both the 1000-executor and
+    * the unbounded-time axes. (Batch analogue: `join_full_outer`'s
+    * funnel table, operators/Relational.scala.)
+    */
+  def attributionOuter(
+      events: DataFrame,
+      attributionWindow: String = "1 minute",
+      lateness: String = "1 minute"): DataFrame =
+    attributionJoin(events, attributionWindow, lateness, "leftOuter")
+
+  private def attributionJoin(
+      events: DataFrame,
+      attributionWindow: String,
+      lateness: String,
+      joinType: String): DataFrame = {
     val clicks = events
       .filter(col("event_type") === "CLICK")
       .select(col("user_id"), col("timestamp").as("click_ts"))
@@ -42,7 +71,7 @@ object StreamJoin {
       col("user_id") === col("p_user_id") &&
         col("click_ts") <= col("purchase_ts") &&
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL '$attributionWindow'"),
-      "inner")
+      joinType)
       .select(col("p_user_id").as("user_id"), col("purchase_ts"), col("click_ts"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("lag_us"))
@@ -53,12 +82,17 @@ object StreamJoin {
       queryName: String,
       attributionWindow: String = "1 minute",
       lateness: String = "1 minute",
-      trigger: Option[Trigger] = None): StreamingQuery =
+      trigger: Option[Trigger] = None,
+      outer: Boolean = false): StreamingQuery = {
+    val joined =
+      if (outer) attributionOuter(events, attributionWindow, lateness)
+      else attribution(events, attributionWindow, lateness)
     Patterns.withTrigger(
-      attribution(events, attributionWindow, lateness)
+      joined
         .writeStream
         .outputMode("append")
         .format("memory")
         .queryName(queryName), trigger)
       .start()
+  }
 }

@@ -51,4 +51,49 @@ class StreamJoinSpec extends AnyFunSuite {
       assert(spark.table("attribution_out").count() === 2)
     } finally q.stop()
   }
+
+  test("left-outer attribution emits unmatched purchases with null click_ts after the watermark proves no match") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = StreamJoin.start(EventCodec.parse(input.toDF()), "attribution_outer_out",
+      attributionWindow = "1 minute", lateness = "1 minute", outer = true)
+    try {
+      // batch 1: clicks, buffered
+      input.addData(Seq(
+        ev("2024-01-01T00:00:10.000000", "u1", "CLICK"),
+        ev("2024-01-01T00:00:20.000000", "u1", "CLICK")))
+      q.processAllAvailable()
+      // batch 2: u1 purchase matches both clicks; u3 purchase has no
+      // click — it must NOT emit null yet (a qualifying click could
+      // still arrive within lateness)
+      input.addData(Seq(
+        ev("2024-01-01T00:00:50.000000", "u1", "PURCHASE"),
+        ev("2024-01-01T00:00:55.000000", "u3", "PURCHASE")))
+      q.processAllAvailable()
+      val early = spark.table("attribution_outer_out")
+        .filter("click_ts IS NULL").count()
+      assert(early === 0, "null row emitted before the watermark proved no-match")
+
+      // batch 3: events 5 min later on BOTH sides push the global
+      // watermark to 00:04:00 — past u3's window end + lateness — so
+      // exactly one null row for u3 emits; the 00:05:00 purchase
+      // itself stays buffered (its own no-match point is unproven)
+      input.addData(Seq(
+        ev("2024-01-01T00:05:00.000000", "u8", "CLICK"),
+        ev("2024-01-01T00:05:00.000000", "u9", "PURCHASE")))
+      q.processAllAvailable()
+
+      val rows = spark.table("attribution_outer_out")
+        .select("user_id", "purchase_ts", "click_ts", "lag_us")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          if (r.isNullAt(2)) null else r.getTimestamp(2).toString,
+          if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toSet
+      assert(rows === Set(
+        ("u1", "2024-01-01 00:00:50.0", "2024-01-01 00:00:10.0", 40000000L),
+        ("u1", "2024-01-01 00:00:50.0", "2024-01-01 00:00:20.0", 30000000L),
+        ("u3", "2024-01-01 00:00:55.0", null, -1L)))
+    } finally q.stop()
+  }
 }
