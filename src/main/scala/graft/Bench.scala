@@ -163,29 +163,50 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // min of three measured runs per query, taken ROUND-ROBIN: this
-    // host shows bursty noisy-neighbor CPU steal (tens of seconds at
+    // min of measured runs per query, taken ROUND-ROBIN: this host
+    // shows bursty noisy-neighbor CPU steal (tens of seconds at
     // ~±30-1000% on identical code). Back-to-back runs of one query
     // all fit inside one burst, which then inflates even the min for
     // that query; interleaving the passes puts minutes between a
     // query's samples, so a burst costs at most one sample per query
-    // and the min stays a steady-state estimate. A final targeted
-    // re-run settles queries whose samples still disagree by more
-    // than ordinary jitter.
-    val passes = Seq.fill(3)(names.map(n => n -> runOnce(n)).toMap)
-    val results = names.map { n =>
-      val runs = passes.map(_(n))
-      if (runs.exists(_ < 0)) n -> -1.0
-      else {
-        val m = runs.min
-        n -> (if (runs.max > 1.5 * m) math.min(m, runOnce(n)) else m)
+    // and the min stays a steady-state estimate. Queries whose samples
+    // still spread >1.5× after 3 passes get up to 2 more INTERLEAVED
+    // settle passes (best-of-5) — round-robin again, not back-to-back,
+    // so a burst longer than one pass still can't own every sample.
+    val passes = scala.collection.mutable.ArrayBuffer(
+      Seq.fill(3)(names.map(n => n -> runOnce(n)).toMap): _*)
+    def samples(n: String): Seq[Double] = passes.toSeq.flatMap(_.get(n))
+    for (_ <- 1 to 2) {
+      val noisy = names.filter { n =>
+        val s = samples(n)
+        !s.exists(_ < 0) && s.max > 1.5 * s.min
       }
+      if (noisy.nonEmpty) passes += noisy.map(n => n -> runOnce(n)).toMap
+    }
+    val results = names.map { n =>
+      val s = samples(n)
+      n -> (if (s.exists(_ < 0)) -1.0 else s.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // The LAST stdout line is exactly the driver-contract JSON —
+    // {"metric","value","unit","queries","sf"} with no extra fields
+    // between "queries" and "sf" (round-2's interleaved ingest_sec is
+    // the likely reason the driver recorded "parsed": null). The full
+    // artifact (ingest timing + every raw sample per query) goes to a
+    // file, path on stderr, so the detail survives without touching
+    // the contract line.
+    val allSamples = names.map { n =>
+      "\"" + n + "\":[" + samples(n).map(v => f"$v%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val artifact = java.nio.file.Paths.get("/tmp/graft_bench_last.json")
+    java.nio.file.Files.writeString(artifact,
+      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_sec":$ingestSec%.3f,"samples":$allSamples}""")
+    System.err.println(f"[bench] ingest_sec=$ingestSec%.3f; full artifact: $artifact")
     println(
-      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"ingest_sec":$ingestSec%.3f,"sf":"$sfDir"}""")
+      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -236,6 +236,35 @@ object Similarity {
         round(col("col._2"), 6).as("score"))
   }
 
+  /** Int8 scalar quantization of the embedding column — the
+    * compression step a billion-vector corpus applies before ANN
+    * serving (the FAISS IVF-SQ8 shape): per-vector symmetric scale
+    * `max|x| / 127`, elements → half-up-rounded `x / scale`. A pure
+    * zero-shuffle projection: at 100 TB it cuts every downstream
+    * scan/shuffle/cache of the vectors 4× (f32 → i8) for ~1e-4 cosine
+    * error, which is why production inverted files store i8 codes and
+    * re-rank the short candidate list in f32.
+    *
+    * Determinism contract with the oracle: `floor(x/s + 0.5)` instead
+    * of `round()` (identical half-up semantics in Spark and DuckDB,
+    * where `round` tie-breaks differ), and the scale is emitted as
+    * `floor(scale·1e9 + 0.5)` nano-units in BIGINT for the same
+    * reason. Zero vectors quantize to zeros (scale 0 guard).
+    */
+  def quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127d)
+          .as("scale"))
+      .select(
+        col("vec_id"),
+        floor(col("scale") * 1e9 + 0.5).cast("long").as("scale_e9"),
+        when(col("scale") === 0d, transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") / col("scale") + 0.5).cast("int")))
+          .as("q"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family: candidate pairs share an LSH sign bucket
     * (each vector lands in exactly one bucket ⇒ pairs are unique, no
@@ -377,6 +406,17 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 3""",
+    "emb_quantize" ->
+      """SELECT vec_id,
+                CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
+                CASE WHEN scale = 0
+                     THEN list_transform(embedding, x -> 0)
+                     ELSE list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
+                END AS q
+         FROM (SELECT vec_id, embedding,
+                      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
+               FROM embeddings)""",
     "dedup_emb_neardup" ->
       s"""WITH planes AS (
             SELECT p, list(w ORDER BY d) AS pw FROM (
@@ -406,6 +446,7 @@ object Similarity {
     "sim_ann_lsh" -> annLshTopK _,
     "sim_ann_multiprobe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
     "sim_ivf_topk" -> ivfTopK _,
+    "emb_quantize" -> quantize _,
     "dedup_emb_neardup" -> embNearDup _,
   )
 }

@@ -264,6 +264,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("int8 quantization: codes bounded by ±127, round-trip within half a step") {
+    val q = ext.Similarity.quantize(spark, sf)
+    val joined = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .join(q, "vec_id")
+      .select(
+        array_max(transform(col("q"), c => abs(c))).as("maxq"),
+        // reconstruction error per element in units of the (nano-
+        // rounded) scale: |x - q·s| must stay within half a step
+        array_max(zip_with(col("embedding"), col("q"), (x, c) =>
+          abs(x.cast("double") - c * (col("scale_e9") / 1e9))
+            / (col("scale_e9") / 1e9))).as("worst"))
+    val top = joined.agg(max("maxq"), max("worst")).first()
+    assert(top.getInt(0) <= 127)
+    assert(top.getDouble(1) <= 0.5001) // 1e-9 scale rounding slack
+  }
+
   test("kafka source: connector-on-classpath is a hard precondition (absent here)") {
     val e = intercept[Exception] {
       sources.KafkaSource.batchScan(spark, "localhost:9092", "events")

@@ -52,6 +52,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Aggregate"))
   }
 
+  test("emb_quantize is a pure projection: the corpus never exchanges") {
+    val plan = executedPlan("emb_quantize")
+    assert(!plan.contains("Exchange"))
+    assert(!plan.contains("Aggregate"))
+  }
+
   test("sessionize: both windows and the session aggregate share ONE exchange") {
     // lag-window, cumsum-window, and the final groupBy all cluster by
     // user_id: a correct plan partitions once and sorts once; a second
