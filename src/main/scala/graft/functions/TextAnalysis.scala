@@ -111,6 +111,42 @@ object TextAnalysis {
       when(size(ws) >= 5, size(ws) - 4).otherwise(0).as("n_shingles"))
   }
 
+  /** Repetition metrics — the Gopher/C4-style repetition quality
+    * filters (most-frequent-bigram share, longest consecutive token
+    * run) that catch boilerplate loops and degenerate generations in a
+    * pre-training corpus. All-integer outputs so the cross-engine
+    * compare is exact.
+    *
+    * Zero shuffle: both metrics are per-row array folds. The
+    * most-frequent-bigram count is longest-equal-run over the SORTED
+    * bigram array (duplicates become adjacent — an O(L log L) sort
+    * replaces a per-doc hash map); the consecutive-run metric is the
+    * same fold over the unsorted tokens. One `aggregate` HOF with a
+    * (prev, run, best) struct accumulator serves both.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    // longest run of equal adjacent elements in arr
+    def maxRun(arr: Column): Column = aggregate(
+      arr,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val bigrams = transform(sequence(lit(2), size(ws)), i =>
+      concat_ws(" ", element_at(ws, i - 1), element_at(ws, i)))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      when(size(ws) >= 2, size(ws) - 1).otherwise(0).as("n_bigrams"),
+      when(size(ws) >= 2, maxRun(array_sort(bigrams))).otherwise(0)
+        .as("top_bigram_count"),
+      maxRun(ws).as("max_token_run"))
+  }
+
   /** Deterministic train/valid/test split (80/10/10) keyed on
     * md5(doc_id): a pure projection — no shuffle, no RNG state — so
     * the same document lands in the same split on every run, every
@@ -228,6 +264,35 @@ object TextAnalysis {
                   round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
            FROM agg, n
            ORDER BY df DESC, token ASC LIMIT 20""",
+      "text_repetition" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           bg AS (
+             SELECT doc_id,
+                    unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b
+             FROM d),
+           bgc AS (
+             SELECT doc_id, CAST(max(c) AS INTEGER) AS top_bigram_count,
+                    CAST(sum(c) AS INTEGER) AS n_bigrams
+             FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+             GROUP BY doc_id),
+           toks AS (
+             SELECT doc_id, e.i AS i, e.t AS tok
+             FROM (SELECT doc_id,
+                          unnest([{'i': i, 't': ws[i]} for i in range(1, len(ws)+1)]) AS e
+                   FROM d)),
+           runs AS (
+             SELECT doc_id, CAST(max(cnt) AS INTEGER) AS max_token_run FROM (
+               SELECT doc_id, count(*) AS cnt FROM (
+                 SELECT doc_id, tok,
+                        i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+                 FROM toks)
+               GROUP BY doc_id, tok, grp)
+             GROUP BY doc_id)
+           SELECT d.doc_id,
+                  coalesce(bgc.n_bigrams, 0) AS n_bigrams,
+                  coalesce(bgc.top_bigram_count, 0) AS top_bigram_count,
+                  runs.max_token_run
+           FROM d LEFT JOIN bgc USING (doc_id) JOIN runs USING (doc_id)""",
       "text_fingerprint" ->
         """SELECT doc_id,
                   md5(text) AS md5_full,
@@ -245,6 +310,7 @@ object TextAnalysis {
     "text_token_count" -> tokenCount _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
+    "text_repetition" -> repetition _,
     "split_train_test" -> trainTestSplit _,
     "tfidf_top_terms" -> tfidfTopTerms _,
   )

@@ -21,7 +21,9 @@ class InvarianceSpec extends AnyFunSuite {
     "dedup_ngram_jaccard",  // blocked self-join + df-cap
     "join_asof",            // timeline build + probe
     "window_rank",          // total-order window
-    "sim_ivf_topk",         // driver-held quantizer + broadcast probes
+    "sim_ivf_topk",         // broadcast quantizer + per-row argmax
+    "sim_ann_multiprobe",   // Hamming-1 probe fan-out
+    "emb_quantize",         // pure projection, float determinism
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {

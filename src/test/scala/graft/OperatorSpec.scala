@@ -264,6 +264,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("text_repetition pins degenerate docs: token loops, alternating bigrams, singletons") {
+    val dir = TestSpark.tmpDir("rep")
+    Seq((1L, "r r r r r"),  // degenerate loop: one bigram repeated, run of 5
+        (2L, "a b a b a"),  // alternation: top bigram appears twice, no runs
+        (3L, "one"),        // no bigrams at all
+        (4L, "x y z"))      // clean text: everything 1
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = functions.TextAnalysis.repetition(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got === Set(
+      (1L, 4, 4, 5),
+      (2L, 4, 2, 1),
+      (3L, 0, 0, 1),
+      (4L, 2, 1, 1)))
+  }
+
   test("int8 quantization: codes bounded by ±127, round-trip within half a step") {
     val q = ext.Similarity.quantize(spark, sf)
     val joined = Tables.embeddings(spark, sf)
