@@ -117,6 +117,47 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Stand-in benchmark set for [[decontaminate]]: docs with id below
+    * this. Production passes the real eval suite as the second table —
+    * the dataflow is identical.
+    */
+  val BenchmarkDocs = 25
+
+  /** Benchmark decontamination — the eval-overlap pass every serious
+    * training pipeline runs before a data release: for each corpus
+    * document, how many of its distinct 5-gram shingles also appear in
+    * the benchmark set (here: docs `doc_id <` [[BenchmarkDocs]]).
+    * Downstream filters drop or redact docs whose overlap fraction
+    * exceeds a threshold; emitting the raw integer counts keeps the
+    * policy out of the operator and the cross-engine compare exact.
+    *
+    * Scale design: the benchmark shingle set is DISTINCT'd and tiny
+    * relative to the corpus (eval suites are fixed-size) — the planner
+    * broadcasts it from size stats / AQE, no hint, so the corpus is
+    * scanned once and never shuffled for the join. Shingles collapse to
+    * 64-bit xxhash64 via the one-pass [[graft.functions.expressions.ShingleHashes]]
+    * kernel before the join (hash equality stands in for string
+    * equality — same 2⁻⁶⁴ trade as [[ngramJaccard]]). The per-doc
+    * aggregation partial-aggregates map-side (explode preserves row
+    * locality), so its exchange carries ~one row per document.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.shingleHashes
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+    val bench = docs.filter(col("doc_id") < BenchmarkDocs)
+      .select(explode(col("hs")).as("h")).distinct()
+      .withColumn("hit", lit(1))
+    docs
+      .select(col("doc_id"), coalesce(size(col("hs")), lit(0)).as("n_shingles"),
+        explode_outer(col("hs")).as("h")) // outer: short docs still emit
+      .join(bench, Seq("h"), "left")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(col("hit")).cast("int").as("n_contaminated"))
+      .select("doc_id", "n_shingles", "n_contaminated")
+  }
+
   private val NumHashes = 16
   private val NumBands = 4 // 4 rows per band
 
@@ -242,6 +283,15 @@ object Dedup {
           JOIN sizes x ON doc_a = x.doc_id
           JOIN sizes y ON doc_b = y.doc_id
           WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5""",
+    "decontaminate" ->
+      s"""WITH $ShingleCte,
+          bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < $BenchmarkDocs),
+          hits AS (SELECT e.doc_id, count(*) AS n_cont
+                   FROM ex e JOIN bench USING (shingle) GROUP BY e.doc_id)
+          SELECT s.doc_id,
+                 CAST(len(s.s) AS INTEGER) AS n_shingles,
+                 CAST(coalesce(h.n_cont, 0) AS INTEGER) AS n_contaminated
+          FROM sh s LEFT JOIN hits h USING (doc_id)""",
     "dedup_minhash_lsh" ->
       s"""WITH $ShingleCte,
           mh AS (
@@ -299,6 +349,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    "decontaminate" -> decontaminate _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,

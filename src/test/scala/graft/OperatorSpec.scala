@@ -264,6 +264,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("decontaminate counts benchmark 5-gram overlap; clean and short docs score zero") {
+    val dir = TestSpark.tmpDir("decon")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),  // benchmark doc: 3 shingles
+      (30L, "alpha beta gamma delta epsilon nu xi"),    // leaks exactly 1 bench shingle
+      (31L, "one two three four five six seven"),       // clean
+      (32L, "tiny doc"))                                // < 5 words, no shingles
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = ext.Dedup.decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === Set(
+      (1L, 3, 3),   // the benchmark overlaps itself fully
+      (30L, 3, 1),
+      (31L, 3, 0),
+      (32L, 0, 0)))
+  }
+
   test("text_repetition pins degenerate docs: token loops, alternating bigrams, singletons") {
     val dir = TestSpark.tmpDir("rep")
     Seq((1L, "r r r r r"),  // degenerate loop: one bigram repeated, run of 5
