@@ -24,6 +24,8 @@ class InvarianceSpec extends AnyFunSuite {
     "sim_ivf_topk",         // broadcast quantizer + per-row argmax
     "sim_ann_multiprobe",   // Hamming-1 probe fan-out
     "emb_quantize",         // pure projection, float determinism
+    "decontaminate",        // broadcast-set membership counts
+    "text_repetition",      // per-row array folds
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
