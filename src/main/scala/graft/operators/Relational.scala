@@ -164,6 +164,29 @@ object Relational {
       .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
   }
 
+  /** Time-RANGE rolling window: per event, the same user's event count
+    * and exact-cents value total over the trailing 10 minutes — the
+    * sliding-window feature a fraud/abuse/feature-store pipeline
+    * computes per entity. A RANGE frame (value bounds on event time),
+    * not a ROWS frame: equal-timestamp peers are all in-frame, so the
+    * result is deterministic without a unique ordering key. Spark
+    * needs a numeric RANGE ordering column → `unix_micros(ts)` with
+    * the bound in µs; the driver's event timestamps are µs-aligned so
+    * the DuckDB `INTERVAL` frame draws identical boundaries. Same
+    * scale shape as every window here: one exchange on the partition
+    * key, per-group state bounded by the frame.
+    */
+  def windowRollingCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-10L * 60L * 1000000L, 0L)
+    Tables.events(spark, sfDir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("rolling_events", count(lit(1)).over(w))
+      .withColumn("rolling_value", sum(cents(col("value"))).over(w) / lit(100.0))
+      .select("user_id", "ts", "event_id", "rolling_events", "rolling_value")
+  }
+
   /** INTERSECT (distinct semantics): users who both clicked and
     * purchased.
     */
@@ -436,6 +459,13 @@ object Relational {
                            ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST(100 AS DOUBLE) AS running_qty
          FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'""",
+    "window_rolling_count" ->
+      """SELECT user_id, ts, event_id,
+                count(*) OVER w AS rolling_events,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) / CAST(100 AS DOUBLE) AS rolling_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW)""",
     "setop_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
          INTERSECT
@@ -527,6 +557,7 @@ object Relational {
     "join_anti" -> joinAnti _,
     "window_rank" -> windowRank _,
     "window_running_sum" -> windowRunningSum _,
+    "window_rolling_count" -> windowRollingCount _,
     "setop_intersect" -> setopIntersect _,
     "setop_except" -> setopExcept _,
     "agg_rollup" -> aggRollup _,

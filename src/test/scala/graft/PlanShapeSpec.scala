@@ -103,6 +103,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!ivf.contains("Exchange hashpartitioning(vec_id"), s"\n$ivf")
   }
 
+  test("rolling time-window: one exchange on the partition key, RANGE frame") {
+    val plan = executedPlan("window_rolling_count")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"\n$plan")
+    assert(plan.contains("RangeFrame"), s"\n$plan")
+    // both window functions cluster on the same key: ONE sort serves both
+    assert("\\+- Sort ".r.findAllIn(plan).length === 1, s"\n$plan")
+  }
+
+  test("decontaminate: benchmark shingle set broadcasts, corpus side streams") {
+    // the corpus explode must stream into a BroadcastHashJoin against
+    // the (tiny, distinct'd) benchmark set — never be shuffled for the
+    // membership probe. AQE decides from runtime stats, so finalize.
+    val df = SparkEntry.queries("decontaminate")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"\n$plan")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = executedPlan("bonus_topk")
     assert(plan.contains("TakeOrderedAndProject"))
