@@ -293,6 +293,38 @@ object Relational {
         round(expr("percentile(value, 0.9)"), 6).as("p90_value"),
         count(lit(1)).as("n"))
 
+  /** Pearson correlation (quantity vs extended price per return flag)
+    * from EXACT integer moments. A distributed float `corr()` is
+    * accumulation-order-dependent — different partitionings give
+    * different last-ulp answers, which breaks backfill equality and
+    * cross-engine checks. Here both measures convert to integer cents
+    * and the sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    * accumulate as exact decimal(38) sums — bit-stable under ANY
+    * partitioning — then ONE double-precision finish computes r.
+    * Shuffle carries six numbers per group; the finish is a per-group
+    * projection. The same pattern generalizes to covariance/regression
+    * slopes at 100 TB.
+    */
+  def statsCorr(spark: SparkSession, sfDir: String): DataFrame = {
+    // cents as decimal(19,0) so products are exact decimal(38,0) —
+    // Σ(price²·10⁴) overflows BIGINT already at sf0.1
+    val x = cents(col("l_quantity")).cast("decimal(19,0)")
+    val y = cents(col("l_extendedprice")).cast("decimal(19,0)")
+    def d(c: Column): Column = c.cast("double")
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round(
+          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 6)
+          .as("corr_qty_price"))
+  }
+
   /** Multi-way broadcast enrichment chain: orders → customer → nation
     * → region, aggregated per region. The fact table never shuffles —
     * every join is a broadcast hash join, then one shuffle for the
@@ -505,6 +537,24 @@ object Relational {
                 round(quantile_cont(value, 0.9), 6) AS p90_value,
                 count(*) AS n
          FROM events GROUP BY event_type""",
+    "stats_corr" ->
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                  sum(CAST(x AS HUGEINT)*y) AS sxy,
+                  sum(CAST(x AS HUGEINT)*x) AS sxx,
+                  sum(CAST(y AS HUGEINT)*y) AS syy
+           FROM (SELECT l_returnflag,
+                        CAST(round(l_quantity*100) AS BIGINT) AS x,
+                        CAST(round(l_extendedprice*100) AS BIGINT) AS y
+                 FROM lineitem)
+           GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+                      (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+                       sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+                  AS corr_qty_price
+         FROM m""",
     "region_order_volume" ->
       """SELECT r_name, count(*) AS n_orders,
                 sum(CAST(round(o_totalprice*100) AS BIGINT)) / CAST(100 AS DOUBLE) AS total_price
@@ -564,6 +614,7 @@ object Relational {
     "distinct_exact" -> distinctExact _,
     "distinct_exact_salted" -> distinctExactSalted _,
     "stats_summary" -> statsSummary _,
+    "stats_corr" -> statsCorr _,
     "q14_promo_revenue" -> q14PromoRevenue _,
     "distinct_approx" -> distinctApprox _,
     "region_order_volume" -> regionOrderVolume _,

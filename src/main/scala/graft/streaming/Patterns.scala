@@ -302,13 +302,23 @@ object StreamingDedup {
   * finalizes — the streaming form of an hourly/daily rollup feed.
   */
 object WindowedAgg {
+  /** Tumbling by default; pass `slide < windowDuration` for SLIDING
+    * windows (each event lands in `window/slide` overlapping windows —
+    * the hourly-window-every-ten-minutes rollup shape). State grows by
+    * the same factor but stays bounded by the lateness horizon exactly
+    * as in the tumbling case: a window's state is evicted when the
+    * watermark passes its end.
+    */
   def counts(
       events: DataFrame,
       windowDuration: String = "1 minute",
-      lateness: String = "1 minute"): DataFrame =
+      lateness: String = "1 minute",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark("timestamp", lateness)
-      .groupBy(window(col("timestamp"), windowDuration), col("event_type"))
+      .groupBy(
+        window(col("timestamp"), windowDuration, slide.getOrElse(windowDuration)),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(
         col("window.start").as("window_start"),
@@ -319,9 +329,10 @@ object WindowedAgg {
       queryName: String,
       windowDuration: String = "1 minute",
       lateness: String = "1 minute",
-      trigger: Option[Trigger] = None): StreamingQuery =
+      trigger: Option[Trigger] = None,
+      slide: Option[String] = None): StreamingQuery =
     Patterns.withTrigger(
-      counts(events, windowDuration, lateness)
+      counts(events, windowDuration, lateness, slide)
         .writeStream
         .outputMode("append")
         .format("memory")

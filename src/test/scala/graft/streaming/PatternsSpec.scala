@@ -188,6 +188,30 @@ class PatternsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: each event lands in every overlapping window, all finalize") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    // 1-minute windows sliding every 30 s: an event at :45 belongs to
+    // the [:00, :01) and [:00:30, :01:30) windows
+    val q = WindowedAgg.start(EventCodec.parse(input.toDF()), "slide_out",
+      slide = Some("30 seconds"))
+    try {
+      input.addData(
+        ev("2024-01-01T00:00:45.000000", "u1", "Alice", "CLICK"),
+        ev("2024-01-01T00:00:50.000000", "u2", "Bob", "CLICK"))
+      q.processAllAvailable()
+      // push the watermark past both windows' ends + lateness
+      input.addData(ev("2024-01-01T00:05:00.000000", "u3", "Cara", "CLICK"))
+      q.processAllAvailable()
+      val out = spark.table("slide_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+      assert(out.contains(("2024-01-01 00:00:00.0", 2L)))
+      assert(out.contains(("2024-01-01 00:00:30.0", 2L)))
+      // no phantom third window for the :45/:50 events
+      assert(!out.exists { case (w, _) => w.startsWith("2024-01-01 00:01:") })
+    } finally q.stop()
+  }
+
   test("streaming dedup: replayed messages are dropped, state evicted by watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
