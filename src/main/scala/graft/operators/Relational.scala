@@ -293,6 +293,36 @@ object Relational {
         round(expr("percentile(value, 0.9)"), 6).as("p90_value"),
         count(lit(1)).as("n"))
 
+  /** Batch interval-attribution join — the batch twin of
+    * [[graft.streaming.StreamJoin.attribution]]: every purchase paired
+    * with the same user's clicks in the trailing 4-hour window.
+    *
+    * Scale shape: the USER equi-key drives the join — Catalyst plans a
+    * hash/sort-merge join on `user_id` with the time bounds as a
+    * residual filter, so both sides shuffle once on the key and each
+    * of 1000 executors joins only its key range. A pure range join
+    * (no equi key) would be a BroadcastNestedLoopJoin — quadratic —
+    * which PlanShapeSpec asserts never appears here. Per-user click
+    * volume bounds the per-row probe work; a skewed power-user key is
+    * AQE's skew-join split case, not a plan change.
+    */
+  def intervalAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id"),
+        col("ts").as("purchase_ts"))
+    purchases.join(clicks,
+        col("user_id") === col("p_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL '4' HOUR"))
+      .select(col("p_user_id").as("user_id"), col("event_id"),
+        col("purchase_ts"), col("click_ts"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"))
+  }
+
   /** Pearson correlation (quantity vs extended price per return flag)
     * from EXACT integer moments. A distributed float `corr()` is
     * accumulation-order-dependent — different partitionings give
@@ -537,6 +567,16 @@ object Relational {
                 round(quantile_cont(value, 0.9), 6) AS p90_value,
                 count(*) AS n
          FROM events GROUP BY event_type""",
+    "join_interval" ->
+      """SELECT p.pu AS user_id, p.event_id, p.pts AS purchase_ts, c.cts AS click_ts,
+                epoch_us(p.pts) - epoch_us(c.cts) AS lag_us
+         FROM (SELECT user_id AS pu, event_id, ts AS pts FROM events
+               WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id, ts AS cts FROM events
+               WHERE event_type = 'click') c
+           ON c.user_id = p.pu
+          AND c.cts <= p.pts
+          AND c.cts >= p.pts - INTERVAL 4 HOUR""",
     "stats_corr" ->
       """WITH m AS (
            SELECT l_returnflag, count(*) AS n,
@@ -615,6 +655,7 @@ object Relational {
     "distinct_exact_salted" -> distinctExactSalted _,
     "stats_summary" -> statsSummary _,
     "stats_corr" -> statsCorr _,
+    "join_interval" -> intervalAttribution _,
     "q14_promo_revenue" -> q14PromoRevenue _,
     "distinct_approx" -> distinctApprox _,
     "region_order_volume" -> regionOrderVolume _,

@@ -122,6 +122,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"\n$plan")
   }
 
+  test("interval join rides the user equi-key: never a nested-loop or cartesian plan") {
+    val plan = executedPlan("join_interval")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    // time bounds are a residual condition on the equi join, not the key
+    assert(plan.contains("Join") || plan.contains("HashJoin") ||
+      plan.contains("SortMergeJoin"), s"\n$plan")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = executedPlan("bonus_topk")
     assert(plan.contains("TakeOrderedAndProject"))
