@@ -26,6 +26,8 @@ class InvarianceSpec extends AnyFunSuite {
     "emb_quantize",         // pure projection, float determinism
     "decontaminate",        // broadcast-set membership counts
     "text_repetition",      // per-row array folds
+    "stats_corr",           // exact integer moments — THE invariance claim
+    "join_interval",        // equi+interval join
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
