@@ -200,6 +200,32 @@ object Dedup {
           x => x)).cast("double") / NumHashes).as("est_jaccard"))
   }
 
+  /** Edit-distance confirmation of MinHash-LSH candidates — the
+    * expensive exact check in its only scale-sane position: AFTER
+    * blocking. Levenshtein is O(|a|·|b|) per pair, so it can never run
+    * on all pairs; on the LSH candidate set (linear in corpus size by
+    * banding) it is a bounded per-pair cost. Output keeps the raw
+    * integer distance plus a normalized similarity so the dedup
+    * threshold stays a downstream policy.
+    *
+    * The two doc_id joins fetch candidate texts — at 100 TB they are
+    * dominated by the corpus scan itself (candidates ≪ corpus); a
+    * production warehouse co-locates them for free by bucketing
+    * `documents` on doc_id, exactly as Bench buckets the fact tables.
+    */
+  def editDistConfirm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    minhashLsh(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .join(docs.toDF("doc_a", "text_a"), "doc_a")
+      .join(docs.toDF("doc_b", "text_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
+      .withColumn("similarity",
+        round(lit(1.0) - col("edit_dist").cast("double") / col("max_len"), 6))
+  }
+
   /** 60-bit SimHash per document: per-word 60-bit hash (first 15 hex
     * chars of md5 — stays in signed-long range), each bit voted +count /
     * −count, sign of the vote becomes the bit. One explode(60) per
@@ -309,6 +335,27 @@ object Dedup {
                  CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16
                    AS est_jaccard
           FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id""",
+    "dedup_editdist" ->
+      s"""WITH $ShingleCte,
+          mh AS (
+            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+            FROM ex, range(16) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+            FROM sig, range(4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST(levenshtein(x.text, y.text) AS INTEGER) AS edit_dist,
+                 CAST(greatest(length(x.text), length(y.text)) AS INTEGER) AS max_len,
+                 round(1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
+                             / greatest(length(x.text), length(y.text)), 6) AS similarity
+          FROM cand
+          JOIN documents x ON doc_a = x.doc_id
+          JOIN documents y ON doc_b = y.doc_id""",
     "dedup_simhash" ->
       """WITH wc AS (
            SELECT doc_id, word, count(*) AS cnt,
@@ -350,6 +397,7 @@ object Dedup {
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "decontaminate" -> decontaminate _,
+    "dedup_editdist" -> editDistConfirm _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
