@@ -9,10 +9,13 @@ import graft.Tables
   * language identification, and document fingerprinting.
   *
   * Everything here is a single narrow scan → per-row expression
-  * evaluation (no shuffle at all, no UDFs — pure `functions._`
-  * higher-order array expressions, fully codegen'd). At 100 TB these
-  * queries scale linearly with input and are bounded by parquet scan
-  * throughput, which is exactly the profile a corpus-prep pass wants.
+  * evaluation, no shuffle at all and no UDFs: scalar/array built-ins
+  * stay inside whole-stage codegen, and the higher-order array
+  * functions (transform/filter/aggregate), while evaluated interpreted
+  * by Spark, are allocation-light per-element loops over short token
+  * arrays. At 100 TB these queries scale linearly with input and are
+  * bounded by parquet scan throughput, which is exactly the profile a
+  * corpus-prep pass wants.
   */
 object TextAnalysis {
 
