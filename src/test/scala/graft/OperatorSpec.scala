@@ -241,6 +241,15 @@ class OperatorSpec extends AnyFunSuite {
     withClue(s"recall=$recall")(assert(recall >= 0.8))
   }
 
+  test("multi-probe LSH at nProbe=1 degenerates exactly to the single-probe path") {
+    val single = ext.Similarity.annLshTopK(spark, sf)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .collect().map(_.toString).toSet
+    val degenerate = ext.Similarity.annLshMultiProbe(spark, sf, nProbe = 1)
+      .collect().map(_.toString).toSet
+    assert(degenerate === single)
+  }
+
   test("IVF executes with a 300-cell quantizer (cell count is data, not generated code)") {
     // the round-2 design shipped the quantizer as |cells|×64 expression
     // literals — at production cell counts (1k-64k k-means cells) that
