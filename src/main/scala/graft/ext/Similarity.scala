@@ -250,8 +250,17 @@ object Similarity {
     * where `round` tie-breaks differ), and the scale is emitted as
     * `floor(scale·1e9 + 0.5)` nano-units in BIGINT for the same
     * reason. Zero vectors quantize to zeros (scale 0 guard).
+    *
+    * The array-valued form ([[quantizeVectors]]) is what a pipeline
+    * consumes; the declared query emits the codes as a CSV string
+    * (`q_str`) because the cross-engine checker row-sorts result cells
+    * and cannot order array cells — same scalar-output contract every
+    * other query in the library follows. The string is a bijective
+    * encoding of the int array (ints can't contain commas), so the
+    * hash-match is exactly as strong; the round-trip test in
+    * OperatorSpec covers the array form itself.
     */
-  def quantize(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def quantizeVectors(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         (array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127d)
@@ -264,6 +273,11 @@ object Similarity {
             x => floor(x.cast("double") / col("scale") + 0.5).cast("int")))
           .as("q"))
   }
+
+  def quantize(spark: SparkSession, sfDir: String): DataFrame =
+    quantizeVectors(spark, sfDir)
+      .select(col("vec_id"), col("scale_e9"),
+        array_join(transform(col("q"), _.cast("string")), ",").as("q_str"))
 
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family: candidate pairs share an LSH sign bucket
@@ -409,11 +423,11 @@ object Similarity {
     "emb_quantize" ->
       """SELECT vec_id,
                 CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
-                CASE WHEN scale = 0
-                     THEN list_transform(embedding, x -> 0)
+                array_to_string(CASE WHEN scale = 0
+                     THEN list_transform(embedding, x -> '0')
                      ELSE list_transform(embedding,
-                            x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
-                END AS q
+                            x -> CAST(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER) AS VARCHAR))
+                END, ',') AS q_str
          FROM (SELECT vec_id, embedding,
                       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
                FROM embeddings)""",

@@ -309,7 +309,7 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("int8 quantization: codes bounded by ±127, round-trip within half a step") {
-    val q = ext.Similarity.quantize(spark, sf)
+    val q = ext.Similarity.quantizeVectors(spark, sf)
     val joined = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))
       .join(q, "vec_id")
@@ -323,6 +323,17 @@ class OperatorSpec extends AnyFunSuite {
     val top = joined.agg(max("maxq"), max("worst")).first()
     assert(top.getInt(0) <= 127)
     assert(top.getDouble(1) <= 0.5001) // 1e-9 scale rounding slack
+  }
+
+  test("emb_quantize q_str decodes back to the exact int8 code array") {
+    // the declared query emits CSV (driver row-sort can't order array
+    // cells); pin that the encoding is lossless against the array form
+    val arr = ext.Similarity.quantizeVectors(spark, sf).select("vec_id", "q")
+    val diff = ext.Similarity.quantize(spark, sf)
+      .select(col("vec_id"), split(col("q_str"), ",").cast("array<int>").as("decoded"))
+      .join(arr, "vec_id")
+      .filter(!(col("decoded") <=> col("q")))
+    assert(diff.count() === 0)
   }
 
   test("kafka source: connector-on-classpath is a hard precondition (absent here)") {
