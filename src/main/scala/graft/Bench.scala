@@ -13,6 +13,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // both JSON outputs are built with f"%.3f" interpolators, which
+    // format through the default locale — a comma-decimal locale would
+    // emit unparseable JSON, so pin ROOT for the whole bench process
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warehouse = s"/tmp/graft_warehouse_${new java.io.File(sfDir).getName}"

@@ -176,52 +176,54 @@ object Similarity {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
     // Index build — a separate stage from search in every real IVF
-    // system. Centroids as Dim declarative sum-aggregates in ONE
-    // codegen HashAggregate pass (|cells| groups) — a posexplode
-    // formulation would materialize |corpus| × Dim intermediate rows
-    // first. The coarse quantizer stays DATA, never generated code:
+    // system. Centroids accumulate in ONE global typed aggregation
+    // (CentroidAgg: per-task cell-map partials, single tiny exchange)
+    // — a posexplode formulation would materialize |corpus| × Dim
+    // intermediate rows first, and the previous Dim-wide declarative
+    // sum form paid two full aggregate chains.
+    // The coarse quantizer stays DATA, never generated code:
     // it is folded into ONE row holding array<struct<cell, cw>> and
     // broadcast to every task through a 1-row join, so a production
     // 1k-64k-cell k-means quantizer neither blows Janino's constant
     // pool / method-size limits (the round-2 design shipped |cells|
     // expression literals) nor forces a re-plan per index build.
-    // Assignment is then a PER-ROW argmax over that array —
-    // array_max(transform(...)) — a pure projection: zero shuffle,
-    // zero aggregate over the |corpus| × |cells| scored pairs.
+    // Assignment is then a PER-ROW arg-top-k over that array, through
+    // the compiled [[graft.functions.expressions.CellTopK]] kernel —
+    // a pure projection: zero shuffle, zero aggregate over the
+    // |corpus| × |cells| scored pairs, and the O(|cells| × Dim)
+    // scoring loop runs in one compiled method per row (the previous
+    // array_max(transform(...)) formulation evaluated interpreted —
+    // higher-order functions don't codegen — and was the one plan the
+    // round-3 audit flagged perf-weak; CellTopK.scala documents the
+    // bit-for-bit equivalence, asserted in OperatorSpec).
     // Why not exploded-pairs + max_by(cell, struct(cscore, -cell)):
     // a struct-ordered max_by (like any first(array) companion) has a
     // non-mutable aggregation buffer, so Spark plans a SortAggregate —
     // a per-partition SORT of all |corpus| × |cells| scored rows plus
-    // a corpus-wide exchange (verified on the executed plan). The
-    // array form trades whole-stage codegen on the cosine loop
-    // (higher-order functions evaluate interpreted) for no sort and
-    // no shuffle — the side that wins at any scale, since the
-    // interpreted loop is still O(|corpus| × |cells| × Dim) with a
-    // constant factor, while the sort is superlinear in corpus size.
-    val dimAggs: Seq[Column] = count(lit(1)).as("n") +:
-      (0 until Dim).map(i => sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
-    val cells = emb
-      .groupBy(col("label").cast("long").as("cell"))
-      .agg(dimAggs.head, dimAggs.tail: _*)
-      .select(col("cell"), array((0 until Dim).map(i =>
-        round(col(s"s$i") / col("n"), 6).cast("float")): _*).as("cw"))
-    val quant = cells
-      .agg(sort_array(collect_list(struct(col("cell"), col("cw")))).as("qcells"))
-    // per-cell struct(cscore, -cell): max/sort DESC over it == the
-    // (cscore DESC, cell ASC) total order the oracle's row_number uses
-    def cellScores(v: Column): Column = transform(col("qcells"), c =>
-      struct(GraftFunctions.cosineSim(v, c.getField("cw")).as("s"),
-        (-c.getField("cell")).as("nc")))
+    // a corpus-wide exchange (verified on the executed plan).
+    // ONE global typed aggregation builds the whole quantizer row —
+    // per-task |cells|-map partials, a single-partition exchange of
+    // |cells|×Dim doubles, and the round-to-float normalization
+    // evaluated declaratively on the one output row (Spark's own
+    // `round`, so oracle semantics are unchanged). See CentroidAgg
+    // scaladoc for why this replaces the two-chain groupBy+collect
+    // formulation.
+    val quant = emb
+      .agg(graft.functions.CentroidAgg.centroids(
+        col("label").cast("long"), col("embedding")).as("raw"))
+      .select(transform(col("raw"), c =>
+        struct(c.getField("_1").as("cell"),
+          transform(c.getField("_3"),
+            s => round(s / c.getField("_2"), 6).cast("float")).as("cw"))).as("qcells"))
     val assigned = emb.crossJoin(broadcast(quant))
       .select(col("vec_id"), col("embedding"),
-        (-array_max(cellScores(col("embedding"))).getField("nc")).as("cell"))
+        get(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 1), lit(0))
+          .as("cell"))
     val probes = emb.filter(col("vec_id") < NumQueryVecs)
       .crossJoin(broadcast(quant))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        slice(sort_array(cellScores(col("embedding")), asc = false),
-          1, NumProbe).as("top"))
-      .select(col("query_id"), col("q_emb"), explode(col("top")).as("pc"))
-      .select(col("query_id"), col("q_emb"), (-col("pc.nc")).as("cell"))
+        explode(GraftFunctions.cellTopK(col("embedding"), col("qcells"), NumProbe))
+          .as("cell"))
     assigned.join(broadcast(probes),
         assigned("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -94,6 +94,7 @@ object GraftFunctions {
   val DotName = "graft_vector_dot"
   val AsofName = "graft_asof_last"
   val ShingleName = "graft_shingle_hashes"
+  val CellTopName = "graft_cell_top_k"
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -108,6 +109,9 @@ object GraftFunctions {
         case exprs => ShingleHashes(exprs(0),
           exprs(1).eval().asInstanceOf[Int])
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CellTopName, exprs => CellTopK(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
 
   /** Column-API handle: `cosineSim($"a", $"b")`. */
@@ -127,4 +131,12 @@ object GraftFunctions {
     */
   def shingleHashes(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function(ShingleName, text)
+
+  /** Column-API handle: `cellTopK($"embedding", $"qcells", k)` — top-k
+    * quantizer cells by (cosine DESC, cell ASC).
+    */
+  def cellTopK(v: org.apache.spark.sql.Column, cells: org.apache.spark.sql.Column,
+      k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(CellTopName, v, cells,
+      org.apache.spark.sql.functions.lit(k))
 }

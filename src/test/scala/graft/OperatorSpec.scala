@@ -366,6 +366,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("cell_top_k kernel equals the declarative sort_array(transform(...)) form") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    // quantizer-as-data: first 7 corpus vectors standing in as cells
+    val quant = emb.filter(col("vec_id") < 7)
+      .select(col("vec_id").cast("long").as("cell"), col("embedding").as("cw"))
+      .agg(sort_array(collect_list(struct(col("cell"), col("cw")))).as("qcells"))
+    val declarative = transform(
+      slice(sort_array(transform(col("qcells"), c =>
+        struct(GraftFunctions.cosineSim(col("embedding"), c.getField("cw")).as("s"),
+          (-c.getField("cell")).as("nc"))), asc = false), 1, 3),
+      p => -p.getField("nc"))
+    val diff = emb.crossJoin(broadcast(quant))
+      .select(col("vec_id"),
+        GraftFunctions.cellTopK(col("embedding"), col("qcells"), 3).as("fast"),
+        declarative.as("slow"))
+      .filter(!(col("fast") <=> col("slow")))
+    assert(diff.count() === 0)
+    // zero-norm vector: no cell is scorable -> empty result, never null
+    import spark.implicits._
+    val z = Seq((0L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+      .crossJoin(broadcast(quant))
+      .select(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 3).as("t"))
+      .first()
+    assert(z.getSeq[Long](0).isEmpty)
+  }
+
   test("asof_last binary search: exact hit, between, before-first, empty, null timeline") {
     GraftFunctions.register(spark)
     import graft.functions.expressions.GraftFunctions.asofLast
