@@ -83,20 +83,37 @@ object Dedup {
     *  - Candidates come from the capped self-join: output is bounded
     *    by |shingles| × cap, linear in corpus size.
     */
+  /** The exploded (doc, shingle-hash) table, memoized per (session,
+    * dir) and persisted DISK_ONLY: the df-cap count and both self-join
+    * sides read it, so without persistence the shingle pipeline
+    * executes once per reference — but the frame is CORPUS-sized
+    * (≈ |words| rows), so under the storage-level rule
+    * ([[graft.ext.Similarity.bucketedEmb]] scaladoc) it must never pin
+    * executor memory; local disk re-reads at scan speed, exactly like
+    * the shuffle files next to it. A long-lived production pipeline
+    * would checkpoint it to the warehouse instead.
+    */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[graft] def explodedShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
+    shingleCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      graft.functions.expressions.GraftFunctions.register(spark)
+      import graft.functions.expressions.GraftFunctions.shingleHashes
+      // set size rides along with each exploded row, so the pair
+      // aggregation needs no extra size-lookup joins afterwards.
+      // shingle_hashes is the native one-pass kernel — see
+      // expressions/ShingleHashes.scala for the equivalence proof vs
+      // the declarative transform/array_join/xxhash64 composition.
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+        .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    })
+
   def ngramJaccard(spark: SparkSession, sfDir: String,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    graft.functions.expressions.GraftFunctions.register(spark)
-    import graft.functions.expressions.GraftFunctions.shingleHashes
-    // set size rides along with each exploded row, so the pair
-    // aggregation needs no extra size-lookup joins afterwards.
-    // shingle_hashes is the native one-pass kernel — see
-    // expressions/ShingleHashes.scala for the equivalence proof vs the
-    // declarative transform/array_join/xxhash64 composition.
-    val ex = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
-      .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
-      .cache() // df count + both join sides read this — without the
-               // cache the shingle pipeline executes once per reference
+    val ex = explodedShingleHashes(spark, sfDir)
     val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select("h")
@@ -166,23 +183,39 @@ object Dedup {
     * share a band signature; estimated Jaccard = fraction of agreeing
     * minhash positions. Fixed per-doc fan-out ⇒ linear scaling.
     */
+  /** MinHash signature table, memoized per (session, dir): referenced
+    * 4× downstream (band self-join sides + both estimate-join lookups)
+    * and by [[editDistConfirm]]'s composition on top. Rows are
+    * per-DOC fixed width (doc_id + 16 hashes) — narrower than the
+    * corpus by the average document length — but row count still
+    * scales with the corpus, so the storage-level rule
+    * ([[graft.ext.Similarity.bucketedEmb]]) applies: DISK_ONLY.
+    */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[graft] def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    sigCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+      // All 16 minhashes are computed as 16 independent min() aggregates
+      // over the exploded shingle rows in ONE groupBy — every md5/concat/
+      // min stays inside whole-stage codegen, and the plan has a single
+      // exchange before banding. (A higher-order-function formulation —
+      // transform(sequence(..), i -> array_min(..)) — is interpreted
+      // per-element in Spark and benches ~8x slower; HOFs stay out of
+      // this hot path deliberately.)
+      shingles(spark, sfDir)
+        .groupBy("doc_id")
+        .agg(
+          min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
+          (1 until NumHashes).map(i =>
+            min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
+        .select(col("doc_id"),
+          array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mhs"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    })
+
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    // All 16 minhashes are computed as 16 independent min() aggregates
-    // over the exploded shingle rows in ONE groupBy — every md5/concat/
-    // min stays inside whole-stage codegen, and the plan has a single
-    // exchange before banding. (A higher-order-function formulation —
-    // transform(sequence(..), i -> array_min(..)) — is interpreted
-    // per-element in Spark and benches ~8x slower; HOFs stay out of
-    // this hot path deliberately.)
-    val sig = shingles(spark, sfDir)
-      .groupBy("doc_id")
-      .agg(
-        min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
-        (1 until NumHashes).map(i =>
-          min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mhs"))
-      .cache() // referenced 4x downstream (band self-join + est join)
+    val sig = minhashSignatures(spark, sfDir)
     val bands = sig
       .withColumn("b", explode(sequence(lit(0), lit(NumBands - 1))))
       .select(col("doc_id"), col("b"),
@@ -222,8 +255,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("text_a"), col("text_b")).as("edit_dist"),
         greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
+      // total even for two empty texts (similarity := 1): today such
+      // docs can't reach LSH (sub-5-word docs shingle to null), but
+      // Spark's null-yielding division vs DuckDB's would silently
+      // break parity if the blocking path ever changed
       .withColumn("similarity",
-        round(lit(1.0) - col("edit_dist").cast("double") / col("max_len"), 6))
+        when(col("max_len") > 0,
+          round(lit(1.0) - col("edit_dist").cast("double") / col("max_len"), 6))
+          .otherwise(lit(1.0)))
   }
 
   /** 60-bit SimHash per document: per-word 60-bit hash (first 15 hex
@@ -263,7 +302,10 @@ object Dedup {
     * replaces the O(n²) Hamming scan.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhash(spark, sfDir).cache() // self-joined below
+    // self-joined below; (doc_id, 64-bit signature) rows are the one
+    // shape the storage-level rule (Similarity.bucketedEmb scaladoc)
+    // allows in memory: 16 bytes/doc regardless of document size
+    val sig = simhash(spark, sfDir).cache()
     val chunks = sig
       .withColumn("c", explode(sequence(lit(0), lit(3))))
       .select(col("doc_id"), col("c"),
@@ -351,8 +393,10 @@ object Dedup {
           SELECT doc_a, doc_b,
                  CAST(levenshtein(x.text, y.text) AS INTEGER) AS edit_dist,
                  CAST(greatest(length(x.text), length(y.text)) AS INTEGER) AS max_len,
-                 round(1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
-                             / greatest(length(x.text), length(y.text)), 6) AS similarity
+                 CASE WHEN greatest(length(x.text), length(y.text)) > 0
+                      THEN round(1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
+                                  / greatest(length(x.text), length(y.text)), 6)
+                      ELSE 1.0 END AS similarity
           FROM cand
           JOIN documents x ON doc_a = x.doc_id
           JOIN documents y ON doc_b = y.doc_id""",

@@ -33,6 +33,38 @@ object Similarity {
   private val Dim = 64
   private val NumPlanes = 8
 
+  /** The LSH-bucketed corpus, shared by every sign-bucket consumer
+    * ([[annLshTopK]], [[annLshMultiProbe]], [[embNearDup]]) and
+    * memoized per (session, warehouse dir) so one bench/serving
+    * session computes the bucket signatures exactly once instead of
+    * once per query.
+    *
+    * Storage-level rule (applies to every persisted frame in this
+    * library): a frame whose bytes grow with the CORPUS (vectors,
+    * documents, exploded per-token/per-shingle rows) persists
+    * DISK_ONLY — at 100 TB a memory-backed level would pin
+    * corpus-sized state into executor heaps and evict the working
+    * memory joins and aggregations need; local disk (where every
+    * shuffle already lives) re-reads at scan speed. Only frames whose
+    * per-row width AND row count are bounded independent of corpus
+    * bytes (e.g. [[graft.ext.Dedup.simhashPairs]]'s doc_id+64-bit
+    * signature rows) may use memory-backed levels. A production
+    * deployment with a long-lived index would go one step further and
+    * CHECKPOINT the bucketed corpus to the warehouse as a bucketed
+    * table, making reuse survive the session.
+    */
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private[graft] def bucketedEmb(spark: SparkSession, sfDir: String): DataFrame =
+    bucketedCache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir), {
+        GraftFunctions.register(spark)
+        Tables.embeddings(spark, sfDir)
+          .withColumn("bucket", bucketCol(col("embedding")))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      })
+
   /** Deterministic pseudo-random hyperplane weights in [-1, 1]:
     * md5("p_d") → first 15 hex chars → long → % 2001 − 1000 → /1000.
     * Bit-for-bit reproducible in the DuckDB oracle.
@@ -88,9 +120,7 @@ object Similarity {
     */
   def annLshTopK(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, sfDir)
-      .withColumn("bucket", bucketCol(col("embedding")))
-      .cache() // bucket signature is interpreted-HOF work; compute once
+    val emb = bucketedEmb(spark, sfDir)
     val q = emb.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket").as("q_bucket"))
@@ -129,9 +159,7 @@ object Similarity {
     GraftFunctions.register(spark)
     require(nProbe >= 1 && nProbe <= 1 + NumPlanes,
       s"nProbe must be in [1, ${1 + NumPlanes}] (own bucket + one per plane)")
-    val emb = Tables.embeddings(spark, sfDir)
-      .withColumn("bucket", bucketCol(col("embedding")))
-      .cache() // bucket signature is interpreted-HOF work; compute once
+    val emb = bucketedEmb(spark, sfDir)
     // probe sequence: own bucket first, then flip plane p-1 for probe p
     val probeBuckets = array((0 until nProbe).map {
       case 0 => col("q_bucket")
@@ -290,9 +318,7 @@ object Similarity {
     */
   def embNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, sfDir)
-      .withColumn("bucket", bucketCol(col("embedding")))
-      .cache()
+    val emb = bucketedEmb(spark, sfDir)
     val l = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
     val r = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
       col("bucket").as("bucket_r"))
