@@ -53,6 +53,50 @@ class SessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization on the RocksDB state backend: same sessions, provider active") {
+    implicit val ctx = spark.sqlContext
+    StateBackend.withRocksDb(spark) {
+      val input = MemoryStream[String]
+      val q = Sessionize.start(EventCodec.parse(input.toDF()),
+        "sessions_rocksdb", gap = "30 seconds", lateness = "1 minute")
+      try {
+        input.addData(Seq(
+          ev("2024-01-01T00:00:01.000000", "u1", "CLICK"),
+          ev("2024-01-01T00:00:10.000000", "u1", "IMPRESSION"),
+          ev("2024-01-01T00:00:05.000000", "u2", "CLICK")))
+        q.processAllAvailable()
+        input.addData(Seq(ev("2024-01-01T00:02:00.000000", "u1", "CLICK")))
+        q.processAllAvailable()
+        input.addData(Seq(ev("2024-01-01T00:10:00.000000", "u9", "CLICK")))
+        q.processAllAvailable()
+
+        // the provider actually in use surfaces through the state
+        // operator's custom metrics — HDFS-backed exposes none of these
+        val metricKeys = q.lastProgress.stateOperators
+          .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+        assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb custom metrics, got: ${metricKeys.mkString(", ")}")
+
+        val rows = spark.table("sessions_rocksdb")
+          .select("user_id", "session_start", "session_end", "n_events",
+            "n_clicks", "duration_sec")
+          .collect()
+          .map(r => (r.getString(0), r.getTimestamp(1).toString,
+            r.getTimestamp(2).toString, r.getLong(3), r.getLong(4), r.getDouble(5)))
+          .toSet
+        assert(rows.contains(
+          ("u1", "2024-01-01 00:00:01.0", "2024-01-01 00:00:10.0", 2L, 1L, 9.0)))
+        assert(rows.contains(
+          ("u2", "2024-01-01 00:00:05.0", "2024-01-01 00:00:05.0", 1L, 1L, 0.0)))
+        assert(!rows.exists(_._1 == "u9"), "open session must not be emitted")
+      } finally q.stop()
+    }
+    // getOption surfaces the key's DEFAULT (the HDFS-backed provider)
+    // after unset — restored means "anything but RocksDB"
+    assert(!spark.conf.getOption(StateBackend.ProviderKey).contains(StateBackend.RocksDb),
+      "withRocksDb must restore the previous backend")
+  }
+
   test("sessionization is deterministic under arrival-order permutation within a batch") {
     implicit val ctx = spark.sqlContext
     // Same events, reversed arrival order inside the batch: the fold
