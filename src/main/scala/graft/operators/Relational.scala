@@ -383,25 +383,28 @@ object Relational {
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   /** PIVOT: daily metrics with one (count, value-sum) column pair per
-    * event type. Plans as ONE partial/final hash aggregate on the
-    * grouping key (each pivot cell is a filtered aggregate) — same
-    * shuffle as a plain groupBy, output width × |pivot values|. Cells
-    * with no rows are NULL (pivot's outer semantics), pinned as such
-    * in the oracle (no-ELSE CASE).
+    * event type, as explicit filtered aggregates — each pivot cell is
+    * `count/sum(when(event_type = t, …))`.
+    *
+    * Why not the relational `.pivot()` API: its executed plan runs TWO
+    * aggregation chains — a (day, event_type) pre-aggregate, an
+    * exchange, then a `pivotfirst` aggregate that is an
+    * ImperativeAggregate (no whole-stage codegen) plus a second
+    * exchange. The filtered-aggregate form is the same pivot semantics
+    * in ONE codegen partial/final HashAggregate with ONE exchange on
+    * the grouping key — same shuffle as a plain groupBy, output width
+    * × |pivot values|, and at scale half the exchanges. Count cells
+    * with no rows are 0 (filtered COUNT convention), sum cells NULL
+    * (no-ELSE CASE), exactly as the oracle pins.
     */
   def pivotDailyType(spark: SparkSession, sfDir: String): DataFrame = {
-    val pivoted = Tables.events(spark, sfDir)
+    val aggs: Seq[Column] = EventTypes.flatMap(t => Seq(
+      count(when(col("event_type") === t, 1)).as(s"${t}_n"),
+      (sum(when(col("event_type") === t, cents(col("value")))) / lit(100.0))
+        .as(s"${t}_val")))
+    Tables.events(spark, sfDir)
       .groupBy(date_trunc("day", col("ts")).as("day"))
-      .pivot("event_type", EventTypes)
-      .agg(
-        count(lit(1)).as("n"),
-        (sum(cents(col("value"))) / lit(100.0)).as("val"))
-    // empty count cells: pivot yields NULL, a filtered COUNT yields 0 —
-    // normalize to the COUNT convention (sum cells stay NULL, which
-    // both engines agree on)
-    pivoted.select(col("day") +: EventTypes.flatMap(t => Seq(
-      coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
-      col(s"${t}_val"))): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** UNPIVOT (melt): per-type aggregate metrics rotated from one wide
