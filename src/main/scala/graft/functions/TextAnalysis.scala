@@ -208,6 +208,35 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Conservative PII patterns, identical semantics under Java regex
+    * (Spark) and RE2 (DuckDB): plain character classes, no
+    * backreferences, no lookaround.
+    */
+  private[graft] val UrlRe = "https?://[^ ]+"
+  private[graft] val EmailRe =
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** PII/URL scrubbing — the redaction pass a corpus runs before
+    * release: count and replace URLs and email addresses with typed
+    * placeholder tokens. URLs scrub FIRST (an address inside a URL's
+    * userinfo is part of the URL, not a standalone email); counts are
+    * taken on the ORIGINAL text, so they report what was found, not
+    * what the other rule left behind. A pure zero-shuffle projection —
+    * scan-bound and linear at any corpus size, like every per-row pass
+    * in this file. The synthetic corpus contains no PII (all counts 0,
+    * text unchanged — the oracle still pins cross-engine regex
+    * semantics end-to-end); OperatorSpec drives the actual redaction
+    * on crafted documents.
+    */
+  def scrub(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
+      regexp_replace(
+        regexp_replace(col("text"), UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>").as("scrubbed"))
+
   private def markerList(markers: Seq[String]): String =
     markers.map(m => s"'$m'").mkString(", ")
 
@@ -229,6 +258,14 @@ object TextAnalysis {
                      list_max(list_transform(ws, w -> length(w))) AS max_token_len,
                      CAST(len(list_filter(ws, w -> w IN ($stopList))) AS DOUBLE) / len(ws) AS stopword_ratio
               FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))""",
+      "text_scrub" ->
+        s"""SELECT doc_id,
+                   len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+                   len(regexp_extract_all(text, '$UrlRe')) AS n_urls,
+                   regexp_replace(
+                     regexp_replace(text, '$UrlRe', '<URL>', 'g'),
+                     '$EmailRe', '<EMAIL>', 'g') AS scrubbed
+            FROM documents""",
       "text_token_count" ->
         """SELECT doc_id,
                   len(string_split(text, ' ')) AS ws_tokens,
@@ -314,6 +351,7 @@ object TextAnalysis {
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_repetition" -> repetition _,
+    "text_scrub" -> scrub _,
     "split_train_test" -> trainTestSplit _,
     "tfidf_top_terms" -> tfidfTopTerms _,
   )

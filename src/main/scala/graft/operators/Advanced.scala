@@ -156,7 +156,56 @@ object Advanced {
       .filter(col("hash_mod") < col("keep_rate"))
   }
 
+  /** Tokens per packed training sequence and shard count for
+    * [[packSequences]].
+    */
+  private val PackBudget = 256L
+  private val PackShards = 32L
+
+  /** Sequence packing (concat-and-chunk) — the training-batch
+    * construction step between corpus prep and the trainer: documents
+    * are concatenated in a deterministic order and cut into
+    * fixed-token-budget sequences; each document is tagged with the
+    * pack its first token lands in and its offset inside that pack.
+    *
+    * Scale design: packing is a prefix sum, which is inherently
+    * sequential — so it runs PER SHARD (`doc_id % 32`), the way every
+    * real pipeline packs per data-parallel worker anyway. The plan is
+    * one hash exchange on shard + one per-partition sort (a single
+    * partitioned window); shard count is the parallelism knob, and
+    * the (shard, doc_id) order makes the packing deterministic,
+    * partition-independent, and backfill-stable — same properties as
+    * [[graft.functions.TextAnalysis.trainTestSplit]], for the same
+    * reason: re-packing must not silently reshuffle which sequences
+    * a document lands in. Token counts use the whitespace tokenizer
+    * (consistent with `text_token_count`); integer arithmetic only.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        (col("doc_id") % PackShards).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("tokens_before"),
+        expr(s"tokens_before div $PackBudget").as("pack_id"),
+        (col("tokens_before") % PackBudget).as("offset_in_pack"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""SELECT doc_id, shard, n_tokens, tokens_before,
+                 tokens_before // $PackBudget AS pack_id,
+                 tokens_before % $PackBudget AS offset_in_pack
+          FROM (
+            SELECT doc_id, doc_id % $PackShards AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(len(string_split(text, ' ')))
+                     OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS tokens_before
+            FROM documents)""",
     "sample_stratified" -> {
       val rateCase = SampleRatePerMille
         .map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
@@ -242,5 +291,6 @@ object Advanced {
     "emb_label_centroids" -> embLabelCentroids _,
     "corpus_prep" -> corpusPrep _,
     "sample_stratified" -> sampleStratified _,
+    "pack_sequences" -> packSequences _,
   )
 }

@@ -308,6 +308,48 @@ class OperatorSpec extends AnyFunSuite {
       (4L, 2, 1, 1)))
   }
 
+  test("text_scrub redacts real emails/URLs; URL-first order; counts from original text") {
+    val dir = TestSpark.tmpDir("scrub")
+    Seq(
+      (1L, "contact me at alice.smith@example.com for details", "en", "s", 0L),
+      (2L, "see https://example.com/a?b=c and http://user@host.org/x now", "en", "s", 0L),
+      (3L, "no pii in this perfectly ordinary sentence", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = functions.TextAnalysis.scrub(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got(1L) === ((1, 0, "contact me at <EMAIL> for details")))
+    // the email inside the URL's userinfo is counted (original text)
+    // but scrubbed as part of the URL, not as a standalone email
+    assert(got(2L) === ((1, 2, "see <URL> and <URL> now")))
+    assert(got(3L) === ((0, 0, "no pii in this perfectly ordinary sentence")))
+  }
+
+  test("pack_sequences: greedy concat-and-chunk boundaries per shard, integer math") {
+    val dir = TestSpark.tmpDir("pack")
+    // ids 0,32,64,96 share shard 0; id 1 is alone in shard 1.
+    // 100-token docs against budget 256: starts at 0,100,200,300 →
+    // packs 0,0,0,1 with offset 300-256=44 for the wrapped doc.
+    def toks(n: Int) = Seq.fill(n)("w").mkString(" ")
+    Seq(
+      (0L, toks(100), "en", "s", 0L),
+      (32L, toks(100), "en", "s", 0L),
+      (64L, toks(100), "en", "s", 0L),
+      (96L, toks(100), "en", "s", 0L),
+      (1L, toks(300), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Advanced.packSequences(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) === ((0L, 100L, 0L, 0L, 0L)))
+    assert(got(32L) === ((0L, 100L, 100L, 0L, 100L)))
+    assert(got(64L) === ((0L, 100L, 200L, 0L, 200L)))
+    assert(got(96L) === ((0L, 100L, 300L, 1L, 44L)))
+    assert(got(1L) === ((1L, 300L, 0L, 0L, 0L)))
+  }
+
   test("int8 quantization: codes bounded by ±127, round-trip within half a step") {
     val q = ext.Similarity.quantizeVectors(spark, sf)
     val joined = Tables.embeddings(spark, sf)

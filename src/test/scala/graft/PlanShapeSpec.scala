@@ -58,6 +58,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Aggregate"))
   }
 
+  test("text_scrub is a pure projection: zero exchanges, zero aggregates") {
+    val plan = executedPlan("text_scrub")
+    assert(!plan.contains("Exchange"))
+    assert(!plan.contains("Aggregate"))
+  }
+
+  test("pack_sequences: one shard exchange feeds one partitioned window") {
+    // prefix-sum packing must cost exactly one hash exchange on the
+    // shard key (+ the documents spread repartition at this tiny sf);
+    // a second data exchange would mean the window lost its
+    // partitioning and the packing went global/sequential
+    val plan = executedPlan("pack_sequences")
+    assert(plan.contains("Window"))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1, plan)
+  }
+
   test("sessionize: both windows and the session aggregate share ONE exchange") {
     // lag-window, cumsum-window, and the final groupBy all cluster by
     // user_id: a correct plan partitions once and sorts once; a second
