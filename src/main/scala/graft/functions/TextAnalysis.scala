@@ -208,6 +208,43 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Unigram language-model scoring — the model-based quality filter
+    * of a pretraining pipeline (the CCNet/KenLM perplexity-filter
+    * shape, with the n-gram order at 1 so the oracle can reproduce it
+    * exactly): train token frequencies over the corpus, then score
+    * each document by its tokens' average and minimum log-probability.
+    * Downstream filters drop the low-likelihood tail; emitting raw
+    * scores keeps the threshold a policy, as with [[quality]].
+    *
+    * Scale design — the MODEL IS DATA, the same discipline as the IVF
+    * coarse quantizer ([[graft.ext.Similarity.ivfTopK]]): the trained
+    * unigram table is a (token, logprob) relation joined by key, never
+    * code or literals, so vocabulary size is unbounded by codegen
+    * limits. The scoring join carries no hint — the planner broadcasts
+    * a small vocabulary from size stats and falls back to a hash join
+    * when a real corpus's vocabulary outgrows broadcast. Both
+    * aggregations are map-side partial: the model exchange is
+    * vocabulary-sized, the scoring exchange ~one row per document
+    * (explode preserves row locality). Log-probs are rounded to 9
+    * decimals BEFORE aggregation so cross-engine libm ulp differences
+    * cannot reach the aggregate; a production pipeline would persist
+    * the model table once rather than recompute per query.
+    */
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("t"))
+    val tf = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = tf.agg(sum(col("c")).as("n"))
+    val model = tf.crossJoin(broadcast(total))
+      .select(col("t"), round(log(col("c") / col("n")), 9).as("lp"))
+    tok.join(model, "t")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(col("lp")), 6).as("avg_logprob"),
+        round(min(col("lp")), 6).as("min_logprob"))
+  }
+
   /** Conservative PII patterns, identical semantics under Java regex
     * (Spark) and RE2 (DuckDB): plain character classes, no
     * backreferences, no lookaround.
@@ -258,6 +295,19 @@ object TextAnalysis {
                      list_max(list_transform(ws, w -> length(w))) AS max_token_len,
                      CAST(len(list_filter(ws, w -> w IN ($stopList))) AS DOUBLE) / len(ws) AS stopword_ratio
               FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))""",
+      "text_unigram_logprob" ->
+        """WITH tok AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+           tf AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+           tot AS (SELECT sum(c) AS n FROM tf),
+           model AS (
+             SELECT t, round(ln(CAST(c AS DOUBLE) / n), 9) AS lp FROM tf, tot)
+           SELECT doc_id,
+                  count(*) AS n_tokens,
+                  round(avg(lp), 6) AS avg_logprob,
+                  round(min(lp), 6) AS min_logprob
+           FROM tok JOIN model USING (t)
+           GROUP BY doc_id""",
       "text_scrub" ->
         s"""SELECT doc_id,
                    len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
@@ -352,6 +402,7 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint _,
     "text_repetition" -> repetition _,
     "text_scrub" -> scrub _,
+    "text_unigram_logprob" -> unigramLogprob _,
     "split_train_test" -> trainTestSplit _,
     "tfidf_top_terms" -> tfidfTopTerms _,
   )

@@ -325,6 +325,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(3L) === ((0, 0, "no pii in this perfectly ordinary sentence")))
   }
 
+  test("text_unigram_logprob: hand-computed unigram model on a tiny corpus") {
+    val dir = TestSpark.tmpDir("unigram")
+    // tf: a=2, b=2, c=1 over n=5 → lp(a)=lp(b)=ln(0.4), lp(c)=ln(0.2)
+    Seq((1L, "a a b", "en", "s", 0L), (2L, "b c", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = functions.TextAnalysis.unigramLogprob(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val ln04 = math.log(0.4); val ln02 = math.log(0.2)
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - ln04) < 1e-6)
+    assert(math.abs(got(1L)._3 - ln04) < 1e-6)
+    assert(got(2L)._1 === 2L)
+    assert(math.abs(got(2L)._2 - (ln04 + ln02) / 2) < 1e-6)
+    assert(math.abs(got(2L)._3 - ln02) < 1e-6)
+  }
+
   test("pack_sequences: greedy concat-and-chunk boundaries per shard, integer math") {
     val dir = TestSpark.tmpDir("pack")
     // ids 0,32,64,96 share shard 0; id 1 is alone in shard 1.
