@@ -265,6 +265,66 @@ object Dedup {
           .otherwise(lit(1.0)))
   }
 
+  /** Min-label propagation over an undirected edge list `(src, dst)`:
+    * every vertex converges to the smallest doc_id reachable from it —
+    * its connected component. Iterations run as distributed
+    * join+groupBy rounds with a driver-side SCALAR convergence check
+    * (a count, never a data collect — the standard shape of every
+    * iterative algorithm on Spark); per-round state is the
+    * (vertex, label) table, bounded narrow (16 B/vertex, the shape the
+    * storage-level rule allows in memory), persisted per round and the
+    * previous round unpersisted, so lineage never grows unboundedly.
+    * Rounds needed = graph diameter; near-dup clusters are shallow
+    * (diameter ≤ a few hops), and a 50-round cap guards pathological
+    * inputs. A production job at billions of edges would switch to the
+    * large-star/small-star variant (O(log n) rounds) — same dataflow
+    * primitives, more rounds bookkeeping.
+    */
+  private[graft] def minLabelPropagate(edgesIn: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = edgesIn.toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prev = labels
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("v"))
+        .select(edges("src").as("v"), col("comp"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("v").agg(min(col("comp")).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(prev.toDF("v", "prev_comp"), "v")
+        .filter(col("comp") =!= col("prev_comp")).count()
+      prev.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup cluster RESOLUTION — the step after candidate
+    * generation that every dedup pipeline needs: candidate pairs are a
+    * graph, and "keep one copy per duplicate cluster" means one keeper
+    * per CONNECTED COMPONENT (pairwise keep-the-lower-id would drop
+    * both b and c of a chain a–b, b–c even though a,c never matched).
+    * Components come from [[minLabelPropagate]] over the MinHash-LSH
+    * candidate pairs; the keeper is the smallest doc_id in its
+    * component, consistent with [[exact]]'s keeper rule. The oracle
+    * reproduces the fixpoint with a recursive CTE.
+    */
+  def components(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    minLabelPropagate(edges)
+      .select(col("v").as("doc_id"), col("comp").as("component"),
+        (col("v") === col("comp")).as("is_keeper"))
+  }
+
   /** 60-bit SimHash per document: per-word 60-bit hash (first 15 hex
     * chars of md5 — stays in signed-long range), each bit voted +count /
     * −count, sign of the vote becomes the bit. One explode(60) per
@@ -400,6 +460,29 @@ object Dedup {
           FROM cand
           JOIN documents x ON doc_a = x.doc_id
           JOIN documents y ON doc_b = y.doc_id""",
+    "dedup_components" ->
+      s"""WITH RECURSIVE $ShingleCte,
+          mh AS (
+            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+            FROM ex, range(16) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+            FROM sig, range(4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                    UNION ALL
+                    SELECT doc_b AS src, doc_a AS dst FROM cand),
+          verts AS (SELECT DISTINCT src AS v FROM edges),
+          reach(v, r) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+          SELECT v AS doc_id, min(r) AS component, v = min(r) AS is_keeper
+          FROM reach GROUP BY v""",
     "dedup_simhash" ->
       """WITH wc AS (
            SELECT doc_id, word, count(*) AS cnt,
@@ -443,6 +526,7 @@ object Dedup {
     "decontaminate" -> decontaminate _,
     "dedup_editdist" -> editDistConfirm _,
     "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_components" -> components _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
   )

@@ -325,6 +325,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(3L) === ((0, 0, "no pii in this perfectly ordinary sentence")))
   }
 
+  test("min-label propagation: chains collapse to one component, keepers are minima") {
+    // chain 1-2-3-4 (diameter 3: needs multiple rounds), pair 10-11,
+    // and an isolated pairless vertex never appears (no edges -> no row)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L),
+      (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val got = ext.Dedup.minLabelPropagate(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("text_unigram_logprob: hand-computed unigram model on a tiny corpus") {
     val dir = TestSpark.tmpDir("unigram")
     // tf: a=2, b=2, c=1 over n=5 → lp(a)=lp(b)=ln(0.4), lp(c)=ln(0.2)
