@@ -28,6 +28,9 @@ class InvarianceSpec extends AnyFunSuite {
     "text_repetition",      // per-row array folds
     "stats_corr",           // exact integer moments — THE invariance claim
     "join_interval",        // equi+interval join
+    "pack_sequences",       // per-shard prefix sum (window over total order)
+    "dedup_components",     // iterative min-label propagation fixpoint
+    "text_unigram_logprob", // model-as-data scoring join + rounded logs
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
