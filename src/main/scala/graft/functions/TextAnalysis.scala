@@ -245,6 +245,31 @@ object TextAnalysis {
         round(min(col("lp")), 6).as("min_logprob"))
   }
 
+  /** Corpus mixture data card — the per-(source, language) report a
+    * dataset release publishes and a training run's sampling weights
+    * are derived from: document count, token and character volume, and
+    * each cell's share of the corpus. One hash aggregation on a
+    * low-cardinality key (map-side partials collapse each partition to
+    * |sources×langs| rows — the exchange is card-sized, not
+    * corpus-sized) plus a 1-row broadcast for the shares, the same
+    * n_docs pattern as [[tfidfTopTerms]]. Counts are exact integers;
+    * the only ratio is rounded at 1e-6.
+    */
+  def sourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.agg(count(lit(1)).as("total_docs"))
+    docs
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(words(col("text"))).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        round(col("n_docs").cast("double") / col("total_docs"), 6).as("doc_share"))
+  }
+
   /** Conservative PII patterns, identical semantics under Java regex
     * (Spark) and RE2 (DuckDB): plain character classes, no
     * backreferences, no lookaround.
@@ -295,6 +320,14 @@ object TextAnalysis {
                      list_max(list_transform(ws, w -> length(w))) AS max_token_len,
                      CAST(len(list_filter(ws, w -> w IN ($stopList))) AS DOUBLE) / len(ws) AS stopword_ratio
               FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents))""",
+      "source_mix" ->
+        """SELECT source, lang,
+                  count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+                  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                  round(CAST(count(*) AS DOUBLE)
+                        / (SELECT count(*) FROM documents), 6) AS doc_share
+           FROM documents GROUP BY source, lang""",
       "text_unigram_logprob" ->
         """WITH tok AS (
              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -403,6 +436,7 @@ object TextAnalysis {
     "text_repetition" -> repetition _,
     "text_scrub" -> scrub _,
     "text_unigram_logprob" -> unigramLogprob _,
+    "source_mix" -> sourceMix _,
     "split_train_test" -> trainTestSplit _,
     "tfidf_top_terms" -> tfidfTopTerms _,
   )
