@@ -234,7 +234,11 @@ object TextAnalysis {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("t"))
     val tf = tok.groupBy("t").agg(count(lit(1)).as("c"))
-    val total = tf.agg(sum(col("c")).as("n"))
+    // identical to sum(tf.c), but from a plain one-column scan — an
+    // aggregate over tf would re-execute the whole explode+groupBy
+    // chain a second time for one scalar
+    val total = Tables.documents(spark, sfDir)
+      .agg(sum(size(words(col("text"))).cast("long")).as("n"))
     val model = tf.crossJoin(broadcast(total))
       .select(col("t"), round(log(col("c") / col("n")), 9).as("lp"))
     tok.join(model, "t")

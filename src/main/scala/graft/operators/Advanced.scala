@@ -49,24 +49,25 @@ object Advanced {
 
   /** Per-label embedding centroids, one output row per (label,
     * dimension): the vector-aggregate shape of building class
-    * prototypes / IVF coarse quantizer cells. Dim declarative
-    * sum-aggregates in ONE codegen HashAggregate pass over the corpus
-    * (|labels| groups), then the tiny result unpivots to (label, pos)
-    * rows — the exchange carries |labels| × Dim doubles instead of the
-    * |corpus| × Dim triples a posexplode-first formulation shuffles.
-    * Values rounded to 6 decimals (float summation order differs
-    * across engines at ~1e-14).
+    * prototypes / IVF coarse quantizer cells. The whole corpus folds
+    * through ONE global typed aggregation
+    * ([[graft.functions.CentroidAgg]]: per-task label-map partials, a
+    * single exchange of |labels| × Dim doubles — the same single-pass
+    * build [[graft.ext.Similarity.ivfTopK]] uses, replacing the
+    * round-3 Dim-wide declarative sum form whose 65-aggregate chain
+    * paid an extra exchange + final-aggregate stage), then the ONE
+    * output row unpivots to (label, pos) rows. Values rounded to 6
+    * decimals (float summation order differs across engines at
+    * ~1e-14); the round/divide happens declaratively on the tiny
+    * output so cross-engine `round` semantics are Spark's own.
     */
   def embLabelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val dim = 64
-    val aggs: Seq[Column] = count(lit(1)).as("n_vectors") +:
-      (0 until dim).map(i => sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
     Tables.embeddings(spark, sfDir)
-      .groupBy("label")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("label"), col("n_vectors"),
-        posexplode(array((0 until dim).map(i =>
-          round(col(s"s$i") / col("n_vectors"), 6)): _*)))
+      .agg(graft.functions.CentroidAgg.centroids(
+        col("label").cast("long"), col("embedding")).as("raw"))
+      .select(explode(col("raw")).as("c"))
+      .select(col("c._1").cast("int").as("label"), col("c._2").as("n_vectors"),
+        posexplode(transform(col("c._3"), s => round(s / col("c._2"), 6))))
       .select(col("label"), col("pos").cast("long").as("pos"),
         col("col").as("centroid"), col("n_vectors"))
   }

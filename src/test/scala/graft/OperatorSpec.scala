@@ -461,6 +461,11 @@ class OperatorSpec extends AnyFunSuite {
       .select(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 3).as("t"))
       .first()
     assert(z.getSeq[Long](0).isEmpty)
+    // k beyond |cells| -> shortens to the 7 scorable cells, never pads
+    val short = emb.limit(1).crossJoin(broadcast(quant))
+      .select(size(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 50)).as("n"))
+      .first().getInt(0)
+    assert(short === 7)
   }
 
   test("asof_last binary search: exact hit, between, before-first, empty, null timeline") {
