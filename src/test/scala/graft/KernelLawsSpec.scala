@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.functions.CentroidAgg
+import graft.functions.expressions.CellTopK
+
+/** Property tests for the round-4 kernels.
+  *
+  * [[CellTopK]]: the compiled arg-top-k must equal the plain-Scala
+  * reference (score every cell with the double-accumulated cosine,
+  * sort by (score desc, cell asc), take k, skip zero-norm) on random
+  * vectors — generators bias toward duplicate centroids (score ties →
+  * the cell-asc tiebreak) and zero vectors (the null-score skip).
+  *
+  * [[CentroidAgg]]: the partial-aggregation monoid law — any
+  * two-way partitioning of the input folded separately and merged
+  * must equal the single sequential fold, up to floating-point
+  * re-association (counts and key sets exactly, sums to 1e-9
+  * relative), which is precisely the freedom Spark exercises between
+  * map-side partials and the final merge.
+  */
+object KernelLawsSpec extends Properties("graft kernels") {
+
+  // ── CellTopK ─────────────────────────────────────────────────────
+
+  private val Dim = 4
+
+  private val genVec: Gen[Array[Float]] = Gen.frequency(
+    8 -> Gen.listOfN(Dim, Gen.oneOf(-2f, -1f, -0.5f, 0f, 0.5f, 1f, 2f))
+      .map(_.toArray),
+    1 -> Gen.const(Array.fill(Dim)(0f))) // zero-norm: unscorable
+
+  private val genCells: Gen[List[(Long, Array[Float])]] = for {
+    n <- Gen.chooseNum(0, 8)
+    base <- Gen.listOfN(n, genVec)
+    // duplicate some centroids so scores tie and the id tiebreak matters
+    dup <- Gen.chooseNum(0, n)
+  } yield (base ++ base.take(dup)).zipWithIndex.map { case (w, i) => (i.toLong, w) }
+
+  private def cellsData(cells: List[(Long, Array[Float])]): ArrayData =
+    new GenericArrayData(cells.map { case (id, w) =>
+      new GenericInternalRow(Array[Any](id, ArrayData.toArrayData(w)))
+    }.toArray[Any])
+
+  private def cosRef(v: Array[Float], w: Array[Float]): Option[Double] = {
+    val n = math.min(v.length, w.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      dot += v(i).toDouble * w(i).toDouble
+      i += 1
+    }
+    i = 0
+    while (i < v.length) { nx += v(i).toDouble * v(i).toDouble; i += 1 }
+    i = 0
+    while (i < w.length) { ny += w(i).toDouble * w(i).toDouble; i += 1 }
+    if (nx == 0.0 || ny == 0.0) None else Some(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  private def topRef(v: Array[Float], cells: List[(Long, Array[Float])], k: Int): Seq[Long] =
+    cells.flatMap { case (id, w) => cosRef(v, w).map(s => (id, s)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k).map(_._1)
+
+  property("CellTopK.compute equals sort-by-(score desc, cell asc)-take-k") =
+    Prop.forAll(genVec, genCells, Gen.chooseNum(1, 6)) { (v, cells, k) =>
+      val got = CellTopK.compute(ArrayData.toArrayData(v), cellsData(cells), k)
+        .toLongArray().toSeq
+      got == topRef(v, cells, k)
+    }
+
+  // norm computed over the FULL vector even when lengths differ (the
+  // common-prefix dot is CosineSimilarity's documented semantics for
+  // the dot only in the kernel's per-cell loop over min length)
+  property("CellTopK handles cells shorter/longer than the vector") =
+    Prop.forAll(genVec, Gen.chooseNum(1, 3)) { (v, k) =>
+      val cells = List(0L -> v.take(2), 1L -> (v ++ v))
+      val got = CellTopK.compute(ArrayData.toArrayData(v), cellsData(cells), k)
+        .toLongArray().toSeq
+      got.forall(id => id == 0L || id == 1L)
+    }
+
+  // ── CentroidAgg ──────────────────────────────────────────────────
+
+  private val genRows: Gen[List[(Long, Seq[Float])]] = for {
+    n <- Gen.chooseNum(0, 30)
+    rows <- Gen.listOfN(n, for {
+      cell <- Gen.chooseNum(0L, 4L) // force cell collisions
+      v <- genVec
+    } yield (cell, v.toSeq))
+  } yield rows
+
+  private def foldAll(rows: List[(Long, Seq[Float])]) = {
+    val a = new CentroidAgg
+    rows.foldLeft(a.zero)(a.reduce)
+  }
+
+  private def close(a: Array[Double], b: Array[Double]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) =>
+      math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+    }
+
+  property("CentroidAgg: any two-way split folds+merges to the sequential fold") =
+    Prop.forAll(genRows, Gen.chooseNum(0, 100)) { (rows, pct) =>
+      val cut = rows.length * pct / 100
+      val (l, r) = rows.splitAt(cut)
+      val a = new CentroidAgg
+      val merged = a.merge(foldAll(l), foldAll(r))
+      val whole = foldAll(rows)
+      merged.keySet == whole.keySet && whole.keySet.forall { cell =>
+        merged(cell)._1 == whole(cell)._1 && close(merged(cell)._2, whole(cell)._2)
+      }
+    }
+}
