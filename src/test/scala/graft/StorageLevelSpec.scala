@@ -18,6 +18,11 @@ class StorageLevelSpec extends AnyFunSuite {
     assert(ext.Similarity.bucketedEmb(spark, sf).storageLevel === StorageLevel.DISK_ONLY)
     assert(ext.Dedup.explodedShingleHashes(spark, sf).storageLevel === StorageLevel.DISK_ONLY)
     assert(ext.Dedup.minhashSignatures(spark, sf).storageLevel === StorageLevel.DISK_ONLY)
+    // IVF index: 1-row quantizer may sit in memory, the inverted file
+    // (carries the corpus embeddings) must not
+    val (quant, assigned) = ext.Similarity.ivfIndex(spark, sf)
+    assert(quant.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    assert(assigned.storageLevel === StorageLevel.DISK_ONLY)
   }
 
   test("shared frames are memoized per (session, dir) — same instance returned") {
