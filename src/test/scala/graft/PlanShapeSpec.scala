@@ -58,6 +58,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Aggregate"))
   }
 
+  test("no declared query plans a cartesian product or a scalar UDF") {
+    // global anti-pattern sweep: every 1-row/crossJoin in the library
+    // must plan as a broadcast join (BNLJ/BHJ), and every custom
+    // scalar op as a codegen Catalyst expression — a CartesianProduct
+    // or ScalaUDF anywhere is a scale regression regardless of query
+    SparkEntry.queries.keys.foreach { name =>
+      val plan = executedPlan(name)
+      withClue(name)(assert(!plan.contains("CartesianProduct")))
+      withClue(name)(assert(!plan.contains("ScalaUDF")))
+    }
+  }
+
   test("text_scrub is a pure projection: zero exchanges, zero aggregates") {
     val plan = executedPlan("text_scrub")
     assert(!plan.contains("Exchange"))
