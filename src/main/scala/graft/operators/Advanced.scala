@@ -157,6 +157,33 @@ object Advanced {
       .filter(col("hash_mod") < col("keep_rate"))
   }
 
+  /** Max documents any single source may contribute ([[sampleCapPerSource]]). */
+  private val SourceCap = 50
+
+  /** Per-source contribution capping — the mixture-control op of a
+    * pretraining data recipe: no source (domain, crawl, feed) may
+    * contribute more than [[SourceCap]] documents, and WHICH documents
+    * survive is a deterministic, backfill-stable hash-rank sample
+    * (md5-keyed like [[graft.functions.TextAnalysis.trainTestSplit]])
+    * — never `rand()`, so a recompute keeps the same sample. One hash
+    * exchange on source + one per-partition sort. Under extreme
+    * source skew (one source = half the corpus) the same semantics
+    * swap to the bounded-heap [[graft.functions.TopKAgg]] formulation
+    * — partial aggregation trims each map task to the cap before the
+    * exchange — without changing the output contract.
+    */
+  def sampleCapPerSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), h.as("hash_key"))
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("hash_key").asc, col("doc_id").asc)).cast("long"))
+      .filter(col("sample_rank") <= SourceCap)
+      .select("doc_id", "source", "hash_key", "sample_rank")
+  }
+
   /** Tokens per packed training sequence and shard count for
     * [[packSequences]].
     */
@@ -195,6 +222,16 @@ object Advanced {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "sample_cap_source" ->
+      s"""SELECT doc_id, source, hash_key, CAST(rn AS BIGINT) AS sample_rank
+          FROM (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hash_key,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                              doc_id ASC) AS rn
+            FROM documents)
+          WHERE rn <= $SourceCap""",
     "pack_sequences" ->
       s"""SELECT doc_id, shard, n_tokens, tokens_before,
                  tokens_before // $PackBudget AS pack_id,
@@ -292,6 +329,7 @@ object Advanced {
     "emb_label_centroids" -> embLabelCentroids _,
     "corpus_prep" -> corpusPrep _,
     "sample_stratified" -> sampleStratified _,
+    "sample_cap_source" -> sampleCapPerSource _,
     "pack_sequences" -> packSequences _,
   )
 }

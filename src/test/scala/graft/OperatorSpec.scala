@@ -335,6 +335,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("sample_cap_source: caps each source at 50 docs, deterministically") {
+    val dir = TestSpark.tmpDir("cap")
+    // source A: 60 docs (10 must drop); source B: 3 docs (all survive)
+    val rows = (1L to 60L).map(i => (i, s"doc $i", "en", "A", 0L)) ++
+      (100L to 102L).map(i => (i, s"doc $i", "en", "B", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Advanced.sampleCapPerSource(spark, dir).collect()
+    val bySource = got.groupBy(_.getString(1))
+    assert(bySource("A").length === 50)
+    assert(bySource("B").length === 3)
+    // deterministic: a second run selects the identical survivor set
+    val again = operators.Advanced.sampleCapPerSource(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === got.map(_.getLong(0)).toSet)
+    // ranks are 1..cap with no gaps inside each source
+    assert(bySource("A").map(_.getLong(3)).sorted.toSeq === (1L to 50L))
+  }
+
   test("text_unigram_logprob: hand-computed unigram model on a tiny corpus") {
     val dir = TestSpark.tmpDir("unigram")
     // tf: a=2, b=2, c=1 over n=5 → lp(a)=lp(b)=ln(0.4), lp(c)=ln(0.2)
