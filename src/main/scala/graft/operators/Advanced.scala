@@ -165,23 +165,32 @@ object Advanced {
     * contribute more than [[SourceCap]] documents, and WHICH documents
     * survive is a deterministic, backfill-stable hash-rank sample
     * (md5-keyed like [[graft.functions.TextAnalysis.trainTestSplit]])
-    * — never `rand()`, so a recompute keeps the same sample. One hash
-    * exchange on source + one per-partition sort. Under extreme
-    * source skew (one source = half the corpus) the same semantics
-    * swap to the bounded-heap [[graft.functions.TopKAgg]] formulation
-    * — partial aggregation trims each map task to the cap before the
-    * exchange — without changing the output contract.
+    * — never `rand()`, so a recompute keeps the same sample.
+    *
+    * Skew-proof plan: the executed form is the bounded-heap
+    * [[graft.functions.BottomKAgg]] aggregation, NOT
+    * `row_number().over(Window.partitionBy(source))`. A window
+    * shuffles EVERY document of a source to one reducer before keeping
+    * [[SourceCap]]; under real source skew (one crawl = half the
+    * corpus) that reducer receives half the corpus. The aggregator
+    * participates in partial aggregation — each map task trims each
+    * source to the cap before the exchange — so the shuffle carries
+    * O(partitions × cap) rows per source regardless of skew, and the
+    * reducer's final merge is over those trimmed partials. The rank is
+    * recovered by position in the sorted kept-array (same total order:
+    * hash_key asc, doc_id asc), so the output contract is unchanged.
     */
   def sampleCapPerSource(spark: SparkSession, sfDir: String): DataFrame = {
     val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), h.as("hash_key"))
-      .withColumn("sample_rank",
-        row_number().over(Window.partitionBy("source")
-          .orderBy(col("hash_key").asc, col("doc_id").asc)).cast("long"))
-      .filter(col("sample_rank") <= SourceCap)
-      .select("doc_id", "source", "hash_key", "sample_rank")
+      .groupBy("source")
+      .agg(graft.functions.TopK.bottomK(SourceCap)(
+        col("hash_key"), col("doc_id")).as("kept"))
+      .select(col("source"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("kv._2").as("doc_id"), col("source"), col("kv._1").as("hash_key"),
+        (col("pos") + 1).cast("long").as("sample_rank"))
   }
 
   /** Tokens per packed training sequence and shard count for

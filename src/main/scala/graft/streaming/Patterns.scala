@@ -159,8 +159,8 @@ object Pattern12 {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val stamped = batch.withColumn("batch_id", lit(batchId)).cache()
         try {
-          // 1) change feed: append-only log, one partition dir per snapshot
-          stamped.write.mode("append").partitionBy("batch_id").parquet(rawLogDir)
+          // 1) change feed: one partition dir per snapshot (idempotent)
+          writeChangeFeed(stamped, rawLogDir)
           // 2) delta aggregate, merged into the summary
           val delta = Patterns.clickSummary(stamped.drop("batch_id"), clickType)
             .withColumn("last_snapshot", lit(batchId))
@@ -177,6 +177,22 @@ object Pattern12 {
         } finally { stamped.unpersist(); () }
       }
       .start()
+
+  /** Idempotent change-feed write: dynamic-partition-overwrite scoped
+    * to the batch's OWN `batch_id=` partition (the
+    * [[graft.sinks.PartitionedWrite.byDate]] idiom). A crash between
+    * this write and the summary commit makes Spark replay the batch;
+    * a blind `mode("append")` would then append the same partition a
+    * second time and [[snapshots]]/[[tableChanges]] would double-count
+    * that snapshot. Overwrite-dynamic REWRITES exactly the replayed
+    * batch's directory — matching the reference's transactional CDF
+    * semantics, where `table_changes` reads only committed snapshots
+    * (pattern_1_2.py:105). Other batches' partitions are untouched.
+    */
+  private[streaming] def writeChangeFeed(stamped: DataFrame, rawLogDir: String): Unit =
+    stamped.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(rawLogDir)
 
   /** `snapshots()` analogue (reference pattern_1_2.py:94): committed
     * snapshot ids in the raw log.

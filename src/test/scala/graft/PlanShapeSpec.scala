@@ -87,6 +87,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashExchanges === 1, plan)
   }
 
+  test("sample_cap_source: bounded-heap partial aggregation, never a window over source") {
+    // a row_number window over partitionBy(source) funnels a dominant
+    // source's every document through one reducer; the bounded-heap
+    // aggregator must instead trim map-side to the cap BEFORE the
+    // exchange (partial ObjectHashAggregate), shuffling O(parts × cap)
+    val plan = executedPlan("sample_cap_source")
+    assert(!plan.contains("Window"), s"\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"\n$plan")
+    assert(plan.contains("partial_bottomkagg"), s"\n$plan")
+  }
+
   test("sessionize: both windows and the session aggregate share ONE exchange") {
     // lag-window, cumsum-window, and the final groupBy all cluster by
     // user_id: a correct plan partitions once and sorts once; a second

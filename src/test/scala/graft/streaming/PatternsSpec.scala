@@ -90,6 +90,30 @@ class PatternsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pattern 1.2 change feed: a replayed batch rewrites its partition, never double-counts") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val store = new VersionedStore(spark, TestSpark.tmpDir("p12r-store"))
+    val rawLog = TestSpark.tmpDir("p12r-rawlog") + "/log"
+    val q = Pattern12.start(EventCodec.parse(input.toDF()), rawLog, store, TestSpark.tmpDir("p12r-ckpt"))
+    val maxSnap =
+      try {
+        input.addData(batch1); q.processAllAvailable()
+        input.addData(batch2); q.processAllAvailable()
+        Pattern12.snapshots(spark, rawLog).collect().map(_.getInt(0)).max.toLong
+      } finally q.stop()
+    val before = Pattern12.tableChanges(spark, rawLog, maxSnap - 1, maxSnap).count()
+    val total = spark.read.parquet(rawLog).count()
+    // simulate a foreachBatch crash-retry of batch `maxSnap`: the exact
+    // same stamped rows are written again through the same sink path
+    val replay = EventCodec.parse(batch2.toDF("value"))
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(maxSnap))
+    Pattern12.writeChangeFeed(replay, rawLog)
+    // the change feed is unchanged: the partition was rewritten, not re-appended
+    assert(Pattern12.tableChanges(spark, rawLog, maxSnap - 1, maxSnap).count() === before)
+    assert(spark.read.parquet(rawLog).count() === total)
+  }
+
   test("pattern 2: complete-mode recompute with atomic overwrite") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
