@@ -274,36 +274,140 @@ object Dedup {
     * (vertex, label) table, bounded narrow (16 B/vertex, the shape the
     * storage-level rule allows in memory), persisted per round and the
     * previous round unpersisted, so lineage never grows unboundedly.
-    * Rounds needed = graph diameter; near-dup clusters are shallow
-    * (diameter ≤ a few hops), and a 50-round cap guards pathological
-    * inputs. A production job at billions of edges would switch to the
-    * large-star/small-star variant (O(log n) rounds) — same dataflow
-    * primitives, more rounds bookkeeping.
+    * Rounds needed = graph diameter — fine for shallow near-dup
+    * clusters, but the production path is [[starComponents]]
+    * (O(log n) rounds); this form is kept as the simpler
+    * diameter-bounded alternative and cross-checked against it in
+    * DedupGraphSpec. Hitting the round cap RAISES (a silently
+    * non-converged fixpoint would return wrong components).
+    *
+    * Returns the labels frame UNPERSISTED (lineage locally
+    * checkpointed, iteration state cleaned up internally), so callers
+    * leak nothing per invocation.
     */
-  private[graft] def minLabelPropagate(edgesIn: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val edges = edgesIn.toDF("src", "dst")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  /** Materialize `df` into the cache and return BOTH the persisted
+    * handle (for later unpersist) and a lineage-truncated view of it.
+    * Iterative algorithms MUST cut lineage every round: each round's
+    * logical plan otherwise embeds the previous round's several times
+    * over, and Catalyst re-analyzes an exponentially growing tree —
+    * the caching layer makes execution cheap but planning alone hangs
+    * after ~10 rounds. The flat view reads the cached blocks through a
+    * LogicalRDD, so downstream plans start from a leaf.
+    */
+  private def materializeFlat(df: DataFrame): (DataFrame, DataFrame) = {
+    val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flat = df.sparkSession.createDataFrame(mat.rdd, mat.schema)
+    (mat, flat)
+  }
+
+  private[graft] def minLabelPropagate(edgesIn: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val (edgesMat, edges) = materializeFlat(edgesIn.toDF("src", "dst"))
+    var labelsMat = edgesMat
     var labels = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var first = true
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
+      val prevMat = labelsMat
       val prev = labels
       val viaNeighbor = edges.join(labels, edges("dst") === labels("v"))
         .select(edges("src").as("v"), col("comp"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("v").agg(min(col("comp")).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (nextMat, next) = materializeFlat(
+        labels.unionByName(viaNeighbor)
+          .groupBy("v").agg(min(col("comp")).as("comp")))
       changed = next.join(prev.toDF("v", "prev_comp"), "v")
         .filter(col("comp") =!= col("prev_comp")).count()
-      prev.unpersist()
+      if (!first) prevMat.unpersist()
+      first = false
+      labelsMat = nextMat
       labels = next
       rounds += 1
     }
-    edges.unpersist()
-    labels
+    if (changed > 0) {
+      if (!first) labelsMat.unpersist()
+      edgesMat.unpersist()
+      throw new IllegalStateException(
+        s"minLabelPropagate did not converge in $maxRounds rounds " +
+          s"(graph diameter exceeds the cap; use starComponents)")
+    }
+    // hand back a self-contained, unpersisted frame; iteration state is
+    // released here, not leaked into the caller's session
+    val out = labels.localCheckpoint(true)
+    if (!first) labelsMat.unpersist()
+    edgesMat.unpersist()
+    out
+  }
+
+  /** Large-star / small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log n)-round contraction that replaces diameter-bounded label
+    * propagation for adversarial shapes: templated/spam near-dup
+    * CHAINS are exactly what LSH produces at corpus scale, and a
+    * 10⁶-doc chain needs 10⁶ propagation rounds but ~2·log₂ n star
+    * rounds.
+    *
+    * Each round is two join+groupBy contractions over the canonical
+    * (big, small) edge list:
+    *  - large-star: every vertex's larger neighbors re-attach to its
+    *    smallest neighbor-or-self `m` — emit (v, m) for v ∈ Γ(u), v>u;
+    *  - small-star: every vertex and its smaller neighbors attach to
+    *    the minimum — emit (u, m) and (v, m) for v ∈ Γ₋(u).
+    * The fixpoint is a star forest: every vertex points at its
+    * component's minimum doc_id. Convergence is a scalar check
+    * (counts equal + one-sided anti-join empty); per-round state is
+    * the bounded-narrow edge list, previous round unpersisted. Hitting
+    * the cap RAISES rather than returning a partial fixpoint.
+    *
+    * Returns ((v, comp) labels for every vertex, rounds used); the
+    * labels frame is handed back unpersisted with checkpointed
+    * lineage, iteration state cleaned up internally.
+    */
+  private[graft] def starComponents(
+      edgesIn: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    var (edgesMat, edges) = materializeFlat(
+      edgesIn.toDF("src", "dst")
+        .select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var n = edgesMat.count()
+    var rounds = 0
+    var converged = n == 0
+    while (!converged && rounds < maxRounds) {
+      // large-star over the symmetric adjacency
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ canonical
+      // small-star over the (big, small)-oriented result
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val (nextMat, next) = materializeFlat(
+        ls.join(ssMin, "u")
+          .select(col("v").as("u"), col("m").as("v")) // smaller neighbor → m
+          .filter(col("u") =!= col("v"))
+          .unionByName(ssMin.select(col("u"), col("m").as("v"))) // u → m
+          .distinct())
+      val cnt = nextMat.count()
+      converged = cnt == n &&
+        next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      edgesMat.unpersist()
+      edgesMat = nextMat
+      edges = next
+      n = cnt
+      rounds += 1
+    }
+    if (!converged && n > 0) {
+      edgesMat.unpersist()
+      throw new IllegalStateException(
+        s"starComponents did not converge in $maxRounds rounds")
+    }
+    val labels = edges.select(col("u").as("v"), col("v").as("comp"))
+      .unionByName(
+        edges.select(col("v")).distinct().select(col("v"), col("v").as("comp")))
+    val out = labels.localCheckpoint(true)
+    edgesMat.unpersist()
+    (out, rounds)
   }
 
   /** Near-dup cluster RESOLUTION — the step after candidate
@@ -316,14 +420,10 @@ object Dedup {
     * component, consistent with [[exact]]'s keeper rule. The oracle
     * reproduces the fixpoint with a recursive CTE.
     */
-  def components(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    minLabelPropagate(edges)
+  def components(spark: SparkSession, sfDir: String): DataFrame =
+    starComponents(minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b")))._1
       .select(col("v").as("doc_id"), col("comp").as("component"),
         (col("v") === col("comp")).as("is_keeper"))
-  }
 
   /** 60-bit SimHash per document: per-word 60-bit hash (first 15 hex
     * chars of md5 — stays in signed-long range), each bit voted +count /

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Dedup
+
+/** Connected-component resolution on crafted graphs: the star
+  * contraction's O(log n) round bound on chains (the adversarial shape
+  * templated/spam near-dups produce), equivalence with min-label
+  * propagation, and the raise-on-cap contract (a silently
+  * non-converged fixpoint would return WRONG components).
+  */
+class DedupGraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def labelSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Path graph v0—v1—…—v(n−1): diameter n−1, the worst case for
+    * per-round min-label propagation.
+    */
+  private def chain(n: Int): DataFrame =
+    (0L until n - 1L).map(i => (i, i + 1)).toDF("src", "dst")
+
+  test("star contraction: a 64-vertex chain converges in <= 2*log2(n) rounds") {
+    val n = 64
+    val (labels, rounds) = Dedup.starComponents(chain(n))
+    assert(rounds <= 2 * 6, s"took $rounds rounds") // 2*log2(64)
+    assert(labelSet(labels) === (0L until n.toLong).map(v => (v, 0L)).toSet)
+  }
+
+  test("star contraction handles multi-component graphs with arbitrary edge orientation") {
+    // two components {0,1,2,3} (a triangle + pendant) and {10,11,12}
+    // (a chain), edges given in mixed orientations and with duplicates
+    val edges = Seq(
+      (1L, 0L), (2L, 1L), (0L, 2L), (3L, 2L), (3L, 2L),
+      (11L, 10L), (11L, 12L)).toDF("src", "dst")
+    val (labels, _) = Dedup.starComponents(edges)
+    assert(labelSet(labels) ===
+      Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L),
+        (10L, 10L), (11L, 10L), (12L, 10L)))
+  }
+
+  test("star contraction and min-label propagation agree") {
+    // a denser mixed fixture: chain + star + triangle sharing vertices
+    val edges = Seq(
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L), // chain
+      (20L, 21L), (20L, 22L), (20L, 23L), // star
+      (30L, 31L), (31L, 32L), (32L, 30L), // triangle
+      (9L, 20L)) // bridge chain->star
+      .toDF("src", "dst")
+    val sym = edges.unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+    val viaStar = labelSet(Dedup.starComponents(edges)._1)
+    val viaProp = labelSet(Dedup.minLabelPropagate(sym))
+    assert(viaStar === viaProp)
+    assert(viaStar.filter(_._2 == 5L).map(_._1) ===
+      Set(5L, 6L, 7L, 8L, 9L, 20L, 21L, 22L, 23L))
+  }
+
+  test("min-label propagation raises at the round cap instead of returning partial labels") {
+    val edges = chain(16)
+    val sym = edges.unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+    val e = intercept[IllegalStateException](Dedup.minLabelPropagate(sym, maxRounds = 3))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("component resolution leaks no persisted frames per invocation") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.starComponents(chain(8))._1.count()
+    Dedup.minLabelPropagate(
+      chain(8).unionByName(chain(8).select($"dst".as("src"), $"src".as("dst")))).count()
+    // localCheckpoint blocks are owned by the returned frames (GC'd with
+    // them); no ITERATION state may remain registered after return
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 2, s"$leaked new persistent RDDs remain registered")
+  }
+}
