@@ -32,17 +32,17 @@ object Tables {
     * listing — ~25-35 ms per table reference, once per query without
     * memoization. The returned DataFrame is an immutable plan; reusing
     * it also lets identical downstream plans share cache entries. Keyed
-    * per session so test sessions and bench sessions never mix.
+    * per session ([[SessionCache]]: sessionUUID, stopped sessions
+    * evicted) so test sessions and bench sessions never mix.
     */
-  private val sources =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+  private val sources = new SessionCache[DataFrame]
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    sources.getOrElseUpdate((System.identityHashCode(spark), sfDir, name), {
+    sources.getOrElseUpdate(spark, s"$sfDir#$name") {
       if (spark.conf.getOption(CatalogDirKey).contains(sfDir) &&
           spark.catalog.tableExists(name)) spark.table(name)
       else spark.read.parquet(s"$sfDir/$name.parquet")
-    })
+    }
 
   /** Repartition a scan ONLY when its input is a single file (one
     * row group ⇒ one partition ⇒ every downstream per-row computation

@@ -90,14 +90,15 @@ object Dedup {
     * (≈ |words| rows), so under the storage-level rule
     * ([[graft.ext.Similarity.bucketedEmb]] scaladoc) it must never pin
     * executor memory; local disk re-reads at scan speed, exactly like
-    * the shuffle files next to it. A long-lived production pipeline
-    * would checkpoint it to the warehouse instead.
+    * the shuffle files next to it. With [[graft.IndexStore.IndexDirKey]]
+    * set, the frame is instead checkpointed ONCE to the warehouse as a
+    * catalog table bucketed on the shingle-hash join key — the
+    * long-lived-pipeline lifecycle where reuse survives the session.
     */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val shingleCache = new graft.SessionCache[DataFrame]
 
   private[graft] def explodedShingleHashes(spark: SparkSession, sfDir: String): DataFrame =
-    shingleCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+    shingleCache.getOrElseUpdate(spark, sfDir) {
       graft.functions.expressions.GraftFunctions.register(spark)
       import graft.functions.expressions.GraftFunctions.shingleHashes
       // set size rides along with each exploded row, so the pair
@@ -105,11 +106,12 @@ object Dedup {
       // shingle_hashes is the native one-pass kernel — see
       // expressions/ShingleHashes.scala for the equivalence proof vs
       // the declarative transform/array_join/xxhash64 composition.
-      Tables.documents(spark, sfDir)
+      def build = Tables.documents(spark, sfDir)
         .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
         .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    })
+      graft.IndexStore.resolve(spark, sfDir, "shingle_hashes", Some("h"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
 
   def ngramJaccard(spark: SparkSession, sfDir: String,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
@@ -190,12 +192,14 @@ object Dedup {
     * corpus by the average document length — but row count still
     * scales with the corpus, so the storage-level rule
     * ([[graft.ext.Similarity.bucketedEmb]]) applies: DISK_ONLY.
+    * With [[graft.IndexStore.IndexDirKey]] set the signatures persist
+    * to the warehouse instead, bucketed on doc_id (the estimate-join
+    * key), and later sessions reuse them scan-only.
     */
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val sigCache = new graft.SessionCache[DataFrame]
 
   private[graft] def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    sigCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+    sigCache.getOrElseUpdate(spark, sfDir) {
       // All 16 minhashes are computed as 16 independent min() aggregates
       // over the exploded shingle rows in ONE groupBy — every md5/concat/
       // min stays inside whole-stage codegen, and the plan has a single
@@ -203,7 +207,7 @@ object Dedup {
       // transform(sequence(..), i -> array_min(..)) — is interpreted
       // per-element in Spark and benches ~8x slower; HOFs stay out of
       // this hot path deliberately.)
-      shingles(spark, sfDir)
+      def build = shingles(spark, sfDir)
         .groupBy("doc_id")
         .agg(
           min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
@@ -211,8 +215,9 @@ object Dedup {
             min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
         .select(col("doc_id"),
           array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mhs"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    })
+      graft.IndexStore.resolve(spark, sfDir, "minhash_sig", Some("doc_id"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = minhashSignatures(spark, sfDir)

@@ -70,14 +70,51 @@ object Multimodal {
     */
   object MediaDecoder {
 
-    /** PNG / JPEG / GIF / BMP magic — the formats the JDK can decode. */
+    /** PNG / JPEG / GIF / BMP magic — the formats the JDK can decode.
+      * BMP's magic is only the 2 printable bytes 'BM' (and the JDK's
+      * BMPImageReaderSpi checks no more), so any TEXT payload starting
+      * "BM25…"/"BMW…" would otherwise reach the real reader, which can
+      * parse arbitrary bytes as a header and return garbage dims
+      * without throwing — silently leaving the fallback tier the
+      * oracle models. [[plausibleBmp]] therefore validates the actual
+      * header before the real tier may claim a BMP payload.
+      */
     private[ext] def looksLikeImage(b: Array[Byte]): Boolean =
       (b.length >= 8 &&
         (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
       (b.length >= 3 &&
         (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) ||
       (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
-      (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+      plausibleBmp(b)
+
+    /** Structural BMP validation beyond the 2-byte magic: the header's
+      * file-size field must equal the payload length (or be 0 — some
+      * writers leave it unset), the DIB infoheader size must be one of
+      * the specified variants, and the dims must be positive and
+      * plausible. ASCII text bytes (0x20-0x7e in every position) can
+      * satisfy none of these.
+      */
+    private[ext] def plausibleBmp(b: Array[Byte]): Boolean = {
+      if (b.length < 26 || b(0) != 'B' || b(1) != 'M') return false
+      def u32(off: Int): Long =
+        (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+      val fileSize = u32(2)
+      val infoSize = u32(14)
+      val sizeOk = fileSize == b.length.toLong || fileSize == 0L
+      val infoOk = Set(12L, 40L, 56L, 64L, 108L, 124L).contains(infoSize)
+      val dimsOk =
+        if (infoSize == 12L) { // BITMAPCOREHEADER: u16 dims
+          val w = (b(18) & 0xff) | ((b(19) & 0xff) << 8)
+          val h = (b(20) & 0xff) | ((b(21) & 0xff) << 8)
+          w > 0 && h > 0
+        } else { // s32 dims; height < 0 = top-down rows
+          val w = u32(18).toInt
+          val h = u32(22).toInt
+          w > 0 && w <= (1 << 16) && h != 0 && math.abs(h) <= (1 << 16)
+        }
+      sizeOk && infoOk && dimsOk
+    }
 
     private def realDecode(p: MediaPayload): Option[MediaMeta] = {
       if (!looksLikeImage(p.payload)) return None

@@ -49,21 +49,22 @@ object Similarity {
     * per-row width AND row count are bounded independent of corpus
     * bytes (e.g. [[graft.ext.Dedup.simhashPairs]]'s doc_id+64-bit
     * signature rows) may use memory-backed levels. A production
-    * deployment with a long-lived index would go one step further and
-    * CHECKPOINT the bucketed corpus to the warehouse as a bucketed
-    * table, making reuse survive the session.
+    * deployment with a long-lived index goes one step further and
+    * CHECKPOINTS the bucketed corpus to the warehouse as a bucketed
+    * table, making reuse survive the session — setting
+    * [[graft.IndexStore.IndexDirKey]] does exactly that (bucketed on
+    * the LSH bucket join key).
     */
-  private val bucketedCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val bucketedCache = new graft.SessionCache[DataFrame]
 
   private[graft] def bucketedEmb(spark: SparkSession, sfDir: String): DataFrame =
-    bucketedCache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir), {
-        GraftFunctions.register(spark)
-        Tables.embeddings(spark, sfDir)
-          .withColumn("bucket", bucketCol(col("embedding")))
-          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      })
+    bucketedCache.getOrElseUpdate(spark, sfDir) {
+      GraftFunctions.register(spark)
+      def build = Tables.embeddings(spark, sfDir)
+        .withColumn("bucket", bucketCol(col("embedding")))
+      graft.IndexStore.resolve(spark, sfDir, "emb_lsh_buckets", Some("bucket"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
 
   /** Deterministic pseudo-random hyperplane weights in [-1, 1]:
     * md5("p_d") → first 15 hex chars → long → % 2001 − 1000 → /1000.
@@ -207,30 +208,38 @@ object Similarity {
     * queries; rebuilding per query would be absurd at any scale).
     * Storage-level rule ([[bucketedEmb]]): the 1-row quantizer may
     * live in memory; the inverted file carries the corpus embeddings
-    * and must be DISK_ONLY.
+    * and must be DISK_ONLY. With [[graft.IndexStore.IndexDirKey]] set,
+    * both checkpoint to the warehouse instead (inverted file bucketed
+    * on cell) and later sessions load the index scan-only — the
+    * train-once / serve-forever lifecycle of a real IVF deployment.
     */
-  private val ivfIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, DataFrame)]
+  private val ivfIndexCache = new graft.SessionCache[(DataFrame, DataFrame)]
 
   private[graft] def ivfIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
-    ivfIndexCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+    ivfIndexCache.getOrElseUpdate(spark, sfDir) {
       GraftFunctions.register(spark)
       val emb = Tables.embeddings(spark, sfDir)
-      val quant = emb
+      def buildQuant = emb
         .agg(graft.functions.CentroidAgg.centroids(
           col("label").cast("long"), col("embedding")).as("raw"))
         .select(transform(col("raw"), c =>
           struct(c.getField("_1").as("cell"),
             transform(c.getField("_3"),
               s => round(s / c.getField("_2"), 6).cast("float")).as("cw"))).as("qcells"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val assigned = emb.crossJoin(broadcast(quant))
+      val quant = graft.IndexStore.resolve(spark, sfDir, "ivf_quantizer")(buildQuant)
+        .getOrElse(buildQuant
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      def buildAssigned = emb.crossJoin(broadcast(quant))
         .select(col("vec_id"), col("embedding"),
           get(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 1), lit(0))
             .as("cell"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val assigned =
+        graft.IndexStore.resolve(spark, sfDir, "ivf_inverted_file", Some("cell"))(
+          buildAssigned)
+        .getOrElse(buildAssigned
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
       (quant, assigned)
-    })
+    }
 
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)

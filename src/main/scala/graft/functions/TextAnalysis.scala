@@ -227,26 +227,53 @@ object TextAnalysis {
     * vocabulary-sized, the scoring exchange ~one row per document
     * (explode preserves row locality). Log-probs are rounded to 9
     * decimals BEFORE aggregation so cross-engine libm ulp differences
-    * cannot reach the aggregate; a production pipeline would persist
-    * the model table once rather than recompute per query.
+    * cannot reach the aggregate.
+    *
+    * Scoring joins the model against PER-DOCUMENT TOKEN COUNTS
+    * (doc_id, t, k), not raw token instances: when a real corpus's
+    * vocabulary outgrows broadcast and the model join becomes a
+    * shuffle join, the join exchange then carries one row per DISTINCT
+    * (doc, token) pair instead of one per token instance — the
+    * difference between shuffling the deduplicated vocabulary
+    * footprint and re-shuffling the whole tokenized corpus. The
+    * per-doc aggregate reconstructs the instance-weighted average as
+    * Σ lp·k / Σ k.
     */
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("t"))
-    val tf = tok.groupBy("t").agg(count(lit(1)).as("c"))
-    // identical to sum(tf.c), but from a plain one-column scan — an
-    // aggregate over tf would re-execute the whole explode+groupBy
-    // chain a second time for one scalar
-    val total = Tables.documents(spark, sfDir)
-      .agg(sum(size(words(col("text"))).cast("long")).as("n"))
-    val model = tf.crossJoin(broadcast(total))
-      .select(col("t"), round(log(col("c") / col("n")), 9).as("lp"))
-    tok.join(model, "t")
+    // pre-aggregate BELOW the model join (asserted in PlanShapeSpec)
+    val docTok = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("k"))
+    docTok.join(unigramModel(spark, sfDir), "t")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        round(avg(col("lp")), 6).as("avg_logprob"),
+        sum(col("k")).as("n_tokens"),
+        round(sum(col("lp") * col("k")) / sum(col("k")), 6).as("avg_logprob"),
         round(min(col("lp")), 6).as("min_logprob"))
+  }
+
+  /** The trained unigram model as a (token, logprob) relation — built
+    * per call here, or once per warehouse when
+    * [[graft.IndexStore.IndexDirKey]] is set (bucketed on the token
+    * join key; later sessions score against the persisted table
+    * scan-only — the production lifecycle where the LM trains once and
+    * filters many corpus snapshots).
+    */
+  private[graft] def unigramModel(spark: SparkSession, sfDir: String): DataFrame = {
+    def build = {
+      val tf = Tables.documents(spark, sfDir)
+        .select(explode(words(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      // identical to sum(tf.c), but from a plain one-column scan — an
+      // aggregate over tf would re-execute the whole explode+groupBy
+      // chain a second time for one scalar
+      val total = Tables.documents(spark, sfDir)
+        .agg(sum(size(words(col("text"))).cast("long")).as("n"))
+      tf.crossJoin(broadcast(total))
+        .select(col("t"), round(log(col("c") / col("n")), 9).as("lp"))
+    }
+    graft.IndexStore.resolve(spark, sfDir, "unigram_model", Some("t"))(build)
+      .getOrElse(build)
   }
 
   /** Corpus mixture data card — the per-(source, language) report a

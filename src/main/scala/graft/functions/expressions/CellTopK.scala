@@ -82,18 +82,26 @@ case class CellTopK(left: Expression, right: Expression, k: Int)
 
 object CellTopK {
 
-  /** One compiled pass: query norm once, then per cell a fused
-    * dot+norm loop and an insertion into the k-sized (score DESC,
-    * cell ASC) top list. O(|cells| × (dim + k)) per row, zero
-    * allocation beyond the k-sized result.
+  /** One compiled pass: prefix sums of the query's squared elements
+    * once, then per cell a fused dot+norm loop and an insertion into
+    * the k-sized (score DESC, cell ASC) top list.
+    * O(dim + |cells| × (dim + k)) per row, zero allocation beyond the
+    * prefix array and the k-sized result.
+    *
+    * All three accumulators (dot, query norm, cell norm) cover the
+    * SAME common-prefix range — exactly [[CosineSimilarity]]'s
+    * semantics for unequal lengths. The query norm over a length-n
+    * prefix is px(n), built by the identical sequential adds, so for
+    * full-length cells (the only case the IVF plan produces) the
+    * score is bit-for-bit the declarative-equivalence value.
     */
   def compute(v: ArrayData, cells: ArrayData, k: Int): ArrayData = {
     val nv = v.numElements()
-    var nx = 0.0
+    val px = new Array[Double](nv + 1)
     var i = 0
     while (i < nv) {
       val xi = v.getFloat(i).toDouble
-      nx += xi * xi
+      px(i + 1) = px(i) + xi * xi
       i += 1
     }
     val topId = new Array[Long](k)
@@ -117,6 +125,7 @@ object CellTopK {
           ny += yj * yj
           j += 1
         }
+        val nx = px(n)
         if (nx != 0.0 && ny != 0.0) {
           val s = dot / (math.sqrt(nx) * math.sqrt(ny))
           var pos = m

@@ -193,11 +193,25 @@ object Advanced {
         (col("pos") + 1).cast("long").as("sample_rank"))
   }
 
-  /** Tokens per packed training sequence and shard count for
-    * [[packSequences]].
-    */
+  /** Tokens per packed training sequence for [[packSequences]]. */
   private val PackBudget = 256L
-  private val PackShards = 32L
+
+  /** Default shard count for [[packSequences]]; override per session
+    * with [[PackShardsKey]].
+    */
+  private val DefaultPackShards = 32L
+
+  /** Conf key: number of packing shards — THE parallelism knob of
+    * [[packSequences]]. Set it to the training job's data-parallel
+    * worker count: each shard packs independently (its own prefix
+    * sum), so shard count bounds both the exchange's partition
+    * parallelism and the number of independently-consumable pack
+    * streams.
+    */
+  val PackShardsKey = "spark.graft.packShards"
+
+  private[graft] def packShards(spark: SparkSession): Long =
+    spark.conf.getOption(PackShardsKey).map(_.toLong).getOrElse(DefaultPackShards)
 
   /** Sequence packing (concat-and-chunk) — the training-batch
     * construction step between corpus prep and the trainer: documents
@@ -206,8 +220,9 @@ object Advanced {
     * pack its first token lands in and its offset inside that pack.
     *
     * Scale design: packing is a prefix sum, which is inherently
-    * sequential — so it runs PER SHARD (`doc_id % 32`), the way every
-    * real pipeline packs per data-parallel worker anyway. The plan is
+    * sequential — so it runs PER SHARD (`doc_id % shards`, shard count
+    * from [[PackShardsKey]], default 32), the way every real pipeline
+    * packs per data-parallel worker anyway. The plan is
     * one hash exchange on shard + one per-partition sort (a single
     * partitioned window); shard count is the parallelism knob, and
     * the (shard, doc_id) order makes the packing deterministic,
@@ -222,7 +237,7 @@ object Advanced {
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        (col("doc_id") % PackShards).as("shard"),
+        (col("doc_id") % packShards(spark)).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("tokens_before"),
@@ -246,10 +261,10 @@ object Advanced {
                  tokens_before // $PackBudget AS pack_id,
                  tokens_before % $PackBudget AS offset_in_pack
           FROM (
-            SELECT doc_id, doc_id % $PackShards AS shard,
+            SELECT doc_id, doc_id % $DefaultPackShards AS shard,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(coalesce(sum(len(string_split(text, ' ')))
-                     OVER (PARTITION BY doc_id % $PackShards ORDER BY doc_id
+                     OVER (PARTITION BY doc_id % $DefaultPackShards ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                      AS BIGINT) AS tokens_before
             FROM documents)""",

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Similarity}
+
+/** Warehouse-persisted index tables ([[IndexStore]]): with
+  * `spark.graft.indexDir` set, the amortizable index builds (unigram
+  * model, IVF index, shingle/minhash frames, LSH-bucketed corpus)
+  * write ONCE as bucketed catalog tables, and a SECOND session
+  * resolves them scan-only — reuse that survives the building
+  * session, the deployment lifecycle each index's scaladoc describes.
+  */
+class IndexStoreSpec extends AnyFunSuite {
+  private lazy val root = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def sessionWithIndexDir(dir: String) = {
+    val s = root.newSession()
+    s.conf.set(IndexStore.IndexDirKey, dir)
+    s
+  }
+
+  test("minhash signatures: second session reuses the persisted table scan-only") {
+    val dir = TestSpark.tmpDir("graft-index-mh")
+    val s1 = sessionWithIndexDir(dir)
+    val built = Dedup.minhashSignatures(s1, sf)
+    val n = built.count()
+    assert(n > 0)
+    // a NEW session (fresh memoization) must resolve to the catalog
+    // table — a scan, not a rebuild
+    val s2 = sessionWithIndexDir(dir)
+    val reused = Dedup.minhashSignatures(s2, sf)
+    assert(reused.count() === n)
+    val plan = reused.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"\n$plan")
+    assert(!plan.contains("HashAggregate"), s"rebuild detected:\n$plan")
+    assert(!plan.contains("Exchange"), s"rebuild detected:\n$plan")
+    // and the dedup results through the persisted index stay identical
+    val viaIndex = Dedup.minhashLsh(s2, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.minhashLsh(root, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === direct)
+  }
+
+  test("unigram model: persisted once, rescored scan-only, same scores") {
+    val dir = TestSpark.tmpDir("graft-index-lm")
+    val s1 = sessionWithIndexDir(dir)
+    graft.functions.TextAnalysis.unigramModel(s1, sf).count()
+    val s2 = sessionWithIndexDir(dir)
+    val model = graft.functions.TextAnalysis.unigramModel(s2, sf)
+    val plan = model.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"\n$plan")
+    assert(!plan.contains("HashAggregate"), s"rebuild detected:\n$plan")
+    val viaIndex = graft.functions.TextAnalysis.unigramLogprob(s2, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val direct = graft.functions.TextAnalysis.unigramLogprob(root, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(viaIndex === direct)
+  }
+
+  test("IVF index: quantizer + inverted file persist; search results unchanged") {
+    val dir = TestSpark.tmpDir("graft-index-ivf")
+    val s1 = sessionWithIndexDir(dir)
+    Similarity.ivfIndex(s1, sf)._2.count()
+    val s2 = sessionWithIndexDir(dir)
+    val (quant, assigned) = Similarity.ivfIndex(s2, sf)
+    for (df <- Seq(quant, assigned)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan parquet"), s"\n$plan")
+      assert(!plan.contains("ObjectHashAggregate"), s"rebuild detected:\n$plan")
+    }
+    val viaIndex = Similarity.ivfTopK(s2, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Similarity.ivfTopK(root, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIndex === direct)
+  }
+}

@@ -44,17 +44,18 @@ object KernelLawsSpec extends Properties("graft kernels") {
       new GenericInternalRow(Array[Any](id, ArrayData.toArrayData(w)))
     }.toArray[Any])
 
+  /** Reference cosine with CosineSimilarity's exact unequal-length
+    * semantics: all three accumulators over the common prefix.
+    */
   private def cosRef(v: Array[Float], w: Array[Float]): Option[Double] = {
     val n = math.min(v.length, w.length)
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       dot += v(i).toDouble * w(i).toDouble
+      nx += v(i).toDouble * v(i).toDouble
+      ny += w(i).toDouble * w(i).toDouble
       i += 1
     }
-    i = 0
-    while (i < v.length) { nx += v(i).toDouble * v(i).toDouble; i += 1 }
-    i = 0
-    while (i < w.length) { ny += w(i).toDouble * w(i).toDouble; i += 1 }
     if (nx == 0.0 || ny == 0.0) None else Some(dot / (math.sqrt(nx) * math.sqrt(ny)))
   }
 
@@ -70,15 +71,16 @@ object KernelLawsSpec extends Properties("graft kernels") {
       got == topRef(v, cells, k)
     }
 
-  // norm computed over the FULL vector even when lengths differ (the
-  // common-prefix dot is CosineSimilarity's documented semantics for
-  // the dot only in the kernel's per-cell loop over min length)
-  property("CellTopK handles cells shorter/longer than the vector") =
-    Prop.forAll(genVec, Gen.chooseNum(1, 3)) { (v, k) =>
-      val cells = List(0L -> v.take(2), 1L -> (v ++ v))
+  // unequal lengths: every accumulator covers the common prefix —
+  // CosineSimilarity's exact semantics — so the ORDERING must match
+  // the reference, not just membership
+  property("CellTopK matches the reference ordering on length-mismatched cells") =
+    Prop.forAll(genVec, genVec, Gen.chooseNum(1, 3)) { (v, w, k) =>
+      val cells = List(0L -> v.take(2), 1L -> (v ++ v), 2L -> w.take(3),
+        3L -> (w ++ v), 4L -> Array.empty[Float])
       val got = CellTopK.compute(ArrayData.toArrayData(v), cellsData(cells), k)
         .toLongArray().toSeq
-      got.forall(id => id == 0L || id == 1L)
+      got == topRef(v, cells, k)
     }
 
   // ── CentroidAgg ──────────────────────────────────────────────────

@@ -63,6 +63,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.n_frames === 1L + (n % 16L))
   }
 
+  test("real BMP passes the structural header gate and decodes to actual geometry") {
+    val bytes = encode("bmp", 6, 5)
+    val m = MediaDecoder.decode(MediaPayload(7L, bytes))
+    assert(m.format === "bmp")
+    assert(m.width === 6L)
+    assert(m.height === 5L)
+  }
+
+  test("text starting with 'BM' is NOT claimed as BMP — fallback tier, oracle semantics") {
+    // 2 printable magic bytes would satisfy the JDK's BMPImageReaderSpi,
+    // which can then parse arbitrary text as a header and return garbage
+    // dims WITHOUT throwing; the structural gate must reject it so the
+    // payload stays on the byte-derived tier the oracle models
+    val bytes = "BM25 is a ranking function used by search engines".getBytes("UTF-8")
+    val m = MediaDecoder.decode(MediaPayload(6L, bytes))
+    val n = bytes.length.toLong
+    assert(m.format === "jpeg") // 'B' = 66, 66 % 3 = 0
+    assert(m.width === 64L + (n % 512L))
+    assert(m.height === 64L + ((n / 7L) % 512L))
+    assert(m.n_frames === 1L + (n % 16L))
+  }
+
   test("text payloads take the fallback tier (the oracle-checked path)") {
     val bytes = "hello multimodal world".getBytes("UTF-8")
     val m = MediaDecoder.decode(MediaPayload(5L, bytes))

@@ -28,6 +28,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sequences shard count is a conf knob (per-shard prefix sums hold at 8)") {
+    val s = spark.newSession()
+    s.conf.set(operators.Advanced.PackShardsKey, "8")
+    val rows = operators.Advanced.packSequences(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (id, shard, _, _) => shard == id % 8 })
+    // tokens_before is the within-shard prefix sum in doc_id order
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      var acc = 0L
+      rs.sortBy(_._1).foreach { case (id, _, nTok, before) =>
+        withClue(s"doc $id")(assert(before === acc))
+        acc += nTok
+      }
+    }
+  }
+
   test("merge-upsert (incremental) equals full recompute — the MERGE monoid law") {
     val full = operators.EventPatterns.clickAgg(spark, sf).collect().toSet
     val merged = operators.EventPatterns.mergeUpsert(spark, sf).collect().toSet

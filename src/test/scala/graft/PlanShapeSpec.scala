@@ -107,6 +107,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges === 1, s"\n$plan")
   }
 
+  test("unigram scoring: (doc_id, token) counts pre-aggregate BELOW the model join") {
+    // the model join must consume per-(doc, token) COUNTS, not token
+    // instances: when a real vocabulary outgrows broadcast and the
+    // join shuffles, the exchange then carries the distinct (doc,
+    // token) footprint instead of the re-tokenized corpus
+    val plan = executedPlan("text_unigram_logprob")
+    val preAgg = "HashAggregate\\(keys=\\[doc_id#\\d+L, t#\\d+\\]".r
+      .findFirstMatchIn(plan)
+    assert(preAgg.isDefined, s"\n$plan")
+    val join = "Join".r.findFirstMatchIn(plan)
+    assert(join.isDefined && join.get.start < preAgg.get.start,
+      s"pre-aggregate must sit below (print after) the join\n$plan")
+  }
+
   test("tfidf: ONE corpus scan, ONE grouped exchange, tf+df aggregate pre-shuffle") {
     val plan = executedPlan("tfidf_top_terms")
     // a single groupBy(token) computes tf and df together from the
