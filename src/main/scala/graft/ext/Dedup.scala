@@ -359,8 +359,13 @@ object Dedup {
     *  - small-star: every vertex and its smaller neighbors attach to
     *    the minimum — emit (u, m) and (v, m) for v ∈ Γ₋(u).
     * The fixpoint is a star forest: every vertex points at its
-    * component's minimum doc_id. Convergence is a scalar check
-    * (counts equal + one-sided anti-join empty); per-round state is
+    * component's minimum doc_id. Convergence is ONE scalar action per
+    * round — (count, commutative XOR of xxhash64(u,v)) over the
+    * distinct edge set — equal pairs across rounds mean an unchanged
+    * set up to a ~2⁻⁶⁴ hash-collision bound per round, the same trade
+    * [[ngramJaccard]] makes for hash-for-string equality (an exact
+    * anti-join check would cost a second join job per round for a
+    * failure mode rarer than hardware corruption). Per-round state is
     * the bounded-narrow edge list, previous round unpersisted. Hitting
     * the cap RAISES rather than returning a partial fixpoint.
     *
@@ -370,12 +375,18 @@ object Dedup {
     */
   private[graft] def starComponents(
       edgesIn: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    // (count, xor-of-hashes) fingerprint of the distinct edge set in a
+    // single action; materializes the persisted frame as a side effect
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var (edgesMat, edges) = materializeFlat(
       edgesIn.toDF("src", "dst")
         .select(greatest(col("src"), col("dst")).as("u"),
           least(col("src"), col("dst")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
-    var n = edgesMat.count()
+    var (n, chk) = fingerprint(edgesMat)
     var rounds = 0
     var converged = n == 0
     while (!converged && rounds < maxRounds) {
@@ -393,13 +404,13 @@ object Dedup {
           .filter(col("u") =!= col("v"))
           .unionByName(ssMin.select(col("u"), col("m").as("v"))) // u → m
           .distinct())
-      val cnt = nextMat.count()
-      converged = cnt == n &&
-        next.join(edges, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      val (cnt, nextChk) = fingerprint(nextMat)
+      converged = cnt == n && nextChk == chk
       edgesMat.unpersist()
       edgesMat = nextMat
       edges = next
       n = cnt
+      chk = nextChk
       rounds += 1
     }
     if (!converged && n > 0) {

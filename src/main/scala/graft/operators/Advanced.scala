@@ -193,6 +193,37 @@ object Advanced {
         (col("pos") + 1).cast("long").as("sample_rank"))
   }
 
+  /** Source balancing — the other half of mixture control next to
+    * [[sampleCapPerSource]]: downsample every source to (at most) the
+    * SMALLEST source's volume, so the output mixture is uniform across
+    * sources — the "balance the domains before weighting them" step of
+    * a pretraining recipe. Per-source keep rates are derived from the
+    * data itself (floor(1000·min/n) per mille), and WHICH documents
+    * survive is the same md5-keyed, backfill-stable hash rank as every
+    * sampler in this library — never `rand()`.
+    *
+    * Scale shape: two CARD-sized aggregations (per-source counts, then
+    * their 1-row min) broadcast back onto the corpus — the corpus
+    * itself is scanned once, never shuffled; the filter is a pure
+    * per-row projection. At 100 TB this is scan-bound like
+    * [[sampleStratified]], with the rates computed from data instead
+    * of a config map.
+    */
+  def sampleBalanceSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min(col("n")).as("m"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("source"),
+        floor(lit(1000.0) * col("m") / col("n")).cast("long").as("keep_pm"))
+    val h = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000).as("hash_mod")
+    docs.select(col("doc_id"), col("source"), h)
+      .join(broadcast(rates), "source")
+      .filter(col("hash_mod") < col("keep_pm"))
+      .select(col("doc_id"), col("source"), col("hash_mod"), col("keep_pm"))
+  }
+
   /** Tokens per packed training sequence for [[packSequences]]. */
   private val PackBudget = 256L
 
@@ -246,6 +277,19 @@ object Advanced {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "sample_balance_sources" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         mn AS (SELECT min(n) AS m FROM cnt),
+         rates AS (
+           SELECT source, CAST(floor(1000.0 * m / n) AS BIGINT) AS keep_pm
+           FROM cnt, mn)
+         SELECT d.doc_id, d.source, d.hash_mod, r.keep_pm
+         FROM (SELECT doc_id, source,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+                        AS hash_mod
+               FROM documents) d
+         JOIN rates r USING (source)
+         WHERE d.hash_mod < r.keep_pm""",
     "sample_cap_source" ->
       s"""SELECT doc_id, source, hash_key, CAST(rn AS BIGINT) AS sample_rank
           FROM (
@@ -354,6 +398,7 @@ object Advanced {
     "corpus_prep" -> corpusPrep _,
     "sample_stratified" -> sampleStratified _,
     "sample_cap_source" -> sampleCapPerSource _,
+    "sample_balance_sources" -> sampleBalanceSources _,
     "pack_sequences" -> packSequences _,
   )
 }

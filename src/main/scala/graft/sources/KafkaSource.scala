@@ -16,12 +16,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * four patterns) is broker-independent and tested via
   * MemoryStream/file replay (SURVEY.md §7.4 risk 4).
   *
-  * Resolution attempt (2026-08-13): adding
+  * Resolution attempt (2026-08-13, re-checked same day in round 5):
+  * adding
   * `"org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2" % Test`
   * fails in this offline sandbox — the artifact is absent from both
-  * the local ivy tree and the pre-warmed coursier cache
-  * (`sbt.librarymanagement.ResolveException: Not found`), so not even
-  * a plan-construction test can run here. On any cluster with the
+  * the local ivy tree and the pre-warmed coursier cache (searched
+  * `~/.cache/coursier`, `~/.ivy2`, `~/.m2`, `/opt/spark/jars`:
+  * zero kafka artifacts; `sbt.librarymanagement.ResolveException:
+  * Not found`), so not even a plan-construction test can run here. On any cluster with the
   * connector (or `--packages org.apache.spark:spark-sql-kafka-0-10_
   * 2.13:4.1.2`), `KafkaE2ESpec` exercises these builders end-to-end
   * against a real broker via `SPARK_GRAFT_KAFKA_BROKER`.

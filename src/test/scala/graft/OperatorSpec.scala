@@ -28,6 +28,26 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_balance_sources: exact hash-rank replica, smallest source kept whole") {
+    def hashMod(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perSource = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val m = perSource.values.min
+    val keepPm = perSource.map { case (s, n) => s -> (1000L * m / n) }
+    val expected = docs.filter { case (id, s) => hashMod(id) < keepPm(s) }.map(_._1).toSet
+    val out = operators.Advanced.sampleBalanceSources(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet === expected)
+    // the smallest source's rate is exactly 1000 per mille: kept whole
+    val bySource = out.map(r => (r.getString(1), r.getLong(3))).toMap
+    val smallest = perSource.minBy(_._2)._1
+    assert(bySource.get(smallest).forall(_ == 1000L))
+  }
+
   test("pack_sequences shard count is a conf knob (per-shard prefix sums hold at 8)") {
     val s = spark.newSession()
     s.conf.set(operators.Advanced.PackShardsKey, "8")
