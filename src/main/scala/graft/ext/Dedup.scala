@@ -497,7 +497,7 @@ object Dedup {
   }
 
   /** Shared oracle fragment: per-doc distinct word-5-gram shingles. */
-  private val ShingleCte =
+  private[graft] val ShingleCte =
     """sh AS (
          SELECT doc_id,
                 list_distinct(CASE WHEN len(ws) >= 5

@@ -338,6 +338,29 @@ object Similarity {
       .select(col("vec_id"), col("scale_e9"),
         array_join(transform(col("q"), _.cast("string")), ",").as("q_str"))
 
+  /** Per-vector scalar statistics — the embedding-column health check
+    * every vector pipeline runs before indexing (degenerate-vector
+    * detection, normalization auditing): L2 norm, element mean /
+    * min / max, and dimension. A pure zero-shuffle projection over one
+    * corpus scan, scan-bound at any scale like [[quantize]]. The norm
+    * runs through the codegen'd [[GraftFunctions.vectorDot]] kernel
+    * (identical index-order accumulation to the oracle's list_sum);
+    * everything is rounded at 1e-6 on DOUBLE-cast elements in both
+    * engines so float summation ulps can't reach the compare.
+    */
+  def embStats(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val asD = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(spark, sfDir).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      round(sqrt(GraftFunctions.vectorDot(col("embedding"), col("embedding"))), 6)
+        .as("l2_norm"),
+      round(aggregate(asD, lit(0.0), _ + _) / size(col("embedding")), 6).as("el_mean"),
+      round(array_min(asD), 6).as("el_min"),
+      round(array_max(asD), 6).as("el_max"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family: candidate pairs share an LSH sign bucket
     * (each vector lands in exactly one bucket ⇒ pairs are unique, no
@@ -488,6 +511,16 @@ object Similarity {
          FROM (SELECT vec_id, embedding,
                       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
                FROM embeddings)""",
+    "emb_stats" ->
+      """SELECT vec_id,
+                CAST(len(embedding) AS INTEGER) AS dim,
+                round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                     for x in embedding])), 6) AS l2_norm,
+                round(list_sum([CAST(x AS DOUBLE) for x in embedding])
+                      / len(embedding), 6) AS el_mean,
+                round(list_min([CAST(x AS DOUBLE) for x in embedding]), 6) AS el_min,
+                round(list_max([CAST(x AS DOUBLE) for x in embedding]), 6) AS el_max
+         FROM embeddings""",
     "dedup_emb_neardup" ->
       s"""WITH planes AS (
             SELECT p, list(w ORDER BY d) AS pw FROM (
@@ -518,6 +551,7 @@ object Similarity {
     "sim_ann_multiprobe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
     "sim_ivf_topk" -> ivfTopK _,
     "emb_quantize" -> quantize _,
+    "emb_stats" -> embStats _,
     "dedup_emb_neardup" -> embNearDup _,
   )
 }

@@ -276,6 +276,63 @@ object TextAnalysis {
       .getOrElse(build)
   }
 
+  /** One row per bigram instance: (doc_id, t1, t2). Docs shorter than
+    * 2 tokens contribute nothing (the `when` guard yields null and
+    * explode of null emits no rows — Spark's `sequence(2, n)` is
+    * DESCENDING for n < 2, not empty, so the guard is load-bearing).
+    */
+  private def bigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(when(size(ws) >= 2, transform(sequence(lit(2), size(ws)),
+          i => struct(element_at(ws, i - 1).as("t1"), element_at(ws, i).as("t2")))))
+          .as("b"))
+      .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+  }
+
+  /** Bigram language-model scoring — the n-gram order above
+    * [[unigramLogprob]], one step toward the 5-gram KenLM filters of
+    * CCNet-style pipelines: train conditional probabilities
+    * P(t2|t1) = c(t1,t2) / Σ c(t1,·) over the corpus, then score each
+    * document by its bigrams' average and minimum log-probability.
+    * Repetitive/templated text scores high, token-soup scores low —
+    * the discriminative signal the unigram model cannot see.
+    *
+    * Same scale discipline as the unigram form: the model is a
+    * (t1, t2, logprob) RELATION (never code), the scoring join
+    * consumes pre-aggregated per-document bigram counts so a
+    * non-broadcastable model shuffles the distinct (doc, bigram)
+    * footprint, log-probs round at 1e-9 before any aggregate, and
+    * with [[graft.IndexStore.IndexDirKey]] set the trained model
+    * persists to the warehouse bucketed on t1.
+    */
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = bigrams(spark, sfDir)
+    val docBg = bg.groupBy("doc_id", "t1", "t2").agg(count(lit(1)).as("k"))
+    docBg.join(bigramModel(spark, sfDir), Seq("t1", "t2"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("k")).as("n_bigrams"),
+        round(sum(col("lp") * col("k")) / sum(col("k")), 6).as("avg_logprob"),
+        round(min(col("lp")), 6).as("min_logprob"))
+  }
+
+  /** The trained bigram model as a (t1, t2, logprob) relation; see
+    * [[unigramModel]] for the build-once warehouse lifecycle.
+    */
+  private[graft] def bigramModel(spark: SparkSession, sfDir: String): DataFrame = {
+    def build = {
+      val c12 = bigrams(spark, sfDir)
+        .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+      val c1 = c12.groupBy("t1").agg(sum(col("c12")).as("c1"))
+      c12.join(c1, "t1")
+        .select(col("t1"), col("t2"), round(log(col("c12") / col("c1")), 9).as("lp"))
+    }
+    graft.IndexStore.resolve(spark, sfDir, "bigram_model", Some("t1"))(build)
+      .getOrElse(build)
+  }
+
   /** Corpus mixture data card — the per-(source, language) report a
     * dataset release publishes and a training run's sampling weights
     * are derived from: document count, token and character volume, and
@@ -372,6 +429,23 @@ object TextAnalysis {
                   round(min(lp), 6) AS min_logprob
            FROM tok JOIN model USING (t)
            GROUP BY doc_id""",
+      "text_bigram_logprob" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           bg AS (
+             SELECT doc_id, e.t1 AS t1, e.t2 AS t2
+             FROM (SELECT doc_id,
+                          unnest([{'t1': ws[i], 't2': ws[i+1]}
+                                  for i in range(1, len(ws))]) AS e
+                   FROM d)),
+           c12 AS (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY t1, t2),
+           c1 AS (SELECT t1, sum(c12) AS c1 FROM c12 GROUP BY t1),
+           model AS (SELECT t1, t2, round(ln(CAST(c12 AS DOUBLE) / c1), 9) AS lp
+                     FROM c12 JOIN c1 USING (t1))
+           SELECT doc_id, count(*) AS n_bigrams,
+                  round(avg(lp), 6) AS avg_logprob,
+                  round(min(lp), 6) AS min_logprob
+           FROM bg JOIN model USING (t1, t2)
+           GROUP BY doc_id""",
       "text_scrub" ->
         s"""SELECT doc_id,
                    len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
@@ -467,6 +541,7 @@ object TextAnalysis {
     "text_repetition" -> repetition _,
     "text_scrub" -> scrub _,
     "text_unigram_logprob" -> unigramLogprob _,
+    "text_bigram_logprob" -> bigramLogprob _,
     "source_mix" -> sourceMix _,
     "split_train_test" -> trainTestSplit _,
     "tfidf_top_terms" -> tfidfTopTerms _,

@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: dot product of an `array<float>` vector
-  * with an `array<double>` vector (typically a literal hyperplane),
-  * double accumulation in index order.
+  * with an `array<double>` vector (typically a literal hyperplane) or
+  * another `array<float>` vector (self/pair dot — vector norms,
+  * [[graft.ext.Similarity.embStats]]), double accumulation in index
+  * order.
   *
   * The built-in formulation `aggregate(zip_with(v, w, _*_), 0d, _+_)`
   * evaluates interpreted (higher-order functions are CodegenFallback in
@@ -20,12 +22,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def rightIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) |
+           (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<float>, array<double>), got " +
+        s"$prettyName requires (array<float>, array<double|float>), got " +
           s"(${l.simpleString}, ${r.simpleString})")
     }
   override def dataType: DataType = DoubleType
@@ -35,9 +43,14 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val yFloat = rightIsFloat
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val yi = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += x.getFloat(i).toDouble * yi
+      i += 1
+    }
     java.lang.Double.valueOf(dot)
   }
 
@@ -46,11 +59,13 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      val yGet =
+        if (rightIsFloat) s"((double) $b.getFloat($i))" else s"$b.getDouble($i)"
       s"""
         int $n = Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          $dot += ((double) $a.getFloat($i)) * $b.getDouble($i);
+          $dot += ((double) $a.getFloat($i)) * $yGet;
         }
         ${ev.value} = $dot;
       """

@@ -125,6 +125,33 @@ object Advanced {
       .join(dupLosers, Seq("doc_id"), "left_anti")
   }
 
+  /** Chain-safe corpus preparation — [[corpusPrep]] with the near-dup
+    * removal done RIGHT for transitive duplicate chains: LSH candidate
+    * pairs at est_jaccard ≥ 0.8 are resolved into connected components
+    * ([[graft.ext.Dedup.starComponents]]) and exactly one
+    * representative (the minimum doc_id) survives per cluster.
+    * Pairwise drop-the-higher-id ([[corpusPrep]]) removes BOTH b and c
+    * of a chain a–b, b–c even though a and c never matched — i.e. it
+    * over-deletes inside clusters; component resolution keeps one copy
+    * of every near-dup family, which is what "dedup" is supposed to
+    * mean for templated/boilerplate document groups. Same quality gate
+    * on top; the component labels add O(log n) bounded-narrow
+    * iteration rounds over the (tiny) filtered candidate graph.
+    */
+  def corpusPrepCc(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = graft.functions.TextAnalysis.quality(spark, sfDir)
+      .select("doc_id", "n_tokens", "quality_score")
+    val pairs = graft.ext.Dedup.minhashLsh(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val losers = graft.ext.Dedup.starComponents(pairs)._1
+      .filter(col("v") =!= col("comp"))
+      .select(col("v").as("doc_id"))
+    quality
+      .filter(col("quality_score") >= 0.3)
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Per-stratum keep rates (per mille) for [[sampleStratified]]:
     * downsample the head classes hard, keep the rare ones — the class
     * rebalancing every training-data pipeline runs before a mix.
@@ -312,6 +339,42 @@ object Advanced {
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                      AS BIGINT) AS tokens_before
             FROM documents)""",
+    "corpus_prep_cc" ->
+      s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
+          mh AS (
+            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+            FROM ex, range(16) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+            FROM sig, range(4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+          candf AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+            WHERE CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16 >= 0.8),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM candf
+                    UNION ALL
+                    SELECT doc_b AS src, doc_a AS dst FROM candf),
+          verts AS (SELECT DISTINCT src AS v FROM edges),
+          reach(v, r) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+          losers AS (
+            SELECT v AS doc_id FROM reach GROUP BY v HAVING v != min(r)),
+          q AS (
+            SELECT doc_id, len(ws) AS n_tokens,
+                   least(1.0, CAST(len(ws) AS DOUBLE) / 256.0) *
+                   (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws))
+                     AS quality_score
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+          SELECT doc_id, n_tokens, quality_score FROM q
+          WHERE quality_score >= 0.3
+            AND doc_id NOT IN (SELECT doc_id FROM losers)""",
     "sample_stratified" -> {
       val rateCase = SampleRatePerMille
         .map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
@@ -396,6 +459,7 @@ object Advanced {
     "sessionize" -> sessionize _,
     "emb_label_centroids" -> embLabelCentroids _,
     "corpus_prep" -> corpusPrep _,
+    "corpus_prep_cc" -> corpusPrepCc _,
     "sample_stratified" -> sampleStratified _,
     "sample_cap_source" -> sampleCapPerSource _,
     "sample_balance_sources" -> sampleBalanceSources _,
