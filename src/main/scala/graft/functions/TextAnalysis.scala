@@ -230,12 +230,17 @@ object TextAnalysis {
     * cannot reach the aggregate.
     *
     * Scoring joins the model against PER-DOCUMENT TOKEN COUNTS
-    * (doc_id, t, k), not raw token instances: when a real corpus's
-    * vocabulary outgrows broadcast and the model join becomes a
-    * shuffle join, the join exchange then carries one row per DISTINCT
-    * (doc, token) pair instead of one per token instance — the
-    * difference between shuffling the deduplicated vocabulary
-    * footprint and re-shuffling the whole tokenized corpus. The
+    * (doc_id, token-hash, k), not raw token instances: when a real
+    * corpus's vocabulary outgrows broadcast and the model join becomes
+    * a shuffle join, the join exchange then carries one row per
+    * DISTINCT (doc, token) pair instead of one per token instance —
+    * the difference between shuffling the deduplicated vocabulary
+    * footprint and re-shuffling the whole tokenized corpus. Tokens
+    * collapse to 64-bit `xxhash64` keys on BOTH sides before the
+    * pre-aggregate and the join, so every exchange carries 16-byte
+    * rows instead of strings — the same hash-for-string-equality trade
+    * as [[graft.ext.Dedup.ngramJaccard]] (≈2⁻⁶⁴ per vocabulary pair);
+    * the persisted model keeps the human-readable token strings. The
     * per-doc aggregate reconstructs the instance-weighted average as
     * Σ lp·k / Σ k.
     */
@@ -243,8 +248,11 @@ object TextAnalysis {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(words(col("text"))).as("t"))
     // pre-aggregate BELOW the model join (asserted in PlanShapeSpec)
-    val docTok = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("k"))
-    docTok.join(unigramModel(spark, sfDir), "t")
+    val docTok = tok.select(col("doc_id"), xxhash64(col("t")).as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("k"))
+    val model = unigramModel(spark, sfDir)
+      .select(xxhash64(col("t")).as("th"), col("lp"))
+    docTok.join(model, "th")
       .groupBy("doc_id")
       .agg(
         sum(col("k")).as("n_tokens"),
@@ -308,9 +316,15 @@ object TextAnalysis {
     * persists to the warehouse bucketed on t1.
     */
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
-    val bg = bigrams(spark, sfDir)
-    val docBg = bg.groupBy("doc_id", "t1", "t2").agg(count(lit(1)).as("k"))
-    docBg.join(bigramModel(spark, sfDir), Seq("t1", "t2"))
+    // bigrams collapse to 64-bit keys before the pre-aggregate and the
+    // model join — see [[unigramLogprob]] for the exchange-width
+    // rationale; the persisted model keeps the token strings
+    val docBg = bigrams(spark, sfDir)
+      .select(col("doc_id"), xxhash64(col("t1"), col("t2")).as("bh"))
+      .groupBy("doc_id", "bh").agg(count(lit(1)).as("k"))
+    val model = bigramModel(spark, sfDir)
+      .select(xxhash64(col("t1"), col("t2")).as("bh"), col("lp"))
+    docBg.join(model, "bh")
       .groupBy("doc_id")
       .agg(
         sum(col("k")).as("n_bigrams"),

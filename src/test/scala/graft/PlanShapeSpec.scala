@@ -113,7 +113,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // join shuffles, the exchange then carries the distinct (doc,
     // token) footprint instead of the re-tokenized corpus
     val plan = executedPlan("text_unigram_logprob")
-    val preAgg = "HashAggregate\\(keys=\\[doc_id#\\d+L, t#\\d+\\]".r
+    val preAgg = "HashAggregate\\(keys=\\[doc_id#\\d+L, th#\\d+L\\]".r
       .findFirstMatchIn(plan)
     assert(preAgg.isDefined, s"\n$plan")
     val join = "Join".r.findFirstMatchIn(plan)
