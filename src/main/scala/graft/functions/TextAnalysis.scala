@@ -245,10 +245,13 @@ object TextAnalysis {
     * Σ lp·k / Σ k.
     */
   def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
-    val tok = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(words(col("text"))).as("t"))
-    // pre-aggregate BELOW the model join (asserted in PlanShapeSpec)
-    val docTok = tok.select(col("doc_id"), xxhash64(col("t")).as("th"))
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.shingleInstanceHashes
+    // pre-aggregate BELOW the model join (asserted in PlanShapeSpec);
+    // token hashing runs in the one-pass compiled kernel (each hash =
+    // xxhash64 of the word's byte span = xxhash64 of the word string)
+    val docTok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingleInstanceHashes(col("text"), 1)).as("th"))
       .groupBy("doc_id", "th").agg(count(lit(1)).as("k"))
     val model = unigramModel(spark, sfDir)
       .select(xxhash64(col("t")).as("th"), col("lp"))
@@ -316,14 +319,20 @@ object TextAnalysis {
     * persists to the warehouse bucketed on t1.
     */
   def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.shingleInstanceHashes
     // bigrams collapse to 64-bit keys before the pre-aggregate and the
     // model join — see [[unigramLogprob]] for the exchange-width
-    // rationale; the persisted model keeps the token strings
-    val docBg = bigrams(spark, sfDir)
-      .select(col("doc_id"), xxhash64(col("t1"), col("t2")).as("bh"))
+    // rationale; the scoring side extracts every bigram instance's
+    // hash in the one-pass compiled kernel (hash of the "t1 t2" byte
+    // span), the model side keys on the equal
+    // xxhash64(concat_ws(" ", t1, t2)); the persisted model keeps the
+    // token strings
+    val docBg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingleInstanceHashes(col("text"), 2)).as("bh"))
       .groupBy("doc_id", "bh").agg(count(lit(1)).as("k"))
     val model = bigramModel(spark, sfDir)
-      .select(xxhash64(col("t1"), col("t2")).as("bh"), col("lp"))
+      .select(xxhash64(concat_ws(" ", col("t1"), col("t2"))).as("bh"), col("lp"))
     docBg.join(model, "bh")
       .groupBy("doc_id")
       .agg(

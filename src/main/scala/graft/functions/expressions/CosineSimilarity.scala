@@ -106,8 +106,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShingleName, {
         case Seq(text) => ShingleHashes(text, 5)
+        case Seq(text, n) => ShingleHashes(text, n.eval().asInstanceOf[Int])
         case exprs => ShingleHashes(exprs(0),
-          exprs(1).eval().asInstanceOf[Int])
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Boolean])
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CellTopName, exprs => CellTopK(exprs(0), exprs(1),
@@ -131,6 +133,14 @@ object GraftFunctions {
     */
   def shingleHashes(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function(ShingleName, text)
+
+  /** Column-API handle: `shingleInstanceHashes($"text", n)` — EVERY
+    * word n-gram instance's xxhash64 in document order (no dedup);
+    * each value equals `xxhash64(concat_ws(" ", w_i…w_{i+n-1}))`.
+    */
+  def shingleInstanceHashes(text: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(ShingleName, text,
+      org.apache.spark.sql.functions.lit(n), org.apache.spark.sql.functions.lit(false))
 
   /** Column-API handle: `cellTopK($"embedding", $"qcells", k)` — top-k
     * quantizer cells by (cosine DESC, cell ASC).

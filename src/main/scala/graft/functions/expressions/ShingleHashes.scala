@@ -32,8 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns null for texts with fewer than `n` words (mirroring the
   * `when(size(ws) >= n, ...)` guard of the declarative form);
   * duplicate shingles keep first-occurrence order.
+  *
+  * `distinct = false` emits EVERY n-gram instance's hash in document
+  * order (no dedup pass) — the per-instance shape LM scoring needs
+  * ([[graft.functions.TextAnalysis.unigramLogprob]]/`bigramLogprob`),
+  * where each hash equals `xxhash64(concat_ws(" ", w_i, …, w_{i+n-1}))`
+  * by the same byte-span identity.
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -46,13 +52,13 @@ case class ShingleHashes(child: Expression, n: Int)
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = ShingleHashes.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-        ${ev.value} = $cls.compute($c, $n);
+        ${ev.value} = $cls.compute($c, $n, $distinct);
         if (${ev.value} == null) { ${ev.isNull} = true; }
       """
     })
@@ -69,7 +75,9 @@ object ShingleHashes {
     * dedup into an open-addressed long set (first-occurrence order).
     * Null when the text has fewer than n words.
     */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int): ArrayData = compute(text, n, true)
+
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val len = text.numBytes()
@@ -90,6 +98,18 @@ object ShingleHashes {
       i += 1
     }
     ends(w) = len
+    if (!distinct) {
+      // per-instance mode: every n-gram hash in document order
+      val out = new Array[Long](shingles)
+      var s = 0
+      while (s < shingles) {
+        val start = if (s == 0) 0 else ends(s - 1) + 1
+        val end = ends(s + n - 1)
+        out(s) = XXH64.hashUnsafeBytes(base, off + start, end - start, Seed)
+        s += 1
+      }
+      return ArrayData.toArrayData(out)
+    }
     // open-addressed set sized to the next power of two >= 2x load
     var cap = 4
     while (cap < shingles * 2) cap <<= 1

@@ -29,8 +29,13 @@ class InvarianceSpec extends AnyFunSuite {
     "stats_corr",           // exact integer moments — THE invariance claim
     "join_interval",        // equi+interval join
     "pack_sequences",       // per-shard prefix sum (window over total order)
-    "dedup_components",     // iterative min-label propagation fixpoint
+    "dedup_components",     // iterative star-contraction fixpoint
     "text_unigram_logprob", // model-as-data scoring join + rounded logs
+    "text_bigram_logprob",  // hash-keyed conditional-LM scoring
+    "sample_cap_source",    // bounded-heap per-source capping
+    "sample_balance_sources", // data-derived per-mille rates
+    "corpus_prep_cc",       // component-resolved near-dup removal
+    "emb_stats",            // per-vector scalar folds
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {

@@ -492,6 +492,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(diff.count() === 0)
   }
 
+  test("shingle instance hashes equal xxhash64 of the joined n-gram strings") {
+    GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.shingleInstanceHashes
+    val docs = Tables.documents(spark, sf).limit(50)
+    // n=2: kernel vs xxhash64(concat_ws(" ", w_i, w_{i+1})) per instance
+    val ws = split(col("text"), " ")
+    val declarative2 = when(size(ws) >= 2, transform(sequence(lit(2), size(ws)),
+      i => xxhash64(concat_ws(" ", element_at(ws, i - 1), element_at(ws, i)))))
+    assert(docs.select(
+      (shingleInstanceHashes(col("text"), 2) === declarative2).as("eq"))
+      .filter(!col("eq")).count() === 0)
+    // n=1: kernel vs xxhash64 of each split token, order preserved
+    val declarative1 = transform(ws, w => xxhash64(w))
+    assert(docs.select(
+      (shingleInstanceHashes(col("text"), 1) === declarative1).as("eq"))
+      .filter(!col("eq")).count() === 0)
+  }
+
   test("cell_top_k kernel equals the declarative sort_array(transform(...)) form") {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sf)
