@@ -299,9 +299,13 @@ object Dedup {
     * after ~10 rounds. The flat view reads the cached blocks through a
     * LogicalRDD, so downstream plans start from a leaf.
     */
-  private def materializeFlat(df: DataFrame): (DataFrame, DataFrame) = {
+  private def materializeFlat(df: DataFrame): (DataFrame, DataFrame) =
+    materializeFlat(df, df.sparkSession)
+
+  private def materializeFlat(
+      df: DataFrame, session: SparkSession): (DataFrame, DataFrame) = {
     val mat = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val flat = df.sparkSession.createDataFrame(mat.rdd, mat.schema)
+    val flat = session.createDataFrame(mat.rdd, mat.schema)
     (mat, flat)
   }
 
@@ -373,6 +377,11 @@ object Dedup {
     * labels frame is handed back unpersisted with checkpointed
     * lineage, iteration state cleaned up internally.
     */
+  /** Target edge rows per shuffle partition inside a
+    * [[starComponents]] round (~16-24 B/row ⇒ a few tens of MB).
+    */
+  private val EdgeRowsPerPartition = 1L << 21
+
   private[graft] def starComponents(
       edgesIn: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
     // (count, xor-of-hashes) fingerprint of the distinct edge set in a
@@ -381,29 +390,55 @@ object Dedup {
       val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var (edgesMat, edges) = materializeFlat(
+    // Round shuffles are sized from the EXACTLY-known edge count of
+    // the previous round (the fingerprint action already paid for it):
+    // star contraction shrinks the frame geometrically, and re-running
+    // a 25-row round at the session's full shuffle width is pure stage
+    // overhead locally and wasted empty tasks on a cluster — the same
+    // re-sizing AQE performs from runtime stats, here from an exact
+    // count. The iteration runs on a CLONED session so the sizing
+    // never touches the caller's spark.sql.shuffle.partitions; cache
+    // blocks are SparkContext-level, so persisted rounds are shared.
+    val owner = edgesIn.sparkSession
+    val iter = owner.newSession()
+    val maxParts = owner.sessionState.conf.numShufflePartitions.toLong
+    def roundParts(edgeCount: Long): Int =
+      math.max(1L, math.min(maxParts,
+        edgeCount / EdgeRowsPerPartition + 1)).toInt
+    val (edgesMat0, _) = materializeFlat(
       edgesIn.toDF("src", "dst")
         .select(greatest(col("src"), col("dst")).as("u"),
           least(col("src"), col("dst")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
+    var edgesMat = edgesMat0
+    var edges = iter.createDataFrame(edgesMat.rdd, edgesMat.schema)
     var (n, chk) = fingerprint(edgesMat)
     var rounds = 0
     var converged = n == 0
     while (!converged && rounds < maxRounds) {
-      // large-star over the symmetric adjacency
+      val parts = roundParts(n)
+      iter.conf.set("spark.sql.shuffle.partitions", parts)
+      // large-star over the symmetric adjacency; ONE explicit exchange
+      // on u serves both the neighbor-min aggregate and the join probe
+      // (identical exchange subtrees → ReusedExchange), where separate
+      // groupBy/join planning would shuffle the adjacency twice
       val sym = edges.unionByName(
         edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(parts, col("u"))
       val lsMin = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
       val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m ⇒ canonical
-      // small-star over the (big, small)-oriented result
+        .repartition(parts, col("u"))
+      // small-star over the (big, small)-oriented result — same
+      // one-exchange-for-both shape
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
       val (nextMat, next) = materializeFlat(
         ls.join(ssMin, "u")
           .select(col("v").as("u"), col("m").as("v")) // smaller neighbor → m
           .filter(col("u") =!= col("v"))
           .unionByName(ssMin.select(col("u"), col("m").as("v"))) // u → m
-          .distinct())
+          .repartition(parts, col("u"), col("v"))
+          .distinct(), iter)
       val (cnt, nextChk) = fingerprint(nextMat)
       converged = cnt == n && nextChk == chk
       edgesMat.unpersist()
@@ -421,7 +456,10 @@ object Dedup {
     val labels = edges.select(col("u").as("v"), col("v").as("comp"))
       .unionByName(
         edges.select(col("v")).distinct().select(col("v"), col("v").as("comp")))
-    val out = labels.localCheckpoint(true)
+    // hand the result back ON THE CALLER'S session (downstream plans
+    // must use its conf, not the iteration clone's narrowed shuffles)
+    val labelsChk = labels.localCheckpoint(true)
+    val out = owner.createDataFrame(labelsChk.rdd, labelsChk.schema)
     edgesMat.unpersist()
     (out, rounds)
   }
