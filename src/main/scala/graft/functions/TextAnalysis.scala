@@ -356,6 +356,94 @@ object TextAnalysis {
       .getOrElse(build)
   }
 
+  /** Minimum corpus frequency for a token to count as in-vocabulary
+    * in [[oovRate]]; below it a token is "rare" (typo, token soup,
+    * boilerplate id) and counts toward the document's OOV mass.
+    */
+  private[graft] val OovMinCount = 3L
+
+  /** Rare-token (out-of-vocabulary) rate — the vocabulary-coverage
+    * quality signal next to [[unigramLogprob]]: a document whose token
+    * mass is dominated by corpus-rare tokens is token soup, OCR noise,
+    * or boilerplate identifiers, and a tokenizer trained on the corpus
+    * will shatter it. Reports per document the token count, the number
+    * of instances of tokens with corpus frequency < [[OovMinCount]],
+    * and the rare fraction as an integer PER-MILLE
+    * (`n_rare·1000 div n_tokens`) — all-integer arithmetic, so the
+    * oracle comparison carries zero float risk.
+    *
+    * Scale shape is [[unigramLogprob]]'s: both sides collapse tokens
+    * to 64-bit hashes in the compiled shingle kernel, the scoring side
+    * pre-aggregates per-document counts below the join, and the
+    * frequency table is a hash-keyed relation the planner broadcasts
+    * while it fits and shuffle-joins (distinct (doc, token) footprint,
+    * not token instances) when a real vocabulary outgrows it.
+    */
+  def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.shingleInstanceHashes
+    val docTok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingleInstanceHashes(col("text"), 1)).as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("k"))
+    val tf = Tables.documents(spark, sfDir)
+      .select(explode(shingleInstanceHashes(col("text"), 1)).as("th"))
+      .groupBy("th").agg(count(lit(1)).as("c"))
+    // every token matches (tf is built from the same corpus) — inner
+    // join loses nothing and keeps the probe side streamable
+    docTok.join(tf, "th")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("k")).as("n_tokens"),
+        sum(when(col("c") < OovMinCount, col("k")).otherwise(lit(0L))).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        expr("n_rare * 1000 div n_tokens").as("rare_pm"))
+  }
+
+  /** Winnowing shingle length (k words) and window width for
+    * [[winnow]]; the scheme guarantees any shared run of
+    * k + w − 1 = 6 tokens produces at least one common fingerprint.
+    */
+  private[graft] val WinnowK = 3
+  private[graft] val WinnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03; the MOSS scheme): hash every [[WinnowK]]-word shingle,
+    * slide a [[WinnowW]]-wide window over the hash sequence, keep each
+    * window's MINIMUM, emit the distinct selections as the document's
+    * fingerprint set. Unlike [[fingerprint]]'s single global min-hash,
+    * the selection is POSITION-LOCAL: two documents sharing any
+    * k+w−1-token run share a fingerprint, which makes the inverted
+    * (fingerprint → docs) index the partial-overlap/plagiarism
+    * detector that whole-document MinHash cannot be. Hashes are 60-bit
+    * md5-derived ints (the engine-portable keyed hash used by every
+    * sampler here), so the fingerprint VALUES — not just the pairing
+    * decisions — are oracle-checkable.
+    *
+    * Scale shape: one zero-shuffle projection per document (the hash
+    * array materializes ONCE per row before windowing — the windowed
+    * min re-slices a computed array, never re-hashes) followed by an
+    * explode; output volume is ≤ one row per shingle and typically
+    * ~2/(w+1) of that (the expected winnowing density). Building the
+    * inverted index from it is one corpus-wide exchange on a 64-bit
+    * key, the same blocked-join discipline as
+    * [[graft.ext.Dedup.ngramJaccard]].
+    */
+  def winnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val hs = when(size(ws) >= WinnowK,
+      transform(sequence(lit(1), size(ws) - (WinnowK - 1)),
+        i => conv(substring(md5(concat_ws(" ", slice(ws, i, lit(WinnowK)))), 1, 15),
+          16, 10).cast("long")))
+    val nWin = greatest(size(col("hs")) - (WinnowW - 1), lit(1))
+    val fps = array_distinct(transform(sequence(lit(1), nWin),
+      i => array_min(slice(col("hs"), i, lit(WinnowW)))))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        explode(when(col("hs").isNotNull, fps)).as("fingerprint"))
+  }
+
   /** Corpus mixture data card — the per-(source, language) report a
     * dataset release publishes and a training run's sampling weights
     * are derived from: document count, token and character volume, and
@@ -544,6 +632,30 @@ object TextAnalysis {
                   coalesce(bgc.top_bigram_count, 0) AS top_bigram_count,
                   runs.max_token_run
            FROM d LEFT JOIN bgc USING (doc_id) JOIN runs USING (doc_id)""",
+      "text_oov_rate" ->
+        s"""WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+            tf AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(count(*) FILTER (WHERE c < $OovMinCount) AS BIGINT) AS n_rare,
+                   (CAST(count(*) FILTER (WHERE c < $OovMinCount) AS BIGINT) * 1000)
+                     // count(*) AS rare_pm
+            FROM tok JOIN tf USING (t)
+            GROUP BY doc_id""",
+      "text_winnow" ->
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            h AS (
+              SELECT doc_id,
+                     [('0x' || substr(md5(array_to_string(ws[i:i+${WinnowK - 1}], ' ')), 1, 15))::BIGINT
+                      for i in range(1, len(ws) - ${WinnowK - 2})] AS hs
+              FROM d WHERE len(ws) >= $WinnowK)
+            SELECT doc_id,
+                   unnest(list_distinct(
+                     [list_min(hs[i:i+${WinnowW - 1}])
+                      for i in range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1)]))
+                     AS fingerprint
+            FROM h""",
       "text_fingerprint" ->
         """SELECT doc_id,
                   md5(text) AS md5_full,
@@ -565,6 +677,8 @@ object TextAnalysis {
     "text_scrub" -> scrub _,
     "text_unigram_logprob" -> unigramLogprob _,
     "text_bigram_logprob" -> bigramLogprob _,
+    "text_oov_rate" -> oovRate _,
+    "text_winnow" -> winnow _,
     "source_mix" -> sourceMix _,
     "split_train_test" -> trainTestSplit _,
     "tfidf_top_terms" -> tfidfTopTerms _,

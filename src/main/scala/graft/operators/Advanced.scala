@@ -251,6 +251,41 @@ object Advanced {
       .select(col("doc_id"), col("source"), col("hash_mod"), col("keep_pm"))
   }
 
+  /** Temperature-flattened source mixing — the third mixture-control
+    * op next to [[sampleCapPerSource]] (hard cap) and
+    * [[sampleBalanceSources]] (full flattening): per-source keep rates
+    * follow α-temperature sampling with α = 1/2 — the standard
+    * multilingual/multi-domain recipe where target share ∝ n^α, so
+    * large sources are downsampled sublinearly instead of truncated to
+    * the minimum. The kept fraction is √(min/n): the smallest source
+    * keeps everything, a source 100× larger keeps 10× the minimum's
+    * volume (not 1×, as balancing would). α = 1/2 is not just the
+    * common default — `sqrt` is correctly rounded under IEEE 754, so
+    * the derived per-mille rates are bit-identical across engines
+    * where a general `pow(x, α)` would carry libm ulp risk.
+    *
+    * Same scale shape as [[sampleBalanceSources]]: two card-sized
+    * aggregations broadcast back onto a single corpus scan, selection
+    * by the md5 hash-rank every sampler here uses — deterministic and
+    * backfill-stable, never `rand()`.
+    */
+  def sampleTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val minN = counts.agg(min(col("n")).as("m"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("source"),
+        floor(lit(1000.0) *
+          sqrt(col("m").cast("double") / col("n").cast("double")))
+          .cast("long").as("keep_pm"))
+    val h = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000).as("hash_mod")
+    docs.select(col("doc_id"), col("source"), h)
+      .join(broadcast(rates), "source")
+      .filter(col("hash_mod") < col("keep_pm"))
+      .select(col("doc_id"), col("source"), col("hash_mod"), col("keep_pm"))
+  }
+
   /** Tokens per packed training sequence for [[packSequences]]. */
   private val PackBudget = 256L
 
@@ -304,6 +339,21 @@ object Advanced {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "sample_temperature" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         mn AS (SELECT min(n) AS m FROM cnt),
+         rates AS (
+           SELECT source,
+                  CAST(floor(1000.0 * sqrt(CAST(m AS DOUBLE) / CAST(n AS DOUBLE)))
+                    AS BIGINT) AS keep_pm
+           FROM cnt, mn)
+         SELECT d.doc_id, d.source, d.hash_mod, r.keep_pm
+         FROM (SELECT doc_id, source,
+                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+                        AS hash_mod
+               FROM documents) d
+         JOIN rates r USING (source)
+         WHERE d.hash_mod < r.keep_pm""",
     "sample_balance_sources" ->
       """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
          mn AS (SELECT min(n) AS m FROM cnt),
@@ -463,6 +513,7 @@ object Advanced {
     "sample_stratified" -> sampleStratified _,
     "sample_cap_source" -> sampleCapPerSource _,
     "sample_balance_sources" -> sampleBalanceSources _,
+    "sample_temperature" -> sampleTemperature _,
     "pack_sequences" -> packSequences _,
   )
 }

@@ -36,6 +36,7 @@ class InvarianceSpec extends AnyFunSuite {
     "sample_balance_sources", // data-derived per-mille rates
     "corpus_prep_cc",       // component-resolved near-dup removal
     "emb_stats",            // per-vector scalar folds
+    "text_winnow",          // windowed-min fingerprint selection
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {

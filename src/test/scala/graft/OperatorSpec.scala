@@ -362,6 +362,61 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(3L) === ((0, 0, "no pii in this perfectly ordinary sentence")))
   }
 
+  test("text_winnow: shared k+w-1 run guarantees a shared fingerprint; short docs emit none") {
+    val dir = TestSpark.tmpDir("winnow")
+    // docs 1 and 2 share exactly the 6-token run "c d e f g h"
+    // (k + w - 1 = 3 + 4 - 1 = 6) — the winnowing guarantee says they
+    // MUST share at least one fingerprint; doc 3 is below the shingle
+    // length and must emit nothing
+    Seq(
+      (1L, "a b c d e f g h", "en", "s", 0L),
+      (2L, "zz qq c d e f g h yy", "en", "s", 0L),
+      (3L, "one two", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = functions.TextAnalysis.winnow(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert(!byDoc.contains(3L))
+    // selection density: ≤ one fingerprint per window, distinct per doc
+    assert(byDoc(1L).size <= 6 - 4 + 1 + 1) // s=6 shingles, w=4 → ≤ 3 windows (+1 slack not needed)
+    assert(got.length === got.toSet.size)
+  }
+
+  test("text_oov_rate: instances of corpus-rare tokens counted, per-mille is exact") {
+    val dir = TestSpark.tmpDir("oov")
+    // corpus frequencies: cat=6 (in-vocab), dog=2 (<3 rare), ant=1 (rare)
+    Seq(
+      (1L, "cat cat dog", "en", "s", 0L),
+      (2L, "cat cat cat dog ant", "en", "s", 0L),
+      (3L, "cat", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = functions.TextAnalysis.oovRate(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((3L, 1L, 333L)))
+    assert(got(2L) === ((5L, 2L, 400L)))
+    assert(got(3L) === ((1L, 0L, 0L)))
+  }
+
+  test("sample_temperature: sqrt-flattened rates — min source kept fully, large source at sqrt") {
+    val dir = TestSpark.tmpDir("temp")
+    // A: 400 docs, B: 100 docs → keep_pm(A) = floor(1000·sqrt(100/400)) = 500,
+    // keep_pm(B) = 1000 (smallest source keeps everything)
+    val rows = (1L to 400L).map(i => (i, s"doc $i", "en", "A", 0L)) ++
+      (1000L to 1099L).map(i => (i, s"doc $i", "en", "B", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Advanced.sampleTemperature(spark, dir).collect()
+    val bySource = got.groupBy(_.getString(1))
+    assert(bySource("B").length === 100) // all of the smallest source
+    assert(got.filter(_.getString(1) == "A").forall(_.getLong(3) == 500L))
+    assert(got.filter(_.getString(1) == "B").forall(_.getLong(3) == 1000L))
+    val aKept = bySource("A").length
+    assert(aKept > 0 && aKept < 400) // strictly downsampled, not truncated
+  }
+
   test("min-label propagation: chains collapse to one component, keepers are minima") {
     // chain 1-2-3-4 (diameter 3: needs multiple rounds), pair 10-11,
     // and an isolated pairless vertex never appears (no edges -> no row)
