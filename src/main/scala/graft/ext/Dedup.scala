@@ -136,6 +136,56 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Fingerprint document-frequency cap and minimum shared-fingerprint
+    * threshold for [[winnowPairs]] — same roles as
+    * [[DefaultMaxShingleDf]] / the Jaccard floor in [[ngramJaccard]].
+    */
+  private[graft] val WinnowDfCap = 64
+  private[graft] val WinnowMinShared = 2L
+
+  /** Cached per-corpus winnowing fingerprints (corpus-sized ⇒
+    * DISK_ONLY under the storage-level rule, or warehouse-bucketed on
+    * the join key with [[graft.IndexStore.IndexDirKey]] set — the same
+    * lifecycle as [[explodedShingleHashes]]).
+    */
+  private val winnowCache = new graft.SessionCache[DataFrame]
+
+  private[graft] def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    winnowCache.getOrElseUpdate(spark, sfDir) {
+      def build = graft.functions.TextAnalysis.winnow(spark, sfDir)
+      graft.IndexStore.resolve(spark, sfDir, "winnow_fp", Some("fingerprint"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
+
+  /** Partial-overlap near-dup pairs over WINNOWING fingerprints
+    * ([[graft.functions.TextAnalysis.winnow]]) — the inverted-index
+    * join MOSS runs: two documents pair when they share ≥
+    * [[WinnowMinShared]] fingerprints, i.e. (by the winnowing
+    * guarantee) when they share token runs of length k+w−1. This
+    * catches LOCAL overlap — a copied paragraph inside otherwise
+    * unrelated documents — that whole-document MinHash/Jaccard
+    * dilutes below threshold.
+    *
+    * Scale shape is [[ngramJaccard]]'s: fingerprints whose document
+    * frequency exceeds [[WinnowDfCap]] are dropped before the
+    * self-join (boilerplate selections would otherwise square), so
+    * join output is ≤ |fingerprints|·cap — linear in the corpus, never
+    * all-pairs; the pair aggregation is map-side partial over 24-byte
+    * rows.
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = winnowFingerprints(spark, sfDir)
+    val hot = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      .filter(col("df") > WinnowDfCap)
+      .select("fingerprint")
+    val kept = fp.join(hot, Seq("fingerprint"), "left_anti")
+    val l = kept.select(col("fingerprint"), col("doc_id").as("doc_a"))
+    val r = kept.select(col("fingerprint").as("fp_r"), col("doc_id").as("doc_b"))
+    l.join(r, col("fingerprint") === col("fp_r") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= WinnowMinShared)
+  }
+
   /** Stand-in benchmark set for [[decontaminate]]: docs with id below
     * this. Production passes the real eval suite as the second table —
     * the dataflow is identical.
@@ -565,6 +615,29 @@ object Dedup {
           JOIN sizes x ON doc_a = x.doc_id
           JOIN sizes y ON doc_b = y.doc_id
           WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5""",
+    "dedup_winnow_pairs" -> {
+      import graft.functions.TextAnalysis.{WinnowK, WinnowW}
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          h AS (
+            SELECT doc_id,
+                   [('0x' || substr(md5(array_to_string(ws[i:i+${WinnowK - 1}], ' ')), 1, 15))::BIGINT
+                    for i in range(1, len(ws) - ${WinnowK - 2})] AS hs
+            FROM d WHERE len(ws) >= $WinnowK),
+          f AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                     [list_min(hs[i:i+${WinnowW - 1}])
+                      for i in range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1)]))
+                     AS fingerprint
+            FROM h),
+          cold AS (SELECT fingerprint FROM f GROUP BY fingerprint
+                   HAVING count(*) <= $WinnowDfCap),
+          k AS (SELECT f.doc_id, f.fingerprint FROM f JOIN cold USING (fingerprint))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+          FROM k a JOIN k b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING count(*) >= $WinnowMinShared"""
+    },
     "decontaminate" ->
       s"""WITH $ShingleCte,
           bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < $BenchmarkDocs),
@@ -683,5 +756,6 @@ object Dedup {
     "dedup_components" -> components _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
+    "dedup_winnow_pairs" -> winnowPairs _,
   )
 }

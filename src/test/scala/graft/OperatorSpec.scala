@@ -417,6 +417,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(aKept > 0 && aKept < 400) // strictly downsampled, not truncated
   }
 
+  test("dedup_winnow_pairs: a copied paragraph pairs docs whose whole-doc overlap is tiny") {
+    val dir = TestSpark.tmpDir("winnowpairs")
+    // 14 copied tokens = two disjoint k+w-1 windows ⇒ ≥2 guaranteed
+    // shared fingerprints; the surrounding 20 tokens are disjoint, so
+    // whole-document Jaccard is far below any dedup threshold
+    val copied = (1 to 14).map(i => s"copied$i").mkString(" ")
+    Seq(
+      (1L, (1 to 20).map(i => s"alpha$i").mkString(" ") + " " + copied, "en", "s", 0L),
+      (2L, (1 to 20).map(i => s"beta$i").mkString(" ") + " " + copied, "en", "s", 0L),
+      (3L, (1 to 34).map(i => s"gamma$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = ext.Dedup.winnowPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L)) >= 2L)
+  }
+
   test("min-label propagation: chains collapse to one component, keepers are minima") {
     // chain 1-2-3-4 (diameter 3: needs multiple rounds), pair 10-11,
     // and an isolated pairless vertex never appears (no edges -> no row)
