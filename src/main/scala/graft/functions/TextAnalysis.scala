@@ -356,6 +356,45 @@ object TextAnalysis {
       .getOrElse(build)
   }
 
+  /** Keywords kept per document by [[tfidfDocTerms]]. */
+  private[graft] val DocTermsK = 3
+
+  /** Per-document keyword extraction — the top-[[DocTermsK]] tf·idf
+    * terms of every document, the tagging/topic-sketch step a corpus
+    * card or a retrieval index builds from. Complements
+    * [[tfidfTopTerms]] (corpus-global vocabulary stats) with the
+    * per-document view.
+    *
+    * Scale shape: tf is one (doc, token)-grained aggregation, idf is
+    * the vocabulary-sized relation joined hint-free (broadcast from
+    * stats while it fits), and the per-document top-K is a window over
+    * `doc_id` — a UNIFORM key with per-partition cardinality bounded
+    * by document length, so the single-reducer skew that disqualified
+    * `Window(partitionBy(source))` in
+    * [[graft.operators.Advanced.sampleCapPerSource]] cannot arise: no
+    * document is corpus-sized. Scores multiply an exact integer tf by
+    * an idf pre-rounded at 1e-6, so the 6-decimal re-round sits ~1e-10
+    * from any boundary — cross-engine exact, the [[unigramLogprob]]
+    * discipline.
+    */
+  def tfidfDocTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val td = docs.select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = td.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"),
+        round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    td.join(idf, "token")
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * col("idf"), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= DocTermsK)
+  }
+
   /** Minimum corpus frequency for a token to count as in-vocabulary
     * in [[oovRate]]; below it a token is "rare" (typo, token soup,
     * boilerplate id) and counts toward the document's OOV mass.
@@ -632,6 +671,25 @@ object TextAnalysis {
                   coalesce(bgc.top_bigram_count, 0) AS top_bigram_count,
                   runs.max_token_run
            FROM d LEFT JOIN bgc USING (doc_id) JOIN runs USING (doc_id)""",
+      "tfidf_doc_terms" ->
+        s"""WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+            td AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+            idf AS (
+              SELECT token,
+                     round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                              / count(*)), 6) AS idf
+              FROM td GROUP BY token),
+            scored AS (
+              SELECT doc_id, token, round(tf * idf, 6) AS score
+              FROM td JOIN idf USING (token)),
+            ranked AS (
+              SELECT doc_id, token, score,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, token ASC) AS INTEGER) AS rank
+              FROM scored)
+            SELECT doc_id, token, score, rank FROM ranked
+            WHERE rank <= $DocTermsK""",
       "text_oov_rate" ->
         s"""WITH tok AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -682,5 +740,6 @@ object TextAnalysis {
     "source_mix" -> sourceMix _,
     "split_train_test" -> trainTestSplit _,
     "tfidf_top_terms" -> tfidfTopTerms _,
+    "tfidf_doc_terms" -> tfidfDocTerms _,
   )
 }

@@ -356,6 +356,65 @@ object WindowedAgg {
       .start()
 }
 
+/** Trending top-K — the live "what's hot right now" feed over the
+  * windowed counts: maintain per-(window, event_type) counts in UPDATE
+  * mode (late-but-within-watermark events revise a window's ranking
+  * instead of being frozen out, unlike append mode which emits each
+  * window exactly once), upsert the revised rows into a
+  * [[VersionedStore]] with Pattern 1.1's replacement-merge idiom, and
+  * serve the per-window top-K as a derived view over the maintained
+  * counts.
+  *
+  * Scale shape: the streaming aggregation's state is bounded by the
+  * watermark exactly as in [[WindowedAgg]]; each micro-batch ships
+  * only CHANGED (window, type) rows to the sink; and the top-K view's
+  * window function partitions by `window_start` — a uniform key whose
+  * per-partition cardinality is the event-type alphabet, so no reducer
+  * ever sees more than |types| rows per window. The ranking is
+  * deterministic under ties (count DESC, type ASC).
+  */
+object Trending {
+  def start(
+      events: DataFrame,
+      store: VersionedStore,
+      checkpoint: String,
+      windowDuration: String = "1 minute",
+      lateness: String = "1 minute",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      WindowedAgg.counts(events, windowDuration, lateness)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint), trigger)
+      .foreachBatch { (changed: DataFrame, batchId: Long) =>
+        // MERGE by replacement on the composite key: changed rows
+        // carry their windows' new totals (Pattern11.start idiom)
+        val delta = changed.cache()
+        try {
+          store.transact(batchId) {
+            case None => delta
+            case Some(cur) =>
+              cur.join(delta.select("window_start", "event_type"),
+                Seq("window_start", "event_type"), "left_anti")
+                .unionByName(delta)
+          }
+        } finally { delta.unpersist(); () }
+      }
+      .start()
+
+  /** The per-window top-K ranking from the maintained counts (None
+    * before the first commit).
+    */
+  def topK(store: VersionedStore, k: Int = 3): Option[DataFrame] =
+    store.read().map { counts =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start")
+        .orderBy(col("n_events").desc, col("event_type").asc)
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+}
+
 /** Bonus pattern — stateless streaming views (reference
   * bonus_pattern.py:17-55): the topic is exposed as a scannable
   * relation; two stacked views re-derive the summary on EVERY query;

@@ -236,6 +236,35 @@ class PatternsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trending top-K: late-within-watermark events revise a window's ranking") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val store = new VersionedStore(spark, TestSpark.tmpDir("trend-store"))
+    val q = Trending.start(EventCodec.parse(input.toDF()), store,
+      TestSpark.tmpDir("trend-ckpt"))
+    try {
+      // 00:00 window: CLICK x2, VIEW x1 → CLICK leads
+      input.addData(
+        ev("2024-01-01T00:00:10.000000", "u1", "Alice", "CLICK"),
+        ev("2024-01-01T00:00:20.000000", "u2", "Bob", "CLICK"),
+        ev("2024-01-01T00:00:30.000000", "u3", "Cara", "VIEW"))
+      q.processAllAvailable()
+      val first = Trending.topK(store).get.collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+      assert(first.contains(("CLICK", 2L, 1)))
+      // two LATE but within-watermark VIEWs flip the 00:00 ranking —
+      // the revision append mode could never emit
+      input.addData(
+        ev("2024-01-01T00:00:40.000000", "u4", "Dan", "VIEW"),
+        ev("2024-01-01T00:00:50.000000", "u5", "Eve", "VIEW"))
+      q.processAllAvailable()
+      val out = Trending.topK(store).get.collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getInt(3)))
+      assert(out.contains(("2024-01-01 00:00:00.0", "VIEW", 3L, 1)))
+      assert(out.contains(("2024-01-01 00:00:00.0", "CLICK", 2L, 2)))
+    } finally q.stop()
+  }
+
   test("streaming dedup: replayed messages are dropped, state evicted by watermark") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
