@@ -365,34 +365,60 @@ object TextAnalysis {
     * [[tfidfTopTerms]] (corpus-global vocabulary stats) with the
     * per-document view.
     *
-    * Scale shape: tf is one (doc, token)-grained aggregation, idf is
-    * the vocabulary-sized relation joined hint-free (broadcast from
-    * stats while it fits), and the per-document top-K is a window over
-    * `doc_id` — a UNIFORM key with per-partition cardinality bounded
-    * by document length, so the single-reducer skew that disqualified
-    * `Window(partitionBy(source))` in
-    * [[graft.operators.Advanced.sampleCapPerSource]] cannot arise: no
-    * document is corpus-sized. Scores multiply an exact integer tf by
-    * an idf pre-rounded at 1e-6, so the 6-decimal re-round sits ~1e-10
-    * from any boundary — cross-engine exact, the [[unigramLogprob]]
-    * discipline.
+    * Scale shape — no corpus-sized STRING exchange and no global sort
+    * anywhere:
+    *  - tokens collapse to 60-bit md5 keys (the engine-portable keyed
+    *    hash, so the oracle can reproduce the tie-break) before the
+    *    per-(doc, token) tf aggregation — its exchange carries 24-byte
+    *    rows;
+    *  - the vocabulary relation (token, mh, idf) comes from ONE scan
+    *    with the [[tfidfTopTerms]] first-occurrence fold — one
+    *    vocabulary-sized exchange holds the only token strings in the
+    *    plan;
+    *  - the per-document top-K is the bounded-heap
+    *    [[graft.functions.BottomKAgg]] on (−score_e6, mh) — map-side
+    *    trimmed to K before the exchange, the
+    *    [[graft.operators.Advanced.sampleCapPerSource]] discipline
+    *    applied per document instead of a rank window's
+    *    partition-wide sort;
+    *  - token strings join back on the ≤ K·n_docs RESULT rows, not the
+    *    corpus.
+    * Scores are integer micros: score_e6 = floor(tf·idf·1e6 + 0.5)
+    * with idf pre-rounded at 1e-6 — half-up floor is bit-identical
+    * across engines, so ranking and values are cross-engine exact.
     */
   def tfidfDocTerms(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val td = docs.select(col("doc_id"), explode(words(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    def mh(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val docTok = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .select(col("doc_id"), mh(col("token")).as("mh"))
+      .groupBy("doc_id", "mh").agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val idf = td.groupBy("token").agg(count(lit(1)).as("df"))
+    // (token, mh, idf) via the sorted-array first-occurrence fold —
+    // df without a (doc, token)-grained exchange (see tfidfTopTerms)
+    val sorted = array_sort(words(col("text")))
+    val tagged = transform(sorted, (w, i) =>
+      struct(w.as("t"), coalesce(w =!= get(sorted, i - 1), lit(true)).as("f")))
+    val vocab = docs.select(explode(tagged).as("tok"))
+      .groupBy(col("tok.t").as("token"))
+      .agg(count_if(col("tok.f")).as("df"))
       .crossJoin(broadcast(nDocs))
-      .select(col("token"),
+      .select(col("token"), mh(col("token")).as("mh"),
         round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
-    td.join(idf, "token")
-      .select(col("doc_id"), col("token"),
-        round(col("tf") * col("idf"), 6).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= DocTermsK)
+    val kept = docTok.join(vocab.select("mh", "idf"), "mh")
+      .select(col("doc_id"),
+        (-floor(col("tf") * col("idf") * lit(1e6) + lit(0.5))).as("negkey"),
+        col("mh"))
+      .groupBy("doc_id")
+      .agg(graft.functions.TopK.bottomK(DocTermsK)(
+        col("negkey"), col("mh")).as("kept"))
+      .select(col("doc_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("doc_id"), col("kv._2").as("mh"),
+        (-col("kv._1")).as("score_e6"), (col("pos") + 1).as("rank"))
+    kept.join(vocab.select("mh", "token"), "mh")
+      .select(col("doc_id"), col("token"), col("score_e6"), col("rank"))
   }
 
   /** Minimum corpus frequency for a token to count as in-vocabulary
@@ -681,14 +707,16 @@ object TextAnalysis {
                               / count(*)), 6) AS idf
               FROM td GROUP BY token),
             scored AS (
-              SELECT doc_id, token, round(tf * idf, 6) AS score
+              SELECT doc_id, token,
+                     CAST(floor(tf * idf * 1e6 + 0.5) AS BIGINT) AS score_e6,
+                     ('0x' || substr(md5(token), 1, 15))::BIGINT AS mh
               FROM td JOIN idf USING (token)),
             ranked AS (
-              SELECT doc_id, token, score,
+              SELECT doc_id, token, score_e6,
                      CAST(row_number() OVER (PARTITION BY doc_id
-                       ORDER BY score DESC, token ASC) AS INTEGER) AS rank
+                       ORDER BY score_e6 DESC, mh ASC) AS INTEGER) AS rank
               FROM scored)
-            SELECT doc_id, token, score, rank FROM ranked
+            SELECT doc_id, token, score_e6, rank FROM ranked
             WHERE rank <= $DocTermsK""",
       "text_oov_rate" ->
         s"""WITH tok AS (

@@ -98,6 +98,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("partial_bottomkagg"), s"\n$plan")
   }
 
+  test("tfidf_doc_terms: bounded-heap per-doc top-K, no rank window, no global sort") {
+    // same discipline as sample_cap_source, applied per document: the
+    // heap trims to K map-side (partial ObjectHashAggregate) instead
+    // of a rank window's partition-wide sort; token strings never ride
+    // a corpus-sized exchange (the only string aggregation is the
+    // vocabulary fold)
+    val plan = executedPlan("tfidf_doc_terms")
+    assert(!plan.contains("Window"), s"\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"\n$plan")
+    assert(plan.contains("partial_bottomkagg"), s"\n$plan")
+  }
+
   test("sessionize: both windows and the session aggregate share ONE exchange") {
     // lag-window, cumsum-window, and the final groupBy all cluster by
     // user_id: a correct plan partitions once and sorts once; a second
