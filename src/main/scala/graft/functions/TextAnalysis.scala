@@ -331,8 +331,7 @@ object TextAnalysis {
     val docBg = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingleInstanceHashes(col("text"), 2)).as("bh"))
       .groupBy("doc_id", "bh").agg(count(lit(1)).as("k"))
-    val model = bigramModel(spark, sfDir)
-      .select(xxhash64(concat_ws(" ", col("t1"), col("t2"))).as("bh"), col("lp"))
+    val model = bigramScoringModel(spark, sfDir)
     docBg.join(model, "bh")
       .groupBy("doc_id")
       .agg(
@@ -354,6 +353,42 @@ object TextAnalysis {
     }
     graft.IndexStore.resolve(spark, sfDir, "bigram_model", Some("t1"))(build)
       .getOrElse(build)
+  }
+
+  /** The (bigram-hash, logprob) relation the scoring join consumes.
+    * With [[graft.IndexStore.IndexDirKey]] set it derives from the
+    * PERSISTED string model (the train-once artifact [[bigramModel]]
+    * describes — hashing a vocabulary-sized table is free next to a
+    * corpus pass). Without it, the model is trained directly on
+    * 64-bit kernel hashes: c(t1,t2) keyed by the bigram instance's
+    * hash and the P(·|t1) denominator by the instance's t1 hash —
+    * positions align (bigram i starts at word i), so both streams
+    * come from ONE compiled pass over the text, and no string ever
+    * enters an aggregate (the [[ngramJaccard]] hash-for-equality
+    * trade; a bh collision merges two bigram counts with probability
+    * ~2⁻⁶⁴ per vocabulary pair, identical to the scoring side's
+    * existing trade).
+    */
+  private def bigramScoringModel(spark: SparkSession, sfDir: String): DataFrame = {
+    if (spark.conf.getOption(graft.IndexStore.IndexDirKey).isDefined)
+      return bigramModel(spark, sfDir)
+        .select(xxhash64(concat_ws(" ", col("t1"), col("t2"))).as("bh"), col("lp"))
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.shingleInstanceHashes
+    val pairs = Tables.documents(spark, sfDir)
+      .select(shingleInstanceHashes(col("text"), 2).as("bh_arr"),
+        shingleInstanceHashes(col("text"), 1).as("uni_arr"))
+      .select(col("bh_arr"),
+        slice(col("uni_arr"), lit(1), size(col("bh_arr"))).as("h1_arr"))
+      .select(explode(arrays_zip(col("bh_arr"), col("h1_arr"))).as("p"))
+      .select(col("p.bh_arr").as("bh"), col("p.h1_arr").as("h1"))
+    // bh functionally determines h1 (its first token's hash) — min()
+    // is just the deterministic way to carry it through the aggregate
+    val c12 = pairs.groupBy("bh")
+      .agg(count(lit(1)).as("c12"), min(col("h1")).as("h1"))
+    val c1 = c12.groupBy("h1").agg(sum(col("c12")).as("c1"))
+    c12.join(c1, "h1")
+      .select(col("bh"), round(log(col("c12") / col("c1")), 9).as("lp"))
   }
 
   /** Keywords kept per document by [[tfidfDocTerms]]. */

@@ -59,6 +59,21 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(viaIndex === direct)
   }
 
+  test("bigram scoring: persisted-model path and hash-trained path score identically") {
+    // without indexDir the scoring model trains directly on kernel
+    // hashes (no strings in any aggregate); with indexDir it derives
+    // from the persisted string model — the two paths must agree
+    val dir = TestSpark.tmpDir("graft-index-bg")
+    val s1 = sessionWithIndexDir(dir)
+    graft.functions.TextAnalysis.bigramModel(s1, sf).count()
+    val s2 = sessionWithIndexDir(dir)
+    val viaIndex = graft.functions.TextAnalysis.bigramLogprob(s2, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val direct = graft.functions.TextAnalysis.bigramLogprob(root, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(viaIndex === direct)
+  }
+
   test("IVF index: quantizer + inverted file persist; search results unchanged") {
     val dir = TestSpark.tmpDir("graft-index-ivf")
     val s1 = sessionWithIndexDir(dir)
