@@ -66,20 +66,20 @@ object Similarity {
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }
 
-  /** Deterministic pseudo-random hyperplane weights in [-1, 1]:
-    * md5("p_d") → first 15 hex chars → long → % 2001 − 1000 → /1000.
+  /** Deterministic pseudo-random weight in [-1, 1] for seed string
+    * `s`: md5(s) → first 15 hex chars → long → % 2001 − 1000 → /1000.
     * Bit-for-bit reproducible in the DuckDB oracle.
     */
-  private[ext] lazy val planes: Seq[Seq[Double]] = {
-    (0 until NumPlanes).map { p =>
-      (0 until Dim).map { d =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"${p}_$d".getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString
-        ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L) - 1000L) / 1000.0
-      }
-    }
+  private def mdWeight(s: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L) - 1000L) / 1000.0
   }
+
+  private[ext] lazy val planes: Seq[Seq[Double]] =
+    (0 until NumPlanes).map { p =>
+      (0 until Dim).map(d => mdWeight(s"${p}_$d"))
+    }
 
   /** Sign-bucket of a vector: bit p set iff dot(v, plane_p) >= 0.
     * Projections run through the codegen'd [[GraftFunctions.vectorDot]]
@@ -348,6 +348,43 @@ object Similarity {
     * everything is rounded at 1e-6 on DOUBLE-cast elements in both
     * engines so float summation ulps can't reach the compare.
     */
+  /** Output dimensionality of [[rpSketch]]. */
+  private[graft] val RpDim = 16
+
+  /** Deterministic dense projection planes for [[rpSketch]] — the
+    * `rp_` seed namespace keeps them independent of the LSH sign
+    * [[planes]].
+    */
+  private[ext] lazy val rpPlanes: Seq[Seq[Double]] =
+    (0 until RpDim).map { j =>
+      (0 until Dim).map(d => mdWeight(s"rp_${j}_$d"))
+    }
+
+  /** Random-projection (Johnson–Lindenstrauss) sketch — the
+    * dimensionality-REDUCTION scale path in front of every ANN
+    * variant here: project each [[Dim]]-dim embedding onto [[RpDim]]
+    * fixed pseudo-random directions. JL says k = O(log n / ε²)
+    * projected dims preserve pairwise distances within (1 ± ε), so
+    * downstream brute-force/LSH/IVF search runs on vectors 4× smaller
+    * with bounded recall loss; the same md5-derived deterministic
+    * weights as the LSH [[planes]] (their sign-only special case)
+    * keep the sketch VALUES oracle-reproducible, and a backfill maps
+    * new vectors into the same sketch space with no stored state.
+    *
+    * Scale shape: a zero-shuffle projection — [[RpDim]] codegen'd
+    * [[GraftFunctions.vectorDot]] kernels per row against broadcast
+    * literal planes, scan-bound and embarrassingly parallel like
+    * [[quantizeInt8]].
+    */
+  def rpSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).select(
+      col("vec_id") +:
+        (0 until RpDim).map(j =>
+          round(GraftFunctions.vectorDot(col("embedding"), typedLit(rpPlanes(j))), 6)
+            .as(s"r$j")): _*)
+  }
+
   def embStats(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     val asD = transform(col("embedding"), x => x.cast("double"))
@@ -521,6 +558,25 @@ object Similarity {
                 round(list_min([CAST(x AS DOUBLE) for x in embedding]), 6) AS el_min,
                 round(list_max([CAST(x AS DOUBLE) for x in embedding]), 6) AS el_max
          FROM embeddings""",
+    "emb_rp_sketch" -> {
+      val rCols = (0 until RpDim)
+        .map(j => s"max(CASE WHEN j = $j THEN r END) AS r$j").mkString(",\n                 ")
+      s"""WITH planes AS (
+            SELECT j, list(w ORDER BY d) AS pw FROM (
+              SELECT j, d,
+                ((('0x' || substr(md5('rp_' || j::VARCHAR || '_' || d::VARCHAR), 1, 15))::BIGINT
+                  % 2001) - 1000) / 1000.0 AS w
+              FROM range($RpDim) tj(j), range($Dim) td(d))
+            GROUP BY j),
+          proj AS (
+            SELECT e.vec_id, pl.j,
+                   round(list_sum([CAST(e.embedding[i+1] AS DOUBLE) * pl.pw[i+1]
+                                   for i in range(len(e.embedding))]), 6) AS r
+            FROM embeddings e, planes pl)
+          SELECT vec_id,
+                 $rCols
+          FROM proj GROUP BY vec_id"""
+    },
     "dedup_emb_neardup" ->
       s"""WITH planes AS (
             SELECT p, list(w ORDER BY d) AS pw FROM (
@@ -552,6 +608,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopK _,
     "emb_quantize" -> quantize _,
     "emb_stats" -> embStats _,
+    "emb_rp_sketch" -> rpSketch _,
     "dedup_emb_neardup" -> embNearDup _,
   )
 }

@@ -417,6 +417,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(aKept > 0 && aKept < 400) // strictly downsampled, not truncated
   }
 
+  test("emb_rp_sketch preserves similarity structure (JL property, sampled pairs)") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val sk = ext.Similarity.rpSketch(spark, sf).filter(col("vec_id") < 40)
+      .collect().map(r => r.getLong(0) ->
+        (1 until r.length).map(r.getDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val ids = emb.keys.toSeq.sorted
+    val pairs = for (i <- ids.indices; j <- 0 until i) yield (ids(i), ids(j))
+    val orig = pairs.map { case (a, b) => cos(emb(a), emb(b)) }
+    val proj = pairs.map { case (a, b) => cos(sk(a), sk(b)) }
+    // Pearson correlation between original-space and sketch-space
+    // cosine over 780 pairs. The synthetic vectors are near-orthogonal,
+    // so a 16-of-64 sketch's projection noise (~1/√16) keeps the
+    // correlation modest (measured ≈ 0.45) — the pin is that it is
+    // decisively nonzero: a broken projection (wrong planes, wrong
+    // indexing, sign error) decorrelates to ≈ 0. Value-level
+    // correctness is the DuckDB oracle's job (hash-checked).
+    def corr(x: Seq[Double], y: Seq[Double]): Double = {
+      val n = x.size; val mx = x.sum / n; val my = y.sum / n
+      val cov = x.zip(y).map { case (a, b) => (a - mx) * (b - my) }.sum
+      cov / math.sqrt(x.map(a => (a - mx) * (a - mx)).sum *
+        y.map(b => (b - my) * (b - my)).sum)
+    }
+    assert(corr(orig, proj) > 0.3)
+  }
+
   test("dedup_winnow_pairs: a copied paragraph pairs docs whose whole-doc overlap is tiny") {
     val dir = TestSpark.tmpDir("winnowpairs")
     // 14 copied tokens = two disjoint k+w-1 windows ⇒ ≥2 guaranteed
