@@ -499,6 +499,75 @@ object TextAnalysis {
         expr("n_rare * 1000 div n_tokens").as("rare_pm"))
   }
 
+  /** Chunk size (tokens) and stride for [[chunk]]; stride < size ⇒
+    * consecutive chunks overlap by size − stride tokens.
+    */
+  private[graft] val ChunkSize = 64
+  private[graft] val ChunkStride = 48
+
+  /** Fixed-size overlapping CHUNKING — the document splitter between
+    * corpus prep and embedding/training: cut each document's token
+    * stream into [[ChunkSize]]-token windows every [[ChunkStride]]
+    * tokens (16-token overlap preserves context across boundaries —
+    * the RAG-indexing default), emitting one row per chunk with its
+    * position and text. Unlike [[packSequences]] (which concatenates
+    * ACROSS documents to fill a training budget), chunking splits
+    * WITHIN documents and never mixes sources.
+    *
+    * Scale shape: a pure per-row explode — chunk count and boundaries
+    * derive from each row's own token count, no shuffle anywhere,
+    * output rows ≈ n_tokens/stride. All-integer boundary arithmetic,
+    * so the oracle comparison is exact.
+    */
+  def chunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), ws.as("ws"), size(ws).cast("long").as("doc_tokens"))
+      // 1 chunk when the doc fits, else 1 + ceil((n - size)/stride);
+      // integer ceil via (x + stride - 1) div stride
+      .withColumn("nch", expr(
+        s"CASE WHEN doc_tokens <= $ChunkSize THEN 1L ELSE " +
+          s"(doc_tokens - $ChunkSize + ${ChunkStride - 1}) div $ChunkStride + 1 END"))
+      .select(col("doc_id"), col("ws"), col("doc_tokens"),
+        posexplode(sequence(lit(0L), col("nch") - 1)).as(Seq("pos", "chunk_id")))
+      .withColumn("n_tokens",
+        least(lit(ChunkSize.toLong),
+          col("doc_tokens") - col("chunk_id") * ChunkStride))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        concat_ws(" ", slice(col("ws"),
+          (col("chunk_id") * ChunkStride + 1).cast("int"),
+          col("n_tokens").cast("int"))).as("chunk_text"))
+  }
+
+  /** Output dimensionality of [[hashFeatures]]. */
+  private[graft] val HashFeatDim = 16
+
+  /** Feature hashing (the "hashing trick", Weinberger et al.
+    * ICML'09) — fixed-dimension bag-of-words featurization with NO
+    * vocabulary state: each token increments bucket
+    * md5₆₀(token) mod [[HashFeatDim]], so any document maps to the
+    * same [[HashFeatDim]]-dim count vector on any engine, any
+    * backfill, with no dictionary to build, ship, or version. The
+    * cheap featurizer behind linear quality classifiers and
+    * fastText-style filters; collisions fold rare features together,
+    * which is the accepted trade.
+    *
+    * Scale shape: one exchange of ~one row per document — the bucket
+    * projection is codegen'd per token instance, and the 16
+    * conditional counts partial-aggregate map-side (explode preserves
+    * row locality). All-integer output, exact cross-engine.
+    */
+  def hashFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = (conv(substring(md5(col("t")), 1, 15), 16, 10)
+      .cast("long") % HashFeatDim).as("b")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("t"))
+      .select(col("doc_id"), b)
+      .groupBy("doc_id")
+      .agg(count_if(col("b") === 0).as("f0"),
+        (1 until HashFeatDim).map(j => count_if(col("b") === j).as(s"f$j")): _*)
+  }
+
   /** Winnowing shingle length (k words) and window width for
     * [[winnow]]; the scheme guarantees any shared run of
     * k + w − 1 = 6 tokens produces at least one common fingerprint.
@@ -764,6 +833,38 @@ object TextAnalysis {
                      // count(*) AS rare_pm
             FROM tok JOIN tf USING (t)
             GROUP BY doc_id""",
+      "text_hash_features" -> {
+        val fCols = (0 until HashFeatDim)
+          .map(j => s"CAST(count(*) FILTER (WHERE b = $j) AS BIGINT) AS f$j")
+          .mkString(",\n                   ")
+        s"""SELECT doc_id,
+                   $fCols
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 15))::BIGINT % $HashFeatDim AS b
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents))
+            GROUP BY doc_id"""
+      },
+      "text_chunk" ->
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            base AS (
+              SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS doc_tokens,
+                     CASE WHEN len(ws) <= $ChunkSize THEN 1
+                          ELSE (len(ws) - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride + 1
+                     END AS nch
+              FROM d),
+            ch AS (
+              SELECT doc_id, ws, doc_tokens,
+                     unnest([i for i in range(nch)]) AS chunk_id
+              FROM base)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   least($ChunkSize, doc_tokens - chunk_id * $ChunkStride) AS n_tokens,
+                   array_to_string(
+                     ws[chunk_id * $ChunkStride + 1 :
+                        chunk_id * $ChunkStride + least($ChunkSize, doc_tokens - chunk_id * $ChunkStride)],
+                     ' ') AS chunk_text
+            FROM ch""",
       "text_winnow" ->
         s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             h AS (
@@ -800,6 +901,8 @@ object TextAnalysis {
     "text_bigram_logprob" -> bigramLogprob _,
     "text_oov_rate" -> oovRate _,
     "text_winnow" -> winnow _,
+    "text_chunk" -> chunk _,
+    "text_hash_features" -> hashFeatures _,
     "source_mix" -> sourceMix _,
     "split_train_test" -> trainTestSplit _,
     "tfidf_top_terms" -> tfidfTopTerms _,

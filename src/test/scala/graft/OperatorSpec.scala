@@ -417,6 +417,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(aKept > 0 && aKept < 400) // strictly downsampled, not truncated
   }
 
+  test("text_chunk: boundaries, overlap, and full coverage") {
+    val dir = TestSpark.tmpDir("chunk")
+    def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    Seq(
+      (1L, toks(10, "a"), "en", "s", 0L),   // fits → 1 chunk
+      (2L, toks(64, "b"), "en", "s", 0L),   // exactly ChunkSize → 1 chunk
+      (3L, toks(65, "c"), "en", "s", 0L),   // 1 over → 2 chunks
+      (4L, toks(150, "d"), "en", "s", 0L))  // 3 chunks: 1+ceil(86/48)=3
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = functions.TextAnalysis.chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got.keys.count(_._1 == 1L) === 1 && got((1L, 0L))._1 === 10L)
+    assert(got.keys.count(_._1 == 2L) === 1)
+    assert(got.keys.count(_._1 == 3L) === 2)
+    assert(got.keys.count(_._1 == 4L) === 3)
+    // doc 3: chunk 1 holds tokens 49..65 (17 tokens)
+    assert(got((3L, 1L))._1 === 17L)
+    assert(got((3L, 1L))._2.split(" ").head === "c49")
+    // overlap: doc 4 chunk 1 starts at token 49, inside chunk 0's 1..64
+    assert(got((4L, 1L))._2.split(" ").take(16).toSeq ===
+      (49 to 64).map(i => s"d$i"))
+    // coverage: stride-aligned prefixes + final chunk reconstruct the doc
+    val full = got((4L, 0L))._2.split(" ").take(48) ++
+      got((4L, 1L))._2.split(" ").take(48) ++ got((4L, 2L))._2.split(" ")
+    assert(full.toSeq === (1 to 150).map(i => s"d$i"))
+  }
+
+  test("text_hash_features: counts land in md5 buckets, row sums equal token counts") {
+    val dir = TestSpark.tmpDir("hashfeat")
+    Seq(
+      (1L, "x x x", "en", "s", 0L),
+      (2L, (1 to 10).map(i => s"w$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = functions.TextAnalysis.hashFeatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    // a single repeated token: all mass in ONE bucket
+    assert(got(1L).sum === 3L && got(1L).max === 3L)
+    assert(got(2L).sum === 10L)
+  }
+
   test("emb_rp_sketch preserves similarity structure (JL property, sampled pairs)") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
       .collect().map(r => r.getLong(0) ->
