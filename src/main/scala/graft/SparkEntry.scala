@@ -21,6 +21,7 @@ object SparkEntry {
     operators.EventPatterns.queries ++
       operators.Relational.queries ++
       operators.Advanced.queries ++
+      operators.EventAnalytics.queries ++
       functions.TextAnalysis.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
     operators.EventPatterns.oracleSql ++
       operators.Relational.oracleSql ++
       operators.Advanced.oracleSql ++
+      operators.EventAnalytics.oracleSql ++
       functions.TextAnalysis.oracleSql ++
       ext.Dedup.oracleSql ++
       ext.Similarity.oracleSql ++

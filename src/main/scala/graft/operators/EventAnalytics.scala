@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Behavioral event analytics over the `events` stream snapshot: the
+  * funnel / cohort-retention / rolling-active-user shapes every product
+  * pipeline derives from the same click/purchase event feed the
+  * reference ingests (producer.py:56-63 event envelope; SURVEY.md §2.4
+  * aggregation family). All outputs are exact integers or timestamps —
+  * no float summation order anywhere — so results are bit-stable across
+  * engines and partitionings.
+  */
+object EventAnalytics {
+
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100).cast("long")
+
+  /** Ordered conversion funnel signup → click → purchase with
+    * sequential-min semantics: stage n's time is the user's earliest
+    * qualifying event at-or-after their stage n-1 time. Output is per
+    * signup-day: how many users signed up, how many clicked after
+    * signing up, how many purchased after that click, and the exact
+    * total microsecond lag into each stage — the conversion report a
+    * growth pipeline derives from the same raw feed.
+    *
+    * Scale shape: three aggregate+join rounds, every exchange hashed on
+    * `user_id` — the same co-partitioning reused throughout, no
+    * broadcast of anything that grows with the corpus, and only
+    * per-user scalars (one timestamp per stage) cross an exchange; the
+    * final aggregate is calendar-bounded. The alternative single-window
+    * formulation (sort each user's full history, scan for the
+    * subsequence) pays a per-user SORT of every event; this form only
+    * ever min-reduces. Lags stay integer microseconds — exact under any
+    * summation order.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").where(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2.select("user_id", "t2"), "user_id").where(col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .groupBy(date_trunc("day", col("t1")).as("signup_day"))
+      .agg(
+        count(lit(1)).as("n_signup"),
+        count(col("t2")).as("n_click_after"),
+        count(col("t3")).as("n_purchase_after"),
+        coalesce(sum(unix_micros(col("t2")) - unix_micros(col("t1"))), lit(0L))
+          .as("sum_click_lag_us"),
+        coalesce(sum(unix_micros(col("t3")) - unix_micros(col("t2"))), lit(0L))
+          .as("sum_purchase_lag_us"))
+  }
+
+  /** Cohort retention: users grouped by the day of their first event;
+    * for each cohort day × day-offset (0-13), the count of distinct
+    * cohort members active that day — the standard retention triangle.
+    *
+    * Scale shape: first-touch aggregate and the activity join both
+    * hash on `user_id` (co-partitioned); the (cohort, offset, user)
+    * dedup is the one corpus-sized exchange and it carries three small
+    * scalars per row; the final aggregate is cohort-days × offsets
+    * sized. Nothing is sorted, nothing funnels through one reducer.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cohort = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), date_trunc("day", col("first_ts")).as("cohort_day"))
+    ev.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .join(cohort, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day").cast("date"), col("cohort_day").cast("date"))
+          .cast("long").as("day_offset"),
+        col("user_id"))
+      .where(col("day_offset") <= 13)
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Daily active users with a 7-day rolling distinct-user window
+    * (DAU / WAU-style): for each active day, the distinct users seen
+    * that day and over the trailing 7 days.
+    *
+    * Scale shape: the day grid is bounded by the calendar (≤ a few
+    * thousand rows for years of data) so it BROADCASTS; the corpus-side
+    * (day, user) activity set is deduplicated once — one hashed
+    * exchange — then streams through the nested-loop range probe
+    * without ever shuffling again; fan-out is ≤ 7× by construction.
+    * The distinct counts expand map-side (Spark's two-phase
+    * count-distinct), never collecting user sets to the driver.
+    */
+  def rollingDau(spark: SparkSession, sfDir: String): DataFrame = {
+    val act = Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).as("aday"), col("user_id"))
+      .distinct()
+    val days = act.select(col("aday").as("day")).distinct()
+    act.join(broadcast(days),
+        col("aday") <= col("day") &&
+          col("aday") > col("day") - expr("INTERVAL 7 DAYS"))
+      .groupBy("day")
+      .agg(
+        countDistinct(col("user_id")).as("dau_7d"),
+        countDistinct(when(col("aday") === col("day"), col("user_id"))).as("dau"))
+  }
+
+  /** Fixed-width histogram of the event `value` measure (bin width 50):
+    * the profiling shape behind data cards and drift monitors. Counts
+    * and a cent-exact sum per bin — a pure one-exchange aggregate whose
+    * output is bounded by the value range, not the corpus.
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / lit(100.0)).as("sum_value"))
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                       AND e.event_type = 'click' AND e.ts >= s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                       AND e.event_type = 'purchase' AND e.ts >= s2.t2
+                GROUP BY e.user_id)
+         SELECT CAST(date_trunc('day', t1) AS TIMESTAMP) AS signup_day,
+                count(*) AS n_signup,
+                count(t2) AS n_click_after,
+                count(t3) AS n_purchase_after,
+                CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT) AS sum_click_lag_us,
+                CAST(coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT) AS sum_purchase_lag_us
+         FROM s1 LEFT JOIN s2 USING (user_id)
+                 LEFT JOIN s3 USING (user_id)
+         GROUP BY 1""",
+    "events_retention" ->
+      """WITH c AS (SELECT user_id,
+                           CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+                    FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT c.cohort_day,
+                      CAST(datediff('day', CAST(c.cohort_day AS DATE),
+                                    CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+                        AS day_offset,
+                      e.user_id
+               FROM events e JOIN c USING (user_id))
+         SELECT cohort_day, day_offset, count(*) AS n_users
+         FROM a WHERE day_offset <= 13
+         GROUP BY cohort_day, day_offset""",
+    "events_rolling_dau" ->
+      """WITH act AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS aday,
+                             user_id
+                      FROM events),
+         days AS (SELECT DISTINCT aday AS day FROM act)
+         SELECT day,
+                count(DISTINCT user_id) AS dau_7d,
+                count(DISTINCT CASE WHEN aday = day THEN user_id END) AS dau
+         FROM act JOIN days ON aday <= day AND aday > day - INTERVAL 7 DAY
+         GROUP BY day""",
+    "stats_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+                count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  / CAST(100 AS DOUBLE) AS sum_value
+         FROM events
+         GROUP BY 1""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> funnel _,
+    "events_retention" -> retention _,
+    "events_rolling_dau" -> rollingDau _,
+    "stats_histogram" -> histogram _)
+}
