@@ -398,6 +398,48 @@ object Similarity {
       round(array_max(asD), 6).as("el_max"))
   }
 
+  /** Per-label cluster cohesion: every vector's cosine to its own
+    * label centroid, summed per label — the compactness report that
+    * validates embedding quality before the labels are trusted for
+    * stratified sampling or IVF cell assignment (a label whose members
+    * barely point at their own centroid is noise). Output is
+    * all-integer (micro-cosine sum) so it is exact under any partial
+    * aggregation order.
+    *
+    * Scale shape: centroids come from the same single-pass
+    * [[graft.functions.CentroidAgg]] fold as `emb_label_centroids`
+    * (one exchange of |labels|×Dim doubles), broadcast back against
+    * the corpus (labels are bounded, the corpus never shuffles), and
+    * the final aggregate is label-sized. Determinism: centroids are
+    * rounded to 6 decimals (the hash-verified `emb_label_centroids`
+    * contract), the per-vector cosine is the sequential double fold
+    * both engines execute identically (`zip_with`+`aggregate` here ≡
+    * DuckDB `list_sum` comprehension, bit-for-bit — the
+    * [[graft.functions.expressions.CosineSimilarity]] contract), and
+    * `floor(x·1e6)` discretizes before the order-free integer sum.
+    * The float32 [[GraftFunctions.cosineSim]] kernel is NOT used here:
+    * the round-6 centroid must stay double or the rounding itself
+    * would be lost to the narrower lane.
+    */
+  def embLabelCohesion(spark: SparkSession, sfDir: String): DataFrame = {
+    val cen = Tables.embeddings(spark, sfDir)
+      .agg(graft.functions.CentroidAgg.centroids(
+        col("label").cast("long"), col("embedding")).as("raw"))
+      .select(explode(col("raw")).as("c"))
+      .select(col("c._1").cast("int").as("label"),
+        transform(col("c._3"), s => round(s / col("c._2"), 6)).as("cvec"))
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val dot = aggregate(zip_with(v, col("cvec"), (a, b) => a * b), lit(0.0), _ + _)
+    val nv = aggregate(transform(v, x => x * x), lit(0.0), _ + _)
+    val nc = aggregate(transform(col("cvec"), x => x * x), lit(0.0), _ + _)
+    Tables.embeddings(spark, sfDir)
+      .join(broadcast(cen), "label")
+      .select(col("label"),
+        floor(dot / (sqrt(nv) * sqrt(nc)) * 1e6).cast("long").as("s_e6"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"), sum(col("s_e6")).as("sum_cos_e6"))
+  }
+
   /** Embedding-cosine near-duplicate pairs — the vector-space member
     * of the dedup family: candidate pairs share an LSH sign bucket
     * (each vector lands in exactly one bucket ⇒ pairs are unique, no
@@ -428,6 +470,25 @@ object Similarity {
                  for i in range(len(c.embedding))])))"""
 
   val oracleSql: Map[String, String] = Map(
+    "emb_label_cohesion" ->
+      """WITH cenpos AS (
+           SELECT label, i AS pos,
+                  round(sum(CAST(embedding[i+1] AS DOUBLE)) / count(*), 6) AS c
+           FROM embeddings, range(64) t(i)
+           GROUP BY label, i),
+         cen AS (SELECT label, list(c ORDER BY pos) AS cvec FROM cenpos GROUP BY label),
+         scored AS (
+           SELECT e.label,
+                  CAST(floor(
+                    (list_sum([CAST(e.embedding[i+1] AS DOUBLE) * cv.cvec[i+1]
+                               for i in range(len(e.embedding))])
+                     / (sqrt(list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)
+                               for i in range(len(e.embedding))]))
+                        * sqrt(list_sum([cv.cvec[i+1] * cv.cvec[i+1]
+                               for i in range(len(e.embedding))])))) * 1e6) AS BIGINT) AS s_e6
+           FROM embeddings e JOIN cen cv USING (label))
+         SELECT label, count(*) AS n_vectors, CAST(sum(s_e6) AS BIGINT) AS sum_cos_e6
+         FROM scored GROUP BY label""",
     "sim_topk_bruteforce" ->
       s"""WITH scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -608,6 +669,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopK _,
     "emb_quantize" -> quantize _,
     "emb_stats" -> embStats _,
+    "emb_label_cohesion" -> embLabelCohesion _,
     "emb_rp_sketch" -> rpSketch _,
     "dedup_emb_neardup" -> embNearDup _,
   )

@@ -263,6 +263,58 @@ object TextAnalysis {
         round(min(col("lp")), 6).as("min_logprob"))
   }
 
+  /** LM-score quality bucketing — the CCNet/Gopher-style perplexity
+    * filter stage: every document binned by its [[unigramLogprob]]
+    * average token log-probability into high / mid / low quality
+    * tiers, with per-tier document and token totals (the numbers that
+    * decide how much of each tier a training mix keeps). Thresholds
+    * are fixed constants, so the stage is reproducible run-over-run —
+    * quantile-relative tiers would silently shift with every corpus
+    * snapshot. Bucket comparison is exact cross-engine: the score is
+    * the 6-decimal-rounded double both engines already agree on
+    * bit-for-bit (hash-verified by `text_unigram_logprob`), and both
+    * parse the identical threshold literal.
+    *
+    * Scale shape: adds ONE tier-sized aggregate (≤ 3 rows) on top of
+    * the scoring plan — nothing new crosses an exchange.
+    */
+  def qualityBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    unigramLogprob(spark, sfDir)
+      .select(
+        when(col("avg_logprob") >= QualityHighThreshold, "high")
+          .when(col("avg_logprob") >= QualityMidThreshold, "mid")
+          .otherwise("low").as("bucket"),
+        col("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
+
+  /** Tier cutoffs on avg token logprob: ≥ −3.40 is "high" (above the
+    * corpus median under the driver generator's vocabulary), ≥ −3.42
+    * "mid", below that "low" (rare-token-heavy tail). Literals chosen
+    * off tie-able values; both engines parse them to the same double.
+    */
+  private val QualityHighThreshold = -3.40
+  private val QualityMidThreshold = -3.42
+
+  /** Shared oracle fragment: the unigram model and per-doc score
+    * relation (`docscore`), reused by `text_unigram_logprob` and
+    * `text_quality_bucket` so the two oracles can never drift.
+    */
+  private val UnigramScoreCtes =
+    """tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       tf AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+       tot AS (SELECT sum(c) AS n FROM tf),
+       model AS (
+         SELECT t, round(ln(CAST(c AS DOUBLE) / n), 9) AS lp FROM tf, tot),
+       docscore AS (
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(lp), 6) AS avg_logprob,
+                round(min(lp), 6) AS min_logprob
+         FROM tok JOIN model USING (t)
+         GROUP BY doc_id)"""
+
   /** The trained unigram model as a (token, logprob) relation — built
     * per call here, or once per warehouse when
     * [[graft.IndexStore.IndexDirKey]] is set (bucketed on the token
@@ -697,18 +749,17 @@ object TextAnalysis {
                         / (SELECT count(*) FROM documents), 6) AS doc_share
            FROM documents GROUP BY source, lang""",
       "text_unigram_logprob" ->
-        """WITH tok AS (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-           tf AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
-           tot AS (SELECT sum(c) AS n FROM tf),
-           model AS (
-             SELECT t, round(ln(CAST(c AS DOUBLE) / n), 9) AS lp FROM tf, tot)
-           SELECT doc_id,
-                  count(*) AS n_tokens,
-                  round(avg(lp), 6) AS avg_logprob,
-                  round(min(lp), 6) AS min_logprob
-           FROM tok JOIN model USING (t)
-           GROUP BY doc_id""",
+        s"""WITH $UnigramScoreCtes
+           SELECT doc_id, n_tokens, avg_logprob, min_logprob FROM docscore""",
+      "text_quality_bucket" ->
+        s"""WITH $UnigramScoreCtes
+           SELECT CASE WHEN avg_logprob >= $QualityHighThreshold THEN 'high'
+                       WHEN avg_logprob >= $QualityMidThreshold THEN 'mid'
+                       ELSE 'low' END AS bucket,
+                  count(*) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+           FROM docscore
+           GROUP BY 1""",
       "text_bigram_logprob" ->
         """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            bg AS (
@@ -898,6 +949,7 @@ object TextAnalysis {
     "text_repetition" -> repetition _,
     "text_scrub" -> scrub _,
     "text_unigram_logprob" -> unigramLogprob _,
+    "text_quality_bucket" -> qualityBucket _,
     "text_bigram_logprob" -> bigramLogprob _,
     "text_oov_rate" -> oovRate _,
     "text_winnow" -> winnow _,

@@ -724,4 +724,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(meta.count() === Tables.documents(spark, sf).count())
     assert(meta.filter(col("format").isin("jpeg", "png", "webp")).count() === meta.count())
   }
+
+  test("text_quality_bucket tiers partition the scored corpus exactly") {
+    val buckets = functions.TextAnalysis.qualityBucket(spark, sf).collect()
+    val scored = functions.TextAnalysis.unigramLogprob(spark, sf)
+      .agg(count(lit(1)), sum(col("n_tokens"))).head()
+    assert(buckets.map(_.getString(0)).toSet.subsetOf(Set("high", "mid", "low")))
+    assert(buckets.map(_.getLong(1)).sum === scored.getLong(0))
+    assert(buckets.map(_.getLong(2)).sum === scored.getLong(1))
+  }
+
+  test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
+    val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val mean = r.getLong(2).toDouble / (r.getLong(1) * 1e6)
+      withClue(s"label ${r.getInt(0)}")(assert(mean > -1.0 && mean <= 1.0))
+    }
+  }
 }
