@@ -214,6 +214,25 @@ object Multimodal {
         explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"), col("n_frames"))
 
+  /** Resize planning: the target geometry for a max-side-224
+    * downscale, aspect ratio preserved, never upscaling — the dims a
+    * vision-model preprocessor feeds its (stubbed, see [[MediaDecoder]])
+    * pixel resampler, kept as pure half-up INTEGER arithmetic
+    * (`(dim·224 + m/2) / m`) so the plan is exact on both engines with
+    * no float rounding anywhere. Zero-shuffle projection over the
+    * decode output; the payload bytes still never cross an exchange.
+    */
+  def resizeDims(spark: SparkSession, sfDir: String): DataFrame =
+    decodeMeta(spark, sfDir)
+      .selectExpr(
+        "doc_id", "width", "height",
+        """CASE WHEN greatest(width, height) <= 224 THEN width
+                ELSE (width * 224 + greatest(width, height) div 2)
+                     div greatest(width, height) END AS out_w""",
+        """CASE WHEN greatest(width, height) <= 224 THEN height
+                ELSE (height * 224 + greatest(width, height) div 2)
+                     div greatest(width, height) END AS out_h""")
+
   val oracleSql: Map[String, String] = Map(
     "mm_decode_meta" ->
       """WITH b AS (
@@ -234,6 +253,22 @@ object Multimodal {
                   [('0x' || substr(hx, 2*i+1, 2))::BIGINT for i in range(nb)]), 0)
                   % 65536 AS BIGINT) AS checksum
          FROM b""",
+    "mm_resize_dims" ->
+      """WITH b AS (
+           SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+         d AS (
+           SELECT doc_id,
+                  CAST(64 + (nb % 512) AS BIGINT) AS width,
+                  CAST(64 + ((nb // 7) % 512) AS BIGINT) AS height
+           FROM b)
+         SELECT doc_id, width, height,
+                CAST(CASE WHEN greatest(width, height) <= 224 THEN width
+                          ELSE (width * 224 + greatest(width, height) // 2)
+                               // greatest(width, height) END AS BIGINT) AS out_w,
+                CAST(CASE WHEN greatest(width, height) <= 224 THEN height
+                          ELSE (height * 224 + greatest(width, height) // 2)
+                               // greatest(width, height) END AS BIGINT) AS out_h
+         FROM d""",
     "mm_frame_sample" ->
       """SELECT doc_id, frame_idx, n_frames FROM (
            SELECT doc_id,
@@ -245,5 +280,6 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> decodeMeta _,
     "mm_frame_sample" -> frameSample _,
+    "mm_resize_dims" -> resizeDims _,
   )
 }

@@ -293,6 +293,36 @@ object Relational {
         round(expr("percentile(value, 0.9)"), 6).as("p90_value"),
         count(lit(1)).as("n"))
 
+  /** Exact per-group quantiles at 100 TB: the histogram-cumsum method.
+    * A naive exact quantile sorts every row of a group on one reducer
+    * (the skewed-window shape `sample_cap_source` was rebuilt to
+    * avoid); instead the corpus collapses to (group, value) counts
+    * first — the ONLY corpus-sized exchange — and the rank selection
+    * then runs a window over the aggregated frame, whose size is
+    * distinct VALUES per group, not rows. For doc lengths (int chars)
+    * that's thousands of rows per source regardless of corpus size.
+    * Rank k = ⌊q·(n−1)⌋+1 over the ascending cum-count — a discrete
+    * order statistic, so the result is an actual data value and the
+    * whole query is integer-exact (the q labels are literal doubles
+    * both engines parse identically).
+    */
+  def statsQuantileExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("source").agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val qs = spark.range(1).select(explode(typedLit(QuantileQs)).as("q"))
+    cum.join(totals, "source")
+      .crossJoin(broadcast(qs))
+      .where(col("cum") >= floor(col("q") * (col("n") - 1)).cast("long") + 1)
+      .groupBy("source", "q")
+      .agg(min(col("n_chars")).as("value"), max(col("n")).as("n"))
+  }
+
+  private val QuantileQs = Seq(0.25, 0.5, 0.75, 0.9)
+
   /** Batch interval-attribution join — the batch twin of
     * [[graft.streaming.StreamJoin.attribution]]: every purchase paired
     * with the same user's clicks in the trailing 4-hour window.
@@ -562,6 +592,21 @@ object Relational {
          WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
          GROUP BY CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)""",
+    "stats_quantile_exact" ->
+      s"""WITH counts AS (
+            SELECT source, n_chars, count(*) AS c FROM documents
+            GROUP BY source, n_chars),
+          tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY source),
+          cum AS (
+            SELECT source, n_chars,
+                   CAST(sum(c) OVER (PARTITION BY source ORDER BY n_chars
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM counts),
+          qs AS (SELECT unnest([${QuantileQs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")}]) AS q)
+          SELECT c.source, q, min(n_chars) AS value, max(t.n) AS n
+          FROM cum c JOIN tot t USING (source) CROSS JOIN qs
+          WHERE c.cum >= CAST(floor(q * (t.n - 1)) AS BIGINT) + 1
+          GROUP BY c.source, q""",
     "stats_summary" ->
       """SELECT event_type,
                 round(avg(value), 6) AS avg_value,
@@ -657,6 +702,7 @@ object Relational {
     "distinct_exact" -> distinctExact _,
     "distinct_exact_salted" -> distinctExactSalted _,
     "stats_summary" -> statsSummary _,
+    "stats_quantile_exact" -> statsQuantileExact _,
     "stats_corr" -> statsCorr _,
     "join_interval" -> intervalAttribution _,
     "q14_promo_revenue" -> q14PromoRevenue _,

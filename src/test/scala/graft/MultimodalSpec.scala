@@ -110,4 +110,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas(10L).width === 9L)
     assert(metas(11L).width === 64L + (23L % 512L))
   }
+
+  test("resize planning: max side 224, aspect preserved, never upscales") {
+    val rows = graft.ext.Multimodal.resizeDims(TestSpark.spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, ow, oh) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val m = math.max(w, h)
+      if (m <= 224) assert((ow, oh) === ((w, h)))
+      else {
+        assert(math.max(ow, oh) === 224)
+        // half-up rounding of the exact ratio
+        assert(ow === (w * 224 + m / 2) / m)
+        assert(oh === (h * 224 + m / 2) / m)
+      }
+    }
+  }
 }

@@ -725,6 +725,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(meta.filter(col("format").isin("jpeg", "png", "webp")).count() === meta.count())
   }
 
+  test("stats_quantile_exact equals the in-memory order statistic") {
+    val byS = Tables.documents(spark, sf).select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = operators.Relational.statsQuantileExact(spark, sf).collect()
+    assert(got.length === byS.size * 4)
+    got.foreach { r =>
+      val (s, q, v, n) = (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3))
+      val xs = byS(s)
+      assert(n === xs.length.toLong)
+      assert(v === xs(math.floor(q * (n - 1)).toInt), s"source $s q $q")
+    }
+  }
+
   test("text_quality_bucket tiers partition the scored corpus exactly") {
     val buckets = functions.TextAnalysis.qualityBucket(spark, sf).collect()
     val scored = functions.TextAnalysis.unigramLogprob(spark, sf)
