@@ -222,6 +222,24 @@ object Relational {
         (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** CUBE: all 2^k grouping-set combinations (rollup's lattice
+    * superset), with explicit GROUPING flags so subtotal rows are
+    * distinguishable from genuine-null group values — the disambiguator
+    * any BI consumer of a cube needs. Same Expand-before-partial-agg
+    * shape as [[aggRollup]] (4× row expansion map-side, one exchange of
+    * group-count-bounded partials).
+    */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.spread(spark,
+      Tables.lineitem(spark, sfDir)
+        .select("l_returnflag", "l_linestatus", "l_quantity"))
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
   /** Exact distinct aggregation: distinct users per event type.
     * (Catalyst plans count(distinct) as a two-stage expand+aggregate.)
     */
@@ -569,6 +587,13 @@ object Relational {
       """SELECT user_id FROM events WHERE event_type = 'click' AND value > 180
          EXCEPT
          SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 180""",
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+                sum(CAST(round(l_quantity*100) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
                 sum(CAST(round(l_quantity*100) AS BIGINT)) / CAST(100 AS DOUBLE) AS sum_qty,
@@ -699,6 +724,7 @@ object Relational {
     "setop_intersect" -> setopIntersect _,
     "setop_except" -> setopExcept _,
     "agg_rollup" -> aggRollup _,
+    "agg_cube" -> aggCube _,
     "distinct_exact" -> distinctExact _,
     "distinct_exact_salted" -> distinctExactSalted _,
     "stats_summary" -> statsSummary _,
