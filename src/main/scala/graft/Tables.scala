@@ -62,18 +62,30 @@ object Tables {
   private def parallel(spark: SparkSession, df: DataFrame): DataFrame =
     spread(spark, df)
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's parquet reader rejects (PARQUET_TYPE_ILLEGAL). We read the
-    * nanos as a raw long (`spark.sql.legacy.parquet.nanosAsLong`) and
-    * truncate to microseconds with integer division — the same
-    * truncation DuckDB applies when it reads the column as TIMESTAMP,
-    * so oracle values agree. (Plain `/` would go through double and
-    * lose precision above 2^53; `div` stays integral.)
+  /** The events table has shipped `ts` two ways across driver data
+    * generations: parquet TIMESTAMP(MICROS) (read natively) and parquet
+    * TIMESTAMP(NANOS), which Spark's parquet reader rejects
+    * (PARQUET_TYPE_ILLEGAL). For the nanos layout we read the raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+    * microseconds with integer division — the same truncation DuckDB
+    * applies when it reads the column as TIMESTAMP, so oracle values
+    * agree. (Plain `/` would go through double and lose precision above
+    * 2^53; `div` stays integral.) The branch keys off the loaded schema,
+    * so either data generation works unchanged.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ → TIMESTAMP is micros-identical under the UTC session
+        // timezone every entry point pins; keeps unix_micros & friends
+        // (which reject NTZ) working and matches DuckDB's epoch view.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
