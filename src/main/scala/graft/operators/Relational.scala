@@ -249,14 +249,34 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("n_users"))
 
   /** Sketch-based distinct (HLL++): the 100 TB-scale form of
-    * [[distinctExact]] — no expand, constant memory per group. Not
-    * oracle-comparable (DuckDB's approx sketch differs); driver records
-    * a rows-only check.
+    * [[distinctExact]] — no expand, constant memory per group.
+    *
+    * Output contract (hash-verifiable): the raw HLL estimate is
+    * engine-specific, so it cannot appear in the compared columns —
+    * instead the query emits the EXACT distinct count alongside a
+    * boolean asserting the estimate landed within the pinned error
+    * band (±15% = 3σ at rsd 0.05, floored at ±5 absolute for tiny
+    * groups). The boolean is computed from the real sketch, so a
+    * broken HLL implementation flips it to false and the hash check
+    * fails; the oracle pins `true` and the exact count. (The absolute
+    * estimate remains available via [[distinctApproxRaw]].)
     */
-  def distinctApprox(spark: SparkSession, sfDir: String): DataFrame =
+  def distinctApproxRaw(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+
+  def distinctApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.05).as("est"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .select(
+        col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          greatest(lit(5L), ceil(col("n_exact") * 0.15).cast("long")))
+          .as("within_band"))
 
   /** TPC-H Q14-style promo revenue: lineitem ⋈ broadcast part with a
     * conditional (CASE-guarded) aggregate — the fraction of revenue
@@ -323,6 +343,16 @@ object Relational {
     * order statistic, so the result is an actual data value and the
     * whole query is integer-exact (the q labels are literal doubles
     * both engines parse identically).
+    *
+    * CONTRACT — discrete measures only: the window frame is sized by
+    * DISTINCT VALUES per group, so this is the exact method for
+    * integer-ish columns (lengths, counts, codes) where that count is
+    * bounded regardless of corpus size. Pointing it at a continuous
+    * double column degenerates to distinct-values ≈ rows — the
+    * one-reducer-sort shape this method exists to avoid. For
+    * continuous measures use [[statsQuantileBinned]] (bounded bins,
+    * same cumsum machinery, ±½-bin-width error) or the mergeable
+    * [[quantileSketch]].
     */
   def statsQuantileExact(spark: SparkSession, sfDir: String): DataFrame = {
     val counts = Tables.documents(spark, sfDir)
@@ -340,6 +370,39 @@ object Relational {
   }
 
   private val QuantileQs = Seq(0.25, 0.5, 0.75, 0.9)
+
+  /** Binned per-group quantiles for CONTINUOUS measures — the variant
+    * [[statsQuantileExact]]'s contract points doubles at: values are
+    * first discretized to fixed-width bins (width [[QuantileBinWidth]]
+    * on the event `value` measure), then the identical histogram-cumsum
+    * rank selection runs over the BIN histogram. The window frame is
+    * bounded by the value range / bin width — a few hundred rows per
+    * group independent of corpus size — and the answer is the selected
+    * bin's lower edge: a deterministic value within one bin width of
+    * the true quantile, which is the precision the bin width declares.
+    * All arithmetic is integer (bin ids, counts, ranks) so the result
+    * is bit-stable across engines and partitionings.
+    */
+  def statsQuantileBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        floor(col("value") / QuantileBinWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("event_type").agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("c")).over(w))
+    val qs = spark.range(1).select(explode(typedLit(QuantileQs)).as("q"))
+    cum.join(totals, "event_type")
+      .crossJoin(broadcast(qs))
+      .where(col("cum") >= floor(col("q") * (col("n") - 1)).cast("long") + 1)
+      .groupBy("event_type", "q")
+      .agg(min(col("bin")).as("bin"), max(col("n")).as("n"))
+      .select(col("event_type"), col("q"),
+        (col("bin") * QuantileBinWidth).cast("double").as("value_lo"), col("n"))
+  }
+
+  private val QuantileBinWidth = 5L
 
   /** Batch interval-attribution join — the batch twin of
     * [[graft.streaming.StreamJoin.attribution]]: every purchase paired
@@ -496,17 +559,41 @@ object Relational {
 
   /** Sketch-based percentiles (KLL-style): the 100 TB form of
     * [[statsSummary]]'s exact sort-based percentiles — constant memory
-    * per group, mergeable partials, one pass. Like [[distinctApprox]],
-    * sketch outputs are engine-specific → rows-only driver check; the
-    * ≤2% error vs exact percentiles is pinned in OperatorSpec.
+    * per group, mergeable partials, one pass.
+    *
+    * Output contract (hash-verifiable, same shape as
+    * [[distinctApprox]]): the sketch value itself is engine-specific,
+    * so the compared columns are the group, its exact row count, and
+    * booleans asserting each approximate percentile landed inside the
+    * exact ±2-percentile band (p50 estimate within [p48, p52] etc.) —
+    * a generous envelope for accuracy 10000 (rank error ≤ n/10⁴),
+    * computed against the exact sort-based percentiles so a broken
+    * sketch flips the boolean and fails the hash. The raw estimates
+    * remain available via [[quantileSketchRaw]].
     */
-  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame =
+  def quantileSketchRaw(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(
         approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50_approx"),
         approx_percentile(col("value"), lit(0.9), lit(10000)).as("p90_approx"),
         count(lit(1)).as("n"))
+
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50e"),
+        approx_percentile(col("value"), lit(0.9), lit(10000)).as("p90e"),
+        expr("percentile(value, 0.48)").as("p48"),
+        expr("percentile(value, 0.52)").as("p52"),
+        expr("percentile(value, 0.88)").as("p88"),
+        expr("percentile(value, 0.92)").as("p92"),
+        count(lit(1)).as("n"))
+      .select(
+        col("event_type"), col("n"),
+        (col("p50e") >= col("p48") && col("p50e") <= col("p52")).as("p50_in_band"),
+        (col("p90e") >= col("p88") && col("p90e") <= col("p92")).as("p90_in_band"))
 
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -708,8 +795,37 @@ object Relational {
          SELECT coalesce(c.user_id, p.user_id) AS user_id,
                 n_hv_clicks, n_hv_purchases
          FROM c FULL JOIN p ON c.user_id = p.user_id""",
-    // distinct_approx, stats_quantile_sketch: sketch values are
-    // engine-specific — rows-only check.
+    // distinct_approx / stats_quantile_sketch: the raw sketch values
+    // are engine-specific, so the hashed contract is (group, exact
+    // value, estimate-within-pinned-band boolean) — the Spark side
+    // computes the boolean from the real sketch, the oracle pins the
+    // exact values and `true`.
+    "distinct_approx" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+                true AS within_band
+         FROM events GROUP BY event_type""",
+    "stats_quantile_sketch" ->
+      """SELECT event_type, count(*) AS n,
+                true AS p50_in_band, true AS p90_in_band
+         FROM events GROUP BY event_type""",
+    "stats_quantile_binned" ->
+      s"""WITH counts AS (
+            SELECT event_type, CAST(floor(value / $QuantileBinWidth) AS BIGINT) AS bin,
+                   count(*) AS c
+            FROM events GROUP BY event_type, 2),
+          tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY event_type),
+          cum AS (
+            SELECT event_type, bin,
+                   CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+            FROM counts),
+          qs AS (SELECT unnest([${QuantileQs.map(q => s"CAST($q AS DOUBLE)").mkString(", ")}]) AS q)
+          SELECT c.event_type, q,
+                 CAST(min(bin) * $QuantileBinWidth AS DOUBLE) AS value_lo,
+                 max(t.n) AS n
+          FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs
+          WHERE c.cum >= CAST(floor(q * (t.n - 1)) AS BIGINT) + 1
+          GROUP BY c.event_type, q""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -738,5 +854,6 @@ object Relational {
     "unpivot_type_metrics" -> unpivotTypeMetrics _,
     "join_full_outer" -> joinFullOuter _,
     "stats_quantile_sketch" -> quantileSketch _,
+    "stats_quantile_binned" -> statsQuantileBinned _,
   )
 }

@@ -153,7 +153,7 @@ class OperatorSpec extends AnyFunSuite {
     val sf001 = "/root/testdata/sf0.01"
     val exact = operators.Relational.distinctExact(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = operators.Relational.distinctApprox(spark, sf001)
+    val approx = operators.Relational.distinctApproxRaw(spark, sf001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet)
     exact.foreach { case (k, ex) =>
@@ -161,13 +161,17 @@ class OperatorSpec extends AnyFunSuite {
       withClue(s"$k: approx=$ap exact=$ex")(
         assert(math.abs(ap - ex).toDouble / ex <= 0.05))
     }
+    // the hash-verified contract form: every group's estimate lands in
+    // the pinned band, so the boolean column the oracle pins is true
+    val contract = operators.Relational.distinctApprox(spark, sf001).collect()
+    assert(contract.forall(_.getBoolean(2)))
   }
 
   test("stats_quantile_sketch stays within 2% of exact percentiles at sf0.01") {
     val sf001 = "/root/testdata/sf0.01"
     val exact = operators.Relational.statsSummary(spark, sf001)
       .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
-    val sketch = operators.Relational.quantileSketch(spark, sf001)
+    val sketch = operators.Relational.quantileSketchRaw(spark, sf001)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(sketch.keySet === exact.keySet)
     exact.foreach { case (k, (p50, p90)) =>
@@ -180,6 +184,9 @@ class OperatorSpec extends AnyFunSuite {
         assert(math.abs(a90 - p90) / p90 <= 0.02)
       }
     }
+    // the hash-verified contract form: both in-band booleans true
+    val contract = operators.Relational.quantileSketch(spark, sf001).collect()
+    assert(contract.forall(r => r.getBoolean(2) && r.getBoolean(3)))
   }
 
   test("ANN-LSH top-3 recall vs brute-force ground truth (planted near-dups)") {
