@@ -241,6 +241,39 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("embNearDup hot-bucket cap bounds adversarial degenerate clusters") {
+    // Adversarial fixture: 200 IDENTICAL vectors — all land in ONE LSH
+    // bucket, which uncapped would generate 200·199/2 = 19900 candidate
+    // pairs (the O(n²) blow-up the cap exists to prevent). Cap for
+    // n=202 is max(64, 8·202/256) = 64 < 200, so the hot bucket is
+    // excluded wholesale; a genuine near-dup pair in a cold bucket
+    // (the NEGATED vector — complementary signs ⇒ guaranteed different
+    // bucket) must survive.
+    val dir = TestSpark.tmpDir("hotbucket")
+    val rnd = new scala.util.Random(11)
+    val v = {
+      val x = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(x.map(a => a.toDouble * a).sum).toFloat
+      x.map(_ / n)
+    }
+    val hot = (0 until 200).map(i => (i.toLong, v))
+    val cold = Seq((500L, v.map(-_)), (501L, v.map(-_)))
+    (hot ++ cold).map { case (id, e) => (id, e, 0) }
+      .toDF("vec_id", "embedding", "label").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val pairs = ext.Similarity.embNearDup(spark, dir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((500L, 501L)))
+    // the integer plane/cap formulas at the scales that matter
+    assert(ext.Similarity.planesFor(2000L) === 8)
+    assert(ext.Similarity.planesFor(16384L) === 8)
+    assert(ext.Similarity.planesFor(16385L) === 9)
+    assert(ext.Similarity.planesFor(1000000000L) === 24)
+    assert(ext.Similarity.hotBucketCap(2000L, 8) === 64L)
+    assert(ext.Similarity.hotBucketCap(1000000000L, 24) === 476L)
+  }
+
   test("IVF top-3 recall vs brute-force ground truth (clustered corpus)") {
     // IVF's accuracy contract: when the corpus HAS cluster structure
     // (the regime a coarse quantizer is for), probing the query's
@@ -289,7 +322,7 @@ class OperatorSpec extends AnyFunSuite {
     val single = ext.Similarity.annLshTopK(spark, sf)
       .select("query_id", "rank", "neighbor_id", "score")
       .collect().map(_.toString).toSet
-    val degenerate = ext.Similarity.annLshMultiProbe(spark, sf, nProbe = 1)
+    val degenerate = ext.Similarity.annLshMultiProbe(spark, sf, nProbeOpt = Some(1))
       .collect().map(_.toString).toSet
     assert(degenerate === single)
   }
