@@ -25,10 +25,62 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.expressions.GraftFunctions.register(spark)
+    // SPARK_GRAFT_WAREHOUSE=<dir>: audit the plans Bench actually runs —
+    // resolve tables through the bucketed catalog ingest and indexes
+    // through the persisted IndexStore tables of a prior Bench run
+    // (pass the SAME dir as sfDir to hit the catalog path).
+    sys.env.get("SPARK_GRAFT_WAREHOUSE").foreach { w =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set(Tables.CatalogDirKey, w)
+      // fresh index location: the in-memory catalog can't adopt a prior
+      // process's managed tables, and saveAsTable refuses a non-empty one
+      spark.conf.set(IndexStore.IndexDirKey,
+        s"$w/index_explain_${System.nanoTime()}")
+    }
+    // per-stage timing listener: SPARK_GRAFT_STAGES=true prints each
+    // completed stage's wall time and task count during the runs below
+    if (sys.env.get("SPARK_GRAFT_STAGES").contains("true"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = (for {a <- si.completionTime; b <- si.submissionTime}
+              yield a - b).getOrElse(-1L)
+            println(f"[stage] id=${si.stageId} tasks=${si.numTasks} " +
+              f"${ms / 1000.0}%.3f s  ${si.name.take(70)}")
+          }
+        })
+    // SPARK_GRAFT_SCANTEST: A/B a bare noop save of the LSH index
+    // catalog table vs the same files as a raw parquet read
+    if (sys.env.get("SPARK_GRAFT_SCANTEST").contains("true")) {
+      val idx = ext.Similarity.bucketedEmb(spark, sfDir)
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        idx.write.format("noop").mode("overwrite").save()
+        println(f"[scantest] table scan $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      val loc = spark.sql(
+        s"DESCRIBE EXTENDED graft_index.${spark.catalog.listTables("graft_index")
+          .collect().head.name}")
+        .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+        .collect().head.getString(1)
+      val raw = spark.read.parquet(loc)
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        raw.write.format("noop").mode("overwrite").save()
+        println(f"[scantest] raw scan $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
     names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)
+      val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+      println(f"[explain] first run: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      println(f"[explain] second run: ${(System.nanoTime() - t1) / 1e9}%.3f s")
       println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
