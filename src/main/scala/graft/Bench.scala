@@ -238,13 +238,18 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // The LAST stdout line is exactly the driver-contract JSON —
-    // {"metric","value","unit","queries","sf"} with no extra fields
-    // between "queries" and "sf" (round-2's interleaved ingest_sec is
-    // the likely reason the driver recorded "parsed": null). The full
-    // artifact (ingest timing + every raw sample per query) goes to a
-    // file, path on stderr, so the detail survives without touching
-    // the contract line.
+    // Two stdout contract lines, full then compact. Post-mortem of
+    // BENCH_r01-r05 ("parsed": null in ALL of them): the driver
+    // snapshots only the last ~2000 chars of stdout, and the full
+    // per-query JSON line has outgrown that every round — its head
+    // gets truncated away and nothing in the tail parses. So after
+    // the full line (complete per-query detail, also persisted with
+    // raw samples in the artifact below) we print LAST a compact
+    // contract line — same {"metric","value","unit","queries","sf"}
+    // schema, same total, queries trimmed to the most expensive
+    // entries within a byte budget that keeps the whole line inside
+    // the tail window. Whichever line a parser reads, it gets valid
+    // contract JSON.
     val allSamples = names.map { n =>
       "\"" + n + "\":[" + samples(n).map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -255,6 +260,17 @@ object Bench {
       f"[bench] ingest_sec=$ingestSec%.3f index_build_sec=$indexBuildSec%.3f; full artifact: $artifact")
     println(
       f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // compact line: most-expensive-first entries under a 1500-char map
+    // budget (line stays well inside the driver's 2000-char tail even
+    // with sbt's epilogue after it)
+    val byCost = (results :+ ("phase_index_build" -> indexBuildSec))
+      .sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val budgeted = byCost.foldLeft(List.empty[String]) { (acc, e) =>
+      if ((acc.map(_.length + 1).sum + e.length) <= 1500) e :: acc else acc
+    }.reverse.mkString("{", ",", "}")
+    println(
+      f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$budgeted,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

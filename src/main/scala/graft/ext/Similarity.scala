@@ -478,30 +478,29 @@ object Similarity {
     * the corpus (labels are bounded, the corpus never shuffles), and
     * the final aggregate is label-sized. Determinism: centroids are
     * rounded to 6 decimals (the hash-verified `emb_label_centroids`
-    * contract), the per-vector cosine is the sequential double fold
-    * both engines execute identically (`zip_with`+`aggregate` here ≡
-    * DuckDB `list_sum` comprehension, bit-for-bit — the
-    * [[graft.functions.expressions.CosineSimilarity]] contract), and
-    * `floor(x·1e6)` discretizes before the order-free integer sum.
-    * The float32 [[GraftFunctions.cosineSim]] kernel is NOT used here:
-    * the round-6 centroid must stay double or the rounding itself
+    * contract), the per-vector cosine runs through the codegen'd
+    * [[graft.functions.expressions.CosineSimilarityD]] kernel — the
+    * fused double-lane fold that is bit-for-bit the interpreted
+    * `zip_with`+`aggregate` chain it replaced (KernelLawsSpec law) and
+    * bit-for-bit DuckDB's `list_sum` comprehension — and `floor(x·1e6)`
+    * discretizes before the order-free integer sum. The float32
+    * [[GraftFunctions.cosineSim]] kernel cannot serve here: the
+    * rounded centroid must stay double or the 1e-6 rounding itself
     * would be lost to the narrower lane.
     */
   def embLabelCohesion(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val cen = Tables.embeddings(spark, sfDir)
       .agg(graft.functions.CentroidAgg.centroids(
         col("label").cast("long"), col("embedding")).as("raw"))
       .select(explode(col("raw")).as("c"))
       .select(col("c._1").cast("int").as("label"),
         transform(col("c._3"), s => round(s / col("c._2"), 6)).as("cvec"))
-    val v = transform(col("embedding"), x => x.cast("double"))
-    val dot = aggregate(zip_with(v, col("cvec"), (a, b) => a * b), lit(0.0), _ + _)
-    val nv = aggregate(transform(v, x => x * x), lit(0.0), _ + _)
-    val nc = aggregate(transform(col("cvec"), x => x * x), lit(0.0), _ + _)
     Tables.embeddings(spark, sfDir)
       .join(broadcast(cen), "label")
       .select(col("label"),
-        floor(dot / (sqrt(nv) * sqrt(nc)) * 1e6).cast("long").as("s_e6"))
+        floor(GraftFunctions.cosineSimD(col("embedding"), col("cvec")) * 1e6)
+          .cast("long").as("s_e6"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vectors"), sum(col("s_e6")).as("sum_cos_e6"))
   }

@@ -85,12 +85,86 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Double-lane sibling of [[CosineSimilarity]]: cosine of an
+  * `array<float>` vector against an `array<double>` vector (the
+  * rounded-centroid shape of `emb_label_cohesion`), all three
+  * accumulators in double over the common prefix in index order —
+  * bit-for-bit the `zip_with`+`aggregate` higher-order-function chain
+  * it replaces (asserted in KernelLawsSpec), but fused into one
+  * codegen loop with zero per-row allocation. The float kernel cannot
+  * serve here: narrowing the centroid to float32 would erase the
+  * 1e-6 centroid rounding the oracle contract depends on.
+  *
+  * Returns null if either vector has zero norm (no zero-norm vectors
+  * exist in the verified corpora; the sibling-kernel convention keeps
+  * a degenerate row as a skippable null instead of a NaN).
+  */
+case class CosineSimilarityD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<double>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity_d"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = (double) $a.getFloat($i);
+          double $yi = $b.getDouble($i);
+          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        }
+        if ($nx == 0.0 || $ny == 0.0) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session registration for the engine's native expressions, so they
   * are callable from both the Column API (`call_function`) and SQL.
   * Idempotent; every query entry point calls it.
   */
 object GraftFunctions {
   val CosineName = "graft_cosine_similarity"
+  val CosineDName = "graft_cosine_similarity_d"
   val DotName = "graft_vector_dot"
   val AsofName = "graft_asof_last"
   val ShingleName = "graft_shingle_hashes"
@@ -99,6 +173,8 @@ object GraftFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName, exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CosineDName, exprs => CosineSimilarityD(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -119,6 +195,12 @@ object GraftFunctions {
   /** Column-API handle: `cosineSim($"a", $"b")`. */
   def cosineSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function(CosineName, a, b)
+
+  /** Column-API handle: `cosineSimD($"emb", $"centroid")` —
+    * `array<float>` against `array<double>`, double accumulation.
+    */
+  def cosineSimD(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(CosineDName, a, b)
 
   /** Column-API handle: `vectorDot($"embedding", typedLit(plane))`. */
   def vectorDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

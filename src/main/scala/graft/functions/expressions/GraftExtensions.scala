@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine similarity of two array<float> vectors (fused single pass)"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.CosineDName),
+      info(GraftFunctions.CosineDName,
+        "cosine of array<float> against array<double>, double accumulation"),
+      (exprs: Seq[Expression]) => CosineSimilarityD(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.DotName),
       info(GraftFunctions.DotName,
         "dot product of an array<float> vector with an array<double> constant"),

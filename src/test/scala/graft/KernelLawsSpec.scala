@@ -83,6 +83,45 @@ object KernelLawsSpec extends Properties("graft kernels") {
       got == topRef(v, cells, k)
     }
 
+  // ── CosineSimilarityD ────────────────────────────────────────────
+
+  /** Reference: the exact `zip_with`+`aggregate` double fold the
+    * kernel replaced — three independent sequential accumulators over
+    * the common prefix, null on zero norm.
+    */
+  private def cosRefD(v: Array[Float], w: Array[Double]): Option[Double] = {
+    val n = math.min(v.length, w.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      dot += v(i).toDouble * w(i)
+      nx += v(i).toDouble * v(i).toDouble
+      ny += w(i) * w(i)
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) None else Some(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  private val genVecD: Gen[Array[Double]] = Gen.frequency(
+    8 -> Gen.listOfN(Dim, Gen.oneOf(-1.5, -0.333333, 0.0, 0.123456, 0.5, 2.0))
+      .map(_.toArray),
+    1 -> Gen.const(Array.fill(Dim)(0.0)))
+
+  property("CosineSimilarityD equals the sequential double fold, bit-for-bit") =
+    Prop.forAll(genVec, genVecD) { (v, w) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+      val got = graft.functions.expressions.CosineSimilarityD(
+        Literal.create(v, ArrayType(FloatType)),
+        Literal.create(w, ArrayType(DoubleType))).eval(null)
+      cosRefD(v, w) match {
+        case None => got == null
+        // bit equality, not tolerance: the law is the fold itself
+        case Some(d) => got != null &&
+          java.lang.Double.doubleToLongBits(got.asInstanceOf[Double]) ==
+            java.lang.Double.doubleToLongBits(d)
+      }
+    }
+
   // ── CentroidAgg ──────────────────────────────────────────────────
 
   private val genRows: Gen[List[(Long, Seq[Float])]] = for {
