@@ -74,6 +74,14 @@ object Tables {
     * so either data generation works unchanged.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // The NTZ→TIMESTAMP branch below is micros-identical ONLY under a
+    // UTC session timezone (every in-repo entry point pins it); any
+    // other zone would silently shift ts values relative to the
+    // DuckDB-oracle epoch view — fail loudly instead.
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"graft.Tables.events requires spark.sql.session.timeZone=UTC " +
+        s"(got '$tz'): timestamp conversion is only engine-portable in UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
@@ -111,8 +119,16 @@ object Tables {
 
   /** Register every table as a temp view so `spark.sql` queries (and the
     * bonus-pattern "streaming view" semantics — reference
-    * bonus_pattern.py:17-41) can name them.
+    * bonus_pattern.py:17-41) can name them. `events` routes through
+    * [[events]] (not the raw scan) so the view always exposes the
+    * converted TIMESTAMP `ts` — the raw layout varies by data
+    * generation (µs TIMESTAMP vs ns, which needs the nanosAsLong conf
+    * [[events]] sets) and a raw-scan view would leak that difference
+    * into every SQL consumer.
     */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    All.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+    All.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
