@@ -542,6 +542,53 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
   }
 
+  /** Seed-centroid count for [[kmeansStep]]. */
+  private val KmeansK = 8
+
+  /** One Lloyd iteration of k-means over the embedding corpus — the
+    * TRAIN step of the production IVF coarse quantizer ([[ivfIndex]]'s
+    * scaladoc ships label-derived cells precisely so the oracle can
+    * reproduce them; this operator is the real quantizer-training
+    * shape, with deterministic seeds so it stays oracle-exact):
+    *  1. seeds = the embeddings of `vec_id < K` (the deterministic
+    *     k-means‖-style init a reproducible pipeline pins),
+    *  2. ASSIGN: every vector to its nearest seed by cosine — the seed
+    *     set folds into ONE quantizer-as-data row and assignment is the
+    *     codegen [[graft.functions.expressions.CellTopK]] projection
+    *     (zero shuffle, the [[ivfIndex]] discipline),
+    *  3. UPDATE: new centroids as per-cell dimension-wise means through
+    *     the single-pass [[graft.functions.CentroidAgg]] fold (one
+    *     exchange of |cells|×Dim doubles per task — corpus-size
+    *     independent).
+    * Each further iteration is the same two jobs over the previous
+    * centroids; convergence monitoring is a |cells|-row comparison.
+    * Output: per cell, the assigned-vector count and the new centroid
+    * as integer-micros CSV (`floor(mean·1e6 + 0.5)` — half-up floor is
+    * bit-identical across engines; CSV because the cross-engine
+    * checker cannot order array cells, the [[quantize]] contract).
+    */
+  def kmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val quant = emb.filter(col("vec_id") < KmeansK)
+      .agg(collect_list(struct(col("vec_id").as("cell"), col("embedding").as("cw")))
+        .as("qcells0"))
+      .select(array_sort(col("qcells0")).as("qcells"))
+    emb.crossJoin(broadcast(quant))
+      .select(col("vec_id"), col("embedding"),
+        get(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 1), lit(0))
+          .as("cell"))
+      .agg(graft.functions.CentroidAgg.centroids(col("cell"), col("embedding"))
+        .as("raw"))
+      .select(explode(col("raw")).as("c"))
+      .select(
+        col("c._1").as("cell"),
+        col("c._2").as("n_assigned"),
+        array_join(transform(col("c._3"),
+          s => floor(s / col("c._2") * 1e6 + 0.5).cast("long").cast("string")), ",")
+          .as("centroid_e6"))
+  }
+
   /** Oracle fragment mirroring [[planesFor]] + [[bucketCol]]: derived
     * plane count (integer threshold count — bit-for-bit the Scala
     * formula), the first `nplanes` md5 hyperplanes, and per-vector sign
@@ -580,6 +627,35 @@ object Similarity {
                  for i in range(len(c.embedding))])))"""
 
   val oracleSql: Map[String, String] = Map(
+    "emb_kmeans_step" ->
+      s"""WITH seeds AS (
+            SELECT vec_id AS cell, embedding AS cw FROM embeddings
+            WHERE vec_id < $KmeansK),
+          scored AS (
+            SELECT e.vec_id, s.cell,
+                   list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(s.cw[i+1] AS DOUBLE)
+                             for i in range(len(e.embedding))])
+                   / (sqrt(list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)
+                             for i in range(len(e.embedding))]))
+                      * sqrt(list_sum([CAST(s.cw[i+1] AS DOUBLE) * CAST(s.cw[i+1] AS DOUBLE)
+                             for i in range(len(s.cw))]))) AS cscore
+            FROM embeddings e, seeds s),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cscore DESC, cell ASC) AS rn
+              FROM scored) WHERE rn = 1),
+          means AS (
+            SELECT a.cell, i,
+                   CAST(floor(sum(CAST(e.embedding[i+1] AS DOUBLE)) / count(*) * 1e6 + 0.5)
+                     AS BIGINT) AS m,
+                   count(*) AS n
+            FROM assigned a JOIN embeddings e USING (vec_id), range($Dim) t(i)
+            GROUP BY a.cell, i)
+          SELECT cell, CAST(max(n) AS BIGINT) AS n_assigned,
+                 array_to_string(list(m ORDER BY i), ',') AS centroid_e6
+          FROM means GROUP BY cell""",
     "emb_label_cohesion" ->
       """WITH cenpos AS (
            SELECT label, i AS pos,
@@ -745,6 +821,7 @@ object Similarity {
     "emb_stats" -> embStats _,
     "emb_label_cohesion" -> embLabelCohesion _,
     "emb_rp_sketch" -> rpSketch _,
+    "emb_kmeans_step" -> kmeansStep _,
     "dedup_emb_neardup" -> embNearDup _,
   )
 }

@@ -338,7 +338,41 @@ object Advanced {
         (col("tokens_before") % PackBudget).as("offset_in_pack"))
   }
 
+  /** Shard count for [[shardAssign]]. */
+  private val NumShards = 8L
+
+  /** Deterministic training-shard layout — the step between corpus
+    * prep and the trainer's data loader: every document gets a shard
+    * (md5-keyed, so assignment is reproducible, backfill-stable, and
+    * uniform regardless of doc_id clustering) and a dense position
+    * within its shard ordered by the same hash — the "globally
+    * shuffled" read order LLM training wants, WITHOUT a global sort:
+    * one hash exchange on shard, then each shard sorts independently
+    * (per-partition sort of corpus/shards rows — the distributed-sort
+    * shape; shard count is the parallelism/file-size knob). The
+    * (hash, doc_id) order key is collision-proof and engine-portable:
+    * md5 is the same keyed hash every sampler in this library uses.
+    */
+  def shardAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("shard_"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), h.as("h"), pmod(h, lit(NumShards)).as("shard"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "shard_assign" ->
+      s"""WITH h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('shard_' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+            FROM documents)
+          SELECT doc_id, hv % $NumShards AS shard,
+                 CAST(row_number() OVER (PARTITION BY hv % $NumShards
+                                         ORDER BY hv, doc_id) AS BIGINT) AS pos_in_shard
+          FROM h""",
     "sample_temperature" ->
       """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
          mn AS (SELECT min(n) AS m FROM cnt),
@@ -515,5 +549,6 @@ object Advanced {
     "sample_balance_sources" -> sampleBalanceSources _,
     "sample_temperature" -> sampleTemperature _,
     "pack_sequences" -> packSequences _,
+    "shard_assign" -> shardAssign _,
   )
 }

@@ -129,6 +129,26 @@ object EventPatterns {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .drop("props")
 
+  /** Schema-on-read aggregation over the raw `props` JSON column — the
+    * P7/P8 surface (reference bonus_pattern.py:22,33-36 `decode()::json`
+    * + `->>` extraction) carried all the way into an aggregate: extract
+    * the typed field at scan time and fold it per event type, with the
+    * permissive-parse null guard counted (T8's log-and-continue
+    * discipline made observable). One projection + one bounded-key
+    * exchange; the JSON never crosses a shuffle.
+    */
+  def propsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_unparsed"))
+
   /** Ingest-path parse: serialize each event to a JSON message and parse
     * it back — the Kafka value codec of every pattern (producer.py:73-78
     * encode; pattern_2.py:46-47 `CAST(value AS STRING)` → `from_json` →
@@ -212,6 +232,16 @@ object EventPatterns {
       """SELECT coalesce(max(ts), TIMESTAMP '1970-01-01 00:00:00') AS wm,
                 count(*) AS n_clicks
          FROM events WHERE event_type = 'click'""",
+    "events_props_agg" ->
+      """WITH x AS (
+           SELECT event_type,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, count(*) AS n_events,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                min(k) AS min_k, max(k) AS max_k,
+                count(CASE WHEN k IS NULL THEN 1 END) AS n_unparsed
+         FROM x GROUP BY event_type""",
   )
 
   /** Query registry, keyed by pattern + operator (SURVEY.md §2 ids in
@@ -227,5 +257,6 @@ object EventPatterns {
     "bonus_view_exclude" -> viewExcludeJson _,
     "p2_parse_roundtrip" -> parseRoundtrip _,
     "p11_scalar_watermark" -> scalarWatermark _,
+    "events_props_agg" -> propsAgg _,
   )
 }
