@@ -87,6 +87,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashExchanges === 1, plan)
   }
 
+  test("emb_kmeans_step: assignment is a broadcast projection, no corpus sort-aggregate") {
+    // the Lloyd step's assign phase must stay a CellTopK projection
+    // against the broadcast 1-row quantizer (zero shuffle of scored
+    // pairs) and the update phase ONE typed aggregation — a
+    // SortAggregate or a corpus-grained hash exchange would mean the
+    // argmax degenerated to the exploded-pairs plan the IVF scaladoc
+    // rules out
+    val plan = executedPlan("emb_kmeans_step")
+    assert(!plan.contains("SortAggregate"), s"\n$plan")
+    assert(plan.contains("cell_top_k") || plan.contains("CellTopK"), s"\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"\n$plan")
+  }
+
+  test("shard_assign: one hash exchange on shard feeds one partitioned window") {
+    // the training-shard layout must never global-sort: one exchange
+    // on the shard key (+ the tiny-sf documents spread), then each
+    // shard orders independently inside its partition
+    val plan = executedPlan("shard_assign")
+    assert(plan.contains("Window"), s"\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1, s"\n$plan")
+    // a rangepartitioning exchange would mean a global sort snuck in
+    assert(!plan.contains("rangepartitioning"), s"\n$plan")
+  }
+
+  test("events_props_agg: JSON extraction stays below the exchange, never shuffles props") {
+    // the props string must be consumed at scan side — the exchange
+    // carries only (event_type, k) partial aggregates
+    val plan = executedPlan("events_props_agg")
+    assert(plan.contains("get_json_object"), s"\n$plan")
+    // plan text above the Exchange = the post-shuffle operators
+    val aboveExchange = plan.substring(0, plan.indexOf("Exchange"))
+    assert(!aboveExchange.contains("props"), s"\n$plan")
+  }
+
   test("sample_cap_source: bounded-heap partial aggregation, never a window over source") {
     // a row_number window over partitionBy(source) funnels a dominant
     // source's every document through one reducer; the bounded-heap
