@@ -37,6 +37,10 @@ class InvarianceSpec extends AnyFunSuite {
     "corpus_prep_cc",       // component-resolved near-dup removal
     "emb_stats",            // per-vector scalar folds
     "text_winnow",          // windowed-min fingerprint selection
+    "emb_kmeans_step",      // Lloyd assign/update (CentroidAgg merge order)
+    "shard_assign",         // hash-keyed shard + in-shard total order
+    "stats_quantile_binned", // histogram-cumsum rank selection over bins
+    "dedup_emb_neardup",    // derived-plane LSH pairs + hot-bucket cap
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
