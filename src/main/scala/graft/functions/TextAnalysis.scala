@@ -77,6 +77,37 @@ object TextAnalysis {
       size(filter(ws, w => length(w) >= 5)).as("long_tokens"))
   }
 
+  /** Lexical diversity — the vocabulary-richness quality signal next
+    * to [[repetition]]: type-token ratio (distinct/total) and the
+    * hapax-legomena share (tokens occurring exactly once in the
+    * document). Low TTR or low hapax share flags template/boilerplate
+    * text that per-token quality scores miss; both are standard
+    * corpus-linguistics filters in pretraining pipelines.
+    *
+    * Scale shape: a pure zero-shuffle per-row projection — the hapax
+    * count folds over the SORTED token array (a token is hapax iff it
+    * differs from both neighbors), the same sorted-adjacency trick as
+    * [[tfidfTopTerms]]'s first-occurrence fold, so no per-(doc, token)
+    * exchange exists anywhere. Ratios are emitted as integer
+    * micro-units via integer division — bit-exact across engines, no
+    * float formatting in the contract.
+    */
+  def lexicalDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val sorted = array_sort(words(col("text")))
+    val hapaxFlags = transform(sorted, (w, i) =>
+      (coalesce(w =!= get(sorted, i - 1), lit(true)) &&
+        coalesce(w =!= get(sorted, i + 1), lit(true))).cast("int"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(sorted).cast("long").as("n_tokens"),
+        size(array_distinct(sorted)).cast("long").as("n_types"),
+        aggregate(hapaxFlags, lit(0L), _ + _).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000L div n_tokens").as("ttr_e6"),
+        expr("n_hapax * 1000000L div n_tokens").as("hapax_e6"))
+  }
+
   /** Language identification: marker-hit score per language, argmax
     * with fixed precedence (en > de > es > fr > zh) so classification
     * is deterministic under ties.
@@ -929,6 +960,21 @@ object TextAnalysis {
                       for i in range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1)]))
                      AS fingerprint
             FROM h""",
+      "text_lexical_diversity" ->
+        """WITH toks AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           per AS (
+             SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+           agg AS (
+             SELECT doc_id,
+                    CAST(sum(c) AS BIGINT) AS n_tokens,
+                    CAST(count(*) AS BIGINT) AS n_types,
+                    CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax
+             FROM per GROUP BY doc_id)
+           SELECT doc_id, n_tokens, n_types, n_hapax,
+                  n_types * 1000000 // n_tokens AS ttr_e6,
+                  n_hapax * 1000000 // n_tokens AS hapax_e6
+           FROM agg""",
       "text_fingerprint" ->
         """SELECT doc_id,
                   md5(text) AS md5_full,
@@ -946,6 +992,7 @@ object TextAnalysis {
     "text_token_count" -> tokenCount _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
+    "text_lexical_diversity" -> lexicalDiversity _,
     "text_repetition" -> repetition _,
     "text_scrub" -> scrub _,
     "text_unigram_logprob" -> unigramLogprob _,

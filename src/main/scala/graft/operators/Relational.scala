@@ -595,7 +595,77 @@ object Relational {
         (col("p50e") >= col("p48") && col("p50e") <= col("p52")).as("p50_in_band"),
         (col("p90e") >= col("p88") && col("p90e") <= col("p92")).as("p90_in_band"))
 
+  /** Welch's t-test per event type between the two experiment arms —
+    * the A/B significance readout every event pipeline ends in. The
+    * variant comes from the props JSON (`k` parity: arm A = even, arm
+    * B = odd — a deterministic hash-bucket assignment exactly like
+    * production experiment bucketing), and the statistic is computed
+    * the [[statsCorr]] way: per (type, arm) EXACT integer sufficient
+    * statistics (n, Σcents, Σcents² in decimal(38)) — one bounded-key
+    * exchange, bit-stable under any partitioning — then one
+    * double-precision finish per row computes means, Welch variance,
+    * and t. Both engines run the identical finish arithmetic on
+    * identical exact integers, so the rounded output is cross-engine
+    * exact; a naive double `avg`/`var_samp` would drift with partition
+    * count and cluster size.
+    */
+  def statsAbTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val cts = cents(col("value")).cast("decimal(19,0)")
+    def d(c: Column): Column = c.cast("double")
+    val arms = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(2)).as("arm"),
+        cts.as("c"))
+      .filter(col("arm").isNotNull)
+      .groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("event_type"), col("n").as("n_a"), col("s").as("s_a"),
+        col("ss").as("ss_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("event_type").as("et_b"), col("n").as("n_b"),
+        col("s").as("s_b"), col("ss").as("ss_b"))
+    def mean(s: Column, n: Column): Column = d(s) / d(n) / 100.0
+    def varc(ss: Column, s: Column, n: Column): Column =
+      (d(ss) - d(s) * d(s) / d(n)) / (d(n) - 1.0) / 10000.0
+    a.join(b, col("event_type") === col("et_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(mean(col("s_a"), col("n_a")), 6).as("mean_a"),
+        round(mean(col("s_b"), col("n_b")), 6).as("mean_b"),
+        round(
+          (mean(col("s_b"), col("n_b")) - mean(col("s_a"), col("n_a"))) /
+            sqrt(varc(col("ss_a"), col("s_a"), col("n_a")) / d(col("n_a")) +
+              varc(col("ss_b"), col("s_b"), col("n_b")) / d(col("n_b"))), 6)
+          .as("t_welch"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "stats_ab_test" ->
+      """WITH arms AS (
+           SELECT event_type,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS arm,
+                  count(*) AS n,
+                  sum(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT)) AS s,
+                  sum(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT)
+                      * CAST(round(value*100) AS BIGINT)) AS ss
+           FROM events
+           WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+           GROUP BY 1, 2),
+         a AS (SELECT event_type, n AS n_a, s AS s_a, ss AS ss_a FROM arms WHERE arm = 0),
+         b AS (SELECT event_type, n AS n_b, s AS s_b, ss AS ss_b FROM arms WHERE arm = 1)
+         SELECT a.event_type, n_a, n_b,
+                round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 6) AS mean_a,
+                round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0, 6) AS mean_b,
+                round(
+                  (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0
+                   - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0) /
+                  sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                          / (CAST(n_a AS DOUBLE) - 1.0) / 10000.0) / CAST(n_a AS DOUBLE)
+                      + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                          / (CAST(n_b AS DOUBLE) - 1.0) / 10000.0) / CAST(n_b AS DOUBLE)), 6)
+                  AS t_welch
+         FROM a JOIN b USING (event_type)""",
     "q1_pricing_summary" ->
       """WITH c AS (
            SELECT l_returnflag, l_linestatus,
@@ -855,5 +925,6 @@ object Relational {
     "join_full_outer" -> joinFullOuter _,
     "stats_quantile_sketch" -> quantileSketch _,
     "stats_quantile_binned" -> statsQuantileBinned _,
+    "stats_ab_test" -> statsAbTest _,
   )
 }
