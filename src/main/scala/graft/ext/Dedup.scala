@@ -186,6 +186,31 @@ object Dedup {
       .filter(col("shared_fps") >= WinnowMinShared)
   }
 
+  /** Cross-source contamination matrix — the provenance audit a
+    * multi-source corpus runs before mixing ratios are trusted: for
+    * every source pair, how many distinct winnowing fingerprints they
+    * share. A hot cell means two "independent" sources carry the same
+    * passages (mirror sites, scraped re-posts), which silently
+    * double-weights that content under any per-source sampling policy
+    * ([[graft.operators.Advanced.sampleTemperature]] et al).
+    *
+    * Scale shape: the corpus-sized work is one `(source, fingerprint)`
+    * DISTINCT over the shared memoized [[winnowFingerprints]] frame
+    * (one hashed exchange of 16-byte rows); the self-join then runs on
+    * source-grain rows — fan-out per fingerprint is bounded by the
+    * SOURCE count (tens, not documents), so no df-cap is needed and
+    * the pair aggregation output is |sources|² cells.
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = winnowFingerprints(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val srcFp = fp.join(docs, "doc_id").select("source", "fingerprint").distinct()
+    val l = srcFp.select(col("fingerprint"), col("source").as("src_a"))
+    val r = srcFp.select(col("fingerprint").as("fp_r"), col("source").as("src_b"))
+    l.join(r, col("fingerprint") === col("fp_r") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_fps"))
+  }
+
   /** Stand-in benchmark set for [[decontaminate]]: docs with id below
     * this. Production passes the real eval suite as the second table —
     * the dataflow is identical.
@@ -638,6 +663,28 @@ object Dedup {
           GROUP BY 1, 2
           HAVING count(*) >= $WinnowMinShared"""
     },
+    "dedup_source_overlap" -> {
+      import graft.functions.TextAnalysis.{WinnowK, WinnowW}
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          h AS (
+            SELECT doc_id,
+                   [('0x' || substr(md5(array_to_string(ws[i:i+${WinnowK - 1}], ' ')), 1, 15))::BIGINT
+                    for i in range(1, len(ws) - ${WinnowK - 2})] AS hs
+            FROM d WHERE len(ws) >= $WinnowK),
+          f AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                     [list_min(hs[i:i+${WinnowW - 1}])
+                      for i in range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1)]))
+                     AS fingerprint
+            FROM h),
+          sf AS (SELECT DISTINCT dd.source, f.fingerprint
+                 FROM f JOIN documents dd USING (doc_id))
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_fps
+          FROM sf a JOIN sf b
+            ON a.fingerprint = b.fingerprint AND a.source < b.source
+          GROUP BY 1, 2"""
+    },
     "decontaminate" ->
       s"""WITH $ShingleCte,
           bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < $BenchmarkDocs),
@@ -757,5 +804,6 @@ object Dedup {
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_winnow_pairs" -> winnowPairs _,
+    "dedup_source_overlap" -> sourceOverlap _,
   )
 }
