@@ -338,6 +338,72 @@ object Advanced {
         (col("tokens_before") % PackBudget).as("offset_in_pack"))
   }
 
+  /** Quality-aware near-dup keeper policy — [[corpusPrepCc]] with the
+    * production selection rule: instead of keeping each duplicate
+    * cluster's lowest doc_id, keep its HIGHEST-quality member
+    * (tiebreak lowest id), then apply the quality floor. This is what
+    * real pipelines do — the canonical copy of a mirrored page is the
+    * cleanest one, not the first-crawled one.
+    *
+    * Scale shape: identical to [[corpusPrepCc]] (memoized LSH
+    * candidates → star components) plus one keeper aggregation whose
+    * INPUT is component members only — duplicate docs, a vanishing
+    * fraction of the corpus — so the struct-ordered max (which Spark
+    * plans sort-based) runs on cluster-member cardinality, never
+    * corpus cardinality. Quality scores are bit-identical double
+    * expressions in both engines, so the argmax is cross-engine exact.
+    */
+  def corpusPrepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = graft.functions.TextAnalysis.quality(spark, sfDir)
+      .select("doc_id", "n_tokens", "quality_score")
+    val pairs = graft.ext.Dedup.minhashLsh(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val members = graft.ext.Dedup.starComponents(pairs)._1 // (v, comp)
+    val keepers = members
+      .join(quality.select(col("doc_id").as("v"), col("quality_score")), "v")
+      .groupBy("comp")
+      .agg(max(struct(col("quality_score"), (-col("v")).as("negid"))).as("best"))
+      .select(col("comp"), (-col("best.negid")).as("keeper"))
+    val losers = members.join(keepers, "comp")
+      .filter(col("v") =!= col("keeper"))
+      .select(col("v").as("doc_id"))
+    quality
+      .filter(col("quality_score") >= 0.3)
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Per-source token budget for [[sampleTokenBudget]] — small enough
+    * that the cut is ACTIVE at every test scale factor (per-source
+    * volume is ~1.1k tokens at sf0.01, ~11k at sf0.1), so the oracle
+    * actually exercises the boundary.
+    */
+  private val TokenBudget = 500L
+
+  /** Token-budget sampling — the "take N tokens per source" step that
+    * turns mixing RATIOS into an actual training set: per source, docs
+    * are taken in deterministic md5-hash order until the EXCLUSIVE
+    * running token total reaches the budget (the first doc crossing
+    * the line is still taken — budgets are fuzzy by one doc, never
+    * biased by doc length). Hash order makes the selection a uniform
+    * sample, reproducible and backfill-stable like every sampler here.
+    *
+    * Scale shape: [[packSequences]]'s — one hash exchange on source +
+    * one partitioned window prefix-sum; integer token arithmetic only.
+    */
+  def sampleTokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("budget_"), col("doc_id"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tok_before") < TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_before"))
+  }
+
   /** Shard count for [[shardAssign]]. */
   private val NumShards = 8L
 
@@ -364,6 +430,65 @@ object Advanced {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "corpus_prep_best" ->
+      s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
+          mh AS (
+            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+            FROM ex, range(16) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+            FROM sig, range(4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+          candf AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+            WHERE CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16 >= 0.8),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM candf
+                    UNION ALL
+                    SELECT doc_b AS src, doc_a AS dst FROM candf),
+          verts AS (SELECT DISTINCT src AS v FROM edges),
+          reach(v, r) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+          compm AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+          q AS (
+            SELECT doc_id, len(ws) AS n_tokens,
+                   least(1.0, CAST(len(ws) AS DOUBLE) / 256.0) *
+                   (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws))
+                     AS quality_score
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+          best AS (
+            SELECT comp, doc_id AS keeper FROM (
+              SELECT c.comp, qq.doc_id,
+                     row_number() OVER (PARTITION BY c.comp
+                                        ORDER BY qq.quality_score DESC, qq.doc_id ASC) AS rn
+              FROM compm c JOIN q qq ON qq.doc_id = c.v) WHERE rn = 1),
+          losers AS (
+            SELECT c.v AS doc_id FROM compm c JOIN best b ON c.comp = b.comp
+            WHERE c.v != b.keeper)
+          SELECT doc_id, n_tokens, quality_score FROM q
+          WHERE quality_score >= 0.3
+            AND doc_id NOT IN (SELECT doc_id FROM losers)""",
+    "sample_token_budget" ->
+      s"""WITH d AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   ('0x' || substr(md5('budget_' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM documents),
+          c AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+                          ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS tok_before
+            FROM d)
+          SELECT doc_id, source, n_tokens, tok_before
+          FROM c WHERE tok_before < $TokenBudget""",
     "shard_assign" ->
       s"""WITH h AS (
             SELECT doc_id,
@@ -550,5 +675,7 @@ object Advanced {
     "sample_temperature" -> sampleTemperature _,
     "pack_sequences" -> packSequences _,
     "shard_assign" -> shardAssign _,
+    "corpus_prep_best" -> corpusPrepBest _,
+    "sample_token_budget" -> sampleTokenBudget _,
   )
 }

@@ -149,6 +149,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(ext.Dedup.ngramJaccard(spark, dir, maxShingleDf = 1000).count() === 191L)
   }
 
+  test("registerViews exposes events with the converted TIMESTAMP ts") {
+    // the raw parquet layout varies by data generation (µs TIMESTAMP /
+    // ns longs); the SQL view must always carry the converted column
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val dt = spark.sql("SELECT ts FROM events").schema("ts").dataType
+    assert(dt === org.apache.spark.sql.types.TimestampType)
+    assert(spark.sql("SELECT count(*) FROM events").head().getLong(0) > 0)
+  }
+
   test("distinct_approx stays within 5% of exact at sf0.01") {
     val sf001 = "/root/testdata/sf0.01"
     val exact = operators.Relational.distinctExact(spark, sf001)
