@@ -41,6 +41,8 @@ class InvarianceSpec extends AnyFunSuite {
     "shard_assign",         // hash-keyed shard + in-shard total order
     "stats_quantile_binned", // histogram-cumsum rank selection over bins
     "dedup_emb_neardup",    // derived-plane LSH pairs + hot-bucket cap
+    "corpus_prep_best",     // struct-ordered keeper argmax over components
+    "sample_token_budget",  // per-source hash-ordered prefix-sum cut
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
