@@ -167,7 +167,8 @@ object Bench {
       "winnow_fp" -> (() => { ext.Dedup.winnowFingerprints(spark, queryDir); () }),
       "minhash_sig" -> (() => { ext.Dedup.minhashSignatures(spark, queryDir); () }),
       "unigram_model" -> (() => { functions.TextAnalysis.unigramModel(spark, queryDir); () }),
-      "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }))
+      "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
+      "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }))
     indexBuilds.foreach { case (name, build) =>
       val t0 = System.nanoTime()
       build()

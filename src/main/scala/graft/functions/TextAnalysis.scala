@@ -219,7 +219,15 @@ object TextAnalysis {
     * parquet count(*) is row-group metadata only). Top-20 is a
     * TakeOrdered with a total order (df DESC, token ASC).
     */
-  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Corpus VOCABULARY build — `(token, mh, total_tf, df, idf)` from
+    * ONE corpus scan: the sorted-array first-occurrence fold computes
+    * tf and df together in a single grouped exchange (no (doc, token)
+    * grain anywhere), idf is pre-rounded at 1e-6, and `mh` is the
+    * 60-bit md5 key every hash-keyed consumer joins on. Unpersisted
+    * plan — [[vocabulary]] wraps it with the index lifecycle; plan
+    * shape is pinned on THIS form in PlanShapeSpec.
+    */
+  private[graft] def vocabularyBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val sorted = array_sort(words(col("text")))
@@ -233,11 +241,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("total_tf"),
         count_if(col("tok.f")).as("df"))
       .crossJoin(broadcast(nDocs))
-      .select(col("token"), col("df"), col("total_tf"),
+      .select(col("token"),
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("mh"),
+        col("total_tf"), col("df"),
         round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+  }
+
+  /** The vocabulary as a train-once index — the same lifecycle as
+    * [[unigramModel]]: memoized per (session, dir), DISK_ONLY (it is
+    * vocabulary-sized, which grows with the corpus), and
+    * warehouse-persisted bucketed on `mh` when
+    * [[graft.IndexStore.IndexDirKey]] is set, so every tf-idf consumer
+    * (corpus stats, per-doc keywords) resolves it scan-only instead of
+    * re-folding the corpus per query.
+    */
+  private val vocabCache = new graft.SessionCache[DataFrame]
+
+  private[graft] def vocabulary(spark: SparkSession, sfDir: String): DataFrame =
+    vocabCache.getOrElseUpdate(spark, sfDir) {
+      def build = vocabularyBuild(spark, sfDir)
+      graft.IndexStore.resolve(spark, sfDir, "tfidf_vocab", Some("mh"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
+
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    vocabulary(spark, sfDir)
+      .select(col("token"), col("df"), col("total_tf"), col("idf"))
       .orderBy(col("df").desc, col("token").asc)
       .limit(20)
-  }
 
   /** Unigram language-model scoring — the model-based quality filter
     * of a pretraining pipeline (the CCNet/KenLM perplexity-filter
@@ -489,10 +520,10 @@ object TextAnalysis {
     *    hash, so the oracle can reproduce the tie-break) before the
     *    per-(doc, token) tf aggregation — its exchange carries 24-byte
     *    rows;
-    *  - the vocabulary relation (token, mh, idf) comes from ONE scan
-    *    with the [[tfidfTopTerms]] first-occurrence fold — one
-    *    vocabulary-sized exchange holds the only token strings in the
-    *    plan;
+    *  - the vocabulary relation (token, mh, idf) is the shared
+    *    train-once [[vocabulary]] index (one first-occurrence fold per
+    *    corpus, ever) — one vocabulary-sized relation holds the only
+    *    token strings in the plan;
     *  - the per-document top-K is the bounded-heap
     *    [[graft.functions.BottomKAgg]] on (−score_e6, mh) — map-side
     *    trimmed to K before the exchange, the
@@ -513,18 +544,10 @@ object TextAnalysis {
       .select(col("doc_id"), explode(words(col("text"))).as("token"))
       .select(col("doc_id"), mh(col("token")).as("mh"))
       .groupBy("doc_id", "mh").agg(count(lit(1)).as("tf"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    // (token, mh, idf) via the sorted-array first-occurrence fold —
-    // df without a (doc, token)-grained exchange (see tfidfTopTerms)
-    val sorted = array_sort(words(col("text")))
-    val tagged = transform(sorted, (w, i) =>
-      struct(w.as("t"), coalesce(w =!= get(sorted, i - 1), lit(true)).as("f")))
-    val vocab = docs.select(explode(tagged).as("tok"))
-      .groupBy(col("tok.t").as("token"))
-      .agg(count_if(col("tok.f")).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("token"), mh(col("token")).as("mh"),
-        round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"))
+    // (token, mh, idf) from the shared train-once [[vocabulary]] index
+    // — the one string-carrying relation in the plan, resolved
+    // scan-only after its first build
+    val vocab = vocabulary(spark, sfDir)
     val kept = docTok.join(vocab.select("mh", "idf"), "mh")
       .select(col("doc_id"),
         (-floor(col("tf") * col("idf") * lit(1e6) + lit(0.5))).as("negkey"),

@@ -168,11 +168,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"pre-aggregate must sit below (print after) the join\n$plan")
   }
 
-  test("tfidf: ONE corpus scan, ONE grouped exchange, tf+df aggregate pre-shuffle") {
-    val plan = executedPlan("tfidf_top_terms")
-    // a single groupBy(token) computes tf and df together from the
-    // first-occurrence-tagged explode — exactly one grouped exchange
-    // (the n_docs branch is a zero-column count + 1-row broadcast)
+  test("tfidf vocabulary build: ONE corpus scan, ONE grouped exchange, tf+df pre-shuffle") {
+    // the shape is pinned on the BUILD plan (the queries consume the
+    // memoized/persisted vocabulary index, whose cached segments hide
+    // the build lineage): a single groupBy(token) computes tf and df
+    // together from the first-occurrence-tagged explode — exactly one
+    // grouped exchange (the n_docs branch is a zero-column count +
+    // 1-row broadcast)
+    val plan = functions.TextAnalysis.vocabularyBuild(spark, sf)
+      .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, s"\n$plan")
     assert(plan.contains("partial_count"), "map-side combine must run before the exchange")
