@@ -591,9 +591,15 @@ object TextAnalysis {
     val docTok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingleInstanceHashes(col("text"), 1)).as("th"))
       .groupBy("doc_id", "th").agg(count(lit(1)).as("k"))
-    val tf = Tables.documents(spark, sfDir)
-      .select(explode(shingleInstanceHashes(col("text"), 1)).as("th"))
-      .groupBy("th").agg(count(lit(1)).as("c"))
+    // corpus token frequencies from the shared train-once [[vocabulary]]
+    // index instead of a second corpus fold: total_tf per token string,
+    // re-keyed to the xxhash64 instance hash (ShingleHashes' n=1 value
+    // IS xxhash64(token) — its documented contract) and re-aggregated
+    // at vocabulary size so a 2⁻⁶⁴ hash collision would merge counts
+    // exactly as the previous th-grouped corpus fold did
+    val tf = vocabulary(spark, sfDir)
+      .select(xxhash64(col("token")).as("th"), col("total_tf"))
+      .groupBy("th").agg(sum(col("total_tf")).as("c"))
     // every token matches (tf is built from the same corpus) — inner
     // join loses nothing and keeps the probe side streamable
     docTok.join(tf, "th")
