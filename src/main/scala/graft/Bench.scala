@@ -168,7 +168,9 @@ object Bench {
       "minhash_sig" -> (() => { ext.Dedup.minhashSignatures(spark, queryDir); () }),
       "unigram_model" -> (() => { functions.TextAnalysis.unigramModel(spark, queryDir); () }),
       "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
-      "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }))
+      "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),
+      "dup_components_0" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.0); () }),
+      "dup_components_80" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.8); () }))
     indexBuilds.foreach { case (name, build) =>
       val t0 = System.nanoTime()
       build()

@@ -549,8 +549,34 @@ object Dedup {
     * component, consistent with [[exact]]'s keeper rule. The oracle
     * reproduces the fixpoint with a recursive CTE.
     */
+  /** Duplicate-cluster labels `(v, comp)` over the MinHash-LSH
+    * candidate graph at similarity threshold `minEst` — the
+    * train-once artifact of the whole dedup family: the star-
+    * contraction fixpoint runs ONCE per (corpus, threshold), memoized
+    * in-session (DISK_ONLY — label rows grow with the dup-graph
+    * vertex count, the storage-level rule) and warehouse-persisted
+    * bucketed on `v` under [[graft.IndexStore.IndexDirKey]], so every
+    * consumer ([[components]], the corpus-prep keeper policies)
+    * resolves cluster membership scan-only instead of re-iterating
+    * the fixpoint per query — exactly how a production pipeline
+    * materializes its dedup verdicts once per corpus release.
+    */
+  private val componentCache = new graft.SessionCache[DataFrame]
+
+  private[graft] def dupComponents(
+      spark: SparkSession, sfDir: String, minEst: Double): DataFrame =
+    componentCache.getOrElseUpdate(spark, s"$sfDir#est$minEst") {
+      def build = starComponents(
+        minhashLsh(spark, sfDir)
+          .filter(col("est_jaccard") >= minEst)
+          .select(col("doc_a"), col("doc_b")))._1
+      graft.IndexStore.resolve(spark, sfDir,
+          s"dup_components_${math.round(minEst * 100)}", Some("v"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
+
   def components(spark: SparkSession, sfDir: String): DataFrame =
-    starComponents(minhashLsh(spark, sfDir).select(col("doc_a"), col("doc_b")))._1
+    dupComponents(spark, sfDir, 0.0)
       .select(col("v").as("doc_id"), col("comp").as("component"),
         (col("v") === col("comp")).as("is_keeper"))
 

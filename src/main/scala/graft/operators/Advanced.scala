@@ -141,10 +141,7 @@ object Advanced {
   def corpusPrepCc(spark: SparkSession, sfDir: String): DataFrame = {
     val quality = graft.functions.TextAnalysis.quality(spark, sfDir)
       .select("doc_id", "n_tokens", "quality_score")
-    val pairs = graft.ext.Dedup.minhashLsh(spark, sfDir)
-      .filter(col("est_jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"))
-    val losers = graft.ext.Dedup.starComponents(pairs)._1
+    val losers = graft.ext.Dedup.dupComponents(spark, sfDir, 0.8)
       .filter(col("v") =!= col("comp"))
       .select(col("v").as("doc_id"))
     quality
@@ -356,10 +353,7 @@ object Advanced {
   def corpusPrepBest(spark: SparkSession, sfDir: String): DataFrame = {
     val quality = graft.functions.TextAnalysis.quality(spark, sfDir)
       .select("doc_id", "n_tokens", "quality_score")
-    val pairs = graft.ext.Dedup.minhashLsh(spark, sfDir)
-      .filter(col("est_jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"))
-    val members = graft.ext.Dedup.starComponents(pairs)._1 // (v, comp)
+    val members = graft.ext.Dedup.dupComponents(spark, sfDir, 0.8) // (v, comp)
     val keepers = members
       .join(quality.select(col("doc_id").as("v"), col("quality_score")), "v")
       .groupBy("comp")
