@@ -110,6 +110,57 @@ object EventAnalytics {
         countDistinct(when(col("aday") === col("day"), col("user_id"))).as("dau"))
   }
 
+  /** Attribution window for [[attribution]]: 30 minutes. */
+  private val AttributionWindowUs = 30L * 60 * 1000 * 1000
+
+  /** Last-touch attribution — the batch twin of
+    * [[graft.streaming.StreamJoin.attribution]]: every purchase joined
+    * to the same user's most recent click at-or-before the purchase,
+    * provided it falls within the 30-minute attribution window;
+    * purchases with no qualifying click emit once with null click
+    * columns (the organic rows a funnel report needs, the outer-join
+    * contract of [[graft.streaming.StreamJoin.attributionOuter]]).
+    *
+    * Scale shape — the [[Advanced.joinAsOf]] discipline, not an
+    * interval join: each user's click history compresses into ONE
+    * sorted timeline array (two aggregates on the click side, hashed
+    * on `user_id`), and every purchase probes it with the codegen'd
+    * O(log n) [[graft.functions.expressions.AsofLast]] binary search
+    * inside the same `user_id` equi-join. A range-condition join
+    * (`click_ts BETWEEN p_ts - 30m AND p_ts`) explodes to every
+    * (purchase × in-window click) pair before deduplicating to the
+    * latest — fan-out × corpus rows through the exchange; this form
+    * ships each click exactly once and each purchase row carries one
+    * O(log n) probe. The window filter applies AFTER the as-of pick:
+    * the latest click ≤ t is outside the window iff every click ≤ t
+    * is, so no qualifying click is ever missed.
+    *
+    * Tie rule (two clicks at the same microsecond): highest event_id
+    * wins — `sort_array` orders struct (ts, event_id) lexicographically
+    * and AsofLast takes the LAST qualifying element; the oracle mirrors
+    * it with `ORDER BY c_ts DESC, c_id DESC`.
+    */
+  def attribution(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.asofLast
+    val ev = Tables.events(spark, sfDir)
+    val clickTl = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts").as("c_ts"), col("event_id").as("c_id"))))
+        .as("click_tl"))
+    ev.filter(col("event_type") === "purchase")
+      .join(clickTl, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        asofLast(col("click_tl"), col("ts")).as("pick"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(
+          unix_micros(col("ts")) - unix_micros(col("pick.c_ts")) <= AttributionWindowUs,
+          col("pick.c_id")).as("click_event_id"),
+        when(
+          unix_micros(col("ts")) - unix_micros(col("pick.c_ts")) <= AttributionWindowUs,
+          unix_micros(col("ts")) - unix_micros(col("pick.c_ts"))).as("lag_us"))
+  }
+
   /** Fixed-width histogram of the event `value` measure (bin width 50):
     * the profiling shape behind data cards and drift monitors. Counts
     * and a cent-exact sum per bin — a pure one-exchange aggregate whose
@@ -121,6 +172,41 @@ object EventAnalytics {
       .agg(
         count(lit(1)).as("n_events"),
         (sum(cents(col("value"))) / lit(100.0)).as("sum_value"))
+  }
+
+  /** Daily-volume anomaly detection per event type — the drift monitor
+    * a pipeline runs over its own ingest: a day is anomalous when its
+    * event count deviates from the type's mean daily count by more
+    * than 2 population standard deviations.
+    *
+    * Exactness discipline (the [[Relational.statsAbTest]] rule): the
+    * 2σ test is evaluated as a PURE INTEGER inequality on exact
+    * sufficient statistics —
+    * `(N·n − S)² > 4·(N·SS − S²)` with S = Σn, SS = Σn² in
+    * decimal(38) — so there is no float mean, no float variance, no
+    * sqrt, and the boolean is bit-stable across engines, partitionings
+    * and cluster sizes.
+    *
+    * Scale shape: one corpus-grain aggregate to (type, day) counts —
+    * the only exchange that sees the corpus, map-side partial —
+    * then a |types|-row stats aggregate broadcast back onto the
+    * calendar-bounded daily grid. Nothing sorts, nothing collects.
+    */
+  def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast(d19).as("nd"),
+        sum(col("n")).cast(d19).as("s"),
+        sum(col("n").cast(d19) * col("n").cast(d19)).cast("decimal(38,0)").as("ss"))
+    val dev = col("nd") * col("n").cast(d19) - col("s")
+    val varN2 = col("nd") * col("ss") - col("s") * col("s") // N²·σ²  (×N² keeps it integer)
+    daily.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"), col("n"),
+        (dev * dev > lit(4).cast(d19) * varN2).as("is_anomaly"))
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -173,11 +259,44 @@ object EventAnalytics {
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                   / CAST(100 AS DOUBLE) AS sum_value
          FROM events
-         GROUP BY 1""")
+         GROUP BY 1""",
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+               WHERE event_type = 'click'),
+         j AS (SELECT p.event_id AS p_eid, c.c_id, c.c_ts,
+                      row_number() OVER (PARTITION BY p.event_id
+                                         ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+               FROM p JOIN c ON c.user_id = p.user_id
+                            AND c.c_ts <= p.ts
+                            AND c.c_ts >= p.ts - INTERVAL 30 MINUTE)
+         SELECT p.event_id, p.user_id, p.ts,
+                j.c_id AS click_event_id,
+                CAST(epoch_us(p.ts) - epoch_us(j.c_ts) AS BIGINT) AS lag_us
+         FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+                ON j.p_eid = p.event_id""",
+    "events_anomaly" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type,
+                  CAST(count(*) AS HUGEINT) AS nd,
+                  CAST(sum(n) AS HUGEINT) AS s,
+                  CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS ss
+           FROM daily GROUP BY 1)
+         SELECT d.event_type, d.day, d.n,
+                (st.nd * d.n - st.s) * (st.nd * d.n - st.s)
+                  > 4 * (st.nd * st.ss - st.s * st.s) AS is_anomaly
+         FROM daily d JOIN st USING (event_type)""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> funnel _,
     "events_retention" -> retention _,
     "events_rolling_dau" -> rollingDau _,
-    "stats_histogram" -> histogram _)
+    "stats_histogram" -> histogram _,
+    "events_attribution" -> attribution _,
+    "events_anomaly" -> anomaly _)
 }

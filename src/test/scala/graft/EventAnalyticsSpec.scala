@@ -89,4 +89,54 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(bins.map(_.getLong(1)).sum === total)
     assert(bins.map(_.getLong(0)).distinct.length === bins.length)
   }
+
+  test("attribution: latest in-window click wins, boundary inclusive, ties by id") {
+    val us = 1000L // 1 µs in ns
+    val win = 30L * 60 * 1000 * 1000 // 30 min in µs
+    val dir = writeEvents(Seq(
+      // user 1: two clicks before the purchase — the later one (id 2) wins
+      (1L, 10L * us, 1L, "click"),
+      (2L, 20L * us, 1L, "click"),
+      (3L, 30L * us, 1L, "purchase"),
+      // user 2: click exactly at the 30-min boundary → still attributed
+      (4L, 0L, 2L, "click"),
+      (5L, win * 1000L, 2L, "purchase"),
+      // user 3: click 1 µs beyond the window → organic
+      (6L, 0L, 3L, "click"),
+      (7L, (win + 1L) * 1000L, 3L, "purchase"),
+      // user 4: two clicks at the SAME microsecond → higher event_id wins
+      (8L, 10L * us, 4L, "click"),
+      (9L, 10L * us, 4L, "click"),
+      (10L, 20L * us, 4L, "purchase"),
+      // user 5: purchase with no clicks at all → organic, single row
+      (11L, 10L * us, 5L, "purchase")))
+    val rows = EventAnalytics.attribution(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(r.fieldIndex("click_event_id"))).map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("lag_us"))).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(rows.size === 5) // every purchase emits exactly once
+    assert(rows(3L) === ((Some(2L), Some(10L))))
+    assert(rows(5L) === ((Some(4L), Some(win))))
+    assert(rows(7L) === ((None, None)))
+    assert(rows(10L) === ((Some(9L), Some(10L))))
+    assert(rows(11L) === ((None, None)))
+  }
+
+  test("anomaly: planted spike flagged, steady days not") {
+    // 9 steady days at 2 events + one 20-event spike day: mean≈3.64,
+    // σ²≈29.1 → 2σ≈10.8 — only the spike deviates by more
+    val rows = (0 until 9).flatMap { d =>
+      Seq((d * 10L + 1L, d * DayNs + 7, 1L, "view"),
+        (d * 10L + 2L, d * DayNs + 9, 2L, "view"))
+    } ++ (0 until 20).map { i =>
+      (900L + i, 9L * DayNs + i * 1000L, i.toLong, "view")
+    }
+    val dir = writeEvents(rows)
+    val out = EventAnalytics.anomaly(spark, dir).collect()
+      .map(r => r.getLong(r.fieldIndex("n")) -> r.getBoolean(r.fieldIndex("is_anomaly")))
+    assert(out.length === 10)
+    assert(out.filter(_._1 == 2L).forall(!_._2))
+    assert(out.find(_._1 == 20L).exists(_._2))
+  }
 }
