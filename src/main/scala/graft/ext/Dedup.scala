@@ -252,6 +252,78 @@ object Dedup {
       .select("doc_id", "n_shingles", "n_contaminated")
   }
 
+  /** Bloom sizing for [[decontaminateBloom]]: bits per benchmark key
+    * (m/n = 16 with k = 8 hash probes → false-positive rate ≈ 4·10⁻⁴)
+    * and probe count. The false-positive rate only tunes how much work
+    * reaches the exact confirm join — never the answer.
+    */
+  private val BloomBitsPerKey = 16L
+  private val BloomNumHashes = 8
+
+  /** Bloom-prefiltered decontamination — the same answer as
+    * [[decontaminate]], computed the way a 100 TB deployment has to
+    * when the benchmark shingle set outgrows an exact broadcast set:
+    * through a Bloom filter whose bits are ~m/n·(1/64) the size of the
+    * exact 64-bit hash set (16 bits vs 64 bits per key here, and the
+    * gap widens when the exact set must store strings).
+    *
+    * The filter is built AS DATA, the [[graft.ext.Similarity.ivfTopK]]
+    * quantizer discipline — no driver-side collect, no UDF:
+    *  1. benchmark shingle hashes fan out to k=8 bit positions
+    *     (`xxhash64(h, seed)` mod m) and fold into per-word `bit_or`
+    *     masks — a distributed build whose exchange is bitmap-sized,
+    *  2. the masks collapse into ONE dense `array<long>` row,
+    *     broadcast to every task through a 1-row cross join,
+    *  3. the corpus-side probe is 8 codegen'd element_at/shift/mask
+    *     checks per shingle — no join, no shuffle for the prefilter,
+    *  4. only bloom-positive shingles carry a non-null key into the
+    *     exact confirm join, so its shuffle is sized by the TRUE
+    *     contamination volume plus the ~4·10⁻⁴ false-positive trickle,
+    *     not by the corpus.
+    * Bloom filters have no false negatives, so the confirm join sees
+    * every truly contaminated shingle and the output is bit-identical
+    * to [[decontaminate]] — the oracle is literally the same SQL.
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.shingleHashes
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+    val bench = docs.filter(col("doc_id") < BenchmarkDocs)
+      .select(explode(col("hs")).as("h")).distinct()
+    // index build: size the bitmap from the benchmark's exact cardinality
+    // (one count over the fixed-size benchmark — amortized like lshIndex)
+    val nKeys = math.max(1L, bench.count())
+    val mBits = math.max(1024L,
+      java.lang.Long.highestOneBit(nKeys * BloomBitsPerKey - 1) << 1)
+    val nWords = (mBits / 64).toInt
+    val words = bench
+      .select(explode(array((0 until BloomNumHashes).map(i =>
+        pmod(xxhash64(col("h"), lit(i)), lit(mBits))): _*)).as("pos"))
+      .groupBy((col("pos") / lit(64L)).cast("int").as("w"))
+      .agg(bit_or(expr("shiftleft(1L, cast(pos % 64 as int))")).as("mask"))
+    val bitsRow = words
+      .agg(map_from_entries(collect_list(struct(col("w"), col("mask")))).as("bm"))
+      .select(transform(sequence(lit(0), lit(nWords - 1)),
+        w => coalesce(element_at(col("bm"), w), lit(0L))).as("bits"))
+    val mightContain = (0 until BloomNumHashes).map { i =>
+      expr(s"""((shiftright(
+                  element_at(bits, cast(pmod(xxhash64(h, $i), ${mBits}L) div 64 as int) + 1),
+                  cast(pmod(xxhash64(h, $i), ${mBits}L) % 64 as int))) & 1) = 1""")
+    }.reduce(_ && _)
+    val benchHits = bench.withColumn("hit", lit(1))
+    docs
+      .select(col("doc_id"), coalesce(size(col("hs")), lit(0)).as("n_shingles"),
+        explode_outer(col("hs")).as("h")) // outer: short docs still emit
+      .crossJoin(broadcast(bitsRow))
+      .select(col("doc_id"), col("n_shingles"),
+        when(mightContain, col("h")).as("h")) // bloom-negative → null key → no match
+      .join(benchHits, Seq("h"), "left")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(col("hit")).cast("int").as("n_contaminated"))
+      .select("doc_id", "n_shingles", "n_contaminated")
+  }
+
   private val NumHashes = 16
   private val NumBands = 4 // 4 rows per band
 
@@ -645,6 +717,19 @@ object Dedup {
          FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)"""
 
+  /** Shared oracle for [[decontaminate]] and [[decontaminateBloom]] —
+    * the bloom path must produce the exact path's answer bit-for-bit.
+    */
+  private lazy val DecontaminateSql: String =
+    s"""WITH $ShingleCte,
+        bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < $BenchmarkDocs),
+        hits AS (SELECT e.doc_id, count(*) AS n_cont
+                 FROM ex e JOIN bench USING (shingle) GROUP BY e.doc_id)
+        SELECT s.doc_id,
+               CAST(len(s.s) AS INTEGER) AS n_shingles,
+               CAST(coalesce(h.n_cont, 0) AS INTEGER) AS n_contaminated
+        FROM sh s LEFT JOIN hits h USING (doc_id)"""
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
@@ -711,15 +796,10 @@ object Dedup {
             ON a.fingerprint = b.fingerprint AND a.source < b.source
           GROUP BY 1, 2"""
     },
-    "decontaminate" ->
-      s"""WITH $ShingleCte,
-          bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < $BenchmarkDocs),
-          hits AS (SELECT e.doc_id, count(*) AS n_cont
-                   FROM ex e JOIN bench USING (shingle) GROUP BY e.doc_id)
-          SELECT s.doc_id,
-                 CAST(len(s.s) AS INTEGER) AS n_shingles,
-                 CAST(coalesce(h.n_cont, 0) AS INTEGER) AS n_contaminated
-          FROM sh s LEFT JOIN hits h USING (doc_id)""",
+    "decontaminate" -> DecontaminateSql,
+    // the bloom prefilter is exact-by-construction (no false negatives
+    // + exact confirm join), so the oracle is the SAME statement
+    "decontaminate_bloom" -> DecontaminateSql,
     "dedup_minhash_lsh" ->
       s"""WITH $ShingleCte,
           mh AS (
@@ -824,6 +904,7 @@ object Dedup {
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "decontaminate" -> decontaminate _,
+    "decontaminate_bloom" -> decontaminateBloom _,
     "dedup_editdist" -> editDistConfirm _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_components" -> components _,

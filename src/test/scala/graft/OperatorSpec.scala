@@ -377,6 +377,31 @@ class OperatorSpec extends AnyFunSuite {
       (32L, 0, 0)))
   }
 
+  test("decontaminate_bloom equals the exact path on fixture and sf0.001") {
+    // fixture: same crafted docs as the exact test — bloom must agree
+    val dir = TestSpark.tmpDir("deconbloom")
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),
+      (30L, "alpha beta gamma delta epsilon nu xi"),
+      (31L, "one two three four five six seven"),
+      (32L, "tiny doc"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val exact = ext.Dedup.decontaminate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val bloom = ext.Dedup.decontaminateBloom(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(bloom === exact)
+    // corpus-scale agreement (no false negatives + exact confirm ⇒ identical)
+    val sf = "/root/testdata/sf0.001"
+    val e = ext.Dedup.decontaminate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val b = ext.Dedup.decontaminateBloom(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(b === e)
+    assert(e.exists(_._3 > 0)) // the comparison is not vacuous
+  }
+
   test("text_repetition pins degenerate docs: token loops, alternating bigrams, singletons") {
     val dir = TestSpark.tmpDir("rep")
     Seq((1L, "r r r r r"),  // degenerate loop: one bigram repeated, run of 5
