@@ -252,6 +252,53 @@ object Dedup {
       .select("doc_id", "n_shingles", "n_contaminated")
   }
 
+  /** Span width (tokens) for [[spanDedup]]. */
+  private val SpanTokens = 16
+
+  /** Packing radix for the (doc_id, span_idx) → long first-occurrence
+    * key in [[spanDedup]]: supports 2²⁰ spans per doc (a 16M-token
+    * document) and doc ids up to 2⁴³ — both documented contract
+    * bounds, checked nowhere because violating either means the corpus
+    * layout itself changed.
+    */
+  private val SpanIdxCap = 1L << 20
+
+  /** Span-level exact dedup — the C4/RefinedWeb line-dedup shape at
+    * span granularity: the corpus is cut into non-overlapping
+    * 16-token spans (last span may be short) and every span that
+    * already occurred earlier in the corpus — ordered by (doc_id,
+    * span_idx) — is marked dropped; the first occurrence is kept.
+    * Whole-doc dedup ([[exact]]) misses a boilerplate paragraph pasted
+    * into thousands of otherwise-distinct pages; span dedup removes
+    * exactly those repeats while keeping each document's novel text.
+    *
+    * Scale shape: spans collapse to 64-bit `xxhash64` keys immediately
+    * (strings never cross an exchange — the [[ngramJaccard]]
+    * discipline); first-occurrence is `min` over the PACKED long
+    * `doc_id·2²⁰ + span_idx` — a plain mutable-buffer hash aggregate,
+    * where a `min(struct(...))` would plan a SortAggregate and sort
+    * every span row per partition — and the keep flag is one equality
+    * against the group's packed minimum. Both the aggregate and the
+    * join key on the same hash, so AQE plans one co-partitioned
+    * exchange pair; output rows are (doc_id, span_idx, bool) — corpus
+    * token count / 16 rows of three scalars.
+    */
+  def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val spans = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(ws) - 1) / SpanTokens).cast("int")),
+          i => array_join(slice(ws, i * SpanTokens + 1, lit(SpanTokens)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("span_idx"),
+        xxhash64(col("col")).as("h"))
+    val firsts = spans.groupBy("h")
+      .agg(min(col("doc_id") * SpanIdxCap + col("span_idx")).as("first_key"))
+    spans.join(firsts, "h")
+      .select(col("doc_id"), col("span_idx"),
+        (col("doc_id") * SpanIdxCap + col("span_idx") === col("first_key")).as("kept"))
+  }
+
   /** Bloom sizing for [[decontaminateBloom]]: bits per benchmark key
     * (m/n = 16 with k = 8 hash probes → false-positive rate ≈ 4·10⁻⁴)
     * and probe count. The false-positive rate only tunes how much work
@@ -796,6 +843,21 @@ object Dedup {
             ON a.fingerprint = b.fingerprint AND a.source < b.source
           GROUP BY 1, 2"""
     },
+    "dedup_spans" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          si AS (SELECT doc_id, ws,
+                        unnest([i for i in range((len(ws)-1) // $SpanTokens + 1)]) AS span_idx
+                 FROM d),
+          sp AS (SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+                        array_to_string(
+                          ws[(span_idx*$SpanTokens+1):(span_idx*$SpanTokens+$SpanTokens)], ' ')
+                          AS span
+                 FROM si),
+          f AS (SELECT span, min(doc_id * ${SpanIdxCap}::BIGINT + span_idx) AS fk
+                FROM sp GROUP BY span)
+          SELECT s.doc_id, s.span_idx,
+                 (s.doc_id * ${SpanIdxCap}::BIGINT + s.span_idx) = f.fk AS kept
+          FROM sp s JOIN f USING (span)""",
     "decontaminate" -> DecontaminateSql,
     // the bloom prefilter is exact-by-construction (no false negatives
     // + exact confirm join), so the oracle is the SAME statement
@@ -905,6 +967,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "decontaminate" -> decontaminate _,
     "decontaminate_bloom" -> decontaminateBloom _,
+    "dedup_spans" -> spanDedup _,
     "dedup_editdist" -> editDistConfirm _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_components" -> components _,

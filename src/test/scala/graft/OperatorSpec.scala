@@ -402,6 +402,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.exists(_._3 > 0)) // the comparison is not vacuous
   }
 
+  test("dedup_spans: first occurrence kept across and within docs, partial tail spans dedup too") {
+    val dir = TestSpark.tmpDir("spans")
+    val spanA = (1 to 16).map(i => s"a$i").mkString(" ") // one full 16-token span
+    val spanB = (1 to 16).map(i => s"b$i").mkString(" ")
+    Seq(
+      (1L, s"$spanA $spanB"),        // doc 1: spans 0=A, 1=B — both first
+      (2L, s"$spanB $spanA"),        // doc 2: both already seen → both dropped
+      (3L, s"$spanA $spanA"),        // doc 3: A seen; its OWN repeat also dropped
+      (4L, "tail only"),             // 2-token partial span, novel → kept
+      (5L, "tail only"))             // same partial span again → dropped
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = ext.Dedup.spanDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    assert(got === Map(
+      (1L, 0L) -> true, (1L, 1L) -> true,
+      (2L, 0L) -> false, (2L, 1L) -> false,
+      (3L, 0L) -> false, (3L, 1L) -> false,
+      (4L, 0L) -> true,
+      (5L, 0L) -> false))
+  }
+
   test("text_repetition pins degenerate docs: token loops, alternating bigrams, singletons") {
     val dir = TestSpark.tmpDir("rep")
     Seq((1L, "r r r r r"),  // degenerate loop: one bigram repeated, run of 5
