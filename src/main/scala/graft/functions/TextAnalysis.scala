@@ -270,6 +270,47 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token").asc)
       .limit(20)
 
+  /** Counter budget for [[heavyHitters]]: tokens above 1/32 of corpus
+    * mass qualify.
+    */
+  private val HeavyHitterK = 32
+
+  /** Heavy-hitter tokens — every token holding more than 1/k of the
+    * corpus's total token mass, with its exact count. The monitoring
+    * probe behind boilerplate and template detection: a token (or,
+    * swapping the key expression, a shingle / URL / source) that
+    * suddenly owns a corpus share is a crawl artifact.
+    *
+    * Two-pass sketch-then-confirm, the only shape that works when
+    * DISTINCT keys outnumber what a per-key aggregate can shuffle:
+    *  1. SKETCH: the corpus folds into one ≤ k-counter
+    *     [[MisraGriesAgg]] summary (exchange = k longs per map task,
+    *     zero per-key shuffle) plus the exact total, in a single pass,
+    *  2. CONFIRM: the ≤ k candidate hashes ride a broadcast 1-row
+    *     cross join (the quantizer-as-data discipline) back over the
+    *     corpus; only matching rows aggregate — map-side partials trim
+    *     the exchange to ≤ k hashes × tasks — and the exact threshold
+    *     `count·k > N` filters.
+    * MG's one-sided guarantee (no key above N/(k+1) is ever absent)
+    * makes the confirmed output EXACT and partitioning-independent
+    * even though the sketch's internal counters are not.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(words(col("text"))).as("token"))
+      .select(col("token"), xxhash64(col("token")).as("h"))
+    val summary = toks.agg(
+      MisraGries.mg(HeavyHitterK)(col("h")).as("cand"),
+      count(lit(1)).as("total"))
+    toks.crossJoin(broadcast(summary))
+      .filter(array_contains(col("cand"), col("h")))
+      .groupBy(col("h"))
+      .agg(min(col("token")).as("token"), count(lit(1)).as("n_occurrences"),
+        first(col("total")).as("total"))
+      .filter(col("n_occurrences") * HeavyHitterK > col("total"))
+      .select(col("token"), col("n_occurrences"))
+  }
+
   /** Unigram language-model scoring — the model-based quality filter
     * of a pretraining pipeline (the CCNet/KenLM perplexity-filter
     * shape, with the n-gram order at 1 so the oracle can reproduce it
@@ -788,6 +829,13 @@ object TextAnalysis {
       s"len(list_filter(string_split(text, ' '), w -> w IN (${markerList(m)}))) AS score_$l"
     }.mkString(",\n                  ")
     Map(
+      "text_heavy_hitters" ->
+        s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+            tot AS (SELECT count(*) AS n FROM t)
+            SELECT token, count(*) AS n_occurrences
+            FROM t, tot
+            GROUP BY token, tot.n
+            HAVING count(*) * $HeavyHitterK > tot.n""",
       "text_quality" ->
         s"""SELECT doc_id, n_tokens, n_distinct_tokens, avg_token_len,
                    max_token_len, stopword_ratio,
@@ -1028,6 +1076,7 @@ object TextAnalysis {
     "text_quality_bucket" -> qualityBucket _,
     "text_bigram_logprob" -> bigramLogprob _,
     "text_oov_rate" -> oovRate _,
+    "text_heavy_hitters" -> heavyHitters _,
     "text_winnow" -> winnow _,
     "text_chunk" -> chunk _,
     "text_hash_features" -> hashFeatures _,

@@ -402,6 +402,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.exists(_._3 > 0)) // the comparison is not vacuous
   }
 
+  test("misra-gries: guaranteed superset over a vocab far exceeding k, exact confirm thresholds") {
+    import spark.implicits._
+    // 200 distinct rare keys + 3 planted heavy keys; k=8 counters —
+    // the sketch must decrement constantly yet never lose a key whose
+    // frequency exceeds N/(k+1)
+    val rare = (1 to 200).map(i => s"rare$i")
+    val heavy = Seq.fill(120)("alpha") ++ Seq.fill(100)("beta") ++ Seq.fill(80)("gamma")
+    val words = new scala.util.Random(42).shuffle((rare ++ heavy).toList) // order must not matter
+    val k = 8
+    val n = words.size.toLong // 500
+    val df = words.toDF("token")
+      .select(col("token"), xxhash64(col("token")).as("h"))
+      .repartition(7) // force multi-partition partials and merges
+    val cand = df.agg(graft.functions.MisraGries.mg(k)(col("h")).as("cand"))
+      .collect().head.getSeq[Long](0)
+    assert(cand.size <= k)
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mustHave = exact.filter { case (_, c) => c * (k + 1) > n }.keySet // > N/(k+1)
+    val hashOf = df.select("token", "h").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mustHave.foreach { t => assert(cand.contains(hashOf(t)), s"lost heavy key $t") }
+  }
+
   test("dedup_spans: first occurrence kept across and within docs, partial tail spans dedup too") {
     val dir = TestSpark.tmpDir("spans")
     val spanA = (1 to 16).map(i => s"a$i").mkString(" ") // one full 16-token span
