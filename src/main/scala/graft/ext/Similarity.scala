@@ -542,6 +542,138 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
   }
 
+  /** Per-dimension-pair covariance of the embedding corpus — the
+    * statistics every whitening / PCA / drift-detection pass consumes.
+    * Output is the upper triangle (i ≤ j) of the 64×64 population
+    * covariance matrix, one row per pair.
+    *
+    * Scale shape: the corpus folds through ONE
+    * [[graft.functions.GramAgg]] typed aggregation (per-task
+    * D²/2-double buffers, one buffer per task on the exchange — the
+    * [[graft.functions.CentroidAgg]] discipline; 2080 declarative
+    * `sum(x_i·x_j)` aggregates would instead generate 2080 aggregate
+    * expressions, the big-arity-code smell the IVF quantizer design
+    * forbids). The pair unpivot and covariance arithmetic run
+    * declaratively on the ONE output row, so rounding semantics stay
+    * Spark's own and nothing corpus-sized is ever wide.
+    */
+  def covariance(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.embeddings(spark, sfDir)
+      .agg(graft.functions.GramAgg.gram(col("embedding")).as("g"))
+      .select(col("g._1").as("n"), col("g._2").as("s"), col("g._3").as("t"))
+    g.select(col("n"), col("s"), col("t"),
+        explode(sequence(lit(0), lit(Dim - 1))).as("i"))
+      .select(col("n"), col("s"), col("t"), col("i"),
+        explode(sequence(col("i"), lit(Dim - 1))).as("j"))
+      .select(col("i"), col("j"),
+        // + 0.0 folds IEEE −0.0 to +0.0 so the cross-engine canon agrees
+        (round(
+          element_at(col("t"),
+            expr(s"cast(i * $Dim - i * (i - 1) div 2 + (j - i) + 1 as int)"))
+            / col("n")
+            - element_at(col("s"), col("i") + 1) / col("n")
+              * (element_at(col("s"), col("j") + 1) / col("n")), 6) + lit(0.0)).as("cov"))
+  }
+
+  /** Driver-side deterministic eigendecomposition of the corpus
+    * covariance — the TRAIN step of a PCA/whitening transform. The
+    * D×D matrix is index-build-sized (a 64×64 grid of doubles), so
+    * solving it on the driver is the same legitimate boundary as the
+    * IVF quantizer row or the Bloom sizing count: O(D³) work on D²
+    * data, independent of corpus size. Cyclic Jacobi with a fixed
+    * sweep order and threshold makes the result deterministic; each
+    * eigenvector's sign is normalized (first non-zero component
+    * positive) so downstream projections are reproducible.
+    *
+    * Returns the top-k (eigenvalue, eigenvector) pairs, eigenvalue
+    * descending.
+    */
+  private[graft] def pcaComponents(
+      spark: SparkSession, sfDir: String, k: Int): Seq[(Double, Array[Double])] = {
+    val row = covariance(spark, sfDir).collect() // D(D+1)/2 rows — index-sized
+    val a = Array.ofDim[Double](Dim, Dim)
+    row.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val v = Array.tabulate(Dim, Dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      var p = 0
+      while (p < Dim - 1) {
+        var q = p + 1
+        while (q < Dim) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1 / math.sqrt(t * t + 1)
+            val s = t * c
+            var i = 0
+            while (i < Dim) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < Dim) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (0 until Dim)
+      .map { d =>
+        val vec = Array.tabulate(Dim)(i => v(i)(d))
+        val lead = vec.find(math.abs(_) > 1e-12).getOrElse(1.0)
+        if (lead < 0) { var i = 0; while (i < Dim) { vec(i) = -vec(i); i += 1 } }
+        (a(d)(d), vec)
+      }
+      .sortBy(-_._1)
+      .take(k)
+  }
+
+  /** PCA projection of every vector onto the top-k principal
+    * components (centered: `(x − μ)·v`). The components come from
+    * [[pcaComponents]] (train once, driver-side); the projection is a
+    * zero-shuffle scan with k codegen'd
+    * [[GraftFunctions.vectorDot]] kernels per row against literal
+    * planes — exactly the [[rpSketch]] serving shape, with learned
+    * instead of random directions.
+    */
+  def pcaProject(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val comps = pcaComponents(spark, sfDir, k)
+    val mean = {
+      val g = Tables.embeddings(spark, sfDir)
+        .agg(graft.functions.GramAgg.gram(col("embedding")).as("g"))
+        .select(col("g._1").as("n"), col("g._2").as("s")).collect().head
+      val n = g.getLong(0).toDouble
+      g.getSeq[Double](1).map(_ / n)
+    }
+    Tables.embeddings(spark, sfDir).select(
+      col("vec_id") +:
+        comps.zipWithIndex.map { case ((_, vec), c) =>
+          val muDotV = mean.zip(vec).map { case (m, w) => m * w }.sum
+          (GraftFunctions.vectorDot(col("embedding"), typedLit(vec.toSeq)) - muDotV)
+            .as(s"pc$c")
+        }: _*)
+  }
+
   /** Seed-centroid count for [[kmeansStep]]. */
   private val KmeansK = 8
 
@@ -756,6 +888,17 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 3""",
+    "emb_covariance" ->
+      s"""WITH pairs AS (SELECT i, j FROM range($Dim) a(i), range($Dim) b(j) WHERE j >= i),
+          agg AS (SELECT i, j,
+                         sum(CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[j+1] AS DOUBLE)) AS t,
+                         sum(CAST(e.embedding[i+1] AS DOUBLE)) AS si,
+                         sum(CAST(e.embedding[j+1] AS DOUBLE)) AS sj,
+                         count(*) AS n
+                  FROM embeddings e, pairs GROUP BY i, j)
+          SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+                 round(t / n - si / n * (sj / n), 6) + 0.0 AS cov
+          FROM agg""",
     "emb_quantize" ->
       """SELECT vec_id,
                 CAST(floor(scale * 1e9 + 0.5) AS BIGINT) AS scale_e9,
@@ -818,6 +961,7 @@ object Similarity {
     "sim_ann_multiprobe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
     "sim_ivf_topk" -> ivfTopK _,
     "emb_quantize" -> quantize _,
+    "emb_covariance" -> covariance _,
     "emb_stats" -> embStats _,
     "emb_label_cohesion" -> embLabelCohesion _,
     "emb_rp_sketch" -> rpSketch _,

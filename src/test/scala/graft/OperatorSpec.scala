@@ -402,6 +402,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.exists(_._3 > 0)) // the comparison is not vacuous
   }
 
+  test("pca: orthonormal components satisfying the eigen equation; projections carry the variance") {
+    val sf = "/root/testdata/sf0.001"
+    val k = 4
+    val comps = ext.Similarity.pcaComponents(spark, sf, k)
+    // eigenvalues descending and non-negative (covariance is PSD)
+    assert(comps.map(_._1).sliding(2).forall(p => p.head >= p.last - 1e-9))
+    assert(comps.forall(_._1 >= -1e-9))
+    // orthonormality
+    for (a <- 0 until k; b <- 0 until k) {
+      val dot = comps(a)._2.zip(comps(b)._2).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-8, s"v${a}.v$b = $dot")
+    }
+    // eigen equation against the independently computed covariance matrix
+    val cov = Array.ofDim[Double](64, 64)
+    ext.Similarity.covariance(spark, sf).collect().foreach { r =>
+      cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      cov(r.getInt(1))(r.getInt(0)) = r.getDouble(2)
+    }
+    comps.foreach { case (lam, v) =>
+      val av = (0 until 64).map(i => (0 until 64).map(j => cov(i)(j) * v(j)).sum)
+      val resid = av.zip(v).map { case (x, y) => math.abs(x - lam * y) }.max
+      assert(resid < 1e-5, s"eigen residual $resid for lambda=$lam") // cov rounded at 1e-6
+    }
+    // per-component projected population variance equals the eigenvalue
+    val proj = ext.Similarity.pcaProject(spark, sf, 2).collect()
+    (0 until 2).foreach { c =>
+      val xs = proj.map(_.getDouble(c + 1))
+      val mean = xs.sum / xs.length
+      val varp = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      assert(math.abs(varp - comps(c)._1) < 1e-4 * math.max(1.0, comps(c)._1),
+        s"pc$c variance $varp vs eigenvalue ${comps(c)._1}")
+    }
+  }
+
   test("misra-gries: guaranteed superset over a vocab far exceeding k, exact confirm thresholds") {
     import spark.implicits._
     // 200 distinct rare keys + 3 planted heavy keys; k=8 counters —
