@@ -47,6 +47,18 @@ object TextAnalysis {
     * token length, stopword ratio, and a composite quality score —
     * the length/punct/stopword-ratio heuristics of corpus filtering.
     */
+  /** Composite quality score of a raw `text` column — factored out so
+    * the batch [[quality]] projection and the streaming ingest gate
+    * ([[graft.streaming.CorpusPrep]]) evaluate the IDENTICAL
+    * expression and cannot drift.
+    */
+  private[graft] def qualityScore(text: Column): Column = {
+    val ws = split(text, " ")
+    val nTokens = size(ws)
+    val stopRatio = hitCount(ws, Stopwords).cast("double") / nTokens
+    least(lit(1.0), nTokens.cast("double") / 256.0) * (lit(1.0) - stopRatio)
+  }
+
   def quality(spark: SparkSession, sfDir: String): DataFrame = {
     val ws = words(col("text"))
     val nTokens = size(ws)
@@ -60,8 +72,7 @@ object TextAnalysis {
         .as("avg_token_len"),
       array_max(transform(ws, w => length(w))).as("max_token_len"),
       stopRatio.as("stopword_ratio"),
-      (least(lit(1.0), nTokens.cast("double") / 256.0) * (lit(1.0) - stopRatio))
-        .as("quality_score"))
+      qualityScore(col("text")).as("quality_score"))
   }
 
   /** Token counting two ways: whitespace split and a BPE-ish regex

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming corpus preparation — the continuously-maintained twin of
+  * the batch `corpus_prep` pipeline
+  * ([[graft.operators.Advanced.corpusPrep]]): documents flow in from
+  * the crawl, each is scored and gated by the SAME quality expression
+  * the batch pass uses ([[graft.functions.TextAnalysis.qualityScore]],
+  * factored so the two paths cannot drift), and exact duplicates are
+  * suppressed at ingest by content hash.
+  *
+  * Dedup scope: EXACT dedup (md5 of the text), not MinHash-LSH — a
+  * streaming LSH pair-join would buffer unbounded candidate state; the
+  * production split is exact-hash suppression at ingest (this
+  * operator, state bounded by the watermark horizon via
+  * `dropDuplicatesWithinWatermark`) plus periodic batch near-dup
+  * compaction over the landed corpus (`corpus_prep_cc`) — each form
+  * doing what its execution model can bound.
+  *
+  * Scale shape: the quality gate is a stateless projection (scan-bound,
+  * no state); dedup keys hash-partition across executors and the
+  * event-time watermark EVICTS hashes once no duplicate can still
+  * arrive, so state is (ingest rate × lateness) — not the corpus. The
+  * first arrival of each content hash passes; replays within the
+  * horizon are dropped, which downstream of an at-least-once crawler
+  * is effectively-exactly-once document landing
+  * ([[StreamingDedup]]'s contract, applied to documents).
+  */
+object CorpusPrep {
+
+  /** Quality floor — the same policy constant the batch
+    * `corpus_prep` family applies.
+    */
+  val QualityFloor = 0.3
+
+  /** Input: streaming frame with `doc_id`, `text`, event-time
+    * `ingest_ts`. Output: kept documents with their score and content
+    * hash.
+    */
+  def prepared(docs: DataFrame, lateness: String = "1 minute"): DataFrame =
+    docs
+      .withColumn("quality_score",
+        graft.functions.TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality_score") >= QualityFloor)
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ingest_ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  def start(
+      docs: DataFrame,
+      queryName: String,
+      lateness: String = "1 minute",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      prepared(docs, lateness)
+        .writeStream
+        .queryName(queryName)
+        .outputMode("append")
+        .format("memory"), trigger)
+      .start()
+}

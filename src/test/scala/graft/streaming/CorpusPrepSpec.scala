@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Streaming corpus-prep semantics: the quality gate applies the batch
+  * expression (stream-vs-batch equality on the same documents), exact
+  * duplicates are suppressed across micro-batches, and the first
+  * arrival wins.
+  */
+class CorpusPrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+
+  test("quality gate + cross-batch exact dedup; stream equals batch rule") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = CorpusPrep.start(docs, "corpus_prep_stream_out", lateness = "1 minute")
+    try {
+      val good = (1 to 100).map(i => s"tok$i").mkString(" ") // score 100/256 ≥ 0.3
+      val junk = "the the the the the the the the"          // all stopwords → score 0
+      input.addData(Seq(
+        (1L, good, ts(1)),
+        (2L, junk, ts(2)),    // fails the gate
+        (3L, good, ts(3))))   // same content as 1 → dropped in-batch
+      q.processAllAvailable()
+      input.addData(Seq(
+        (4L, good, ts(4)),            // cross-batch duplicate → dropped
+        (5L, good + " extra", ts(5))))  // novel content → kept
+      q.processAllAvailable()
+      val out = spark.table("corpus_prep_stream_out")
+      val kept = out.select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq === Seq(1L, 5L))
+
+      // stream-vs-batch: the same rule expressed in batch (first
+      // arrival per hash among gate-passers) gives the same doc set
+      val batchDocs = Seq(
+        (1L, good, ts(1)), (2L, junk, ts(2)), (3L, good, ts(3)),
+        (4L, good, ts(4)), (5L, good + " extra", ts(5)))
+        .toDF("doc_id", "text", "ingest_ts")
+      val batchKept = batchDocs
+        .withColumn("quality_score",
+          graft.functions.TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality_score") >= CorpusPrep.QualityFloor)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(struct(col("ingest_ts"), col("doc_id"))).as("first"))
+        .select(col("first.doc_id"))
+        .as[Long].collect().sorted
+      assert(batchKept.toSeq === kept.toSeq)
+
+      // the emitted rows carry the batch-identical score
+      val score1 = out.filter(col("doc_id") === 1L)
+        .select("quality_score").as[Double].head()
+      assert(math.abs(score1 - (100.0 / 256.0)) < 1e-12) // no stopwords → n/256
+    } finally q.stop()
+  }
+}
