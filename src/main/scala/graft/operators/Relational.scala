@@ -640,7 +640,55 @@ object Relational {
           .as("t_welch"))
   }
 
+  /** Join-key skew diagnostics over the canonical `user_id` key — the
+    * pre-flight every large join runs before choosing between a plain
+    * hash join, salting, or an AQE skew split: key cardinality, total
+    * rows, the hottest key's count and per-mille share, and how many
+    * keys hold more than 10× the mean.
+    *
+    * Exactness: the 10×-mean test is the integer inequality
+    * `c·n_keys > 10·n_rows` in decimal(38) (counts × key cardinality
+    * can overflow a long at 100 TB), and the top share is integer
+    * per-mille — no float anywhere, bit-stable under any partitioning.
+    *
+    * Scale shape: one corpus-grain aggregate to per-key counts (the
+    * only exchange that sees the corpus — and it is itself skew-FREE:
+    * partial counts collapse each hot key map-side to one row per
+    * partition), then a key-grain summary with the 1-row global stats
+    * broadcast back. The diagnostic for skewed joins never suffers the
+    * skew it measures.
+    */
+  def keySkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val per = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val s = per.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_count"))
+    per.crossJoin(broadcast(s))
+      .agg(
+        first(col("n_keys")).as("n_keys"),
+        first(col("n_rows")).as("n_rows"),
+        first(col("max_count")).as("max_count"),
+        sum(when(
+          col("c").cast(d19) * col("n_keys").cast(d19) >
+            lit(10).cast(d19) * col("n_rows").cast(d19), 1L).otherwise(0L))
+          .as("hot_keys"))
+      .select(col("n_keys"), col("n_rows"), col("max_count"), col("hot_keys"),
+        expr("max_count * 1000 div n_rows").as("top_share_pm"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "stats_key_skew" ->
+      """WITH per AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+         s AS (SELECT count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_count
+               FROM per)
+         SELECT s.n_keys, CAST(s.n_rows AS BIGINT) AS n_rows, s.max_count,
+                CAST(sum(CASE WHEN CAST(p.c AS HUGEINT) * s.n_keys
+                                   > 10 * CAST(s.n_rows AS HUGEINT)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys,
+                CAST(s.max_count * 1000 // s.n_rows AS BIGINT) AS top_share_pm
+         FROM per p, s
+         GROUP BY s.n_keys, s.n_rows, s.max_count""",
     "stats_ab_test" ->
       """WITH arms AS (
            SELECT event_type,
@@ -926,5 +974,6 @@ object Relational {
     "stats_quantile_sketch" -> quantileSketch _,
     "stats_quantile_binned" -> statsQuantileBinned _,
     "stats_ab_test" -> statsAbTest _,
+    "stats_key_skew" -> keySkew _,
   )
 }

@@ -43,6 +43,11 @@ class InvarianceSpec extends AnyFunSuite {
     "dedup_emb_neardup",    // derived-plane LSH pairs + hot-bucket cap
     "corpus_prep_best",     // struct-ordered keeper argmax over components
     "sample_token_budget",  // per-source hash-ordered prefix-sum cut
+    "text_heavy_hitters",   // MG sketch-then-confirm — sketch state varies, confirmed set must not
+    "dedup_spans",          // packed-long first-occurrence min
+    "events_attribution",   // click-timeline as-of probe + window gate
+    "events_anomaly",       // decimal(38) integer 2-sigma inequality
+    "decontaminate_bloom",  // bitmap-as-data prefilter + exact confirm
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {

@@ -402,6 +402,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.exists(_._3 > 0)) // the comparison is not vacuous
   }
 
+  test("dedup_containment: a quote pasted whole pairs at C=1.0 where jaccard stays blind") {
+    val dir = TestSpark.tmpDir("containment")
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")        // 56 shingles
+    val quote = (20 to 31).map(i => s"w$i").mkString(" ")     // 8 shingles ⊂ big
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    Seq((1L, big), (2L, quote), (3L, other))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val cont = ext.Dedup.containmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0))) // only the inclusion pair
+    // the same pair is invisible to the symmetric jaccard detector
+    val jac = ext.Dedup.ngramJaccard(spark, dir).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("pca: orthonormal components satisfying the eigen equation; projections carry the variance") {
     val sf = "/root/testdata/sf0.001"
     val k = 4

@@ -241,6 +241,52 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("dedup_spans: packed-long min hash-aggregates — no SortAggregate, no span strings shuffled") {
+    val plan = executedPlan("dedup_spans")
+    assert(!plan.contains("SortAggregate"), s"\n$plan")
+    // exchanges carry the 64-bit span hash, never the span text
+    assert(!plan.contains("Exchange hashpartitioning(col"), s"\n$plan")
+    assert(plan.contains("HashAggregate"), s"\n$plan")
+  }
+
+  test("text_heavy_hitters: sketch pass has no per-key exchange; no window, no global sort") {
+    val plan = executedPlan("text_heavy_hitters")
+    assert(!plan.contains("Window"), s"\n$plan")
+    assert(!plan.contains("SortAggregate"), s"\n$plan")
+    // the sketch folds through a SinglePartition exchange (one buffer
+    // per task); the confirm groupBy is the only hash exchange
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1, s"\n$plan")
+  }
+
+  test("events_attribution: timeline equi-join, never an interval-explosion or nested loop") {
+    val plan = executedPlan("events_attribution")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    assert(plan.contains("asof_last"), s"\n$plan") // the codegen probe is in the plan
+  }
+
+  test("emb_covariance: one global typed fold — the corpus never hash-exchanges") {
+    val plan = executedPlan("emb_covariance")
+    assert(!plan.contains("Exchange hashpartitioning"), s"\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"\n$plan")
+  }
+
+  test("decontaminate_bloom: bitmap rides a 1-row broadcast; confirm join is broadcast too") {
+    val df = SparkEntry.queries("decontaminate_bloom")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"\n$plan")
+    // the corpus side streams into the broadcast join — the only hash
+    // exchanges are the benchmark-sized distinct, the doc-grain agg,
+    // and the bitmap build's word fold (inlined in the cached-index
+    // plan text); none partitions on the corpus grain
+    assert(!plan.contains("SortMergeJoin"), s"\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(hashExchanges <= 3, s"\n$plan")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.expressions.GraftFunctions.register(spark)
