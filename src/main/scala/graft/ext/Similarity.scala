@@ -404,6 +404,65 @@ object Similarity {
       .select(col("vec_id"), col("scale_e9"),
         array_join(transform(col("q"), _.cast("string")), ",").as("q_str"))
 
+  /** Candidate depth of the SQ8 integer ranking stage. */
+  private val Sq8Candidates = 10
+
+  /** Brute-force top-3 over INT8-QUANTIZED codes with exact f32
+    * re-rank — the serving half of the [[quantize]] (IVF-SQ8) story:
+    * the corpus-wide scan reads only the 4×-smaller code vectors and
+    * ranks candidates by quantized cosine, then full-precision scoring
+    * touches just the [[Sq8Candidates]]-deep short list per query.
+    *
+    * The quantized cosine is scale-free: with symmetric per-vector
+    * quantization, `cos ≈ (q_a·q_b) / √((q_a·q_a)(q_b·q_b))` — the
+    * scales cancel — so the ranking stage is a pure function of three
+    * EXACT integer dot products (the codegen'd
+    * [[graft.functions.expressions.DotProductInt]] kernel, long
+    * accumulation: |code| ≤ 127 ⇒ no overflow at any realistic dim)
+    * and one double division of identical operands in both engines.
+    * No float summation anywhere in the corpus scan — the reason SQ8
+    * serving ranks in the integer domain.
+    *
+    * Scale shape: same as [[bruteforceTopK]] — broadcast query codes,
+    * one corpus scan, heap-trimmed partial top-K — except the scan is
+    * over int8 codes; the re-rank join fetches [[Sq8Candidates]]
+    * vectors per query (broadcast candidate list, production would
+    * point-look-up a vector store).
+    */
+  def sq8TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    import GraftFunctions.vectorDotInt
+    val codes = quantizeVectors(spark, sfDir).select(col("vec_id"), col("q"))
+      .withColumn("qaa", vectorDotInt(col("q"), col("q")))
+      .filter(col("qaa") > 0)
+    val qcodes = codes.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qaa").as("qbb"))
+    val shortList = codes.join(broadcast(qcodes), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (vectorDotInt(col("q"), col("qq")).cast("double")
+          / sqrt((col("qaa") * col("qbb")).cast("double"))).as("approx"))
+      .groupBy("query_id")
+      .agg(topK(Sq8Candidates)(col("vec_id"), col("approx")).as("cands"))
+      .select(col("query_id"), explode(col("cands")).as("c"))
+      .select(col("query_id"), col("c._1").as("neighbor_id"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val qemb = emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    broadcast(shortList)
+      .join(emb, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(qemb), col("query_id") === col("qid"))
+      .select(col("query_id"), col("neighbor_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("score"))
+      .groupBy("query_id")
+      .agg(topK(3)(col("neighbor_id"), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("neighbor_id"),
+        round(col("col._2"), 6).as("score"))
+  }
+
   /** Per-vector scalar statistics — the embedding-column health check
     * every vector pipeline runs before indexing (degenerate-vector
     * detection, normalization auditing): L2 norm, element mean /
@@ -888,6 +947,45 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 3""",
+    "sim_topk_sq8" ->
+      s"""WITH q8 AS (
+            SELECT vec_id,
+                   CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                        ELSE list_transform(embedding,
+                               x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
+                   END AS qv
+            FROM (SELECT vec_id, embedding,
+                         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+                           AS scale
+                  FROM embeddings)),
+          qa AS (SELECT vec_id, qv,
+                        list_sum([CAST(qv[i+1] AS BIGINT) * qv[i+1]
+                                  for i in range(len(qv))]) AS qaa
+                 FROM q8),
+          cand AS (
+            SELECT que.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_sum([CAST(c.qv[i+1] AS BIGINT) * que.qv[i+1]
+                             for i in range(len(c.qv))]) AS qdot,
+                   c.qaa AS caa, que.qaa AS quu
+            FROM qa que JOIN qa c ON c.vec_id != que.vec_id
+            WHERE que.vec_id < $NumQueryVecs AND c.qaa > 0 AND que.qaa > 0),
+          ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY CAST(qdot AS DOUBLE) / sqrt(CAST(caa * quu AS DOUBLE)) DESC,
+                              neighbor_id ASC) AS rn
+            FROM cand),
+          top10 AS (SELECT query_id, neighbor_id FROM ranked WHERE rn <= $Sq8Candidates),
+          exact AS (
+            SELECT t.query_id, t.neighbor_id, $CosExpr AS score
+            FROM top10 t JOIN embeddings q ON q.vec_id = t.query_id
+                         JOIN embeddings c ON c.vec_id = t.neighbor_id)
+          SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+                 round(score, 6) AS score
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rn
+                FROM exact)
+          WHERE rn <= 3""",
     "emb_covariance" ->
       s"""WITH pairs AS (SELECT i, j FROM range($Dim) a(i), range($Dim) b(j) WHERE j >= i),
           agg AS (SELECT i, j,
@@ -962,6 +1060,7 @@ object Similarity {
     "sim_ivf_topk" -> ivfTopK _,
     "emb_quantize" -> quantize _,
     "emb_covariance" -> covariance _,
+    "sim_topk_sq8" -> sq8TopK _,
     "emb_stats" -> embStats _,
     "emb_label_cohesion" -> embLabelCohesion _,
     "emb_rp_sketch" -> rpSketch _,

@@ -166,6 +166,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine_similarity"
   val CosineDName = "graft_cosine_similarity_d"
   val DotName = "graft_vector_dot"
+  val DotIntName = "graft_vector_dot_int"
   val AsofName = "graft_asof_last"
   val ShingleName = "graft_shingle_hashes"
   val CellTopName = "graft_cell_top_k"
@@ -177,6 +178,8 @@ object GraftFunctions {
       CosineDName, exprs => CosineSimilarityD(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotIntName, exprs => DotProductInt(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       AsofName, exprs => AsofLast(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -205,6 +208,12 @@ object GraftFunctions {
   /** Column-API handle: `vectorDot($"embedding", typedLit(plane))`. */
   def vectorDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function(DotName, a, b)
+
+  /** Column-API handle: `vectorDotInt($"qa", $"qb")` — exact integer
+    * dot of two int8-code arrays, long accumulation.
+    */
+  def vectorDotInt(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(DotIntName, a, b)
 
   /** Column-API handle: `asofLast($"timeline", $"ts")`. */
   def asofLast(arr: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

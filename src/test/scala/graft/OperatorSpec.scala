@@ -402,6 +402,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.exists(_._3 > 0)) // the comparison is not vacuous
   }
 
+  test("vector_dot_int kernel equals the declarative zip_with/aggregate fold") {
+    import spark.implicits._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextInt(255) - 127), Seq.fill(64)(rnd.nextInt(255) - 127))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      graft.functions.expressions.GraftFunctions.vectorDotInt(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x.cast("long") * y)),
+        lit(0L), _ + _).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+  }
+
+  test("sim_topk_sq8: quantized shortlist recovers the exact top-3 at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = ext.Similarity.bruteforceTopK(spark, sf).collect()
+      .filter(_.getLong(1) <= 3).map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq8 = ext.Similarity.sq8TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // int8 cosine error ~1e-4: the 10-deep integer shortlist must
+    // recover the true top-3 except where exact scores are within the
+    // quantization noise — demand ≥ 80% agreement overall
+    val agree = (exact intersect sq8).size.toDouble / exact.size
+    assert(agree >= 0.8, s"sq8 top-3 agreement $agree")
+  }
+
   test("dedup_containment: a quote pasted whole pairs at C=1.0 where jaccard stays blind") {
     val dir = TestSpark.tmpDir("containment")
     val big = (1 to 60).map(i => s"w$i").mkString(" ")        // 56 shingles
