@@ -136,6 +136,41 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Reconstructed corpus after span dedup — the ACTIONABLE form of
+    * [[spanDedup]]: each document reassembled from only its kept
+    * spans, in span order; documents whose every span was seen earlier
+    * disappear entirely (they contributed nothing novel). This is the
+    * C4-pipeline write-back step: the flag relation says WHAT was
+    * duplicate, this emits the cleaned text a training run consumes.
+    *
+    * Scale note: unlike [[spanDedup]] (hashes only on every exchange),
+    * reconstruction necessarily moves span TEXT through the final
+    * doc-grain aggregation — that exchange is output-sized (the
+    * cleaned corpus itself), which is the floor for any operator whose
+    * result IS the text. The first-occurrence resolution still runs
+    * entirely on 64-bit hashes.
+    */
+  def spanDedupClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val spans = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(ws) - 1) / SpanTokens).cast("int")),
+          i => array_join(slice(ws, i * SpanTokens + 1, lit(SpanTokens)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("span_idx"),
+        col("col").as("span"), xxhash64(col("col")).as("h"))
+    val firsts = spans.groupBy("h")
+      .agg(min(col("doc_id") * SpanIdxCap + col("span_idx")).as("first_key"))
+    spans.join(firsts, "h")
+      .filter(col("doc_id") * SpanIdxCap + col("span_idx") === col("first_key"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept_spans"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          s => s.getField("span")), " ").as("clean_text"))
+  }
+
   /** Containment floor for [[containmentPairs]]. */
   private val ContainmentFloor = 0.8
 
@@ -858,6 +893,24 @@ object Dedup {
           JOIN sizes x ON doc_a = x.doc_id
           JOIN sizes y ON doc_b = y.doc_id
           WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5""",
+    "dedup_spans_clean" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          si AS (SELECT doc_id, ws,
+                        unnest([i for i in range((len(ws)-1) // $SpanTokens + 1)]) AS span_idx
+                 FROM d),
+          sp AS (SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+                        array_to_string(
+                          ws[(span_idx*$SpanTokens+1):(span_idx*$SpanTokens+$SpanTokens)], ' ')
+                          AS span
+                 FROM si),
+          f AS (SELECT span, min(doc_id * ${SpanIdxCap}::BIGINT + span_idx) AS fk
+                FROM sp GROUP BY span),
+          kept AS (SELECT s.doc_id, s.span_idx, s.span
+                   FROM sp s JOIN f USING (span)
+                   WHERE s.doc_id * ${SpanIdxCap}::BIGINT + s.span_idx = f.fk)
+          SELECT doc_id, count(*) AS n_kept_spans,
+                 string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+          FROM kept GROUP BY doc_id""",
     "dedup_containment" ->
       s"""WITH $ShingleCte,
           sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
@@ -1045,6 +1098,7 @@ object Dedup {
     "decontaminate_bloom" -> decontaminateBloom _,
     "dedup_spans" -> spanDedup _,
     "dedup_containment" -> ((s: SparkSession, d: String) => containmentPairs(s, d)),
+    "dedup_spans_clean" -> spanDedupClean _,
     "dedup_editdist" -> editDistConfirm _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_components" -> components _,

@@ -482,6 +482,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_spans_clean: reconstruction agrees with the flag relation; all-dup docs vanish") {
+    val sf = "/root/testdata/sf0.001"
+    val flags = ext.Dedup.spanDedup(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(rs => rs.count(_.getBoolean(2))).toMap
+    val clean = ext.Dedup.spanDedupClean(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // kept-span counts agree doc by doc; zero-kept docs are absent
+    flags.foreach { case (doc, kept) =>
+      if (kept == 0) assert(!clean.contains(doc), s"doc $doc should vanish")
+      else assert(clean(doc) === kept.toLong, s"doc $doc")
+    }
+    assert(clean.keySet === flags.filter(_._2 > 0).keySet)
+  }
+
   test("misra-gries: guaranteed superset over a vocab far exceeding k, exact confirm thresholds") {
     import spark.implicits._
     // 200 distinct rare keys + 3 planted heavy keys; k=8 counters —
