@@ -209,7 +209,40 @@ object EventAnalytics {
         (dev * dev > lit(4).cast(d19) * varN2).as("is_anomaly"))
   }
 
+  /** Event-type transition counts — the user-journey Markov matrix:
+    * for each consecutive pair of events in a user's timeline
+    * (ordered by ts, event_id), one (from_type, to_type) transition.
+    * Pretraining-adjacent pipelines use the same shape for session
+    * modeling and bot detection (a user whose transition row is
+    * `error → error` at 99% is a crawler).
+    *
+    * Scale shape: ONE exchange hashed on `user_id` and one
+    * per-partition sort serve the `lead` window (the [[Advanced.sessionize]]
+    * discipline — co-grouped, never global), then pure integer counts
+    * over a |types|² grid. Deterministic: the (ts, event_id) sort key
+    * is a total order.
+    */
+  def markov(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "events_markov" ->
+      """WITH t AS (
+           SELECT event_type AS from_type,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                                            ORDER BY ts ASC, event_id ASC) AS to_type
+           FROM events)
+         SELECT from_type, to_type, count(*) AS n_transitions
+         FROM t WHERE to_type IS NOT NULL
+         GROUP BY 1, 2""",
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                      WHERE event_type = 'signup' GROUP BY user_id),
@@ -298,5 +331,6 @@ object EventAnalytics {
     "events_rolling_dau" -> rollingDau _,
     "stats_histogram" -> histogram _,
     "events_attribution" -> attribution _,
-    "events_anomaly" -> anomaly _)
+    "events_anomaly" -> anomaly _,
+    "events_markov" -> markov _)
 }

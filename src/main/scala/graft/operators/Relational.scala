@@ -677,7 +677,84 @@ object Relational {
         expr("max_count * 1000 div n_rows").as("top_share_pm"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance per event type between the
+    * two experiment arms (props `k` parity, the [[statsAbTest]]
+    * bucketing) — the DISTRIBUTION-drift companion to the mean-level
+    * Welch test: KS catches a variance or shape change the t-test
+    * misses entirely.
+    *
+    * Exactness: the statistic `sup |F_a − F_b|` is computed as a PURE
+    * INTEGER maximum — per distinct cent value, the cumulative counts
+    * satisfy `|cum_a·n_b − cum_b·n_a|` in decimal(38), whose max over
+    * values is exact under any partitioning; only the final division
+    * by `n_a·n_b` (identical integers in both engines) produces the
+    * reported double. No float CDFs, no interpolation.
+    *
+    * Scale shape — the histogram-cumsum discipline
+    * ([[quantileExact]]): the corpus collapses to per-(type, cent,
+    * arm) counts first (the only corpus-grain exchange, map-side
+    * partials), the window cumsum runs over DISTINCT cent values per
+    * type — thousands of rows, not the corpus — and the final max is
+    * |types|-sized.
+    */
+  def ksTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cent").asc)
+    val counts = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(2)).as("arm"),
+        cents(col("value")).as("cent"))
+      .filter(col("arm").isNotNull)
+      .groupBy("event_type", "cent")
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+    val cum = counts
+      .select(col("event_type"), col("cent"),
+        sum(col("ca")).over(w).as("cum_a"),
+        sum(col("cb")).over(w).as("cum_b"))
+    val tot = counts.groupBy("event_type")
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        abs(col("cum_a").cast(d19) * col("n_b").cast(d19)
+          - col("cum_b").cast(d19) * col("n_a").cast(d19)).as("num"))
+      .groupBy("event_type", "n_a", "n_b")
+      .agg(max(col("num")).as("ks_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("ks_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("ks"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "stats_ks_test" ->
+      """WITH base AS (
+           SELECT event_type,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS arm,
+                  CAST(round(value * 100) AS BIGINT) AS cent
+           FROM events
+           WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+         counts AS (
+           SELECT event_type, cent,
+                  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cb
+           FROM base GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, cent,
+                  sum(ca) OVER (PARTITION BY event_type ORDER BY cent ASC) AS cum_a,
+                  sum(cb) OVER (PARTITION BY event_type ORDER BY cent ASC) AS cum_b
+           FROM counts),
+         tot AS (
+           SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b
+           FROM counts GROUP BY 1)
+         SELECT c.event_type, t.n_a, t.n_b,
+                round(CAST(max(abs(CAST(c.cum_a AS HUGEINT) * t.n_b
+                                   - CAST(c.cum_b AS HUGEINT) * t.n_a)) AS DOUBLE)
+                      / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS ks
+         FROM cum c JOIN tot t USING (event_type)
+         GROUP BY c.event_type, t.n_a, t.n_b""",
     "stats_key_skew" ->
       """WITH per AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
          s AS (SELECT count(*) AS n_keys, sum(c) AS n_rows, max(c) AS max_count
@@ -975,5 +1052,6 @@ object Relational {
     "stats_quantile_binned" -> statsQuantileBinned _,
     "stats_ab_test" -> statsAbTest _,
     "stats_key_skew" -> keySkew _,
+    "stats_ks_test" -> ksTest _,
   )
 }

@@ -48,6 +48,8 @@ class InvarianceSpec extends AnyFunSuite {
     "events_attribution",   // click-timeline as-of probe + window gate
     "events_anomaly",       // decimal(38) integer 2-sigma inequality
     "decontaminate_bloom",  // bitmap-as-data prefilter + exact confirm
+    "stats_ks_test",        // integer sup-distance over histogram cumsum
+    "events_markov",        // per-user total-order lead window
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {

@@ -497,6 +497,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(clean.keySet === flags.filter(_._2 > 0).keySet)
   }
 
+  test("stats_ks_test: planted distribution shift scores KS=1, identical arms score 0") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("ksfix")
+    // type "shift": arm0 all 10.0, arm1 all 20.0 → KS = 1.0
+    // type "same":  both arms identical values     → KS = 0.0
+    val rows =
+      (1 to 10).map(i => (i.toLong, i * 1000L, 1L, "shift", 10.0, s"""{"k": ${2 * i}}""")) ++
+        (11 to 20).map(i => (i.toLong, i * 1000L, 1L, "shift", 20.0, s"""{"k": ${2 * i + 1}}""")) ++
+        (21 to 30).map(i => (i.toLong, i * 1000L, 2L, "same", (i % 5) * 1.0, s"""{"k": ${i}}"""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Relational.ksTest(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("shift") === 1.0)
+    assert(got("same") < 0.35) // small arms of the same 5-value cycle
+  }
+
+  test("events_markov: transitions follow each user's (ts, id) order, no cross-user pairs") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("markovfix")
+    val rows = Seq(
+      (1L, 1000L, 1L, "view", 1.0, "{}"),
+      (2L, 2000L, 1L, "click", 1.0, "{}"),
+      (3L, 3000L, 1L, "purchase", 1.0, "{}"),
+      (4L, 1000L, 2L, "view", 1.0, "{}"),   // user 2's lone event: no transition
+      (5L, 2000L, 3L, "click", 1.0, "{}"),
+      (6L, 2000L, 3L, "view", 1.0, "{}"))   // same ts → event_id breaks the tie: click→view
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.EventAnalytics.markov(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("view", "click", 1L), ("click", "purchase", 1L),
+      ("click", "view", 1L)))
+  }
+
   test("misra-gries: guaranteed superset over a vocab far exceeding k, exact confirm thresholds") {
     import spark.implicits._
     // 200 distinct rare keys + 3 planted heavy keys; k=8 counters —
