@@ -25,38 +25,57 @@ import org.apache.spark.sql.functions.udaf
   * bounded-state discipline [[TopKAgg]] applies to ranking, applied to
   * frequency.
   *
+  * Buffer layout — the [[CentroidAgg]] mutable-cell trick: counters
+  * live in single-element `Array[Long]` cells inside an immutable map,
+  * so the HOT path (a key already in the summary) is one in-place
+  * increment with ZERO allocation; map reallocation happens only on
+  * insert and on the decrement step that actually frees a slot. Keeps
+  * the `ExpressionEncoder` (no kryo) while making the per-row cost of
+  * a corpus-scale fold an array write.
+  *
   * Merge rule (Agarwal et al., "Mergeable Summaries", PODS'12): sum
   * counters pairwise, then subtract the (k+1)-th largest count from
   * every counter and drop the non-positive — keeps ≤ k counters and
   * preserves the N/(k+1) error bound additively across merges.
   */
 class MisraGriesAgg(k: Int)
-    extends Aggregator[Long, Map[Long, Long], Seq[Long]] {
+    extends Aggregator[Long, Map[Long, Array[Long]], Seq[Long]] {
 
-  private def trim(m: Map[Long, Long]): Map[Long, Long] =
+  private def trim(m: Map[Long, Array[Long]]): Map[Long, Array[Long]] =
     if (m.size <= k) m
     else {
-      val cut = m.values.toSeq.sorted(Ordering[Long].reverse)(k) // (k+1)-th largest
-      m.collect { case (h, n) if n > cut => h -> (n - cut) }
+      val cut = m.valuesIterator.map(_(0)).toSeq.sorted(Ordering[Long].reverse)(k)
+      m.collect { case (h, c) if c(0) > cut => h -> Array(c(0) - cut) }
     }
 
-  override def zero: Map[Long, Long] = Map.empty
+  override def zero: Map[Long, Array[Long]] = Map.empty
 
-  override def reduce(m: Map[Long, Long], h: Long): Map[Long, Long] =
+  override def reduce(m: Map[Long, Array[Long]], h: Long): Map[Long, Array[Long]] =
     m.get(h) match {
-      case Some(n) => m.updated(h, n + 1)
-      case None if m.size < k => m.updated(h, 1L)
-      case None => // decrement-all step: the classic MG counter trade
-        m.collect { case (kk, n) if n > 1 => kk -> (n - 1) }
+      case Some(c) => c(0) += 1; m // hot path: in-place, zero alloc
+      case None if m.size < k => m.updated(h, Array(1L))
+      case None =>
+        // decrement-all (the classic MG counter trade); rebuild the map
+        // only when a counter actually hits zero and frees a slot
+        var freed = false
+        m.valuesIterator.foreach { c => c(0) -= 1; if (c(0) == 0) freed = true }
+        if (freed) m.filter(_._2(0) > 0) else m
     }
 
-  override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
-    trim(a.foldLeft(b) { case (acc, (h, n)) => acc.updated(h, acc.getOrElse(h, 0L) + n) })
+  override def merge(
+      a: Map[Long, Array[Long]],
+      b: Map[Long, Array[Long]]): Map[Long, Array[Long]] =
+    trim(b.foldLeft(a) { case (acc, (h, c)) =>
+      acc.get(h) match {
+        case Some(ca) => ca(0) += c(0); acc
+        case None => acc.updated(h, c)
+      }
+    })
 
-  override def finish(m: Map[Long, Long]): Seq[Long] = m.keys.toSeq.sorted
+  override def finish(m: Map[Long, Array[Long]]): Seq[Long] = m.keys.toSeq.sorted
 
-  override def bufferEncoder: Encoder[Map[Long, Long]] =
-    ExpressionEncoder[Map[Long, Long]]()
+  override def bufferEncoder: Encoder[Map[Long, Array[Long]]] =
+    ExpressionEncoder[Map[Long, Array[Long]]]()
   override def outputEncoder: Encoder[Seq[Long]] =
     ExpressionEncoder[Seq[Long]]()
 }

@@ -710,13 +710,17 @@ object Relational {
       .agg(
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
-    val cum = counts
+    // totals ride a whole-partition window over the SAME (type)
+    // partitioning the cumsum uses — one corpus-grain aggregate total,
+    // no second scan and no join (a counts-derived totals frame would
+    // recompute the whole upstream per reference)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    counts
       .select(col("event_type"), col("cent"),
         sum(col("ca")).over(w).as("cum_a"),
-        sum(col("cb")).over(w).as("cum_b"))
-    val tot = counts.groupBy("event_type")
-      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    cum.join(broadcast(tot), "event_type")
+        sum(col("cb")).over(w).as("cum_b"),
+        sum(col("ca")).over(wAll).as("n_a"),
+        sum(col("cb")).over(wAll).as("n_b"))
       .select(col("event_type"), col("n_a"), col("n_b"),
         abs(col("cum_a").cast(d19) * col("n_b").cast(d19)
           - col("cum_b").cast(d19) * col("n_a").cast(d19)).as("num"))
