@@ -423,6 +423,36 @@ object Advanced {
       .select(col("doc_id"), col("shard"), col("pos_in_shard"))
   }
 
+  /** Contamination drop threshold for [[corpusPrepFull]]: a doc loses
+    * its place when more than 5% of its shingles appear in the
+    * benchmark set (`n_contaminated·20 > n_shingles`, integer-exact).
+    */
+  private val ContamPerMilleNum = 20
+
+  /** The COMPLETE data-release pipeline — what actually runs before a
+    * training corpus ships, composed from the library's own verified
+    * stages: quality gate ∘ component-resolved near-dup removal
+    * ([[corpusPrepCc]]) ∘ benchmark decontamination
+    * ([[graft.ext.Dedup.decontaminate]]): benchmark documents
+    * themselves are excluded (the eval set never trains), and any doc
+    * whose 5-gram overlap with the benchmark exceeds 5% is dropped.
+    *
+    * Scale shape: pure composition — each stage keeps its own audited
+    * plan (memoized shingle index shared between the dedup and
+    * decontamination stages, broadcast benchmark set, log-round
+    * components), joined at doc grain by anti-joins on tiny loser
+    * sets. Catalyst fuses the shared scans; no stage is recomputed
+    * per-stage-consumer.
+    */
+  def corpusPrepFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val contaminated = graft.ext.Dedup.decontaminate(spark, sfDir)
+      .filter(col("n_contaminated") * ContamPerMilleNum > col("n_shingles"))
+      .select("doc_id")
+    corpusPrepCc(spark, sfDir)
+      .filter(col("doc_id") >= graft.ext.Dedup.BenchmarkDocs)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "corpus_prep_best" ->
       s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
@@ -578,6 +608,50 @@ object Advanced {
           SELECT doc_id, n_tokens, quality_score FROM q
           WHERE quality_score >= 0.3
             AND doc_id NOT IN (SELECT doc_id FROM losers)""",
+    "corpus_prep_full" ->
+      s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
+          mh AS (
+            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+            FROM ex, range(16) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+            FROM sig, range(4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+          candf AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+            WHERE CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16 >= 0.8),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM candf
+                    UNION ALL
+                    SELECT doc_b AS src, doc_a AS dst FROM candf),
+          verts AS (SELECT DISTINCT src AS v FROM edges),
+          reach(v, r) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+          losers AS (
+            SELECT v AS doc_id FROM reach GROUP BY v HAVING v != min(r)),
+          bench AS (SELECT DISTINCT shingle FROM ex
+                    WHERE doc_id < ${graft.ext.Dedup.BenchmarkDocs}),
+          hits AS (SELECT e.doc_id, count(*) AS n_cont
+                   FROM ex e JOIN bench USING (shingle) GROUP BY e.doc_id),
+          contam AS (SELECT s.doc_id FROM sh s LEFT JOIN hits h USING (doc_id)
+                     WHERE coalesce(h.n_cont, 0) * $ContamPerMilleNum > len(s.s)),
+          q AS (
+            SELECT doc_id, len(ws) AS n_tokens,
+                   least(1.0, CAST(len(ws) AS DOUBLE) / 256.0) *
+                   (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws))
+                     AS quality_score
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+          SELECT doc_id, n_tokens, quality_score FROM q
+          WHERE quality_score >= 0.3
+            AND doc_id >= ${graft.ext.Dedup.BenchmarkDocs}
+            AND doc_id NOT IN (SELECT doc_id FROM losers)
+            AND doc_id NOT IN (SELECT doc_id FROM contam)""",
     "sample_stratified" -> {
       val rateCase = SampleRatePerMille
         .map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
@@ -663,6 +737,7 @@ object Advanced {
     "emb_label_centroids" -> embLabelCentroids _,
     "corpus_prep" -> corpusPrep _,
     "corpus_prep_cc" -> corpusPrepCc _,
+    "corpus_prep_full" -> corpusPrepFull _,
     "sample_stratified" -> sampleStratified _,
     "sample_cap_source" -> sampleCapPerSource _,
     "sample_balance_sources" -> sampleBalanceSources _,
