@@ -733,6 +733,59 @@ object Similarity {
         }: _*)
   }
 
+  /** Outlier flag threshold for [[outlierScores]]: a diagonal-
+    * Mahalanobis score above 2× the dimension count (i.e. an average
+    * of 2 variances per dimension — the χ² two-sigma intuition) flags
+    * the vector.
+    */
+  private val OutlierThreshold = 2.0 * Dim
+
+  /** Per-vector outlier scores — the OOD filter an embedding pipeline
+    * runs before trusting vectors for dedup/ANN/quantizer training:
+    * diagonal Mahalanobis distance Σ_d (x_d − μ_d)²/σ²_d against the
+    * corpus's own per-dimension moments, plus the threshold flag.
+    * (The FULL-covariance form is [[pcaComponents]] + reconstruction
+    * error; the diagonal form is the oracle-exact screen that needs no
+    * eigensolver.)
+    *
+    * Scale shape: moments come from the same single
+    * [[graft.functions.GramAgg]] fold as [[covariance]] (σ²_d IS
+    * cov(d,d)), collapse to two 64-value literals on the driver
+    * (index-sized, the quantizer-as-data boundary), and the scoring
+    * pass is a zero-shuffle projection. Determinism: μ and σ² are
+    * rounded at 1e-6 (the centroid discipline — partition-order sum
+    * noise is 1e-13), and the per-row fold then runs IDENTICAL
+    * operands in identical index order in both engines.
+    */
+  def outlierScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = Tables.embeddings(spark, sfDir)
+      .agg(graft.functions.GramAgg.gram(col("embedding")).as("g"))
+      .select(col("g._1").as("n"), col("g._2").as("s"), col("g._3").as("t"))
+      .collect().head
+    val n = g.getLong(0).toDouble
+    val s = g.getSeq[Double](1)
+    val t = g.getSeq[Double](2)
+    def diagIdx(d: Int): Int = d * Dim - d * (d - 1) / 2
+    // HALF_UP mirrors both engines' round(x, 6) semantics
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mw: Seq[(Double, Double)] = (0 until Dim).map { d =>
+      val mu = r6(s(d) / n)
+      val va = r6(t(diagIdx(d)) / n - (s(d) / n) * (s(d) / n))
+      (mu, if (va > 0) 1.0 / va else 0.0)
+    }
+    val score = round(
+      aggregate(
+        zip_with(col("embedding"), typedLit(mw), (x, m) => {
+          val e = x.cast("double") - m.getField("_1")
+          e * e * m.getField("_2")
+        }),
+        lit(0.0), _ + _), 6)
+    Tables.embeddings(spark, sfDir).select(
+      col("vec_id"), score.as("score"),
+      (score > OutlierThreshold).as("is_outlier"))
+  }
+
   /** Seed-centroid count for [[kmeansStep]]. */
   private val KmeansK = 8
 
@@ -947,6 +1000,28 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 3""",
+    "emb_outliers" ->
+      s"""WITH m AS (
+            SELECT d,
+                   round(sum(CAST(embedding[d+1] AS DOUBLE)) / count(*), 6) AS mu,
+                   round(sum(CAST(embedding[d+1] AS DOUBLE) * CAST(embedding[d+1] AS DOUBLE)) / count(*)
+                         - (sum(CAST(embedding[d+1] AS DOUBLE)) / count(*))
+                           * (sum(CAST(embedding[d+1] AS DOUBLE)) / count(*)), 6) AS va
+            FROM embeddings, range($Dim) t(d)
+            GROUP BY d),
+          mw AS (SELECT list(mu ORDER BY d) AS mus,
+                        list(CASE WHEN va > 0 THEN 1.0 / va ELSE 0.0 END ORDER BY d) AS ws
+                 FROM m)
+          SELECT vec_id,
+                 round(list_sum([
+                   (CAST(e.embedding[d+1] AS DOUBLE) - mw.mus[d+1])
+                   * (CAST(e.embedding[d+1] AS DOUBLE) - mw.mus[d+1]) * mw.ws[d+1]
+                   for d in range(len(e.embedding))]), 6) AS score,
+                 round(list_sum([
+                   (CAST(e.embedding[d+1] AS DOUBLE) - mw.mus[d+1])
+                   * (CAST(e.embedding[d+1] AS DOUBLE) - mw.mus[d+1]) * mw.ws[d+1]
+                   for d in range(len(e.embedding))]), 6) > $OutlierThreshold AS is_outlier
+          FROM embeddings e, mw""",
     "sim_topk_sq8" ->
       s"""WITH q8 AS (
             SELECT vec_id,
@@ -1061,6 +1136,7 @@ object Similarity {
     "emb_quantize" -> quantize _,
     "emb_covariance" -> covariance _,
     "sim_topk_sq8" -> sq8TopK _,
+    "emb_outliers" -> outlierScores _,
     "emb_stats" -> embStats _,
     "emb_label_cohesion" -> embLabelCohesion _,
     "emb_rp_sketch" -> rpSketch _,
