@@ -44,5 +44,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         if (exprs.length == 1) ShingleHashes(exprs(0), 5)
         else ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.DotIntName),
+      info(GraftFunctions.DotIntName,
+        "exact integer dot of two array<int> code vectors, long accumulation"),
+      (exprs: Seq[Expression]) => DotProductInt(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.CellTopName),
+      info(GraftFunctions.CellTopName,
+        "top-k quantizer cells of a vector by (cosine desc, cell asc)"),
+      (exprs: Seq[Expression]) => CellTopK(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int])))
   }
 }
