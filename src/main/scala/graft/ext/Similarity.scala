@@ -769,18 +769,15 @@ object Similarity {
     // HALF_UP mirrors both engines' round(x, 6) semantics
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val mw: Seq[(Double, Double)] = (0 until Dim).map { d =>
-      val mu = r6(s(d) / n)
+    val mus: Seq[Double] = (0 until Dim).map(d => r6(s(d) / n))
+    val ws: Seq[Double] = (0 until Dim).map { d =>
       val va = r6(t(diagIdx(d)) / n - (s(d) / n) * (s(d) / n))
-      (mu, if (va > 0) 1.0 / va else 0.0)
+      if (va > 0) 1.0 / va else 0.0
     }
+    // the codegen'd fused loop — bit-for-bit the zip_with/aggregate
+    // chain (KernelLawsSpec law), zero per-row allocation
     val score = round(
-      aggregate(
-        zip_with(col("embedding"), typedLit(mw), (x, m) => {
-          val e = x.cast("double") - m.getField("_1")
-          e * e * m.getField("_2")
-        }),
-        lit(0.0), _ + _), 6)
+      GraftFunctions.weightedSqDist(col("embedding"), typedLit(mus), typedLit(ws)), 6)
     Tables.embeddings(spark, sfDir).select(
       col("vec_id"), score.as("score"),
       (score > OutlierThreshold).as("is_outlier"))

@@ -167,6 +167,7 @@ object GraftFunctions {
   val CosineDName = "graft_cosine_similarity_d"
   val DotName = "graft_vector_dot"
   val DotIntName = "graft_vector_dot_int"
+  val WSqDistName = "graft_weighted_sq_dist"
   val AsofName = "graft_asof_last"
   val ShingleName = "graft_shingle_hashes"
   val CellTopName = "graft_cell_top_k"
@@ -180,6 +181,8 @@ object GraftFunctions {
       DotName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       DotIntName, exprs => DotProductInt(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WSqDistName, exprs => WeightedSqDist(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       AsofName, exprs => AsofLast(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -214,6 +217,11 @@ object GraftFunctions {
     */
   def vectorDotInt(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.call_function(DotIntName, a, b)
+
+  /** Column-API handle: `weightedSqDist($"emb", typedLit(mu), typedLit(w))`. */
+  def weightedSqDist(x: org.apache.spark.sql.Column, mu: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function(WSqDistName, x, mu, w)
 
   /** Column-API handle: `asofLast($"timeline", $"ts")`. */
   def asofLast(arr: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -402,6 +402,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.exists(_._3 > 0)) // the comparison is not vacuous
   }
 
+  test("weighted_sq_dist kernel equals the declarative zip_with/aggregate fold") {
+    import spark.implicits._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 40).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 4 - 2))
+    }
+    val mu = Seq.fill(64)(rnd.nextDouble() * 2 - 1)
+    val w = Seq.fill(64)(rnd.nextDouble() * 3)
+    val mw = mu.zip(w)
+    val df = rows.toDF("id", "x")
+    val got = df.select(col("id"),
+      graft.functions.expressions.GraftFunctions
+        .weightedSqDist(col("x"), typedLit(mu), typedLit(w)).as("k"),
+      aggregate(
+        zip_with(col("x"), typedLit(mw), (x, m) => {
+          val e = x.cast("double") - m.getField("_1")
+          e * e * m.getField("_2")
+        }),
+        lit(0.0), _ + _).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(1) === r.getDouble(2))) // bit-for-bit
+  }
+
   test("vector_dot_int kernel equals the declarative zip_with/aggregate fold") {
     import spark.implicits._
     graft.functions.expressions.GraftFunctions.register(spark)
