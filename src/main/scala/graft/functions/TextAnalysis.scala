@@ -316,6 +316,44 @@ object TextAnalysis {
         col("entropy_nats"))
   }
 
+  /** Merge candidates emitted per [[bpeStep]]. */
+  private val BpeTopMerges = 10
+
+  /** One BPE merge iteration — the TRAIN step of byte-pair-encoding
+    * tokenizer induction (Sennrich et al., ACL'16), the same
+    * one-distributed-step-of-an-iterated-trainer shape as
+    * [[graft.ext.Similarity.kmeansStep]]: count adjacent symbol-pair
+    * frequencies over the corpus (weighted by word frequency) and emit
+    * the top merge candidates by (count desc, pair asc). A production
+    * trainer folds the chosen merge into the symbol sequences and
+    * repeats — each iteration is this same two-aggregate job over the
+    * current vocabulary.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-word frequency
+    * table first (the only corpus-grain exchange — and the reason BPE
+    * training scales at all: pair counting runs over the vocabulary,
+    * whose size is corpus-sublinear, × word length, never over raw
+    * text), pairs explode from that key-grain table, and the final
+    * ranking is a TakeOrderedAndProject over a charset²-bounded count
+    * table. All counts exact integers.
+    */
+  def bpeStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val wordFreq = Tables.documents(spark, sfDir)
+      .select(explode(words(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_w"))
+    wordFreq
+      // single-symbol words carry no pairs (and Spark's sequence(1, 0)
+      // would DESCEND rather than come back empty)
+      .filter(length(col("t")) >= 2)
+      .select(col("n_w"),
+        explode(expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))"))
+          .as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("n_w")).as("merge_count"))
+      .orderBy(col("merge_count").desc, col("pair").asc)
+      .limit(BpeTopMerges)
+  }
+
   /** Counter budget for [[heavyHitters]]: tokens above 1/32 of corpus
     * mass qualify.
     */
@@ -879,6 +917,19 @@ object TextAnalysis {
       s"len(list_filter(string_split(text, ' '), w -> w IN (${markerList(m)}))) AS score_$l"
     }.mkString(",\n                  ")
     Map(
+      "text_bpe_step" ->
+        s"""WITH wf AS (
+              SELECT t, count(*) AS n_w
+              FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+              GROUP BY t),
+            pairs AS (
+              SELECT unnest([substr(t, i, 2) for i in range(1, len(t))]) AS pair, n_w
+              FROM wf WHERE len(t) >= 2)
+            SELECT pair, CAST(sum(n_w) AS BIGINT) AS merge_count
+            FROM pairs
+            GROUP BY pair
+            ORDER BY merge_count DESC, pair ASC
+            LIMIT $BpeTopMerges""",
       "text_entropy" ->
         """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tk FROM documents),
            cnt AS (SELECT source, tk, count(*) AS c FROM t GROUP BY 1, 2),
@@ -1139,6 +1190,7 @@ object TextAnalysis {
     "text_oov_rate" -> oovRate _,
     "text_heavy_hitters" -> heavyHitters _,
     "text_entropy" -> entropy _,
+    "text_bpe_step" -> bpeStep _,
     "text_winnow" -> winnow _,
     "text_chunk" -> chunk _,
     "text_hash_features" -> hashFeatures _,

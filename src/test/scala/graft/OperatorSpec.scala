@@ -557,6 +557,19 @@ class OperatorSpec extends AnyFunSuite {
       ("click", "view", 1L)))
   }
 
+  test("text_bpe_step: pair counts weight by word frequency; dominant pair ranks first") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("bpefix")
+    // "abab" contributes ab×2, ba×1 per word instance; 3 instances →
+    // ab=6, ba=3; "xy" once → xy=1; single-char "z" contributes nothing
+    Seq((1L, "abab z"), (2L, "abab z"), (3L, "abab xy z"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.functions.TextAnalysis.bpeStep(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("ab", 6L), ("ba", 3L), ("xy", 1L)))
+  }
+
   test("misra-gries: guaranteed superset over a vocab far exceeding k, exact confirm thresholds") {
     import spark.implicits._
     // 200 distinct rare keys + 3 planted heavy keys; k=8 counters —
