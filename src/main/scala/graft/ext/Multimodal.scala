@@ -233,7 +233,30 @@ object Multimodal {
                 ELSE (height * 224 + greatest(width, height) div 2)
                      div greatest(width, height) END AS out_h""")
 
+  /** Exact payload dedup — the FIRST dedup pass of any multimodal
+    * corpus (identical bytes = identical media, no decode needed):
+    * group by the 128-bit content digest, keep the lowest doc_id, count
+    * copies. One shuffle on the digest, [[graft.ext.Dedup.exact]]'s
+    * shape over the binary column; the payload itself still never
+    * crosses an exchange — only the 32-hex digest and two longs do
+    * (the digest computes scan-side, before the aggregate's partials).
+    * Near-dup (perceptual-hash) detection would follow on the DECODED
+    * frames downstream of [[decodeMeta]]; byte-exact dedup is the
+    * cheap scan-side screen that removes the mass of literal re-crawls
+    * first.
+    */
+  def payloadDedup(spark: SparkSession, sfDir: String): DataFrame =
+    payloads(spark, sfDir)
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+
   val oracleSql: Map[String, String] = Map(
+    "mm_dedup_payload" ->
+      """SELECT md5(text) AS payload_md5,
+                min(doc_id) AS keeper_doc_id,
+                count(*) AS n_copies
+         FROM documents
+         GROUP BY 1""",
     "mm_decode_meta" ->
       """WITH b AS (
            SELECT doc_id, hex(encode(text)) AS hx,
@@ -279,6 +302,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> decodeMeta _,
+    "mm_dedup_payload" -> payloadDedup _,
     "mm_frame_sample" -> frameSample _,
     "mm_resize_dims" -> resizeDims _,
   )
