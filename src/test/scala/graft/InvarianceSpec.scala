@@ -50,6 +50,12 @@ class InvarianceSpec extends AnyFunSuite {
     "decontaminate_bloom",  // bitmap-as-data prefilter + exact confirm
     "stats_ks_test",        // integer sup-distance over histogram cumsum
     "events_markov",        // per-user total-order lead window
+    "emb_covariance",       // Gram-fold sums rounded at 1e-6 before compare
+    "emb_outliers",         // driver-side moments from partition-order-noisy sums
+    "text_bpe_step",        // TakeOrdered over exact integer pair counts
+    "dedup_spans_clean",    // ordered reconstruction from packed-min keepers
+    "sim_topk_sq8",         // integer-domain candidate ranking + f32 re-rank
+    "corpus_prep_full",     // three-stage composition
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
