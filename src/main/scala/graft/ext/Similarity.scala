@@ -429,12 +429,28 @@ object Similarity {
     * vectors per query (broadcast candidate list, production would
     * point-look-up a vector store).
     */
+  /** Memoized SQ8 code index — (vec_id, codes, self-dot), the stored
+    * artifact a production SQ8 deployment serves from (codes ARE the
+    * index; re-quantizing per query would be rebuilding it). DISK_ONLY
+    * in-session (corpus-sized, the [[bucketedEmb]] storage rule) or
+    * warehouse-persisted under [[graft.IndexStore.IndexDirKey]].
+    */
+  private val sq8Cache = new graft.SessionCache[DataFrame]
+
+  private[graft] def sq8Index(spark: SparkSession, sfDir: String): DataFrame =
+    sq8Cache.getOrElseUpdate(spark, sfDir) {
+      GraftFunctions.register(spark)
+      def build = quantizeVectors(spark, sfDir).select(col("vec_id"), col("q"))
+        .withColumn("qaa", GraftFunctions.vectorDotInt(col("q"), col("q")))
+        .filter(col("qaa") > 0)
+      graft.IndexStore.resolve(spark, sfDir, "sq8_codes")(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
+
   def sq8TopK(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     import GraftFunctions.vectorDotInt
-    val codes = quantizeVectors(spark, sfDir).select(col("vec_id"), col("q"))
-      .withColumn("qaa", vectorDotInt(col("q"), col("q")))
-      .filter(col("qaa") > 0)
+    val codes = sq8Index(spark, sfDir)
     val qcodes = codes.filter(col("vec_id") < NumQueryVecs)
       .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qaa").as("qbb"))
     val shortList = codes.join(broadcast(qcodes), col("vec_id") =!= col("query_id"))

@@ -304,9 +304,14 @@ object TextAnalysis {
       .select(col("source"), explode(words(col("text"))).as("t"))
       .select(col("source"), xxhash64(col("t")).as("h"))
       .groupBy("source", "h").agg(count(lit(1)).as("c"))
-    val tot = cnt.groupBy("source")
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
-    cnt.join(tot, "source")
+    // per-source totals ride a whole-partition window over the count
+    // table's own grain — a totals aggregate + join back would
+    // recompute the corpus-grain count a second time per reference
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    cnt
+      .select(col("source"), col("c"),
+        sum(col("c")).over(wSrc).as("n"),
+        count(lit(1)).over(wSrc).as("n_distinct"))
       .select(col("source"), col("n"), col("n_distinct"),
         (col("c").cast("double")
           * round(log(col("c").cast("double") / col("n")), 9)).as("contrib"))
