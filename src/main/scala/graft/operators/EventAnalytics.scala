@@ -194,17 +194,21 @@ object EventAnalytics {
     */
   def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
     val d19 = "decimal(19,0)"
+    // per-type sufficient statistics ride a whole-partition window over
+    // the calendar-grain daily table — a stats aggregate joined back
+    // would recompute the corpus-grain count a second time
+    val wType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
     val daily = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val stats = daily.groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).cast(d19).as("nd"),
-        sum(col("n")).cast(d19).as("s"),
-        sum(col("n").cast(d19) * col("n").cast(d19)).cast("decimal(38,0)").as("ss"))
+      .select(col("event_type"), col("day"), col("n"),
+        count(lit(1)).over(wType).cast(d19).as("nd"),
+        sum(col("n")).over(wType).cast(d19).as("s"),
+        sum(col("n").cast(d19) * col("n").cast(d19)).over(wType)
+          .cast("decimal(38,0)").as("ss"))
     val dev = col("nd") * col("n").cast(d19) - col("s")
     val varN2 = col("nd") * col("ss") - col("s") * col("s") // N²·σ²  (×N² keeps it integer)
-    daily.join(broadcast(stats), "event_type")
+    daily
       .select(col("event_type"), col("day"), col("n"),
         (dev * dev > lit(4).cast(d19) * varN2).as("is_anomaly"))
   }
