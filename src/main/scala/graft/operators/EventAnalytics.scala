@@ -237,7 +237,67 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** RFM (recency / frequency / monetary) segmentation — the
+    * behavioral-cohort shape every growth pipeline derives from the
+    * raw feed: per user, days since last activity, event count, and
+    * cent-exact spend, each flagged against a corpus-derived split.
+    *
+    * The split is MEAN-BASED and integer-exact (`f·n_users > Σf` in
+    * decimal(38); recency against a 7-day horizon from the corpus's
+    * own max day) rather than quantile-based: quintile ntiles would
+    * force a single-partition global sort of the user grain — the one
+    * plan shape this library bans — while the mean split needs only
+    * the per-user aggregate (one corpus exchange on `user_id`) plus a
+    * 1-row broadcast of corpus scalars. A quantile segmentation at
+    * scale would go through the binned histogram-cumsum machinery
+    * (`stats_quantile_binned`) instead.
+    */
+  def rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val ev = Tables.events(spark, sfDir)
+    val per = ev.groupBy("user_id").agg(
+      max(col("ts")).as("last_ts"),
+      count(lit(1)).as("f"),
+      sum(cents(col("value"))).as("m_cents"))
+    val scalars = ev.agg(
+      count(lit(1)).as("total_events"),
+      sum(cents(col("value"))).as("total_cents"),
+      countDistinct(col("user_id")).as("n_users"),
+      max(date_trunc("day", col("ts"))).as("max_day"))
+    per.crossJoin(broadcast(scalars))
+      .select(col("user_id"),
+        datediff(col("max_day").cast("date"),
+          date_trunc("day", col("last_ts")).cast("date")).cast("long").as("r_days"),
+        col("f"), col("m_cents"),
+        (datediff(col("max_day").cast("date"),
+          date_trunc("day", col("last_ts")).cast("date")) <= 7).as("r_recent"),
+        (col("f").cast(d19) * col("n_users").cast(d19) >
+          col("total_events").cast(d19)).as("f_high"),
+        (col("m_cents").cast(d19) * col("n_users").cast(d19) >
+          col("total_cents").cast(d19)).as("m_high"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "events_rfm" ->
+      """WITH per AS (
+           SELECT user_id, max(ts) AS last_ts, count(*) AS f,
+                  sum(CAST(round(value * 100) AS BIGINT)) AS m_cents
+           FROM events GROUP BY 1),
+         s AS (
+           SELECT count(*) AS total_events,
+                  sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+                  count(DISTINCT user_id) AS n_users,
+                  max(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS max_day
+           FROM events)
+         SELECT p.user_id,
+                CAST(datediff('day', CAST(date_trunc('day', p.last_ts) AS DATE),
+                              CAST(s.max_day AS DATE)) AS BIGINT) AS r_days,
+                p.f, CAST(p.m_cents AS BIGINT) AS m_cents,
+                datediff('day', CAST(date_trunc('day', p.last_ts) AS DATE),
+                         CAST(s.max_day AS DATE)) <= 7 AS r_recent,
+                CAST(p.f AS HUGEINT) * s.n_users > s.total_events AS f_high,
+                CAST(p.m_cents AS HUGEINT) * s.n_users > s.total_cents AS m_high
+         FROM per p, s""",
     "events_markov" ->
       """WITH t AS (
            SELECT event_type AS from_type,
@@ -336,5 +396,6 @@ object EventAnalytics {
     "stats_histogram" -> histogram _,
     "events_attribution" -> attribution _,
     "events_anomaly" -> anomaly _,
-    "events_markov" -> markov _)
+    "events_markov" -> markov _,
+    "events_rfm" -> rfm _)
 }

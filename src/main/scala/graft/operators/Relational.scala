@@ -731,7 +731,70 @@ object Relational {
           / (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("ks"))
   }
 
+  /** Chi-squared independence test of event_type × experiment arm —
+    * the categorical member of the A/B family ([[statsAbTest]] tests
+    * mean shift, [[ksTest]] distribution shape; this asks whether the
+    * event-type MIX itself differs between arms, the first thing that
+    * breaks when a variant changes user behavior).
+    *
+    * Exactness: observed counts are exact integers; expected counts
+    * and the statistic are one double-precision finish over the
+    * |types|×2 contingency table, every margin riding a
+    * whole-partition window over the tiny count table (no second
+    * corpus scan, the [[keySkew]]/[[ksTest]] discipline). Rounded at
+    * 1e-6 — cell sums are O(10) doubles with 1e-14 noise.
+    */
+  def chi2Test(spark: SparkSession, sfDir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val wType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val wArm = org.apache.spark.sql.expressions.Window.partitionBy("arm")
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(2)).as("arm"))
+      .filter(col("arm").isNotNull)
+      .groupBy("event_type", "arm")
+      .agg(count(lit(1)).as("o"))
+      .select(col("event_type"), col("arm"), col("o"),
+        sum(col("o")).over(wType).as("row_tot"),
+        sum(col("o")).over(wArm).as("col_tot"),
+        sum(col("o")).over(wAll).as("n"),
+        count(lit(1)).over(wAll).as("n_cells"),
+        size(collect_set(col("event_type")).over(wAll)).as("n_types"),
+        size(collect_set(col("arm")).over(wAll)).as("n_arms"))
+      .select(col("event_type"), col("arm"), col("o"),
+        (d(col("row_tot")) * d(col("col_tot")) / d(col("n"))).as("e"),
+        ((col("n_types") - 1) * (col("n_arms") - 1)).cast("long").as("dof"))
+      .groupBy("dof")
+      .agg(round(sum((d(col("o")) - col("e")) * (d(col("o")) - col("e")) / col("e")), 6)
+        .as("chi2"))
+      .select(col("chi2"), col("dof"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "stats_chi2" ->
+      """WITH o AS (
+           SELECT event_type,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS arm,
+                  count(*) AS o
+           FROM events
+           WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, arm, o,
+                  sum(o) OVER (PARTITION BY event_type) AS row_tot,
+                  sum(o) OVER (PARTITION BY arm) AS col_tot,
+                  sum(o) OVER () AS n
+           FROM o),
+         dims AS (SELECT (count(DISTINCT event_type) - 1)
+                         * (count(DISTINCT arm) - 1) AS dof FROM o)
+         SELECT round(sum((CAST(o AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / n)
+                          * (CAST(o AS DOUBLE) - CAST(row_tot AS DOUBLE) * col_tot / n)
+                          / (CAST(row_tot AS DOUBLE) * col_tot / n)), 6) AS chi2,
+                CAST(dims.dof AS BIGINT) AS dof
+         FROM m, dims
+         GROUP BY dims.dof""",
     "stats_ks_test" ->
       """WITH base AS (
            SELECT event_type,
@@ -1057,5 +1120,6 @@ object Relational {
     "stats_ab_test" -> statsAbTest _,
     "stats_key_skew" -> keySkew _,
     "stats_ks_test" -> ksTest _,
+    "stats_chi2" -> chi2Test _,
   )
 }
