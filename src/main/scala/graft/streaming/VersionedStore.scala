@@ -36,6 +36,43 @@ final class VersionedStore(spark: SparkSession, root: String, keepVersions: Int 
   def read(): Option[DataFrame] =
     currentVersion.map(v => spark.read.parquet(s"$root/v$v"))
 
+  /** Retained snapshot versions, ascending — the store-side analogue
+    * of DuckLake `snapshots()` (reference pattern_1_2.py; the SOURCE
+    * side is [[Pattern12.snapshots]]): time travel is bounded by the
+    * prune horizon (`keepVersions`), exactly like a real table
+    * format's retention window.
+    */
+  def versions: Seq[Long] =
+    Option(rootPath.toFile.listFiles()).toSeq.flatten
+      .flatMap(f => if (f.isDirectory) f.getName.stripPrefix("v").toLongOption else None)
+      .sorted
+
+  /** Time-travel read of a RETAINED snapshot (`versions`); reading a
+    * pruned or never-committed version is the caller's error.
+    */
+  def readAt(version: Long): DataFrame = {
+    require(Files.exists(rootPath.resolve(s"v$version")),
+      s"version $version is not retained (have: ${versions.mkString(",")})")
+    spark.read.parquet(s"$root/v$version")
+  }
+
+  /** Row-level change feed between two retained snapshots — the
+    * `table_changes(from, to)` analogue: full rows tagged 'insert'
+    * (present in `to` only) or 'delete' (present in `from` only); an
+    * updated row appears as its delete + its insert, the
+    * delta-relative encoding every CDF consumer reduces over.
+    * Multiset semantics (`exceptAll`), so duplicate rows diff by
+    * count. Cost is two co-partitioned anti-semijoins of
+    * snapshot-sized inputs — no corpus-wide sort.
+    */
+  def diff(fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = readAt(fromVersion)
+    val to = readAt(toVersion)
+    to.exceptAll(from).withColumn("change_type", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("change_type", lit("delete")))
+  }
+
   /** Read-transform-commit: `f` maps the base snapshot to the next
     * table state, which becomes version `version` atomically.
     *

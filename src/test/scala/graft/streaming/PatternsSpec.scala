@@ -307,4 +307,21 @@ class PatternsSpec extends AnyFunSuite {
     assert(store.currentVersion === Some(1L))
     assert(store.read().get.count() === 2)
   }
+
+  test("versioned store: time travel + row-level diff across retained snapshots") {
+    val store = new VersionedStore(spark, TestSpark.tmpDir("vstt"), keepVersions = 5)
+    store.transact(0)(_ => Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+    // v1: b updated (2→20), c inserted, a kept
+    store.transact(1)(_ => Seq(("a", 1L), ("b", 20L), ("c", 3L)).toDF("k", "v"))
+    assert(store.versions === Seq(0L, 1L))
+    assert(store.readAt(0).count() === 2)
+    assert(store.readAt(1).count() === 3)
+    val changes = store.diff(0, 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // the update appears as delete(old)+insert(new); the insert alone
+    assert(changes === Set(
+      ("b", 2L, "delete"), ("b", 20L, "insert"), ("c", 3L, "insert")))
+    // reading a pruned/never-committed version fails loudly
+    intercept[IllegalArgumentException](store.readAt(9))
+  }
 }
