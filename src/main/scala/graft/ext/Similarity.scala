@@ -774,6 +774,7 @@ object Similarity {
     * operands in identical index order in both engines.
     */
   def outlierScores(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val g = Tables.embeddings(spark, sfDir)
       .agg(graft.functions.GramAgg.gram(col("embedding")).as("g"))
       .select(col("g._1").as("n"), col("g._2").as("s"), col("g._3").as("t"))

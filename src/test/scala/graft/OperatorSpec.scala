@@ -570,6 +570,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("ab", 6L), ("ba", 3L), ("xy", 1L)))
   }
 
+  test("every query self-registers its kernels: analyzable after the registry is wiped") {
+    // a library consumer calls ONE query function on a fresh session;
+    // any query that leans on a sibling having registered the native
+    // expressions first is broken in isolation (emb_outliers regressed
+    // exactly this way). Wipe, then analyze every declared plan.
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    Seq(
+      graft.functions.expressions.GraftFunctions.CosineName,
+      graft.functions.expressions.GraftFunctions.CosineDName,
+      graft.functions.expressions.GraftFunctions.DotName,
+      graft.functions.expressions.GraftFunctions.DotIntName,
+      graft.functions.expressions.GraftFunctions.WSqDistName,
+      graft.functions.expressions.GraftFunctions.AsofName,
+      graft.functions.expressions.GraftFunctions.ShingleName,
+      graft.functions.expressions.GraftFunctions.CellTopName)
+      .foreach(n => reg.dropFunction(FunctionIdentifier(n)))
+    SparkEntry.queries.foreach { case (name, fn) =>
+      Seq(
+        graft.functions.expressions.GraftFunctions.CosineName,
+        graft.functions.expressions.GraftFunctions.CosineDName,
+        graft.functions.expressions.GraftFunctions.DotName,
+        graft.functions.expressions.GraftFunctions.DotIntName,
+        graft.functions.expressions.GraftFunctions.WSqDistName,
+        graft.functions.expressions.GraftFunctions.AsofName,
+        graft.functions.expressions.GraftFunctions.ShingleName,
+        graft.functions.expressions.GraftFunctions.CellTopName)
+        .foreach(n => reg.dropFunction(FunctionIdentifier(n)))
+      withClue(name) {
+        fn(spark, sf).queryExecution.analyzed // analysis resolves or throws
+      }
+    }
+    graft.functions.expressions.GraftFunctions.register(spark) // restore for later suites
+  }
+
   test("misra-gries: guaranteed superset over a vocab far exceeding k, exact confirm thresholds") {
     import spark.implicits._
     // 200 distinct rare keys + 3 planted heavy keys; k=8 counters —
