@@ -153,4 +153,54 @@ object KernelLawsSpec extends Properties("graft kernels") {
         merged(cell)._1 == whole(cell)._1 && close(merged(cell)._2, whole(cell)._2)
       }
     }
+
+  // ── GramAgg ──────────────────────────────────────────────────────
+
+  private val genGramRows: Gen[List[Seq[Float]]] = for {
+    n <- Gen.chooseNum(0, 20)
+    rows <- Gen.listOfN(n, genVec.map(_.toSeq))
+  } yield rows
+
+  private def gramFold(rows: List[Seq[Float]]) = {
+    val a = new graft.functions.GramAgg
+    rows.foldLeft(a.zero)(a.reduce)
+  }
+
+  property("GramAgg: any two-way split folds+merges to the sequential fold") =
+    Prop.forAll(genGramRows, Gen.chooseNum(0, 100)) { (rows, pct) =>
+      val cut = rows.length * pct / 100
+      val (l, r) = rows.splitAt(cut)
+      val a = new graft.functions.GramAgg
+      val merged = a.merge(gramFold(l), gramFold(r))
+      val whole = gramFold(rows)
+      merged._1 == whole._1 &&
+        close(merged._2, whole._2) && close(merged._3, whole._3)
+    }
+
+  // ── MisraGriesAgg ────────────────────────────────────────────────
+
+  private val genStream: Gen[List[Long]] = for {
+    n <- Gen.chooseNum(0, 200)
+    // small key space with planted heavies so decrements and the
+    // one-sided guarantee are both exercised
+    xs <- Gen.listOfN(n, Gen.frequency(
+      5 -> Gen.const(1L), 3 -> Gen.const(2L), 1 -> Gen.chooseNum(3L, 40L)))
+  } yield xs
+
+  private def mgFold(k: Int, xs: List[Long]) = {
+    val a = new graft.functions.MisraGriesAgg(k)
+    xs.foldLeft(a.zero)(a.reduce)
+  }
+
+  property("MisraGries: split+merge keeps every key above N/(k+1) — the mergeable guarantee") =
+    Prop.forAll(genStream, Gen.chooseNum(0, 100), Gen.chooseNum(2, 6)) { (xs, pct, k) =>
+      val cut = xs.length * pct / 100
+      val (l, r) = xs.splitAt(cut)
+      val a = new graft.functions.MisraGriesAgg(k)
+      val merged = a.merge(mgFold(k, l), mgFold(k, r))
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = xs.size.toLong
+      merged.size <= k &&
+        exact.forall { case (key, c) => c * (k + 1) <= n || merged.contains(key) }
+    }
 }
