@@ -47,6 +47,41 @@ object Advanced {
         col("pick.o_orderdate").as("asof_orderdate"))
   }
 
+  /** FORWARD as-of join — each event joined to the user's EARLIEST
+    * order at-or-after the event: the label-joining shape of a
+    * prediction pipeline (features frozen at time t, label = the next
+    * outcome), the mirror of [[joinAsOf]]'s features-side backward
+    * pick.
+    *
+    * Zero new machinery: the same codegen
+    * [[graft.functions.expressions.AsofLast]] binary search runs over
+    * the NEGATED timeline — structs keyed by `-unix_micros(t)` sort
+    * descending in real time, so "last element with −t ≤ −key" is
+    * exactly "smallest t ≥ key". Same one-exchange-per-side scale
+    * shape as the backward form; the probe side still never sorts
+    * globally.
+    */
+  def joinAsOfForward(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.asofLast
+    val timeline = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(
+        // NTZ → TIMESTAMP is micros-identical under the UTC session
+        // every entry point pins (Tables.events asserts it)
+        (-unix_micros(col("o_orderdate").cast("timestamp"))).as("neg_t"),
+        col("o_orderdate"), col("o_orderkey")))).as("ord_tl"))
+    Tables.events(spark, sfDir)
+      .join(timeline, col("user_id") === col("o_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        asofLast(col("ord_tl"), -unix_micros(col("ts"))).as("pick"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("pick.o_orderkey").as("next_orderkey"),
+        col("pick.o_orderdate").as("next_orderdate"))
+  }
+
   /** Per-label embedding centroids, one output row per (label,
     * dimension): the vector-aggregate shape of building class
     * prototypes / IVF coarse quantizer cells. The whole corpus folds
@@ -453,6 +488,83 @@ object Advanced {
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-source data card of the release pipeline — the summary table
+    * that ships WITH a released corpus: for each source, documents and
+    * tokens in, documents and tokens surviving [[corpusPrepFull]], and
+    * the survival per-mille. The provenance/attrition accounting every
+    * data release publishes.
+    *
+    * Scale shape: the kept set joins back at doc grain (hashed on
+    * doc_id) and everything aggregates to |sources| rows; token counts
+    * stay exact integers, per-mille is integer division.
+    */
+  def releaseCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = corpusPrepFull(spark, sfDir)
+      .select(col("doc_id"), lit(1).as("kept"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(col("toks")).as("tokens_in"),
+        count(col("kept")).as("docs_kept"),
+        coalesce(sum(when(col("kept").isNotNull, col("toks"))), lit(0L))
+          .as("tokens_kept"))
+      .select(col("source"), col("docs_in"), col("tokens_in"),
+        col("docs_kept"), col("tokens_kept"),
+        expr("tokens_kept * 1000 div tokens_in").as("survival_pm"))
+  }
+
+  /** Shared oracle body for `corpus_prep_full` and the per-source
+    * release card built over it.
+    */
+  private lazy val CorpusPrepFullSql: String =
+    s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
+          mh AS (
+            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+            FROM ex, range(16) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+            FROM sig, range(4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+          candf AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+            WHERE CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16 >= 0.8),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM candf
+                    UNION ALL
+                    SELECT doc_b AS src, doc_a AS dst FROM candf),
+          verts AS (SELECT DISTINCT src AS v FROM edges),
+          reach(v, r) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+          losers AS (
+            SELECT v AS doc_id FROM reach GROUP BY v HAVING v != min(r)),
+          bench AS (SELECT DISTINCT shingle FROM ex
+                    WHERE doc_id < ${graft.ext.Dedup.BenchmarkDocs}),
+          hits AS (SELECT e.doc_id, count(*) AS n_cont
+                   FROM ex e JOIN bench USING (shingle) GROUP BY e.doc_id),
+          contam AS (SELECT s.doc_id FROM sh s LEFT JOIN hits h USING (doc_id)
+                     WHERE coalesce(h.n_cont, 0) * $ContamPerMilleNum > len(s.s)),
+          q AS (
+            SELECT doc_id, len(ws) AS n_tokens,
+                   least(1.0, CAST(len(ws) AS DOUBLE) / 256.0) *
+                   (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws))
+                     AS quality_score
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+          SELECT doc_id, n_tokens, quality_score FROM q
+          WHERE quality_score >= 0.3
+            AND doc_id >= ${graft.ext.Dedup.BenchmarkDocs}
+            AND doc_id NOT IN (SELECT doc_id FROM losers)
+            AND doc_id NOT IN (SELECT doc_id FROM contam)"""
+
   val oracleSql: Map[String, String] = Map(
     "corpus_prep_best" ->
       s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
@@ -608,50 +720,22 @@ object Advanced {
           SELECT doc_id, n_tokens, quality_score FROM q
           WHERE quality_score >= 0.3
             AND doc_id NOT IN (SELECT doc_id FROM losers)""",
-    "corpus_prep_full" ->
-      s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
-          mh AS (
-            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
-            FROM ex, range(16) t(i) GROUP BY doc_id, i),
-          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
-          bands AS (
-            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
-            FROM sig, range(4) t(b)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-          candf AS (
-            SELECT doc_a, doc_b FROM cand
-            JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
-            WHERE CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16 >= 0.8),
-          edges AS (SELECT doc_a AS src, doc_b AS dst FROM candf
-                    UNION ALL
-                    SELECT doc_b AS src, doc_a AS dst FROM candf),
-          verts AS (SELECT DISTINCT src AS v FROM edges),
-          reach(v, r) AS (
-            SELECT v, v FROM verts
-            UNION
-            SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-          losers AS (
-            SELECT v AS doc_id FROM reach GROUP BY v HAVING v != min(r)),
-          bench AS (SELECT DISTINCT shingle FROM ex
-                    WHERE doc_id < ${graft.ext.Dedup.BenchmarkDocs}),
-          hits AS (SELECT e.doc_id, count(*) AS n_cont
-                   FROM ex e JOIN bench USING (shingle) GROUP BY e.doc_id),
-          contam AS (SELECT s.doc_id FROM sh s LEFT JOIN hits h USING (doc_id)
-                     WHERE coalesce(h.n_cont, 0) * $ContamPerMilleNum > len(s.s)),
-          q AS (
-            SELECT doc_id, len(ws) AS n_tokens,
-                   least(1.0, CAST(len(ws) AS DOUBLE) / 256.0) *
-                   (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws))
-                     AS quality_score
-            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
-          SELECT doc_id, n_tokens, quality_score FROM q
-          WHERE quality_score >= 0.3
-            AND doc_id >= ${graft.ext.Dedup.BenchmarkDocs}
-            AND doc_id NOT IN (SELECT doc_id FROM losers)
-            AND doc_id NOT IN (SELECT doc_id FROM contam)""",
+    "corpus_prep_full" -> CorpusPrepFullSql,
+    "corpus_release_card" ->
+      s"""WITH kept AS ($CorpusPrepFullSql)
+          SELECT d.source,
+                 count(*) AS docs_in,
+                 CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tokens_in,
+                 count(k.doc_id) AS docs_kept,
+                 CAST(coalesce(sum(CASE WHEN k.doc_id IS NOT NULL
+                                        THEN len(string_split(d.text, ' ')) END), 0)
+                   AS BIGINT) AS tokens_kept,
+                 CAST(coalesce(sum(CASE WHEN k.doc_id IS NOT NULL
+                                        THEN len(string_split(d.text, ' ')) END), 0)
+                      * 1000 // sum(len(string_split(d.text, ' '))) AS BIGINT)
+                   AS survival_pm
+          FROM documents d LEFT JOIN kept k USING (doc_id)
+          GROUP BY d.source""",
     "sample_stratified" -> {
       val rateCase = SampleRatePerMille
         .map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
@@ -672,6 +756,15 @@ object Advanced {
          FROM events e
          ASOF LEFT JOIN ordd o
            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
+    "join_asof_forward" ->
+      """WITH ordd AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey, o_orderdate)
+         SELECT e.event_id, e.user_id, e.ts,
+                o.o_orderkey AS next_orderkey, o.o_orderdate AS next_orderdate
+         FROM events e
+         ASOF LEFT JOIN ordd o
+           ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts""",
     "sessionize" ->
       s"""WITH e AS (
             SELECT user_id, ts, event_id, event_type,
@@ -733,11 +826,13 @@ object Advanced {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsOf _,
+    "join_asof_forward" -> joinAsOfForward _,
     "sessionize" -> sessionize _,
     "emb_label_centroids" -> embLabelCentroids _,
     "corpus_prep" -> corpusPrep _,
     "corpus_prep_cc" -> corpusPrepCc _,
     "corpus_prep_full" -> corpusPrepFull _,
+    "corpus_release_card" -> releaseCard _,
     "sample_stratified" -> sampleStratified _,
     "sample_cap_source" -> sampleCapPerSource _,
     "sample_balance_sources" -> sampleBalanceSources _,
