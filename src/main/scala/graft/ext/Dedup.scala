@@ -794,6 +794,23 @@ object Dedup {
       .select(col("v").as("doc_id"), col("comp").as("component"),
         (col("v") === col("comp")).as("is_keeper"))
 
+  /** Near-dup cluster-size histogram — the summary line of every dedup
+    * report (how much of the corpus sits in duplicate mass, and in
+    * what shape: a few giant boilerplate clusters vs many pairs): for
+    * each multi-doc cluster size at est-Jaccard ≥ 0.8, how many
+    * clusters and how many documents. Driven off the memoized
+    * [[dupComponents]] label index, so the stats re-aggregate a
+    * key-grain frame — two tiny exchanges, never the corpus; output is
+    * bounded by the largest cluster size.
+    */
+  def clusterStats(spark: SparkSession, sfDir: String): DataFrame =
+    dupComponents(spark, sfDir, 0.8)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"))
+
   /** 60-bit SimHash per document: per-word 60-bit hash (first 15 hex
     * chars of md5 — stays in signed-long range), each bit voted +count /
     * −count, sign of the vote becomes the bit. One explode(60) per
@@ -1054,6 +1071,36 @@ object Dedup {
             SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r)
           SELECT v AS doc_id, min(r) AS component, v = min(r) AS is_keeper
           FROM reach GROUP BY v""",
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $ShingleCte,
+          mh AS (
+            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+            FROM ex, range(16) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+            FROM sig, range(4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+          candf AS (
+            SELECT doc_a, doc_b FROM cand
+            JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+            WHERE CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16 >= 0.8),
+          edges AS (SELECT doc_a AS src, doc_b AS dst FROM candf
+                    UNION ALL
+                    SELECT doc_b AS src, doc_a AS dst FROM candf),
+          verts AS (SELECT DISTINCT src AS v FROM edges),
+          reach(v, r) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+          comps AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+          sizes AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)
+          SELECT sz AS cluster_size, count(*) AS n_clusters,
+                 CAST(sum(sz) AS BIGINT) AS n_docs
+          FROM sizes GROUP BY sz""",
     "dedup_simhash" ->
       """WITH wc AS (
            SELECT doc_id, word, count(*) AS cnt,
@@ -1102,6 +1149,7 @@ object Dedup {
     "dedup_editdist" -> editDistConfirm _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_components" -> components _,
+    "dedup_cluster_stats" -> clusterStats _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_winnow_pairs" -> winnowPairs _,
