@@ -277,7 +277,44 @@ object EventAnalytics {
           col("total_cents").cast(d19)).as("m_high"))
   }
 
+  /** Inter-arrival gap statistics per event type — the ingest-cadence
+    * health metric behind watermark/lateness tuning: for each type,
+    * the gaps between a user's consecutive events of that type,
+    * reported as exact integer microsecond sums (no float mean — the
+    * consumer divides; the [[funnel]] lag-sum discipline).
+    *
+    * Scale shape: one exchange hashed on (user_id) serves the lag
+    * window (sorted within partitions by type+time), then a
+    * |types|-sized aggregate. All integers, bit-stable anywhere.
+    */
+  def interarrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (unix_micros(col("ts"))
+          - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "events_interarrival" ->
+      """WITH g AS (
+           SELECT event_type,
+                  epoch_us(ts) - lag(epoch_us(ts), 1)
+                    OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts ASC, event_id ASC) AS gap_us
+           FROM events)
+         SELECT event_type, count(*) AS n_gaps,
+                CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                CAST(max(gap_us) AS BIGINT) AS max_gap_us
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY 1""",
     "events_rfm" ->
       """WITH per AS (
            SELECT user_id, max(ts) AS last_ts, count(*) AS f,
@@ -397,5 +434,6 @@ object EventAnalytics {
     "events_attribution" -> attribution _,
     "events_anomaly" -> anomaly _,
     "events_markov" -> markov _,
-    "events_rfm" -> rfm _)
+    "events_rfm" -> rfm _,
+    "events_interarrival" -> interarrival _)
 }
