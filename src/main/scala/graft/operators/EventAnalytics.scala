@@ -302,7 +302,48 @@ object EventAnalytics {
         max(col("gap_us")).as("max_gap_us"))
   }
 
+  /** Cohort lifetime-value triangle — [[retention]] with money: per
+    * (cohort day, day offset 0–13), the distinct active members AND
+    * their cent-exact value that day. The LTV curve every growth model
+    * fits is the cumulative read of this table. Same scale shape as
+    * retention (user-hashed first-touch aggregate, one corpus-grain
+    * dedup-free exchange, calendar-bounded output); values stay exact
+    * integer cents.
+    */
+  def cohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cohort = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), date_trunc("day", col("first_ts")).as("cohort_day"))
+    ev.select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        cents(col("value")).as("c"))
+      .join(cohort, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day").cast("date"), col("cohort_day").cast("date"))
+          .cast("long").as("day_offset"),
+        col("user_id"), col("c"))
+      .where(col("day_offset") <= 13)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("c")).as("value_cents"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "events_cohort_ltv" ->
+      """WITH c AS (SELECT user_id,
+                           CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
+                    FROM events GROUP BY user_id),
+         a AS (SELECT c.cohort_day,
+                      CAST(datediff('day', CAST(c.cohort_day AS DATE),
+                                    CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+                        AS day_offset,
+                      e.user_id,
+                      CAST(round(e.value * 100) AS BIGINT) AS c_cents
+               FROM events e JOIN c USING (user_id))
+         SELECT cohort_day, day_offset,
+                count(DISTINCT user_id) AS n_active,
+                CAST(sum(c_cents) AS BIGINT) AS value_cents
+         FROM a WHERE day_offset <= 13
+         GROUP BY cohort_day, day_offset""",
     "events_interarrival" ->
       """WITH g AS (
            SELECT event_type,
@@ -435,5 +476,6 @@ object EventAnalytics {
     "events_anomaly" -> anomaly _,
     "events_markov" -> markov _,
     "events_rfm" -> rfm _,
-    "events_interarrival" -> interarrival _)
+    "events_interarrival" -> interarrival _,
+    "events_cohort_ltv" -> cohortLtv _)
 }

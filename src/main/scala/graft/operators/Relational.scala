@@ -298,6 +298,34 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q10 shape — returned-item revenue reporting: the top-20
+    * customers by revenue lost to returns, the classic
+    * fact⋈fact⋈dim + top-K reporting query. Ranking runs on the EXACT
+    * integer basis-point-cents revenue (sums of products of exact
+    * cents — order-independent under any partitioning, so the top-20
+    * cut is deterministic; ranking on a float sum could flip ties
+    * across engines), with doubles only in the final projection. The
+    * limit plans as TakeOrderedAndProject; the customer dim joins
+    * broadcast.
+    */
+  def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val revCbp = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(revCbp).as("rev_cbp"), count(lit(1)).as("n_items"))
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name", "c_acctbal")),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("rev_cbp").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"),
+        (col("rev_cbp") / lit(10000.0)).as("revenue"),
+        col("n_items"), col("c_acctbal"))
+  }
+
   /** Skew-safe exact distinct: the two-phase rewrite of
     * [[distinctExact]] — first aggregate on (group, value) to
     * deduplicate with a well-distributed composite key, then count per
@@ -772,7 +800,57 @@ object Relational {
       .select(col("chi2"), col("dof"))
   }
 
+  /** Minimum pair support for [[basketPairs]]. */
+  private val BasketMinSupport = 2L
+
+  /** Market-basket co-occurrence pairs — 1-level frequent-itemset
+    * mining over order baskets: part pairs appearing together in at
+    * least [[BasketMinSupport]] orders, the support counting behind
+    * association rules and co-purchase recommenders.
+    *
+    * Scale shape: baskets deduplicate to (order, part) first, then the
+    * pair self-join rides the `l_orderkey` equi-key — co-located and
+    * exchange-free when lineitem is bucketed on it (the bench
+    * warehouse layout); per-order fan-out is items², bounded by the
+    * order line limit (TPC-H: 7), so pair output is linear in orders.
+    * The support filter collapses the pair space before anything else
+    * sees it.
+    */
+  def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val l = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val r = items.select(col("l_orderkey").as("ok_r"), col("l_partkey").as("part_b"))
+    l.join(r, col("l_orderkey") === col("ok_r") && col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= BasketMinSupport)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q10_returned_items" ->
+      """WITH r AS (
+           SELECT o.o_custkey,
+                  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS rev_cbp,
+                  count(*) AS n_items
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_returnflag = 'R'
+           GROUP BY 1)
+         SELECT c.c_custkey, c.c_name,
+                CAST(r.rev_cbp AS BIGINT) / 10000.0 AS revenue,
+                r.n_items, c.c_acctbal
+         FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+         ORDER BY r.rev_cbp DESC, c.c_custkey ASC
+         LIMIT 20""",
+    "basket_pairs" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+         FROM items a JOIN items b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2
+         HAVING count(*) >= 2""",
     "stats_chi2" ->
       """WITH o AS (
            SELECT event_type,
@@ -1121,5 +1199,7 @@ object Relational {
     "stats_key_skew" -> keySkew _,
     "stats_ks_test" -> ksTest _,
     "stats_chi2" -> chi2Test _,
+    "q10_returned_items" -> q10ReturnedItems _,
+    "basket_pairs" -> basketPairs _,
   )
 }
