@@ -800,6 +800,37 @@ object Relational {
       .select(col("chi2"), col("dof"))
   }
 
+  /** Quantity floor for [[q18LargeOrders]]. */
+  private val LargeOrderQty = 150L
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total line
+    * quantity exceeds a floor, with their customer and total price,
+    * largest first. The aggregate-then-filter (HAVING) + join-back
+    * pattern: the order-grain quantity aggregate rides the bucketed
+    * `l_orderkey` layout exchange-free, the HAVING collapses the
+    * result to the rare large orders BEFORE any join, and the
+    * order/customer joins touch only survivors. All-integer quantity
+    * and cent-exact price; top-50 cut deterministic by (qty desc,
+    * orderkey asc).
+    */
+  def q18LargeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > LargeOrderQty)
+    big
+      .join(Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(50)
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("total_price_cents"),
+        col("total_qty"))
+  }
+
   /** Minimum pair support for [[basketPairs]]. */
   private val BasketMinSupport = 2L
 
@@ -828,6 +859,19 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q18_large_orders" ->
+      s"""WITH big AS (
+            SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING sum(CAST(l_quantity AS BIGINT)) > $LargeOrderQty)
+          SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+                 CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_price_cents,
+                 b.total_qty
+          FROM big b
+          JOIN orders o ON b.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          ORDER BY b.total_qty DESC, o.o_orderkey ASC
+          LIMIT 50""",
     "q10_returned_items" ->
       """WITH r AS (
            SELECT o.o_custkey,
@@ -1200,6 +1244,7 @@ object Relational {
     "stats_ks_test" -> ksTest _,
     "stats_chi2" -> chi2Test _,
     "q10_returned_items" -> q10ReturnedItems _,
+    "q18_large_orders" -> q18LargeOrders _,
     "basket_pairs" -> basketPairs _,
   )
 }

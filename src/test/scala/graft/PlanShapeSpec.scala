@@ -287,6 +287,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashExchanges <= 3, s"\n$plan")
   }
 
+  test("q10/q18 reporting: top-K plans as TakeOrderedAndProject, dims broadcast") {
+    for (q <- Seq("q10_returned_items", "q18_large_orders")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("TakeOrderedAndProject"), s"$q\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$q\n$plan")
+    }
+  }
+
+  test("basket_pairs: pair join rides the order equi-key — never a nested loop") {
+    val plan = executedPlan("basket_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.expressions.GraftFunctions.register(spark)
