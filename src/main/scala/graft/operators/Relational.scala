@@ -822,7 +822,10 @@ object Relational {
       .join(Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, sfDir).select("c_custkey", "c_name")),
+      // customer grows with the data — no hardcoded broadcast hint (it
+      // would OOM at 100× scale); AQE/parquet stats broadcast it
+      // whenever it actually fits
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .orderBy(col("total_qty").desc, col("o_orderkey").asc)
       .limit(50)
@@ -858,7 +861,213 @@ object Relational {
       .filter(col("support") >= BasketMinSupport)
   }
 
+  /** TPC-H Q6 shape — forecasting-revenue change: scan-only aggregate
+    * under three pushable predicates (date range, discount band,
+    * quantity ceiling). The entire query is one parquet scan with all
+    * filters pushed and a 2-column read schema, then a single partial→
+    * final scalar aggregate — the cheapest possible shape at any
+    * scale. Revenue is summed in exact integer cents×cents (ep·disc),
+    * divided back once.
+    */
+  def q6RevenueChange(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+        / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q4 shape — order-priority checking: orders in a quarter
+    * that had at least one late-shipping lineitem (shipped >60 days
+    * after the order date; the reference's commit/receipt dates are
+    * not in this schema), counted per priority. The EXISTS is a
+    * left-semi join on the `l_orderkey` equi-key with the date
+    * comparison as a residual — the semi join ships only the key +
+    * shipdate of the probe side, stops at first match, and rides the
+    * bucketed orderkey layout exchange-free.
+    */
+  def q4OrderPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_shipdate")
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: left outer
+    * join customer→(priority-filtered) orders, count orders per
+    * customer (including zero), then histogram the counts. The
+    * classic two-level re-aggregation: the first agg keys on
+    * c_custkey (bucketed layout → exchange-free), the second on the
+    * tiny count domain, so the wide exchange happens at customer
+    * grain once and the histogram exchange carries ≤ a few dozen
+    * rows.
+    */
+  def q13CustomerDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: for SMALL-type
+    * parts of one brand, the average yearly revenue lost if orders
+    * below 20% of the part's average quantity were not taken. The
+    * correlated subquery becomes an aggregate-then-self-join on
+    * `l_partkey`; the "below 20% of avg" predicate is evaluated in
+    * exact integers (qty·5·n < Σqty, all in cents) so the cut is
+    * bit-identical across engines and partitionings. Both sides ride
+    * the same partkey key; the part dim filter collapses the probe
+    * side first.
+    */
+  def q17SmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
+    val smallParts = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+      .select("p_partkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(smallParts, col("l_partkey") === col("p_partkey"))
+    val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+      .agg(sum(cents(col("l_quantity"))).as("qty_sum"),
+        count(lit(1)).as("qty_n"))
+    li.join(avgQty, col("l_partkey") === col("ap_key"))
+      // l_quantity < 0.2 * avg  ⇔  qty_cents * 5 * n < Σqty_cents
+      .filter(cents(col("l_quantity")) * 5 * col("qty_n") < col("qty_sum"))
+      .agg((sum(cents(col("l_extendedprice"))) / lit(700.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q19 shape — discounted revenue over a disjunction of
+    * (brand, size band, quantity band) triples: the OR-of-ANDs
+    * predicate spans both join sides, so it evaluates as a residual
+    * on the `l_partkey` equi-join — never a cartesian. The per-side
+    * conjuncts that appear in every branch (size ≥ 1) still push to
+    * the part scan.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val branch1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#15" &&
+      col("p_size").between(1, 50) && col("l_quantity").between(20, 30)
+    li.join(p, col("l_partkey") === col("p_partkey") &&
+        (branch1 || branch2 || branch3))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22 shape — global sales opportunity: per-nation count and
+    * total balance of above-average-balance customers with no recent
+    * order (every synthetic customer has SOME order, so the classic
+    * "never ordered" form is vacuous; the recency cut keeps the
+    * anti-join shape non-degenerate). The scalar subquery (average
+    * positive balance) is a 1-row aggregate cross-joined in
+    * (broadcast by construction); the "above average" cut compares in
+    * exact integers (bal·n_pos > Σpos, cents); NOT EXISTS is a
+    * left-anti join whose probe side is date-filtered BEFORE the
+    * join, shipping only `o_custkey` of recent orders.
+    */
+  def q22SalesOpportunity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val posAvg = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(cents(col("c_acctbal"))).as("pos_sum"),
+        count(lit(1)).as("pos_n"))
+    val ordKeys = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(posAvg))
+      .filter(cents(col("c_acctbal")) * col("pos_n") > col("pos_sum"))
+      .join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        (sum(cents(col("c_acctbal"))) / lit(100.0)).as("totacctbal"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q6_revenue_change" ->
+      """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
+                count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+    "q13_customer_distribution" ->
+      """WITH per_cust AS (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c
+           LEFT JOIN orders o
+             ON c.c_custkey = o.o_custkey
+            AND o.o_orderpriority <> '4-NOT SPECIFIED'
+           GROUP BY 1)
+         SELECT c_count, count(*) AS custdist
+         FROM per_cust GROUP BY 1""",
+    "q17_small_quantity" ->
+      """WITH li AS (
+           SELECT l.l_partkey,
+                  CAST(round(l.l_quantity * 100) AS BIGINT) AS qty_c,
+                  CAST(round(l.l_extendedprice * 100) AS BIGINT) AS ep_c
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'),
+         avgq AS (
+           SELECT l_partkey, sum(qty_c) AS qty_sum, count(*) AS qty_n
+           FROM li GROUP BY 1)
+         SELECT sum(li.ep_c) / 700.0 AS avg_yearly, count(*) AS n_lines
+         FROM li JOIN avgq USING (l_partkey)
+         WHERE CAST(li.qty_c AS HUGEINT) * 5 * avgq.qty_n < avgq.qty_sum""",
+    "q19_disjunctive_revenue" ->
+      """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+                  AS revenue,
+                count(*) AS n_lines
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 50
+                AND l.l_quantity BETWEEN 20 AND 30)""",
+    "q22_sales_opportunity" ->
+      """WITH pos AS (
+           SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS pos_sum,
+                  count(*) AS pos_n
+           FROM customer WHERE c_acctbal > 0)
+         SELECT c.c_nationkey, count(*) AS numcust,
+                sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+         FROM customer c, pos
+         WHERE CAST(round(c.c_acctbal * 100) AS HUGEINT) * pos.pos_n > pos.pos_sum
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY 1""",
     "q18_large_orders" ->
       s"""WITH big AS (
             SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
@@ -1246,5 +1455,11 @@ object Relational {
     "q10_returned_items" -> q10ReturnedItems _,
     "q18_large_orders" -> q18LargeOrders _,
     "basket_pairs" -> basketPairs _,
+    "q6_revenue_change" -> q6RevenueChange _,
+    "q4_order_priority" -> q4OrderPriority _,
+    "q13_customer_distribution" -> q13CustomerDistribution _,
+    "q17_small_quantity" -> q17SmallQuantity _,
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
+    "q22_sales_opportunity" -> q22SalesOpportunity _,
   )
 }

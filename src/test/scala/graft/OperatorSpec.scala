@@ -1070,6 +1070,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(buckets.map(_.getLong(2)).sum === scored.getLong(1))
   }
 
+  test("q13 custdist sums to the customer count; q4 counts bounded by window orders") {
+    val custTotal = Tables.customer(spark, sf).count()
+    val dist = SparkEntry.queries("q13_customer_distribution")(spark, sf).collect()
+    assert(dist.map(_.getLong(1)).sum === custTotal)
+    val windowOrders = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp")).count()
+    val q4 = SparkEntry.queries("q4_order_priority")(spark, sf).collect()
+    assert(q4.map(_.getLong(1)).sum <= windowOrders)
+  }
+
+  test("q17 cut is integer-exact: matches the in-memory 20%-of-avg recompute") {
+    val rows = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_brand") === "Brand#3" &&
+        col("p_type") === "SMALL"), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100), math.round(r.getDouble(2) * 100)))
+    val byPart = rows.groupBy(_._1)
+    val kept = rows.filter { case (pk, q, _) =>
+      val g = byPart(pk); q * 5 * g.length < g.map(_._2).sum
+    }
+    val expected = kept.map(_._3).sum / 700.0
+    val got = SparkEntry.queries("q17_small_quantity")(spark, sf).collect().head
+    assert(got.getLong(1) === kept.length.toLong)
+    assert(math.abs(got.getDouble(0) - expected) < 1e-9)
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())

@@ -301,6 +301,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"\n$plan")
   }
 
+  test("q6: all three predicates and the 2-measure pruning reach the parquet scan") {
+    val plan = executedPlan("q6_revenue_change")
+    // plan text truncates the full PushedFilters list — assert the
+    // pushdown set starts with all three filter columns' IsNotNulls
+    assert(plan.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"\n$plan")
+    // no join keys scanned: the read schema carries only the measures + filters
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      s"\n$plan")
+    assert(!plan.contains("l_orderkey"), s"\n$plan")
+  }
+
+  test("q4: EXISTS plans as a left-semi join, never a cartesian") {
+    val plan = executedPlan("q4_order_priority")
+    assert(plan.contains("LeftSemi"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+  }
+
+  test("q13: left-outer preserved-row count plus two-level re-aggregation") {
+    val plan = executedPlan("q13_customer_distribution")
+    assert(plan.contains("LeftOuter"), s"\n$plan")
+    // priority filter applies to the orders side BEFORE the join (it
+    // must not drop preserved customer rows): pushed into the scan
+    assert(plan.contains("Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))"), s"\n$plan")
+  }
+
+  test("q17/q19/q22: correlated forms plan as equi-joins — no nested loop on a fact side") {
+    for (q <- Seq("q17_small_quantity", "q19_disjunctive_revenue")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q\n$plan")
+    }
+    // q22's scalar subquery IS a 1-row nested-loop broadcast (correct);
+    // the NOT EXISTS must still be a left-anti hash join
+    val q22 = executedPlan("q22_sales_opportunity")
+    assert(q22.contains("LeftAnti"), s"\n$q22")
+    assert(!q22.contains("CartesianProduct"), s"\n$q22")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.expressions.GraftFunctions.register(spark)
