@@ -916,12 +916,68 @@ object TextAnalysis {
   private def markerList(markers: Seq[String]): String =
     markers.map(m => s"'$m'").mkString(", ")
 
+  /** Corpus readability profile per language — the Flesch-reading-ease
+    * family of screens a pretraining pipeline runs next to
+    * length/stopword quality ([[quality]]): words per sentence and
+    * syllables per word, folded into the classic
+    * `206.835 − 1.015·(W/S) − 84.6·(Syl/W)` score. Sentences are
+    * `[.!?]+` runs with a floor of 1 per document (this corpus has no
+    * terminal punctuation, so each document reads as one sentence —
+    * the floor keeps the metric total and documented rather than
+    * NULL); syllables are the standard vowel-group
+    * (`[aeiouy]+`) approximation.
+    *
+    * Exactness: the per-language score is computed from RATIOS OF
+    * INTEGER SUMS (Σwords, Σsentences, Σsyllables — each an exact
+    * per-doc regexp count), not an average of per-doc doubles, so it
+    * is bit-identical under any partitioning and across engines; the
+    * one double expression rounds once at the end.
+    *
+    * Scale shape: pure per-row regexp counting (codegen, no UDF) into
+    * a |langs|-sized map-side-combined aggregate — scan-bound, zero
+    * joins, one tiny exchange.
+    */
+  def readability(spark: SparkSession, sfDir: String): DataFrame = {
+    val nWords = size(words(col("text")))
+    val nSent = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1))
+    val nSyl = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), nWords.cast("long").as("w"),
+        nSent.cast("long").as("s"), nSyl.cast("long").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"),
+        sum(col("y")).as("n_syllables"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          4).as("flesch"))
+  }
+
   val oracleSql: Map[String, String] = {
     val stopList = markerList(Stopwords)
     val scoreExprs = LangMarkers.map { case (l, m) =>
       s"len(list_filter(string_split(text, ' '), w -> w IN (${markerList(m)}))) AS score_$l"
     }.mkString(",\n                  ")
     Map(
+      "text_readability" ->
+        """WITH per AS (
+             SELECT lang,
+                    len(string_split(text, ' ')) AS w,
+                    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+                    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+             FROM documents)
+           SELECT lang, count(*) AS n_docs,
+                  CAST(sum(w) AS BIGINT) AS n_words,
+                  CAST(sum(s) AS BIGINT) AS n_sentences,
+                  CAST(sum(y) AS BIGINT) AS n_syllables,
+                  round(206.835
+                        - 1.015 * (CAST(sum(w) AS DOUBLE) / sum(s))
+                        - 84.6 * (CAST(sum(y) AS DOUBLE) / sum(w)), 4) AS flesch
+           FROM per GROUP BY lang""",
       "text_bpe_step" ->
         s"""WITH wf AS (
               SELECT t, count(*) AS n_w
@@ -1203,5 +1259,6 @@ object TextAnalysis {
     "split_train_test" -> trainTestSplit _,
     "tfidf_top_terms" -> tfidfTopTerms _,
     "tfidf_doc_terms" -> tfidfDocTerms _,
+    "text_readability" -> readability _,
   )
 }

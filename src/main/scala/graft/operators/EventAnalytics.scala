@@ -327,7 +327,114 @@ object EventAnalytics {
         sum(col("c")).as("value_cents"))
   }
 
+  /** Lag-1 autocorrelation of the daily event volume per type — the
+    * seasonality/trend screen run before alert thresholds or forecast
+    * models are fit on a feed. Consecutive-day pairs only (a calendar
+    * gap breaks the pair rather than silently correlating across it).
+    *
+    * Exactness: Pearson over the pairs is assembled from pure integer
+    * sums (Σx, Σy, Σxy, Σx², Σy² in decimal(38) — daily counts can
+    * reach 1e12 at 100 TB, so their products overflow longs) and only
+    * the final normalized ratio is a double, rounded once. Identical
+    * under any partitioning and engine.
+    *
+    * Scale shape: the corpus collapses to per-(type, day) counts first
+    * (one map-side-combined exchange); the lag window and the Pearson
+    * fold then run over |types|·|days| rows — thousands, not the
+    * corpus.
+    */
+  def autocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("day").asc)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = daily
+      .select(col("event_type"), col("day"), col("n"),
+        lag(col("day"), 1).over(w).as("prev_day"),
+        lag(col("n"), 1).over(w).as("x"))
+      .filter(col("x").isNotNull &&
+        datediff(col("day").cast("date"), col("prev_day").cast("date")) === 1)
+      .select(col("event_type"), col("x").cast(d38).as("x"),
+        col("n").cast(d38).as("y"))
+    pairs.groupBy("event_type")
+      .agg(count(lit(1)).cast(d38).as("np"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("np").cast("long").as("n_pairs"),
+        round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("np") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("np") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6).as("autocorr"))
+  }
+
+  /** Top-K 3-step behavior paths — the sequence-mining read of the
+    * feed ([[markov]] extended one step): the most common ordered
+    * event-type trigrams across user timelines, the raw material for
+    * journey analysis and next-action models.
+    *
+    * Scale shape: one exchange hashed on `user_id` serves both lead
+    * windows (same partitioning, one sort), the path space is ≤
+    * |types|³ after the map-side-combined count, and the final cut is
+    * TakeOrderedAndProject (per-partition heap, K-row driver merge) —
+    * never a global sort. Deterministic tiebreak on the path string.
+    */
+  def pathTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type").as("e0"),
+        lead(col("event_type"), 1).over(w).as("e1"),
+        lead(col("event_type"), 2).over(w).as("e2"))
+      .filter(col("e1").isNotNull && col("e2").isNotNull)
+      .select(concat_ws(">", col("e0"), col("e1"), col("e2")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path").asc)
+      .limit(20)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "events_autocorr" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, day, n,
+                  lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day,
+                  lag(n) OVER (PARTITION BY event_type ORDER BY day) AS x
+           FROM daily),
+         pairs AS (
+           SELECT event_type, CAST(x AS HUGEINT) AS x, CAST(n AS HUGEINT) AS y
+           FROM lagged
+           WHERE x IS NOT NULL
+             AND date_diff('day', CAST(prev_day AS DATE), CAST(day AS DATE)) = 1),
+         s AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS np,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM pairs GROUP BY 1)
+         SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+                round(CAST(np * sxy - sx * sy AS DOUBLE)
+                      / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                             * CAST(np * syy - sy * sy AS DOUBLE)), 6) AS autocorr
+         FROM s""",
+    "events_path_topk" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS e0,
+                  lead(event_type, 1) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+                  lead(event_type, 2) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+           FROM events)
+         SELECT e0 || '>' || e1 || '>' || e2 AS path, count(*) AS n_paths
+         FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+         GROUP BY 1
+         ORDER BY n_paths DESC, path ASC
+         LIMIT 20""",
     "events_cohort_ltv" ->
       """WITH c AS (SELECT user_id,
                            CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort_day
@@ -477,5 +584,7 @@ object EventAnalytics {
     "events_markov" -> markov _,
     "events_rfm" -> rfm _,
     "events_interarrival" -> interarrival _,
-    "events_cohort_ltv" -> cohortLtv _)
+    "events_cohort_ltv" -> cohortLtv _,
+    "events_autocorr" -> autocorr _,
+    "events_path_topk" -> pathTopK _)
 }

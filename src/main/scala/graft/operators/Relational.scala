@@ -800,6 +800,60 @@ object Relational {
       .select(col("chi2"), col("dof"))
   }
 
+  /** Two-sample Mann-Whitney U (rank-sum) per event type between the
+    * experiment arms (props `k` parity, the [[statsAbTest]] bucketing)
+    * — the nonparametric companion to Welch's t ([[statsAbTest]]) and
+    * KS ([[ksTest]]): robust to outliers and any distribution shape,
+    * and its normalized form IS the AUC "P(a > b)" effect size.
+    *
+    * Exactness: ties get midranks. Over per-cent-value counts, each of
+    * the `ca` arm-a items tied at a value with combined count
+    * `ct = ca + cb` and `C` combined items strictly below contributes
+    * midrank `C + (ct+1)/2` — a half-integer, so the DOUBLED rank sum
+    * `2R_a = Σ ca·(2C + ct + 1)` stays a pure integer (decimal(38):
+    * corpus-scale products overflow longs), as does
+    * `u2_a = 2R_a − n_a(n_a+1) = 2·U_a`. Both engines compare
+    * bit-identical integers; only the AUC ratio is a double, rounded
+    * once.
+    *
+    * Scale shape — the histogram-cumsum discipline ([[ksTest]]): the
+    * corpus collapses to per-(type, cent) arm counts first (the only
+    * corpus-grain exchange, map-side partials); the cumsum window and
+    * the rank fold run over distinct cent values per type.
+    */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cent").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val counts = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(2)).as("arm"),
+        cents(col("value")).as("cent"))
+      .filter(col("arm").isNotNull)
+      .groupBy("event_type", "cent")
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("cb"))
+    counts
+      .select(col("event_type"), col("ca"), col("cb"),
+        (col("ca") + col("cb")).as("ct"),
+        (sum(col("ca") + col("cb")).over(w) - (col("ca") + col("cb"))).as("cum_below"),
+        sum(col("ca")).over(wAll).as("n_a"),
+        sum(col("cb")).over(wAll).as("n_b"))
+      .groupBy("event_type", "n_a", "n_b")
+      .agg(sum(col("ca").cast(d38) *
+        (lit(2).cast(d38) * col("cum_below").cast(d38)
+          + col("ct").cast(d38) + lit(1).cast(d38))).as("r2a"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("r2a") - col("n_a").cast(d38) * (col("n_a").cast(d38) + lit(1).cast(d38)))
+          .cast("long").as("u2_a"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
+        round(col("u2_a").cast("double")
+          / (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")),
+          6).as("auc"))
+  }
+
   /** Quantity floor for [[q18LargeOrders]]. */
   private val LargeOrderQty = 150L
 
@@ -1001,6 +1055,35 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "stats_mannwhitney" ->
+      """WITH base AS (
+           SELECT event_type,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS arm,
+                  CAST(round(value * 100) AS BIGINT) AS cent
+           FROM events
+           WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+         counts AS (
+           SELECT event_type, cent,
+                  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cb
+           FROM base GROUP BY 1, 2),
+         ranked AS (
+           SELECT event_type, ca, cb, ca + cb AS ct,
+                  sum(ca + cb) OVER (PARTITION BY event_type ORDER BY cent ASC)
+                    - (ca + cb) AS cum_below,
+                  CAST(sum(ca) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+                  CAST(sum(cb) OVER (PARTITION BY event_type) AS BIGINT) AS n_b
+           FROM counts),
+         folded AS (
+           SELECT event_type, n_a, n_b,
+                  sum(CAST(ca AS HUGEINT)
+                      * (2 * CAST(cum_below AS HUGEINT) + ct + 1)) AS r2a
+           FROM ranked GROUP BY 1, 2, 3)
+         SELECT event_type, n_a, n_b,
+                CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+                round(CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+                      / (2.0 * n_a * n_b), 6) AS auc
+         FROM folded""",
     "q6_revenue_change" ->
       """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                     * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue,
@@ -1461,5 +1544,6 @@ object Relational {
     "q17_small_quantity" -> q17SmallQuantity _,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q22_sales_opportunity" -> q22SalesOpportunity _,
+    "stats_mannwhitney" -> mannWhitney _,
   )
 }

@@ -1097,6 +1097,55 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(0) - expected) < 1e-9)
   }
 
+  test("stats_mannwhitney equals an in-memory midrank recompute; AUC in [0,1]") {
+    val base = Tables.events(spark, sf)
+      .select(col("event_type"),
+        pmod(get_json_object(col("props"), "$.k").cast("long"), lit(2)).as("arm"),
+        round(col("value") * 100).cast("long").as("cent"))
+      .filter(col("arm").isNotNull).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = base.groupBy(_._1).map { case (t, rows) =>
+      val sorted = rows.map(r => (r._3, r._2)).sortBy(_._1)
+      // midranks over the combined sample, doubled to stay integral
+      var rank = 0L; var r2a = 0L
+      sorted.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, tied) =>
+        val ct = tied.length.toLong
+        val twiceMid = 2 * rank + ct + 1
+        r2a += tied.count(_._2 == 0L) * twiceMid
+        rank += ct
+      }
+      val na = sorted.count(_._2 == 0L).toLong
+      t -> (r2a - na * (na + 1))
+    }
+    val got = SparkEntry.queries("stats_mannwhitney")(spark, sf).collect()
+    got.foreach { r =>
+      assert(r.getLong(3) === expected(r.getString(0)), r.getString(0))
+      val auc = r.getDouble(4)
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+  }
+
+  test("events_autocorr bounded in [-1,1]; path_topk is 20 paths, counts descending") {
+    SparkEntry.queries("events_autocorr")(spark, sf).collect().foreach { r =>
+      val a = r.getDouble(2)
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+    }
+    val paths = SparkEntry.queries("events_path_topk")(spark, sf).collect()
+    assert(paths.length === 20)
+    val counts = paths.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("text_readability: sentence floor means n_sentences == n_docs on this corpus") {
+    val rows = SparkEntry.queries("text_readability")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1)) // n_sentences == n_docs
+      val flesch = 206.835 - 1.015 * (r.getLong(2).toDouble / r.getLong(3)) -
+        84.6 * (r.getLong(4).toDouble / r.getLong(2))
+      assert(math.abs(r.getDouble(5) - (math.rint(flesch * 1e4) / 1e4)) < 1e-9)
+    }
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
