@@ -884,7 +884,178 @@ object Similarity {
           * sqrt(list_sum([CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
                  for i in range(len(c.embedding))])))"""
 
+  /** PQ layout: [[PqSubspaces]] sub-vectors of [[PqSubDim]] dims each,
+    * [[PqCentroids]] codewords per subspace → 8 bytes per vector at
+    * dim 64 (a 32× compression over f32), the standard
+    * memory-resident ANN index layout (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011).
+    */
+  private val PqSubspaces = 8
+  private val PqSubDim = Dim / PqSubspaces
+  private val PqCentroids = 16
+
+  /** Float→exact-integer-micros discretization: both engines compute
+    * `floor(x·1e6 + 0.5)` on the double widening of the same f32, so
+    * every PQ distance below is pure integer arithmetic — bit-stable
+    * across engines and partitionings (the [[quantizeVectors]]
+    * discipline, corpus-side).
+    */
+  private def micros(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+
+  /** Driver-held PQ codebook: the [[PqCentroids]] lowest-vec_id
+    * vectors in integer micros. Deterministic-by-construction (the
+    * k-means++ training of a production codebook is seeded RNG; a
+    * fixed-id sample keeps the cross-engine oracle exact) and
+    * bounded: 16 vectors × 64 longs, a literal the plan broadcasts to
+    * every task. The TakeOrdered collect is K-row, never a sort.
+    */
+  private def pqCodebook(spark: SparkSession, sfDir: String): Seq[Seq[Long]] =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), micros(col("embedding")).as("v"))
+      .orderBy(col("vec_id").asc).limit(PqCentroids)
+      .collect().map(_.getSeq[Long](1).toSeq).toSeq
+
+  /** Integer squared distance between subspace `s` of vector `v` and
+    * subspace `s` of codeword `j` (both micro-int arrays; 1-based
+    * element_at). Bounded: |diff| ≤ 4e6 ⇒ per-subspace sum ≤ 2.6e14,
+    * long-safe with the ×16 tiebreak packing.
+    */
+  private def pqSubDist(v: Column, cents: Column, s: Column, j: Column): Column =
+    aggregate(sequence(lit(0), lit(PqSubDim - 1)), lit(0L), (acc, i) => {
+      val idx = (s * PqSubDim + i + 1).cast("int")
+      val diff = element_at(v, idx) - element_at(element_at(cents, (j + 1).cast("int")), idx)
+      acc + diff * diff
+    })
+
+  /** Per-vector PQ codes: for each subspace, the argmin codeword by
+    * integer distance, ties to the smaller codeword id via the
+    * `min(d·16 + j) mod 16` packing (one fold, no window). The scan is
+    * one pass over the corpus with a broadcast 16×64 literal codebook;
+    * per-row work is the fixed 8×16 codeword probe — linear in n, the
+    * canonical PQ build. (The interpreted HOF fold is the clarity
+    * choice at this dim; the [[GraftFunctions.cellTopK]] codegen-kernel
+    * pattern is the drop-in upgrade if profile demands.)
+    */
+  private val pqCache = new graft.SessionCache[DataFrame]
+
+  private[graft] def pqIndex(spark: SparkSession, sfDir: String): DataFrame =
+    pqCache.getOrElseUpdate(spark, sfDir) {
+      val centLit = typedlit(pqCodebook(spark, sfDir))
+      def build = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), micros(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(PqSubspaces - 1)), s =>
+            (aggregate(sequence(lit(0), lit(PqCentroids - 1)), lit(Long.MaxValue),
+              (best, j) => least(best, pqSubDist(col("v"), centLit, s, j) * PqCentroids + j))
+              % PqCentroids).cast("int")).as("codes"))
+      graft.IndexStore.resolve(spark, sfDir, "pq_codes")(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
+
+  /** PQ codebook assignment, emitted as a CSV code string (the
+    * [[quantize]] export contract, so the cross-engine checker sorts
+    * rows identically).
+    */
+  def pqCodes(spark: SparkSession, sfDir: String): DataFrame =
+    pqIndex(spark, sfDir)
+      .select(col("vec_id"),
+        array_join(transform(col("codes"), _.cast("string")), ",").as("codes_str"))
+
+  /** Neighbor depth of the PQ serving stage. */
+  private val PqTopK = 5
+
+  /** ADC (asymmetric distance computation) top-K serving over the PQ
+    * index: each query precomputes a 8×16 lookup table of integer
+    * subspace distances to every codeword (driver-side — queries are
+    * the bounded [[NumQueryVecs]] head, production batches the same
+    * way), and the corpus scan reduces to 8 table lookups + adds per
+    * vector — no float math, no per-vector codeword probing. The
+    * per-query top-K is the bounded-heap [[graft.functions.TopK]]
+    * bottomK (map-side trimmed, skew-proof), ties to the smaller
+    * vec_id. Pure integers end-to-end ⇒ hash-exact vs the oracle.
+    */
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cb = pqCodebook(spark, sfDir)
+    val queries = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), micros(col("embedding")).as("v"))
+      .filter(col("vec_id") < NumQueryVecs)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val luts: Seq[(Long, Seq[Long])] = queries.toSeq.map { case (qid, v) =>
+      qid -> (for (s <- 0 until PqSubspaces; j <- 0 until PqCentroids) yield {
+        var acc = 0L
+        var i = 0
+        while (i < PqSubDim) {
+          val d = v(s * PqSubDim + i) - cb(j)(s * PqSubDim + i)
+          acc += d * d; i += 1
+        }
+        acc
+      }).toSeq
+    }
+    val lutDf = luts.toDF("query_id", "lut")
+    pqIndex(spark, sfDir).crossJoin(broadcast(lutDf))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(PqSubspaces - 1)), lit(0L), (acc, s) =>
+          acc + element_at(col("lut"),
+            (s * PqCentroids + element_at(col("codes"), (s + 1).cast("int")) + 1)
+              .cast("int"))).as("adc_dist"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.bottomK(PqTopK)(col("adc_dist"), col("vec_id")).as("kept"))
+      .select(col("query_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("query_id"), col("kv._2").as("neighbor_id"),
+        col("kv._1").as("adc_dist"), (col("pos") + 1).cast("long").as("nn_rank"))
+  }
+
+  /** Shared oracle CTE chain: micro-int vectors, the 16-codeword
+    * codebook, per-(vector, subspace, codeword) integer distances, and
+    * the argmin codes — the exact SQL mirror of [[pqIndex]].
+    */
+  private val PqCodesCtes =
+    """m AS (
+         SELECT vec_id,
+                [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                 for x in embedding] AS v
+         FROM embeddings),
+       cent AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+         FROM (SELECT vec_id, v FROM m ORDER BY vec_id LIMIT 16)),
+       sub AS (
+         SELECT m.vec_id, t.s, c.j,
+                list_sum([(m.v[t.s*8+i] - c.v[t.s*8+i])
+                          * (m.v[t.s*8+i] - c.v[t.s*8+i])
+                          for i in [1,2,3,4,5,6,7,8]]) AS d
+         FROM m, range(0, 8) t(s), cent c),
+       codes AS (
+         SELECT vec_id, s, CAST(min(d * 16 + j) % 16 AS BIGINT) AS code
+         FROM sub GROUP BY 1, 2)"""
+
   val oracleSql: Map[String, String] = Map(
+    "emb_pq_codes" ->
+      s"""WITH $PqCodesCtes
+         SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes_str
+         FROM codes GROUP BY vec_id""",
+    "sim_topk_pq" ->
+      s"""WITH $PqCodesCtes,
+         q AS (SELECT vec_id AS query_id, v FROM m WHERE vec_id < $NumQueryVecs),
+         lut AS (
+           SELECT q.query_id, t.s, c.j,
+                  list_sum([(q.v[t.s*8+i] - c.v[t.s*8+i])
+                            * (q.v[t.s*8+i] - c.v[t.s*8+i])
+                            for i in [1,2,3,4,5,6,7,8]]) AS d
+           FROM q, range(0, 8) t(s), cent c),
+         dist AS (
+           SELECT l.query_id, c2.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+           FROM lut l JOIN codes c2 ON l.s = c2.s AND l.j = c2.code
+           WHERE c2.vec_id <> l.query_id
+           GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, adc_dist, nn_rank FROM (
+           SELECT query_id, vec_id AS neighbor_id, adc_dist,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS nn_rank
+           FROM dist)
+         WHERE nn_rank <= $PqTopK""",
     "emb_kmeans_step" ->
       s"""WITH seeds AS (
             SELECT vec_id AS cell, embedding AS cw FROM embeddings
@@ -1156,5 +1327,7 @@ object Similarity {
     "emb_rp_sketch" -> rpSketch _,
     "emb_kmeans_step" -> kmeansStep _,
     "dedup_emb_neardup" -> embNearDup _,
+    "emb_pq_codes" -> pqCodes _,
+    "sim_topk_pq" -> pqTopK _,
   )
 }

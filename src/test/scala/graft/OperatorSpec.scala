@@ -1146,6 +1146,40 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pq codes: 8 codes in [0,16); codebook vectors assign to themselves (dist 0)") {
+    val codes = SparkEntry.queries("emb_pq_codes")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(",").map(_.toInt)))
+    assert(codes.forall { case (_, cs) => cs.length == 8 && cs.forall(c => c >= 0 && c < 16) })
+    // the 16 lowest vec_ids ARE the codebook: each of their subspace
+    // assignments must hit an exact-zero distance (itself or an
+    // identical earlier codeword)
+    val micro = Tables.embeddings(spark, sf).orderBy("vec_id").limit(16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray))
+    val cb = micro.map(_._2)
+    micro.zip(codes.sortBy(_._1).take(16)).foreach { case ((id, v), (cid, cs)) =>
+      assert(id === cid)
+      for (s <- 0 until 8) {
+        val j = cs(s)
+        val d = (0 until 8).map(i => { val e = v(s * 8 + i) - cb(j)(s * 8 + i); e * e }).sum
+        assert(d === 0L, s"vec $id subspace $s code $j")
+      }
+    }
+  }
+
+  test("sim_topk_pq: 5 ranked neighbors per query, ADC distances nondecreasing") {
+    val rows = SparkEntry.queries("sim_topk_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size === 5)
+    byQ.foreach { case (q, ns) =>
+      assert(ns.length === 5, s"query $q")
+      assert(ns.forall(_._2 != q))
+      val sorted = ns.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+      assert(sorted.map(_._3).zip(sorted.map(_._3).tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
