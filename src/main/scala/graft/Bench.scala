@@ -168,6 +168,7 @@ object Bench {
       "minhash_sig" -> (() => { ext.Dedup.minhashSignatures(spark, queryDir); () }),
       "bloom_bitmap" -> (() => { ext.Dedup.bloomIndex(spark, queryDir); () }),
       "sq8_codes" -> (() => { ext.Similarity.sq8Index(spark, queryDir); () }),
+      "pq_codes" -> (() => { ext.Similarity.pqIndex(spark, queryDir); () }),
       "unigram_model" -> (() => { functions.TextAnalysis.unigramModel(spark, queryDir); () }),
       "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
       "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),

@@ -800,6 +800,72 @@ object Relational {
       .select(col("chi2"), col("dof"))
   }
 
+  /** TPC-H Q7 shape — volume shipping: revenue flowing between two
+    * trading nations in both directions, per ship year. Supplier and
+    * customer nations are resolved through their own join paths
+    * (lineitem→supplier, lineitem→orders→customer); the nation pair
+    * filter is a residual over both. Only the 25-row nation dim is
+    * broadcast by hint; every grow-with-data side is AQE-decided
+    * (the [[q5LocalSupplier]] discipline).
+    */
+  def q7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val n1 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    li.join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        / lit(10000.0)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q8 shape — national market share: of the PROMO-part revenue
+    * sold to ASIA-region customers, the yearly share supplied by
+    * NATION_2. Share is a ratio of two cent-exact integer sums
+    * (conditional numerator via a when-guard inside the same
+    * aggregate — one pass, no self-join), divided once into the
+    * rounded double.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("asia_nk"))
+    val promoParts = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("asia_nk"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("s_nationkey") === 2, rev).otherwise(0L)) / lit(10000.0))
+          .as("nation_revenue"),
+        (sum(rev) / lit(10000.0)).as("total_revenue"),
+        round(sum(when(col("s_nationkey") === 2, rev).otherwise(0L)).cast("double")
+          / sum(rev).cast("double"), 6).as("mkt_share"))
+  }
+
   /** Two-sample Mann-Whitney U (rank-sum) per event type between the
     * experiment arms (props `k` parity, the [[statsAbTest]] bucketing)
     * — the nonparametric companion to Welch's t ([[statsAbTest]]) and
@@ -1055,6 +1121,40 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 10000.0
+                  AS revenue,
+                count(*) AS n_lines
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3""",
+    "q8_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                sum(CASE WHEN s.s_nationkey = 2 THEN rev ELSE 0 END) / 10000.0
+                  AS nation_revenue,
+                sum(rev) / 10000.0 AS total_revenue,
+                round(CAST(sum(CASE WHEN s.s_nationkey = 2 THEN rev ELSE 0 END)
+                           AS DOUBLE) / sum(rev), 6) AS mkt_share
+         FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+               FROM lineitem) l
+         JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 1""",
     "stats_mannwhitney" ->
       """WITH base AS (
            SELECT event_type,
@@ -1545,5 +1645,7 @@ object Relational {
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue _,
     "q22_sales_opportunity" -> q22SalesOpportunity _,
     "stats_mannwhitney" -> mannWhitney _,
+    "q7_volume_shipping" -> q7VolumeShipping _,
+    "q8_market_share" -> q8MarketShare _,
   )
 }

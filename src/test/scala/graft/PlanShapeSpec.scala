@@ -341,6 +341,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!q22.contains("CartesianProduct"), s"\n$q22")
   }
 
+  test("q7/q8: six-way joins stay equi-joins; share is one aggregation pass") {
+    for (q <- Seq("q7_volume_shipping", "q8_market_share")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q\n$plan")
+    }
+    // q8's conditional share must NOT plan a second scan/self-join:
+    // exactly one partial+final aggregate pair over the join tree
+    val q8 = executedPlan("q8_market_share")
+    assert("HashAggregate".r.findAllIn(q8).length === 2, s"\n$q8")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.expressions.GraftFunctions.register(spark)
