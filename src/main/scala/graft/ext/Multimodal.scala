@@ -250,7 +250,95 @@ object Multimodal {
       .groupBy(md5(col("payload")).as("payload_md5"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Items per GPU batch in [[batchPlan]]. */
+  private val BatchSize = 32
+
+  /** GPU-batch packing plan: tensors only stack when shapes match, so
+    * items group by their EXACT resize geometry ([[resizeDims]]) and
+    * pack into fixed-[[BatchSize]] batches in deterministic doc_id
+    * order — the preprocessing manifest a vision-training loader
+    * executes. Emitted at batch grain (count + id span per batch).
+    *
+    * Scale shape: one exchange hashed on the (out_w, out_h) shape
+    * bucket serves the row_number window; shape buckets are bounded
+    * (dims are bounded by the decode contract), and per-bucket state
+    * is a sort over that bucket's metadata rows only — payload bytes
+    * long since dropped. At real skew (one dominant shape) the
+    * pack would ride a two-level salt like
+    * [[graft.operators.Advanced.sampleCapPerSource]]'s heap; batch
+    * ASSIGNMENT (rn div B) is order-stable either way.
+    */
+  def batchPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("out_w", "out_h").orderBy(col("doc_id").asc)
+    resizeDims(spark, sfDir)
+      .select(col("doc_id"), col("out_w"), col("out_h"),
+        ((row_number().over(w) - 1) / BatchSize).cast("long").as("batch_id"))
+      .groupBy("out_w", "out_h", "batch_id")
+      .agg(count(lit(1)).as("n_items"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Modality data card: per decoded format, volume and geometry
+    * envelope — the corpus-composition read a multimodal training mix
+    * is balanced against ([[graft.functions.TextAnalysis.sourceMix]]
+    * for media). Scan → |formats|-sized aggregate, one tiny exchange.
+    */
+  def modalityMix(spark: SparkSession, sfDir: String): DataFrame =
+    decodeMeta(spark, sfDir)
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n_frames")).as("total_frames"),
+        max(col("width")).as("max_w"),
+        max(col("height")).as("max_h"))
+
   val oracleSql: Map[String, String] = Map(
+    "mm_batch_plan" ->
+      s"""WITH b AS (
+           SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+         d AS (
+           SELECT doc_id,
+                  CAST(64 + (nb % 512) AS BIGINT) AS width,
+                  CAST(64 + ((nb // 7) % 512) AS BIGINT) AS height
+           FROM b),
+         r AS (
+           SELECT doc_id,
+                  CAST(CASE WHEN greatest(width, height) <= 224 THEN width
+                            ELSE (width * 224 + greatest(width, height) // 2)
+                                 // greatest(width, height) END AS BIGINT) AS out_w,
+                  CAST(CASE WHEN greatest(width, height) <= 224 THEN height
+                            ELSE (height * 224 + greatest(width, height) // 2)
+                                 // greatest(width, height) END AS BIGINT) AS out_h
+           FROM d),
+         packed AS (
+           SELECT doc_id, out_w, out_h,
+                  CAST((row_number() OVER (PARTITION BY out_w, out_h
+                        ORDER BY doc_id ASC) - 1) // $BatchSize AS BIGINT) AS batch_id
+           FROM r)
+         SELECT out_w, out_h, batch_id, count(*) AS n_items,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM packed GROUP BY 1, 2, 3""",
+    "mm_modality_mix" ->
+      """WITH b AS (
+           SELECT doc_id, octet_length(encode(text)) AS nb,
+                  hex(encode(text)) AS hx
+           FROM documents),
+         m AS (
+           SELECT doc_id, nb,
+                  CASE ((CASE WHEN nb = 0 THEN 0
+                              ELSE ('0x' || substr(hx, 1, 2))::INT END) % 3)
+                    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+                  CAST(64 + (nb % 512) AS BIGINT) AS width,
+                  CAST(64 + ((nb // 7) % 512) AS BIGINT) AS height,
+                  CAST(1 + (nb % 16) AS BIGINT) AS n_frames
+           FROM b)
+         SELECT format, count(*) AS n_items,
+                CAST(sum(nb) AS BIGINT) AS total_bytes,
+                CAST(sum(n_frames) AS BIGINT) AS total_frames,
+                max(width) AS max_w, max(height) AS max_h
+         FROM m GROUP BY 1""",
     "mm_dedup_payload" ->
       """SELECT md5(text) AS payload_md5,
                 min(doc_id) AS keeper_doc_id,
@@ -305,5 +393,7 @@ object Multimodal {
     "mm_dedup_payload" -> payloadDedup _,
     "mm_frame_sample" -> frameSample _,
     "mm_resize_dims" -> resizeDims _,
+    "mm_batch_plan" -> batchPlan _,
+    "mm_modality_mix" -> modalityMix _,
   )
 }

@@ -920,6 +920,58 @@ object Relational {
           6).as("auc"))
   }
 
+  /** Bootstrap replica count for [[bootstrapCi]]. */
+  private val BootstrapReplicas = 32
+
+  /** Poisson(1) CDF thresholds ×10⁴ (P(X≤k) for k = 0..6): the
+    * multiplicity inverse-CDF of the Poissonized bootstrap.
+    */
+  private val PoissonCdf10k = Seq(3679L, 7358L, 9197L, 9810L, 9963L, 9994L, 9999L)
+
+  /** Deterministic bootstrap confidence band for the per-type mean
+    * value — the resampling-uncertainty companion to the closed-form
+    * tests ([[statsAbTest]]): [[BootstrapReplicas]] Poissonized
+    * resamples, each row's multiplicity in replica `b` drawn by
+    * inverse-CDF over `md5(event_id‖b) mod 10⁴` ([[sampleStratified]]'s
+    * keyed-hash idiom — reproducible across reruns, engines,
+    * partitionings and backfills where `rand()` resampling is not),
+    * reporting the 2nd-smallest/2nd-largest replica means (the
+    * ~94% central band at B=32).
+    *
+    * Exactness: each replica mean is a ratio of exact integer sums
+    * (Σm·cent / 100·Σm), rounded once; the order statistics sort those
+    * identical doubles, so the band is bit-stable.
+    *
+    * Scale shape: the ×B row multiplication happens scan-side against
+    * a broadcast 32-row replica frame and collapses IN THE SAME STAGE
+    * to |types|·B partial sums (map-side combine) — the exchange
+    * carries 160 rows, not B corpora; the band fold is |types|-sized
+    * sorted 32-element arrays.
+    */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val reps = spark.range(BootstrapReplicas).select(col("id").cast("int").as("b"))
+    val h = conv(substring(md5(concat(col("event_id").cast("string"), lit("_"),
+      col("b").cast("string"))), 1, 15), 16, 10).cast("long") % 10000
+    val mult = PoissonCdf10k.zipWithIndex
+      .foldLeft(when(h < PoissonCdf10k.head, 0L)) { case (acc, (t, k)) =>
+        if (k == 0) acc else acc.when(h < t, k.toLong)
+      }.otherwise(PoissonCdf10k.length.toLong)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("cent"))
+      .crossJoin(broadcast(reps))
+      .select(col("event_type"), col("b"), mult.as("m"), col("cent"))
+      .groupBy("event_type", "b")
+      .agg(sum(col("m") * col("cent")).as("s"), sum(col("m")).as("n"))
+      .select(col("event_type"),
+        round(col("s").cast("double") / (lit(100.0) * col("n")), 6).as("mean"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_replicas"),
+        sort_array(collect_list(col("mean"))).as("means"))
+      .select(col("event_type"), col("n_replicas"),
+        element_at(col("means"), 2).as("boot_lo"),
+        element_at(col("means"), BootstrapReplicas - 1).as("boot_hi"))
+  }
+
   /** Quantity floor for [[q18LargeOrders]]. */
   private val LargeOrderQty = 150L
 
@@ -1121,6 +1173,33 @@ object Relational {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "stats_bootstrap" -> {
+      val multCase = PoissonCdf10k.zipWithIndex
+        .map { case (t, k) => s"WHEN h < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${PoissonCdf10k.length} END")
+      s"""WITH reps AS (SELECT unnest(range($BootstrapReplicas)) AS b),
+         base AS (
+           SELECT event_type, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cent
+           FROM events),
+         mult AS (
+           SELECT event_type, b, cent,
+                  ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_'
+                     || CAST(b AS VARCHAR)), 1, 15))::BIGINT % 10000 AS h
+           FROM base, reps),
+         mm AS (SELECT event_type, b, cent, $multCase AS m FROM mult),
+         means AS (
+           SELECT event_type, b,
+                  round(CAST(sum(m * cent) AS DOUBLE) / (100.0 * sum(m)), 6) AS mean
+           FROM mm GROUP BY 1, 2),
+         bands AS (
+           SELECT event_type, count(*) AS n_replicas,
+                  list(mean ORDER BY mean) AS ms
+           FROM means GROUP BY 1)
+         SELECT event_type, n_replicas,
+                ms[2] AS boot_lo, ms[${BootstrapReplicas - 1}] AS boot_hi
+         FROM bands"""
+    },
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
@@ -1647,5 +1726,6 @@ object Relational {
     "stats_mannwhitney" -> mannWhitney _,
     "q7_volume_shipping" -> q7VolumeShipping _,
     "q8_market_share" -> q8MarketShare _,
+    "stats_bootstrap" -> bootstrapCi _,
   )
 }

@@ -1180,6 +1180,39 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_batch_plan: batches bounded at 32, cover every doc, ids contiguous per shape") {
+    val total = Tables.documents(spark, sf).count()
+    val rows = SparkEntry.queries("mm_batch_plan")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3)))
+    assert(rows.forall(_._3 <= 32))
+    assert(rows.map(_._3).sum === total)
+    rows.groupBy(_._1).foreach { case (shape, bs) =>
+      val ids = bs.map(_._2).sorted
+      assert(ids.toSeq === (0L until ids.length).toSeq, s"shape $shape")
+      // only the LAST batch of a shape may be partial
+      val partial = bs.filter(_._3 < 32).map(_._2)
+      assert(partial.length <= 1 && partial.forall(_ == ids.last), s"shape $shape")
+    }
+  }
+
+  test("stats_bootstrap: 32 replicas, band ordered and centred near the exact mean") {
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg((sum(round(col("value") * 100).cast("long")).cast("double")
+        / (lit(100.0) * count(lit(1)))).as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    SparkEntry.queries("stats_bootstrap")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(1) === 32L)
+      val (lo, hi) = (r.getDouble(2), r.getDouble(3))
+      assert(lo <= hi)
+      // a ~94% band from 32 Poissonized resamples of n≥150 events
+      // should sit within ±50% of the exact mean — loose, but pins
+      // sign/scale errors in the multiplicity fold
+      val m = exact(r.getString(0))
+      assert(lo > m * 0.5 && hi < m * 1.5, s"${r.getString(0)}: [$lo,$hi] vs $m")
+    }
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
