@@ -1008,6 +1008,32 @@ object Similarity {
         col("kv._1").as("adc_dist"), (col("pos") + 1).cast("long").as("nn_rank"))
   }
 
+  /** Subspaces used as the [[pqBlocks]] blocking key: the full 8-code
+    * word is so selective that blocks are empty even at bench scale,
+    * so the screen blocks on the 4-code PREFIX (16⁴ = 65k buckets) —
+    * selectivity grows with the centroid count at scale, the LSH
+    * band-count dial in PQ form.
+    */
+  private val PqBlockPrefix = 4
+
+  /** PQ-space blocking screen — the embedding analogue of
+    * [[graft.ext.Dedup.exact]]: vectors whose first [[PqBlockPrefix]]
+    * PQ codes coincide (each of those subspaces quantized to the same
+    * codeword) are coarse near-dup candidates, the cheap first cut
+    * before exact-cosine confirmation ([[embNearDup]]'s role, at
+    * 4 bits/subspace instead of plane signatures). One shuffle on the
+    * short code word; blocks of size 1 are dropped — the output is
+    * candidate clusters with their deterministic keeper.
+    */
+  def pqBlocks(spark: SparkSession, sfDir: String): DataFrame =
+    pqIndex(spark, sfDir)
+      .select(col("vec_id"),
+        array_join(transform(slice(col("codes"), 1, PqBlockPrefix),
+          _.cast("string")), ",").as("block_key"))
+      .groupBy("block_key")
+      .agg(min(col("vec_id")).as("keeper_vec_id"), count(lit(1)).as("n_vectors"))
+      .filter(col("n_vectors") >= 2)
+
   /** Shared oracle CTE chain: micro-int vectors, the 16-codeword
     * codebook, per-(vector, subspace, codeword) integer distances, and
     * the argmin codes — the exact SQL mirror of [[pqIndex]].
@@ -1036,6 +1062,14 @@ object Similarity {
       s"""WITH $PqCodesCtes
          SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes_str
          FROM codes GROUP BY vec_id""",
+    "dedup_pq_blocks" ->
+      s"""WITH $PqCodesCtes,
+         words AS (
+           SELECT vec_id,
+                  string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS block_key
+           FROM codes WHERE s < $PqBlockPrefix GROUP BY vec_id)
+         SELECT block_key, min(vec_id) AS keeper_vec_id, count(*) AS n_vectors
+         FROM words GROUP BY 1 HAVING count(*) >= 2""",
     "sim_topk_pq" ->
       s"""WITH $PqCodesCtes,
          q AS (SELECT vec_id AS query_id, v FROM m WHERE vec_id < $NumQueryVecs),
@@ -1329,5 +1363,6 @@ object Similarity {
     "dedup_emb_neardup" -> embNearDup _,
     "emb_pq_codes" -> pqCodes _,
     "sim_topk_pq" -> pqTopK _,
+    "dedup_pq_blocks" -> pqBlocks _,
   )
 }

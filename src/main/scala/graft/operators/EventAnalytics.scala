@@ -397,7 +397,49 @@ object EventAnalytics {
       .limit(20)
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every volume
+    * forecast must beat before it ships: predict each day's per-type
+    * count with the count 7 days earlier (same weekday), score MAE
+    * over the days where a prediction exists. The error sum is a pure
+    * integer (Σ|n − n₋₇|); only the final MAE ratio is a double,
+    * rounded once.
+    *
+    * Scale shape: corpus → per-(type, day) counts (one map-side-
+    * combined exchange), then a SELF-join on the exact (type, day−7)
+    * key over the tiny daily frame — an equi-join on thousands of
+    * rows; calendar gaps simply produce no pair (no window-lag
+    * off-by-gaps).
+    */
+  def forecastBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val pred = daily.select(col("event_type").as("p_type"),
+      date_add(col("day").cast("date"), 7).as("p_day"), col("n").as("n_pred"))
+    daily
+      .join(pred, col("event_type") === col("p_type") &&
+        col("day").cast("date") === col("p_day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("n") - col("n_pred"))).as("sum_abs_err"))
+      .select(col("event_type"), col("n_scored"), col("sum_abs_err"),
+        round(col("sum_abs_err").cast("double") / col("n_scored"), 6).as("mae"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "events_forecast_baseline" ->
+      """WITH daily AS (
+           SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         joined AS (
+           SELECT d.event_type, d.n, p.n AS n_pred
+           FROM daily d
+           JOIN daily p ON d.event_type = p.event_type
+             AND CAST(d.day AS DATE) = CAST(p.day AS DATE) + INTERVAL 7 DAY)
+         SELECT event_type, count(*) AS n_scored,
+                CAST(sum(abs(n - n_pred)) AS BIGINT) AS sum_abs_err,
+                round(CAST(sum(abs(n - n_pred)) AS DOUBLE) / count(*), 6) AS mae
+         FROM joined GROUP BY 1""",
     "events_autocorr" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
@@ -586,5 +628,6 @@ object EventAnalytics {
     "events_interarrival" -> interarrival _,
     "events_cohort_ltv" -> cohortLtv _,
     "events_autocorr" -> autocorr _,
-    "events_path_topk" -> pathTopK _)
+    "events_path_topk" -> pathTopK _,
+    "events_forecast_baseline" -> forecastBaseline _)
 }

@@ -866,6 +866,69 @@ object Relational {
           / sum(rev).cast("double"), 6).as("mkt_share"))
   }
 
+  /** TPC-H Q9 shape — product-type profit by nation and year. This
+    * schema has no partsupp, so unit cost proxies as `p_retailprice`:
+    * profit = Σ(ep·(1−disc) − qty·retail), all in exact integer
+    * cents·cents (one fused expression, one aggregation pass). The
+    * part filter (name class) collapses the probe side first; joins
+    * follow the [[q5LocalSupplier]] discipline.
+    */
+  def q9ProfitByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val greenParts = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_retailprice")
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val profit = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))) -
+      cents(col("l_quantity")) * cents(col("p_retailprice"))
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(greenParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((sum(profit) / lit(10000.0)).as("sum_profit"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q2 shape — minimum-balance supplier per part: for each
+    * LARGE-type part, the EUROPE supplier that has actually supplied
+    * it (via the lineitem link — no partsupp in this schema) with the
+    * lowest account balance. The correlated-min is an argmin
+    * AGGREGATE (`min_by` on the exact (cents, suppkey) pair — ties to
+    * the smaller suppkey), not a window: the (part, supplier) pairs
+    * deduplicate first, then one partial-combined aggregate per part
+    * — no per-part sort, no row_number shuffle of the full join.
+    */
+  def q2MinSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val largeParts = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "LARGE").select("p_partkey", "p_name")
+    val eurSupp = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)
+        .join(broadcast(Tables.region(spark, sfDir)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct()
+    pairs
+      .join(largeParts, col("l_partkey") === col("p_partkey"))
+      .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(min(struct(cents(col("s_acctbal")).as("bal_cents"), col("s_suppkey"),
+        col("s_name"), col("n_name"))).as("best"))
+      .select(col("p_partkey"), col("p_name"),
+        col("best.s_suppkey").as("s_suppkey"), col("best.s_name").as("s_name"),
+        col("best.n_name").as("nation"),
+        (col("best.bal_cents") / lit(100.0)).as("s_acctbal"))
+  }
+
   /** Two-sample Mann-Whitney U (rank-sum) per event type between the
     * experiment arms (props `k` parity, the [[statsAbTest]] bucketing)
     * — the nonparametric companion to Welch's t ([[statsAbTest]]) and
@@ -1200,6 +1263,42 @@ object Relational {
                 ms[2] AS boot_lo, ms[${BootstrapReplicas - 1}] AS boot_hi
          FROM bands"""
     },
+    "q9_profit_by_nation" ->
+      """SELECT n.n_name AS nation,
+                CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                    - CAST(round(l.l_quantity * 100) AS BIGINT)
+                      * CAST(round(p.p_retailprice * 100) AS BIGINT)) / 10000.0
+                  AS sum_profit,
+                count(*) AS n_lines
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1, 2""",
+    "q2_min_supplier" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         eur AS (
+           SELECT s.s_suppkey, s.s_name,
+                  CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents,
+                  n.n_name
+           FROM supplier s
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name = 'EUROPE'),
+         ranked AS (
+           SELECT p.p_partkey, p.p_name, e.s_suppkey, e.s_name, e.n_name,
+                  e.bal_cents,
+                  row_number() OVER (PARTITION BY p.p_partkey
+                    ORDER BY e.bal_cents ASC, e.s_suppkey ASC) AS rn
+           FROM pairs pr
+           JOIN part p ON pr.l_partkey = p.p_partkey AND p.p_type = 'LARGE'
+           JOIN eur e ON pr.l_suppkey = e.s_suppkey)
+         SELECT p_partkey, p_name, s_suppkey, s_name, n_name AS nation,
+                bal_cents / 100.0 AS s_acctbal
+         FROM ranked WHERE rn = 1""",
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                 CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
@@ -1727,5 +1826,7 @@ object Relational {
     "q7_volume_shipping" -> q7VolumeShipping _,
     "q8_market_share" -> q8MarketShare _,
     "stats_bootstrap" -> bootstrapCi _,
+    "q9_profit_by_nation" -> q9ProfitByNation _,
+    "q2_min_supplier" -> q2MinSupplier _,
   )
 }

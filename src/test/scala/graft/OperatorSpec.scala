@@ -1213,6 +1213,60 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("q2 argmin equals a window recompute; q9 profit term actually subtracts cost") {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey").distinct()
+    val eur = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+    val w = Window.partitionBy("p_partkey")
+      .orderBy(round(col("s_acctbal") * 100).cast("long").asc, col("s_suppkey").asc)
+    val expected = pairs
+      .join(Tables.part(spark, sf).filter(col("p_type") === "LARGE"),
+        col("l_partkey") === col("p_partkey"))
+      .join(eur, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("p_partkey", "s_suppkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = SparkEntry.queries("q2_min_supplier")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === expected)
+    // q9 regression pin (the leading-minus parse bug): profit must be
+    // strictly below pure revenue for every group
+    val rev = cents9(col("l_extendedprice")) * (lit(100L) - cents9(col("l_discount")))
+    val revOnly = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).filter(col("p_name").contains("red")),
+        col("l_partkey") === col("p_partkey"))
+      .agg((sum(rev) / lit(10000.0)).as("r")).collect().head.getDouble(0)
+    val profit = SparkEntry.queries("q9_profit_by_nation")(spark, sf)
+      .agg(sum(col("sum_profit"))).collect().head.getDouble(0)
+    assert(profit < revOnly)
+  }
+
+  private def cents9(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  test("dedup_pq_blocks: every block has >=2 vectors and keeper is its minimum") {
+    val blocks = SparkEntry.queries("dedup_pq_blocks")(spark, sf).collect()
+    assert(blocks.nonEmpty)
+    assert(blocks.forall(_.getLong(2) >= 2))
+    val codes = SparkEntry.queries("emb_pq_codes")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(",").take(4).mkString(",")))
+    val byBlock = codes.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    blocks.foreach { r =>
+      assert(byBlock(r.getString(0)) === r.getLong(1))
+    }
+  }
+
+  test("events_forecast_baseline scores exactly the days with a 7-day-old twin") {
+    SparkEntry.queries("events_forecast_baseline")(spark, sf).collect().foreach { r =>
+      // 30-day corpus: 23 scoreable days per type (days 8..30)
+      assert(r.getLong(1) === 23L, r.getString(0))
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
