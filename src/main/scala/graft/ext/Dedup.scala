@@ -811,6 +811,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("sz")).as("n_docs"))
 
+  /** Soft dedup — per-document TRAINING WEIGHT instead of a hard drop:
+    * each near-dup cluster (est-Jaccard ≥ 0.8 components, the
+    * [[clusterStats]] index) shares one document's worth of weight
+    * (`1000 div size` per-mille, integer-exact), singletons keep 1000.
+    * The "count duplicates once" trick for corpora where near-dups
+    * carry signal (boilerplate vs canonical pages) — down-weighting
+    * preserves coverage where [[components]]-based dropping loses it.
+    *
+    * Scale shape: rides the memoized component label index; the
+    * cluster-size aggregate is label-grain, and the two left joins
+    * back to the corpus are equi-joins on doc_id/comp (AQE-broadcast
+    * when the dup mass is small — the common case).
+    */
+  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = dupComponents(spark, sfDir, 0.8)
+      .select(col("v").as("doc_id"), col("comp"))
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("sz"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left_outer")
+      .join(sizes, Seq("comp"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"),
+        expr("CAST(1000 div coalesce(sz, 1) AS BIGINT)").as("weight_pm"))
+  }
+
   /** 60-bit SimHash per document: per-word 60-bit hash (first 15 hex
     * chars of md5 — stays in signed-long range), each bit voted +count /
     * −count, sign of the vote becomes the bit. One explode(60) per
@@ -875,6 +900,38 @@ object Dedup {
                   ELSE [] END) AS s
          FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)"""
+
+  /** Shared oracle fragment: MinHash-LSH candidates confirmed at
+    * est-Jaccard ≥ 0.8, resolved to connected components with their
+    * sizes — the SQL mirror of [[dupComponents]](0.8). Requires
+    * [[ShingleCte]] ahead of it under WITH RECURSIVE.
+    */
+  private[graft] val Comp08Ctes =
+    """mh AS (
+         SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+         FROM ex, range(16) t(i) GROUP BY doc_id, i),
+       sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+         FROM sig, range(4) t(b)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       candf AS (
+         SELECT doc_a, doc_b FROM cand
+         JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
+         WHERE CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16 >= 0.8),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM candf
+                 UNION ALL
+                 SELECT doc_b AS src, doc_a AS dst FROM candf),
+       verts AS (SELECT DISTINCT src AS v FROM edges),
+       reach(v, r) AS (
+         SELECT v, v FROM verts
+         UNION
+         SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+       comps AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+       sizes AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)"""
 
   /** Shared oracle for [[decontaminate]] and [[decontaminateBloom]] —
     * the bloom path must produce the exact path's answer bit-for-bit.
@@ -1072,35 +1129,18 @@ object Dedup {
           SELECT v AS doc_id, min(r) AS component, v = min(r) AS is_keeper
           FROM reach GROUP BY v""",
     "dedup_cluster_stats" ->
-      s"""WITH RECURSIVE $ShingleCte,
-          mh AS (
-            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
-            FROM ex, range(16) t(i) GROUP BY doc_id, i),
-          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
-          bands AS (
-            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
-            FROM sig, range(4) t(b)),
-          cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-          candf AS (
-            SELECT doc_a, doc_b FROM cand
-            JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
-            WHERE CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16 >= 0.8),
-          edges AS (SELECT doc_a AS src, doc_b AS dst FROM candf
-                    UNION ALL
-                    SELECT doc_b AS src, doc_a AS dst FROM candf),
-          verts AS (SELECT DISTINCT src AS v FROM edges),
-          reach(v, r) AS (
-            SELECT v, v FROM verts
-            UNION
-            SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r),
-          comps AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
-          sizes AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)
+      s"""WITH RECURSIVE $ShingleCte, $Comp08Ctes
           SELECT sz AS cluster_size, count(*) AS n_clusters,
                  CAST(sum(sz) AS BIGINT) AS n_docs
           FROM sizes GROUP BY sz""",
+    "sample_dedup_weight" ->
+      s"""WITH RECURSIVE $ShingleCte, $Comp08Ctes
+          SELECT d.doc_id,
+                 CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size,
+                 CAST(1000 // coalesce(s.sz, 1) AS BIGINT) AS weight_pm
+          FROM documents d
+          LEFT JOIN comps c ON d.doc_id = c.v
+          LEFT JOIN sizes s ON c.comp = s.comp""",
     "dedup_simhash" ->
       """WITH wc AS (
            SELECT doc_id, word, count(*) AS cnt,
@@ -1150,6 +1190,7 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_components" -> components _,
     "dedup_cluster_stats" -> clusterStats _,
+    "sample_dedup_weight" -> softDedupWeights _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_winnow_pairs" -> winnowPairs _,

@@ -916,6 +916,25 @@ object TextAnalysis {
   private def markerList(markers: Seq[String]): String =
     markers.map(m => s"'$m'").mkString(", ")
 
+  /** Language-ID confusion matrix — the quality read on [[langId]]
+    * itself: labeled × predicted counts with integer per-mille recall
+    * (n·1000 div labeled-row total), the evaluation table every
+    * classifier that gates corpus admission needs next to it. Pure
+    * re-aggregation of the langId projection: one |langs|²-sized
+    * map-side-combined exchange, exact integers throughout.
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = langId(spark, sfDir)
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("labeled_lang")
+    counts
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        sum(col("n_docs")).over(w).as("n_labeled"))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        expr("CAST(n_docs * 1000 div n_labeled AS BIGINT)").as("recall_pm"))
+  }
+
   /** Corpus readability profile per language — the Flesch-reading-ease
     * family of screens a pretraining pipeline runs next to
     * length/stopword quality ([[quality]]): words per sentence and
@@ -1085,6 +1104,25 @@ object TextAnalysis {
               SELECT doc_id, lang,
                   $scoreExprs
               FROM documents)""",
+      "text_lang_confusion" ->
+        s"""WITH pred AS (
+              SELECT doc_id, lang AS labeled_lang,
+                     CASE WHEN score_en >= greatest(score_de, score_es, score_fr, score_zh) THEN 'en'
+                          WHEN score_de >= greatest(score_es, score_fr, score_zh) THEN 'de'
+                          WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+                          WHEN score_fr >= score_zh THEN 'fr'
+                          ELSE 'zh' END AS predicted_lang
+              FROM (
+                SELECT doc_id, lang,
+                    $scoreExprs
+                FROM documents)),
+            counts AS (
+              SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+              FROM pred GROUP BY 1, 2)
+            SELECT labeled_lang, predicted_lang, n_docs,
+                   CAST(n_docs * 1000 // sum(n_docs) OVER (PARTITION BY labeled_lang)
+                     AS BIGINT) AS recall_pm
+            FROM counts""",
       "split_train_test" ->
         """SELECT doc_id, hash_mod,
                   CASE WHEN hash_mod < 80 THEN 'train'
@@ -1260,5 +1298,6 @@ object TextAnalysis {
     "tfidf_top_terms" -> tfidfTopTerms _,
     "tfidf_doc_terms" -> tfidfDocTerms _,
     "text_readability" -> readability _,
+    "text_lang_confusion" -> langConfusion _,
   )
 }

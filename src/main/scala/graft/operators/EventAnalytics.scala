@@ -426,7 +426,66 @@ object EventAnalytics {
         round(col("sum_abs_err").cast("double") / col("n_scored"), 6).as("mae"))
   }
 
+  /** Event-mix drift between the corpus's first and second half (by
+    * its own day span) — the composition-shift monitor behind
+    * retraining triggers: per type, exact counts and integer per-mille
+    * shares in each half, and their signed drift. NO floats anywhere —
+    * shares are `n·1000 div total`, so the whole table is bit-exact
+    * under any partitioning (the KL/χ² reads live in [[graft.operators
+    * .Relational.ksTest]]-family ops; this is the report card).
+    *
+    * Scale shape: the corpus collapses to per-(type, half) counts in
+    * one map-side-combined exchange against a broadcast 1-row scalar
+    * frame (min/max day); totals ride a second 1-row broadcast.
+    */
+  def mixDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val scalars = ev.agg(
+      min(col("ts").cast("date")).as("min_day"),
+      max(col("ts").cast("date")).as("max_day"))
+    val counts = ev.crossJoin(broadcast(scalars))
+      .select(col("event_type"),
+        (datediff(col("ts").cast("date"), col("min_day")) * 2 <
+          datediff(col("max_day"), col("min_day")) + 1).as("first_half"))
+      .groupBy("event_type")
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("n_second"))
+    val totals = counts.agg(sum(col("n_first")).as("tot_first"),
+      sum(col("n_second")).as("tot_second"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        expr("CAST(n_first * 1000 div tot_first AS BIGINT)").as("share_first_pm"),
+        expr("CAST(n_second * 1000 div tot_second AS BIGINT)").as("share_second_pm"))
+      .select(col("event_type"), col("n_first"), col("n_second"),
+        col("share_first_pm"), col("share_second_pm"),
+        (col("share_first_pm") - col("share_second_pm")).as("drift_pm"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "events_mix_drift" ->
+      """WITH scalars AS (
+           SELECT min(CAST(ts AS DATE)) AS min_day,
+                  max(CAST(ts AS DATE)) AS max_day
+           FROM events),
+         counts AS (
+           SELECT event_type,
+                  sum(CASE WHEN date_diff('day', s.min_day, CAST(ts AS DATE)) * 2
+                             < date_diff('day', s.min_day, s.max_day) + 1
+                           THEN 1 ELSE 0 END) AS n_first,
+                  sum(CASE WHEN date_diff('day', s.min_day, CAST(ts AS DATE)) * 2
+                             < date_diff('day', s.min_day, s.max_day) + 1
+                           THEN 0 ELSE 1 END) AS n_second
+           FROM events, scalars s GROUP BY 1),
+         tot AS (SELECT sum(n_first) AS tot_first, sum(n_second) AS tot_second
+                 FROM counts)
+         SELECT event_type,
+                CAST(n_first AS BIGINT) AS n_first,
+                CAST(n_second AS BIGINT) AS n_second,
+                CAST(n_first * 1000 // tot_first AS BIGINT) AS share_first_pm,
+                CAST(n_second * 1000 // tot_second AS BIGINT) AS share_second_pm,
+                CAST(n_first * 1000 // tot_first
+                   - n_second * 1000 // tot_second AS BIGINT) AS drift_pm
+         FROM counts, tot""",
     "events_forecast_baseline" ->
       """WITH daily AS (
            SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
@@ -629,5 +688,6 @@ object EventAnalytics {
     "events_cohort_ltv" -> cohortLtv _,
     "events_autocorr" -> autocorr _,
     "events_path_topk" -> pathTopK _,
-    "events_forecast_baseline" -> forecastBaseline _)
+    "events_forecast_baseline" -> forecastBaseline _,
+    "events_mix_drift" -> mixDrift _)
 }

@@ -1267,6 +1267,42 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_dedup_weight: covers every doc; cluster weight mass conserves to ~1 doc") {
+    val rows = SparkEntry.queries("sample_dedup_weight")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === Tables.documents(spark, sf).count())
+    assert(rows.forall { case (_, sz, w) => w === 1000L / sz })
+    assert(rows.filter(_._2 == 1L).forall(_._3 == 1000L))
+  }
+
+  test("events_mix_drift: halves partition the corpus; shares sum to ~1000pm each") {
+    val rows = SparkEntry.queries("events_mix_drift")(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === total)
+    val sFirst = rows.map(_.getLong(3)).sum
+    val sSecond = rows.map(_.getLong(4)).sum
+    // integer div loses at most |types|-1 per-mille
+    assert(sFirst > 1000 - rows.length && sFirst <= 1000)
+    assert(sSecond > 1000 - rows.length && sSecond <= 1000)
+    rows.foreach(r => assert(r.getLong(5) === r.getLong(3) - r.getLong(4)))
+  }
+
+  test("text_lang_confusion: rows sum to the corpus; diagonal recall dominates") {
+    val rows = SparkEntry.queries("text_lang_confusion")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum === Tables.documents(spark, sf).count())
+    // recall_pm is the exact integer per-mille of its labeled row
+    rows.groupBy(_._1).foreach { case (_, cells) =>
+      val rowTotal = cells.map(_._3).sum
+      cells.foreach(c => assert(c._4 === c._3 * 1000 / rowTotal))
+    }
+    // the dominant corpus language is recognized as itself (en markers
+    // are strongest; the other langs' recall is a classifier property,
+    // not a matrix property — the matrix is exactly what reports it)
+    val en = rows.filter(_._1 == "en")
+    assert(en.maxBy(c => (c._3, c._2))._2 === "en")
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
