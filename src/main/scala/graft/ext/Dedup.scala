@@ -836,6 +836,53 @@ object Dedup {
         expr("CAST(1000 div coalesce(sz, 1) AS BIGINT)").as("weight_pm"))
   }
 
+  /** Fixed iteration count / rank scale for [[graphRank]]. */
+  private val PageRankIters = 3
+  private val RankScale = 1000000L
+
+  /** Integer PageRank over the near-dup graph — the centrality read of
+    * the duplicate structure ([[components]] says WHICH docs cluster;
+    * rank says which doc is the hub of its boilerplate family, the
+    * natural canonical-representative signal): 3 damped iterations
+    * (d = 0.85) over the symmetric est-0.8 edge set.
+    *
+    * ALL-INTEGER variant: ranks live in 1e6 fixed-point, each
+    * iteration is `150000 + (85·Σ(r div deg)) div 100` — integer
+    * division only, so the result is bit-identical across engines and
+    * partitionings (float PageRank sums are order-dependent).
+    * Deterministic truncation loss is part of the contract.
+    *
+    * Scale shape: each iteration is one equi-join of the rank frame to
+    * the edge list plus one map-side-combined aggregate on `dst` —
+    * the [[starComponents]] discipline with a FIXED round count (no
+    * convergence detection job); degree and edges build once. At
+    * billion-edge scale the joins hash on doc ids exactly like the CC
+    * resolution path.
+    */
+  def graphRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("dg"))
+    val withDeg = edges.join(deg, "src")
+    var ranks = deg.select(col("src").as("v"), lit(RankScale).as("r"))
+    for (_ <- 1 to PageRankIters) {
+      ranks = withDeg.join(ranks, col("src") === col("v"))
+        .select(col("dst"), expr("CAST(r div dg AS BIGINT)").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("in_sum"))
+        .select(col("dst").as("v"),
+          expr("CAST(150000 + (85 * in_sum) div 100 AS BIGINT)").as("r"))
+    }
+    val out = ranks.select(col("v").as("doc_id"), col("r").as("rank_e6"))
+    out.count() // materialize before releasing the edge cache
+    edges.unpersist(false)
+    out
+  }
+
   /** 60-bit SimHash per document: per-word 60-bit hash (first 15 hex
     * chars of md5 — stays in signed-long range), each bit voted +count /
     * −count, sign of the vote becomes the bit. One explode(60) per
@@ -1133,6 +1180,23 @@ object Dedup {
           SELECT sz AS cluster_size, count(*) AS n_clusters,
                  CAST(sum(sz) AS BIGINT) AS n_docs
           FROM sizes GROUP BY sz""",
+    "dedup_graph_rank" ->
+      s"""WITH RECURSIVE $ShingleCte, $Comp08Ctes,
+          deg AS (SELECT src AS v, count(*) AS dg FROM edges GROUP BY 1),
+          r0 AS (SELECT v, 1000000 AS r FROM deg),
+          r1 AS (SELECT e.dst AS v,
+                        150000 + (85 * sum(r0.r // d.dg)) // 100 AS r
+                 FROM edges e JOIN deg d ON e.src = d.v
+                 JOIN r0 ON r0.v = e.src GROUP BY e.dst),
+          r2 AS (SELECT e.dst AS v,
+                        150000 + (85 * sum(r1.r // d.dg)) // 100 AS r
+                 FROM edges e JOIN deg d ON e.src = d.v
+                 JOIN r1 ON r1.v = e.src GROUP BY e.dst),
+          r3 AS (SELECT e.dst AS v,
+                        150000 + (85 * sum(r2.r // d.dg)) // 100 AS r
+                 FROM edges e JOIN deg d ON e.src = d.v
+                 JOIN r2 ON r2.v = e.src GROUP BY e.dst)
+          SELECT v AS doc_id, CAST(r AS BIGINT) AS rank_e6 FROM r3""",
     "sample_dedup_weight" ->
       s"""WITH RECURSIVE $ShingleCte, $Comp08Ctes
           SELECT d.doc_id,
@@ -1191,6 +1255,7 @@ object Dedup {
     "dedup_components" -> components _,
     "dedup_cluster_stats" -> clusterStats _,
     "sample_dedup_weight" -> softDedupWeights _,
+    "dedup_graph_rank" -> graphRank _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_winnow_pairs" -> winnowPairs _,

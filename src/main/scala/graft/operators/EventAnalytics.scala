@@ -461,7 +461,39 @@ object EventAnalytics {
         (col("share_first_pm") - col("share_second_pm")).as("drift_pm"))
   }
 
+  /** User growth curve: per day, first-touch (new) users and the
+    * cumulative registered base — the acquisition read next to
+    * [[rollingDau]]'s activity read. Exact without any distinct-over-
+    * window machinery: each user collapses to one first-touch day
+    * (user-hashed aggregate, the [[retention]] cohort shape), the
+    * per-day count is calendar-bounded, and the cumsum window runs
+    * over |days| rows.
+    */
+  def userGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts"))).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("new_users"))
+      .select(col("day"), col("new_users"),
+        sum(col("new_users")).over(w).as("cum_users"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "events_user_growth" ->
+      """WITH first_touch AS (
+           SELECT user_id,
+                  CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS day
+           FROM events GROUP BY 1),
+         daily AS (
+           SELECT day, count(*) AS new_users FROM first_touch GROUP BY 1)
+         SELECT day, new_users,
+                CAST(sum(new_users) OVER (ORDER BY day ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+         FROM daily""",
     "events_mix_drift" ->
       """WITH scalars AS (
            SELECT min(CAST(ts AS DATE)) AS min_day,
@@ -689,5 +721,6 @@ object EventAnalytics {
     "events_autocorr" -> autocorr _,
     "events_path_topk" -> pathTopK _,
     "events_forecast_baseline" -> forecastBaseline _,
-    "events_mix_drift" -> mixDrift _)
+    "events_mix_drift" -> mixDrift _,
+    "events_user_growth" -> userGrowth _)
 }

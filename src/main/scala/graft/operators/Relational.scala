@@ -929,6 +929,29 @@ object Relational {
         (col("best.bal_cents") / lit(100.0)).as("s_acctbal"))
   }
 
+  /** TPC-H Q16 shape — part/supplier diversity: how many distinct
+    * suppliers serve each (brand, type, size) class, for parts outside
+    * an excluded brand/type and suppliers not on the complaint list
+    * (negative balance here — no comment column). The supplier link
+    * rides the deduplicated lineitem (partkey, suppkey) pairs — no
+    * partsupp in this schema; exclusion is a left-anti on the tiny bad
+    * list; the distinct count is an exact two-level aggregate.
+    */
+  def q16PartSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO")
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    pairs
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** Two-sample Mann-Whitney U (rank-sum) per event type between the
     * experiment arms (props `k` parity, the [[statsAbTest]] bucketing)
     * — the nonparametric companion to Welch's t ([[statsAbTest]]) and
@@ -1263,6 +1286,16 @@ object Relational {
                 ms[2] AS boot_lo, ms[${BootstrapReplicas - 1}] AS boot_hi
          FROM bands"""
     },
+    "q16_part_supplier" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         SELECT p.p_brand, p.p_type, p.p_size,
+                count(DISTINCT pr.l_suppkey) AS supplier_cnt
+         FROM pairs pr
+         JOIN part p ON pr.l_partkey = p.p_partkey
+          AND p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+         WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.s_suppkey = pr.l_suppkey)
+         GROUP BY 1, 2, 3""",
     "q9_profit_by_nation" ->
       """SELECT n.n_name AS nation,
                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
@@ -1828,5 +1861,6 @@ object Relational {
     "stats_bootstrap" -> bootstrapCi _,
     "q9_profit_by_nation" -> q9ProfitByNation _,
     "q2_min_supplier" -> q2MinSupplier _,
+    "q16_part_supplier" -> q16PartSupplier _,
   )
 }
