@@ -916,6 +916,36 @@ object TextAnalysis {
   private def markerList(markers: Seq[String]): String =
     markers.map(m => s"'$m'").mkString(", ")
 
+  /** Per-language character-class profile — the charset QC every
+    * ingest runs before tokenizer decisions (mojibake, digit-heavy
+    * boilerplate, punctuation storms all surface here): total chars
+    * and integer per-mille shares of letters / digits / whitespace /
+    * other. Counts come from regexp_replace length deltas (codegen, no
+    * UDF); shares are `n·1000 div total` — exact integers end-to-end.
+    * Scan → |langs|-sized map-side-combined aggregate.
+    */
+  def charProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    def clsCount(pattern: String): Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), pattern, ""))).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), length(col("text")).cast("long").as("n"),
+        clsCount("[a-zA-Z]").as("alpha"),
+        clsCount("[0-9]").as("digit"),
+        clsCount("\\s").as("ws"))
+      .groupBy("lang")
+      .agg(sum(col("n")).as("n_chars"),
+        sum(col("alpha")).as("n_alpha"),
+        sum(col("digit")).as("n_digit"),
+        sum(col("ws")).as("n_ws"))
+      .select(col("lang"), col("n_chars"),
+        expr("CAST(n_alpha * 1000 div n_chars AS BIGINT)").as("alpha_pm"),
+        expr("CAST(n_digit * 1000 div n_chars AS BIGINT)").as("digit_pm"),
+        expr("CAST(n_ws * 1000 div n_chars AS BIGINT)").as("ws_pm"),
+        expr("CAST((n_chars - n_alpha - n_digit - n_ws) * 1000 div n_chars AS BIGINT)")
+          .as("other_pm"))
+  }
+
   /** Language-ID confusion matrix — the quality read on [[langId]]
     * itself: labeled × predicted counts with integer per-mille recall
     * (n·1000 div labeled-row total), the evaluation table every
@@ -1104,6 +1134,24 @@ object TextAnalysis {
               SELECT doc_id, lang,
                   $scoreExprs
               FROM documents)""",
+      "text_char_profile" ->
+        """WITH per AS (
+             SELECT lang, length(text) AS n,
+                    length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS alpha,
+                    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+                    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS ws
+             FROM documents),
+           s AS (
+             SELECT lang, CAST(sum(n) AS BIGINT) AS n_chars,
+                    sum(alpha) AS n_alpha, sum(digit) AS n_digit, sum(ws) AS n_ws
+             FROM per GROUP BY 1)
+           SELECT lang, n_chars,
+                  CAST(n_alpha * 1000 // n_chars AS BIGINT) AS alpha_pm,
+                  CAST(n_digit * 1000 // n_chars AS BIGINT) AS digit_pm,
+                  CAST(n_ws * 1000 // n_chars AS BIGINT) AS ws_pm,
+                  CAST((n_chars - n_alpha - n_digit - n_ws) * 1000 // n_chars AS BIGINT)
+                    AS other_pm
+           FROM s""",
       "text_lang_confusion" ->
         s"""WITH pred AS (
               SELECT doc_id, lang AS labeled_lang,
@@ -1299,5 +1347,6 @@ object TextAnalysis {
     "tfidf_doc_terms" -> tfidfDocTerms _,
     "text_readability" -> readability _,
     "text_lang_confusion" -> langConfusion _,
+    "text_char_profile" -> charProfile _,
   )
 }

@@ -952,6 +952,83 @@ object Relational {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
+  /** TPC-H Q15 shape — top supplier(s) by quarterly revenue: the
+    * aggregate-then-argmax-by-scalar-subquery pattern. Revenue per
+    * supplier is one cent-exact aggregate; the max rides a 1-row
+    * broadcast and the equality keeps ALL tied suppliers (exact
+    * integers ⇒ ties are real, not float accidents).
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .as("rev_cbp"))
+    val top = rev.agg(max(col("rev_cbp")).as("max_cbp"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("rev_cbp") === col("max_cbp"))
+      .join(Tables.supplier(spark, sfDir).select("s_suppkey", "s_name", "s_acctbal"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_cbp") / lit(10000.0)).as("total_revenue"))
+  }
+
+  /** Concentration threshold numerator for [[q11ValueConcentration]]:
+    * parts worth > ConcentrationPpm/1e6 of total traded value.
+    */
+  private val ConcentrationPpm = 500L
+
+  /** TPC-H Q11 shape — value concentration: parts whose traded value
+    * (Σ qty·price cents, via the lineitem link — no partsupp here)
+    * exceeds a fraction of the corpus total. The global total is a
+    * 1-row broadcast; the cut compares pure integers
+    * (value·1e6 > total·ppm in decimal(38)) — no float share.
+    */
+  def q11ValueConcentration(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val value = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents(col("l_quantity")) * cents(col("l_extendedprice"))).as("val_c2"))
+    val total = value.agg(sum(col("val_c2")).as("total_c2"))
+    value.crossJoin(broadcast(total))
+      .filter(col("val_c2").cast(d38) * lit(1000000L).cast(d38) >
+        col("total_c2").cast(d38) * lit(ConcentrationPpm).cast(d38))
+      .select(col("l_partkey").as("p_partkey"),
+        (col("val_c2") / lit(10000.0)).as("part_value"))
+  }
+
+  /** TPC-H Q21 shape — the sole late supplier: suppliers who shipped
+    * late (>60 days after order date) on multi-supplier orders where
+    * EVERY OTHER supplier shipped on time — the classic
+    * EXISTS/NOT-EXISTS pair over the same fact table, planned as one
+    * left-semi plus one left-anti join on `l_orderkey` (each shipping
+    * only key columns). Counted per supplier, top-20 deterministic.
+    */
+  def q21LateSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+    val lateLines = li.filter(col("late"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val othersExist = li
+      .select(col("l_orderkey").as("e_ok"), col("l_suppkey").as("e_sk")).distinct()
+    val othersLate = lateLines
+      .select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk"))
+    lateLines
+      .join(othersExist, col("l_orderkey") === col("e_ok") &&
+        col("l_suppkey") =!= col("e_sk"), "left_semi")
+      .join(othersLate, col("l_orderkey") === col("a_ok") &&
+        col("l_suppkey") =!= col("a_sk"), "left_anti")
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(20)
+  }
+
   /** Two-sample Mann-Whitney U (rank-sum) per event type between the
     * experiment arms (props `k` parity, the [[statsAbTest]] bucketing)
     * — the nonparametric companion to Welch's t ([[statsAbTest]]) and
@@ -1286,6 +1363,49 @@ object Relational {
                 ms[2] AS boot_lo, ms[${BootstrapReplicas - 1}] AS boot_hi
          FROM bands"""
     },
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_cbp
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate <  TIMESTAMP '1997-04-01'
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name,
+                CAST(r.rev_cbp AS BIGINT) / 10000.0 AS total_revenue
+         FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         WHERE r.rev_cbp = (SELECT max(rev_cbp) FROM rev)""",
+    "q11_value_concentration" ->
+      s"""WITH v AS (
+           SELECT l_partkey,
+                  sum(CAST(round(l_quantity * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS val_c2
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(val_c2) AS total_c2 FROM v)
+         SELECT l_partkey AS p_partkey,
+                CAST(val_c2 AS BIGINT) / 10000.0 AS part_value
+         FROM v, t
+         WHERE CAST(val_c2 AS HUGEINT) * 1000000
+               > CAST(total_c2 AS HUGEINT) * $ConcentrationPpm""",
+    "q21_late_supplier" ->
+      """WITH li AS (
+           SELECT l.l_orderkey, l.l_suppkey,
+                  l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         late_lines AS (
+           SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+         SELECT l_suppkey AS s_suppkey, count(*) AS numwait
+         FROM late_lines x
+         WHERE EXISTS (SELECT 1 FROM li y
+                       WHERE y.l_orderkey = x.l_orderkey
+                         AND y.l_suppkey <> x.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM li z
+                           WHERE z.l_orderkey = x.l_orderkey
+                             AND z.l_suppkey <> x.l_suppkey AND z.late)
+         GROUP BY 1
+         ORDER BY numwait DESC, s_suppkey ASC
+         LIMIT 20""",
     "q16_part_supplier" ->
       """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
          bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
@@ -1862,5 +1982,8 @@ object Relational {
     "q9_profit_by_nation" -> q9ProfitByNation _,
     "q2_min_supplier" -> q2MinSupplier _,
     "q16_part_supplier" -> q16PartSupplier _,
+    "q15_top_supplier" -> q15TopSupplier _,
+    "q11_value_concentration" -> q11ValueConcentration _,
+    "q21_late_supplier" -> q21LateSupplier _,
   )
 }

@@ -1303,6 +1303,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(en.maxBy(c => (c._3, c._2))._2 === "en")
   }
 
+  test("char profile shares fold to ~1000pm; q15 returns the exact max; rank conserves mass") {
+    SparkEntry.queries("text_char_profile")(spark, sf).collect().foreach { r =>
+      val parts = Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(parts.forall(_ >= 0))
+      val s = parts.sum
+      assert(s > 1000 - 4 && s <= 1000, r.getString(0))
+    }
+    val tops = SparkEntry.queries("q15_top_supplier")(spark, sf).collect()
+    assert(tops.nonEmpty)
+    assert(tops.map(_.getDouble(2)).distinct.length === 1)
+    // integer PageRank: total rank mass stays within the damped bound
+    // n·150000 <= Σr <= n·1000000 (truncation only ever loses mass)
+    val ranks = SparkEntry.queries("dedup_graph_rank")(spark, sf).collect()
+      .map(_.getLong(1))
+    assert(ranks.forall(r => r >= 150000L && r <= ranks.length * 1000000L))
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())

@@ -353,6 +353,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(q8).length === 2, s"\n$q8")
   }
 
+  test("q21: the EXISTS/NOT-EXISTS pair plans as one semi and one anti join") {
+    val plan = executedPlan("q21_late_supplier")
+    assert(plan.contains("LeftSemi"), s"\n$plan")
+    assert(plan.contains("LeftAnti"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"\n$plan")
+  }
+
+  test("q11/q15: scalar-subquery cuts ride 1-row broadcasts, not re-scans") {
+    for (q <- Seq("q11_value_concentration", "q15_top_supplier")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        s"$q\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q\n$plan")
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.expressions.GraftFunctions.register(spark)
