@@ -975,7 +975,12 @@ object Similarity {
     * bottomK (map-side trimmed, skew-proof), ties to the smaller
     * vec_id. Pure integers end-to-end ⇒ hash-exact vs the oracle.
     */
-  def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-query ADC lookup tables: for each of the bounded
+    * [[NumQueryVecs]] query vectors, the 8×16 integer subspace
+    * distances to every codeword, built driver-side (production
+    * batches queries the same way) and broadcast as a tiny frame.
+    */
+  private def pqQueryLuts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val cb = pqCodebook(spark, sfDir)
     val queries = Tables.embeddings(spark, sfDir)
@@ -993,14 +998,54 @@ object Similarity {
         acc
       }).toSeq
     }
-    val lutDf = luts.toDF("query_id", "lut")
-    pqIndex(spark, sfDir).crossJoin(broadcast(lutDf))
+    luts.toDF("query_id", "lut")
+  }
+
+  /** Integer ADC distance of a `codes` array against the row's `lut`. */
+  private def adcDist: Column =
+    aggregate(sequence(lit(0), lit(PqSubspaces - 1)), lit(0L), (acc, s) =>
+      acc + element_at(col("lut"),
+        (s * PqCentroids + element_at(col("codes"), (s + 1).cast("int")) + 1)
+          .cast("int")))
+
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    pqIndex(spark, sfDir).crossJoin(broadcast(pqQueryLuts(spark, sfDir)))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        aggregate(sequence(lit(0), lit(PqSubspaces - 1)), lit(0L), (acc, s) =>
-          acc + element_at(col("lut"),
-            (s * PqCentroids + element_at(col("codes"), (s + 1).cast("int")) + 1)
-              .cast("int"))).as("adc_dist"))
+      .select(col("query_id"), col("vec_id"), adcDist.as("adc_dist"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.bottomK(PqTopK)(col("adc_dist"), col("vec_id")).as("kept"))
+      .select(col("query_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
+      .select(col("query_id"), col("kv._2").as("neighbor_id"),
+        col("kv._1").as("adc_dist"), (col("pos") + 1).cast("long").as("nn_rank"))
+  }
+
+  /** IVF-PQ serving — the composed FAISS-standard layout: the IVF
+    * coarse quantizer restricts candidates to the query's [[NumProbe]]
+    * nearest cells (compiled [[GraftFunctions.cellTopK]] probe over
+    * the broadcast quantizer row), then the PQ ADC integer ranking
+    * ([[pqTopK]]'s LUT stage) orders ONLY those candidates — the scan
+    * touches |corpus|/|cells|·nProbe code rows instead of the corpus,
+    * which is the entire point of IVF-PQ at 10⁹ vectors. Ranking is
+    * pure integers, so the composed result is hash-exact against the
+    * SQL mirror of both stages.
+    */
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val (quant, assigned) = ivfIndex(spark, sfDir)
+    val probes = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < NumQueryVecs)
+      .crossJoin(broadcast(quant))
+      .select(col("vec_id").as("query_id"),
+        explode(GraftFunctions.cellTopK(col("embedding"), col("qcells"), NumProbe))
+          .as("cell"))
+    val cands = assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    cands
+      .join(pqIndex(spark, sfDir), Seq("vec_id"))
+      .join(broadcast(pqQueryLuts(spark, sfDir)), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), adcDist.as("adc_dist"))
       .groupBy("query_id")
       .agg(graft.functions.TopK.bottomK(PqTopK)(col("adc_dist"), col("vec_id")).as("kept"))
       .select(col("query_id"), posexplode(col("kept")).as(Seq("pos", "kv")))
@@ -1036,32 +1081,94 @@ object Similarity {
 
   /** Shared oracle CTE chain: micro-int vectors, the 16-codeword
     * codebook, per-(vector, subspace, codeword) integer distances, and
-    * the argmin codes — the exact SQL mirror of [[pqIndex]].
+    * the argmin codes — the exact SQL mirror of [[pqIndex]]. The
+    * `prefix` namespaces the CTE names so the chain composes with the
+    * IVF oracle's (whose quantizer is also named `cent`).
     */
-  private val PqCodesCtes =
-    """m AS (
+  private def pqCodesCtesWith(p: String): String =
+    s"""${p}m AS (
          SELECT vec_id,
                 [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
                  for x in embedding] AS v
          FROM embeddings),
-       cent AS (
+       ${p}cent AS (
          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
-         FROM (SELECT vec_id, v FROM m ORDER BY vec_id LIMIT 16)),
-       sub AS (
-         SELECT m.vec_id, t.s, c.j,
-                list_sum([(m.v[t.s*8+i] - c.v[t.s*8+i])
-                          * (m.v[t.s*8+i] - c.v[t.s*8+i])
+         FROM (SELECT vec_id, v FROM ${p}m ORDER BY vec_id LIMIT 16)),
+       ${p}sub AS (
+         SELECT ${p}m.vec_id, t.s, c.j,
+                list_sum([(${p}m.v[t.s*8+i] - c.v[t.s*8+i])
+                          * (${p}m.v[t.s*8+i] - c.v[t.s*8+i])
                           for i in [1,2,3,4,5,6,7,8]]) AS d
-         FROM m, range(0, 8) t(s), cent c),
-       codes AS (
+         FROM ${p}m, range(0, 8) t(s), ${p}cent c),
+       ${p}codes AS (
          SELECT vec_id, s, CAST(min(d * 16 + j) % 16 AS BIGINT) AS code
-         FROM sub GROUP BY 1, 2)"""
+         FROM ${p}sub GROUP BY 1, 2)"""
+
+  private val PqCodesCtes = pqCodesCtesWith("")
+
+  /** Shared oracle CTE chain: the IVF coarse quantizer (per-label mean
+    * centroids), per-vector cell assignment, and the queries' nProbe
+    * probe cells — the SQL mirror of [[ivfIndex]] + the probe stage.
+    */
+  private val IvfAssignCtes =
+    s"""cent AS (
+          SELECT label, i AS pos,
+                 CAST(round(sum(CAST(embedding[i+1] AS DOUBLE)) / count(*), 6) AS FLOAT) AS cf
+          FROM embeddings, range($Dim) t(i)
+          GROUP BY label, i),
+        cells AS (SELECT label AS cell, list(cf ORDER BY pos) AS cw FROM cent GROUP BY label),
+        scoredc AS (
+          SELECT e.vec_id, cl.cell,
+                 list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(cl.cw[i+1] AS DOUBLE)
+                           for i in range(len(e.embedding))])
+                 / (sqrt(list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)
+                           for i in range(len(e.embedding))]))
+                    * sqrt(list_sum([CAST(cl.cw[i+1] AS DOUBLE) * CAST(cl.cw[i+1] AS DOUBLE)
+                           for i in range(len(cl.cw))]))) AS cscore
+          FROM embeddings e, cells cl),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell ASC) AS rn
+            FROM scoredc) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell ASC) AS rn
+            FROM scoredc WHERE vec_id < $NumQueryVecs) WHERE rn <= $NumProbe)"""
 
   val oracleSql: Map[String, String] = Map(
     "emb_pq_codes" ->
       s"""WITH $PqCodesCtes
          SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS codes_str
          FROM codes GROUP BY vec_id""",
+    "sim_ivfpq_topk" ->
+      s"""WITH $IvfAssignCtes,
+         ${pqCodesCtesWith("pq")},
+         q AS (SELECT vec_id AS query_id, v FROM pqm WHERE vec_id < $NumQueryVecs),
+         lut AS (
+           SELECT q.query_id, t.s, c.j,
+                  list_sum([(q.v[t.s*8+i] - c.v[t.s*8+i])
+                            * (q.v[t.s*8+i] - c.v[t.s*8+i])
+                            for i in [1,2,3,4,5,6,7,8]]) AS d
+           FROM q, range(0, 8) t(s), pqcent c),
+         cand AS (
+           SELECT p.query_id, a.vec_id
+           FROM probes p JOIN assigned a
+             ON a.cell = p.cell AND a.vec_id <> p.query_id),
+         dist AS (
+           SELECT ca.query_id, ca.vec_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+           FROM cand ca
+           JOIN pqcodes c2 ON c2.vec_id = ca.vec_id
+           JOIN lut l ON l.query_id = ca.query_id
+             AND l.s = c2.s AND l.j = c2.code
+           GROUP BY 1, 2)
+         SELECT query_id, neighbor_id, adc_dist, nn_rank FROM (
+           SELECT query_id, vec_id AS neighbor_id, adc_dist,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS nn_rank
+           FROM dist)
+         WHERE nn_rank <= $PqTopK""",
     "dedup_pq_blocks" ->
       s"""WITH $PqCodesCtes,
          words AS (
@@ -1182,31 +1289,7 @@ object Similarity {
                 FROM scored)
           WHERE rn <= 3""",
     "sim_ivf_topk" ->
-      s"""WITH cent AS (
-            SELECT label, i AS pos,
-                   CAST(round(sum(CAST(embedding[i+1] AS DOUBLE)) / count(*), 6) AS FLOAT) AS cf
-            FROM embeddings, range($Dim) t(i)
-            GROUP BY label, i),
-          cells AS (SELECT label AS cell, list(cf ORDER BY pos) AS cw FROM cent GROUP BY label),
-          scoredc AS (
-            SELECT e.vec_id, cl.cell,
-                   list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(cl.cw[i+1] AS DOUBLE)
-                             for i in range(len(e.embedding))])
-                   / (sqrt(list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)
-                             for i in range(len(e.embedding))]))
-                      * sqrt(list_sum([CAST(cl.cw[i+1] AS DOUBLE) * CAST(cl.cw[i+1] AS DOUBLE)
-                             for i in range(len(cl.cw))]))) AS cscore
-            FROM embeddings e, cells cl),
-          assigned AS (
-            SELECT vec_id, cell FROM (
-              SELECT vec_id, cell,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell ASC) AS rn
-              FROM scoredc) WHERE rn = 1),
-          probes AS (
-            SELECT vec_id AS query_id, cell FROM (
-              SELECT vec_id, cell,
-                     row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell ASC) AS rn
-              FROM scoredc WHERE vec_id < $NumQueryVecs) WHERE rn <= $NumProbe),
+      s"""WITH $IvfAssignCtes,
           scored AS (
             SELECT p.query_id, a.vec_id AS neighbor_id, $CosExpr AS score
             FROM probes p
@@ -1364,5 +1447,6 @@ object Similarity {
     "emb_pq_codes" -> pqCodes _,
     "sim_topk_pq" -> pqTopK _,
     "dedup_pq_blocks" -> pqBlocks _,
+    "sim_ivfpq_topk" -> ivfPqTopK _,
   )
 }

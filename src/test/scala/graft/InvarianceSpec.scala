@@ -56,6 +56,16 @@ class InvarianceSpec extends AnyFunSuite {
     "dedup_spans_clean",    // ordered reconstruction from packed-min keepers
     "sim_topk_sq8",         // integer-domain candidate ranking + f32 re-rank
     "corpus_prep_full",     // three-stage composition
+    "stats_mannwhitney",    // doubled-midrank integer fold over histogram cumsum
+    "stats_bootstrap",      // keyed-hash Poisson multiplicities + order statistics
+    "dedup_graph_rank",     // integer fixed-point PageRank iterations
+    "sim_topk_pq",          // integer ADC ranking over broadcast LUTs
+    "sim_ivfpq_topk",       // IVF cell restriction ∘ PQ integer ranking
+    "events_mix_drift",     // pure per-mille integer shares
+    "mm_batch_plan",        // total-order packing within shape buckets
+    "q17_small_quantity",   // integer 20%-of-avg correlated cut
+    "q21_late_supplier",    // semi+anti correlated pair over one fact
+    "sample_dedup_weight",  // component-sized integer weights
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {

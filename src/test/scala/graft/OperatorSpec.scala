@@ -1320,6 +1320,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(ranks.forall(r => r >= 150000L && r <= ranks.length * 1000000L))
   }
 
+  test("sim_ivfpq_topk: every neighbor comes from a probed IVF cell, ADC-ranked") {
+    val ivfpq = SparkEntry.queries("sim_ivfpq_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val full = SparkEntry.queries("sim_topk_pq")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val (_, assigned) = graft.ext.Similarity.ivfIndex(spark, sf)
+    val cellOf = assigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byQ = ivfpq.groupBy(_._1)
+    assert(byQ.size === 5)
+    byQ.foreach { case (q, ns) =>
+      assert(ns.length === 5, s"query $q")
+      val sorted = ns.sortBy(_._4)
+      assert(sorted.map(_._3).zip(sorted.map(_._3).tail).forall { case (a, b) => a <= b })
+      // restriction contract: results span at most NumProbe=2 distinct cells
+      assert(ns.map(n => cellOf(n._2)).toSet.size <= 2, s"query $q")
+      // ADC distances agree with the unrestricted PQ scan where the
+      // same (query, neighbor) pair appears in both top-5 sets
+      ns.foreach { case (qq, nb, d, _) =>
+        full.get((qq, nb)).foreach(fd => assert(fd === d, s"($qq,$nb)"))
+      }
+    }
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
