@@ -836,6 +836,55 @@ object Dedup {
         expr("CAST(1000 div coalesce(sz, 1) AS BIGINT)").as("weight_pm"))
   }
 
+  /** Band configurations swept by [[lshSweep]]: (bands, rows/band)
+    * over the 16-hash signature.
+    */
+  private val SweepConfigs = Seq(2, 4, 8)
+
+  /** LSH band-parameter sweep — the tuning report behind the
+    * banding choice ([[minhashLsh]] ships bands=4): for each
+    * (bands, rows) split of the same 16-hash signature, the candidate
+    * pair count, how many candidates confirm at est-Jaccard ≥ 0.8,
+    * and the integer per-mille precision. More bands → higher recall
+    * and more (worse-precision) candidates; this query measures that
+    * curve ON THE CORPUS instead of trusting the S-curve formula.
+    *
+    * Scale shape: one banding pass per config over the memoized
+    * signature frame (3 self-joins on band signatures — each the
+    * [[minhashLsh]] shape), folded to a 3-row report. The confirm
+    * test reuses the full signature agreement count; no shingle
+    * re-scan.
+    */
+  def lshSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir)
+    val reports = SweepConfigs.map { nb =>
+      val rows = NumHashes / nb
+      val bands = sig
+        .withColumn("b", explode(sequence(lit(0), lit(nb - 1))))
+        .select(col("doc_id"), col("b"),
+          md5(array_join(slice(col("mhs"), col("b") * rows + 1, lit(rows)), "|"))
+            .as("bsig"))
+      val cand = bands.toDF("doc_a", "b", "bsig")
+        .join(bands.toDF("doc_b", "b_r", "bsig_r"),
+          col("b") === col("b_r") && col("bsig") === col("bsig_r") &&
+            col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      cand
+        .join(sig.toDF("doc_a", "mhs_a"), "doc_a")
+        .join(sig.toDF("doc_b", "mhs_b"), "doc_b")
+        .select((size(filter(zip_with(col("mhs_a"), col("mhs_b"), (p, q) => p === q),
+          x => x)) * 5 >= NumHashes * 4).as("confirmed"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("confirmed"), 1L).otherwise(0L)).as("n_confirmed"))
+        .select(lit(nb.toLong).as("n_bands"), lit(rows.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_confirmed"),
+          when(col("n_candidates") === 0, 0L)
+            .otherwise(expr("CAST(n_confirmed * 1000 div n_candidates AS BIGINT)"))
+            .as("precision_pm"))
+    }
+    reports.reduce(_.unionByName(_))
+  }
+
   /** Fixed iteration count / rank scale for [[graphRank]]. */
   private val PageRankIters = 3
   private val RankScale = 1000000L
@@ -1180,6 +1229,42 @@ object Dedup {
           SELECT sz AS cluster_size, count(*) AS n_clusters,
                  CAST(sum(sz) AS BIGINT) AS n_docs
           FROM sizes GROUP BY sz""",
+    "dedup_lsh_sweep" ->
+      s"""WITH $ShingleCte,
+          mh AS (
+            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+            FROM ex, range(16) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+          cfg AS (SELECT unnest([2, 4, 8]) AS nb),
+          bandsall AS (
+            SELECT cfg.nb, s.doc_id, t.b,
+                   md5(array_to_string(
+                     s.mhs[(16 // cfg.nb) * t.b + 1
+                           : (16 // cfg.nb) * t.b + (16 // cfg.nb)], '|')) AS bsig
+            FROM sig s, cfg, range(8) t(b) WHERE t.b < cfg.nb),
+          cand AS (
+            SELECT DISTINCT a.nb, a.doc_id AS doc_a, b2.doc_id AS doc_b
+            FROM bandsall a JOIN bandsall b2
+              ON a.nb = b2.nb AND a.b = b2.b AND a.bsig = b2.bsig
+             AND a.doc_id < b2.doc_id),
+          conf AS (
+            SELECT c.nb,
+                   len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) * 5 >= 64
+                     AS confirmed
+            FROM cand c JOIN sig x ON c.doc_a = x.doc_id
+            JOIN sig y ON c.doc_b = y.doc_id),
+          agg AS (
+            SELECT nb, count(*) AS n_candidates,
+                   sum(CASE WHEN confirmed THEN 1 ELSE 0 END) AS n_confirmed
+            FROM conf GROUP BY 1)
+          SELECT CAST(cfg.nb AS BIGINT) AS n_bands,
+                 CAST(16 // cfg.nb AS BIGINT) AS rows_per_band,
+                 CAST(coalesce(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
+                 CAST(coalesce(agg.n_confirmed, 0) AS BIGINT) AS n_confirmed,
+                 CAST(CASE WHEN coalesce(agg.n_candidates, 0) = 0 THEN 0
+                      ELSE agg.n_confirmed * 1000 // agg.n_candidates END AS BIGINT)
+                   AS precision_pm
+          FROM cfg LEFT JOIN agg ON cfg.nb = agg.nb""",
     "dedup_graph_rank" ->
       s"""WITH RECURSIVE $ShingleCte, $Comp08Ctes,
           deg AS (SELECT src AS v, count(*) AS dg FROM edges GROUP BY 1),
@@ -1256,6 +1341,7 @@ object Dedup {
     "dedup_cluster_stats" -> clusterStats _,
     "sample_dedup_weight" -> softDedupWeights _,
     "dedup_graph_rank" -> graphRank _,
+    "dedup_lsh_sweep" -> lshSweep _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_winnow_pairs" -> winnowPairs _,

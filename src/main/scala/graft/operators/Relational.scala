@@ -1083,6 +1083,47 @@ object Relational {
           6).as("auc"))
   }
 
+  /** SPRT hypotheses for [[sprtTest]]: success = value ≥ $50, tested
+    * H0: p=0.35 vs H1: p=0.45 at α=β=0.05. The log-likelihood-ratio
+    * increments and the Wald bound are FIXED DECIMAL LITERALS embedded
+    * identically in the engine and the oracle — `ln` computed at query
+    * time could differ between libm and `java.lang.Math` in the last
+    * ulp, so neither engine computes a log at runtime.
+    */
+  private val SprtLlrPos = 0.251314428280906 // ln(0.45/0.35)
+  private val SprtLlrNeg = -0.167054084663166 // ln(0.55/0.65)
+  private val SprtBound = 2.944438979166440 // ln((1-β)/α) = ln(19)
+
+  /** Sequential probability-ratio test (Wald) over the daily feed —
+    * the "stop the experiment early" monitor a batch A/B report
+    * ([[statsAbTest]]) can't give: per type and day, the cumulative
+    * LLR of the success rate under H1 vs H0 and the resulting
+    * decision. The LLR is `s·C₁ + f·C₀` over EXACT integer
+    * success/failure cumsums with constant multipliers — the only
+    * doubles are two literal constants, so the trajectory is
+    * bit-stable under any partitioning.
+    *
+    * Scale shape: corpus → per-(type, day) counts (one map-side-
+    * combined exchange); cumsums ride a |days|-row window per type.
+    */
+  def sprtTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("day").asc)
+    val llr = round(col("cs").cast("double") * lit(SprtLlrPos)
+      + (col("cn") - col("cs")).cast("double") * lit(SprtLlrNeg), 6)
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(cents(col("value")) >= 5000L, 1L).otherwise(0L)).as("s"))
+      .select(col("event_type"), col("day"), col("n"), col("s"),
+        sum(col("s")).over(w).as("cs"), sum(col("n")).over(w).as("cn"))
+      .select(col("event_type"), col("day"), col("n"), col("s"),
+        llr.as("cum_llr"),
+        when(llr >= SprtBound, "accept_h1")
+          .when(llr <= -SprtBound, "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
   /** Bootstrap replica count for [[bootstrapCi]]. */
   private val BootstrapReplicas = 32
 
@@ -1363,6 +1404,32 @@ object Relational {
                 ms[2] AS boot_lo, ms[${BootstrapReplicas - 1}] AS boot_hi
          FROM bands"""
     },
+    "stats_sprt" ->
+      s"""WITH daily AS (
+           SELECT event_type,
+                  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  count(*) AS n,
+                  sum(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+                           THEN 1 ELSE 0 END) AS s
+           FROM events GROUP BY 1, 2),
+         cum AS (
+           SELECT event_type, day,
+                  CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+                  sum(s) OVER w AS cs, sum(n) OVER w AS cn
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+                        ROWS UNBOUNDED PRECEDING))
+         SELECT event_type, day, n, s,
+                round(CAST(cs AS DOUBLE) * $SprtLlrPos
+                      + CAST(cn - cs AS DOUBLE) * ($SprtLlrNeg), 6) AS cum_llr,
+                CASE WHEN round(CAST(cs AS DOUBLE) * $SprtLlrPos
+                      + CAST(cn - cs AS DOUBLE) * ($SprtLlrNeg), 6) >= $SprtBound
+                       THEN 'accept_h1'
+                     WHEN round(CAST(cs AS DOUBLE) * $SprtLlrPos
+                      + CAST(cn - cs AS DOUBLE) * ($SprtLlrNeg), 6) <= -$SprtBound
+                       THEN 'accept_h0'
+                     ELSE 'continue' END AS decision
+         FROM cum""",
     "q15_top_supplier" ->
       """WITH rev AS (
            SELECT l_suppkey,
@@ -1983,6 +2050,7 @@ object Relational {
     "q2_min_supplier" -> q2MinSupplier _,
     "q16_part_supplier" -> q16PartSupplier _,
     "q15_top_supplier" -> q15TopSupplier _,
+    "stats_sprt" -> sprtTest _,
     "q11_value_concentration" -> q11ValueConcentration _,
     "q21_late_supplier" -> q21LateSupplier _,
   )

@@ -1344,6 +1344,37 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_sprt: final LLR equals the closed form; decisions match the bound") {
+    val rows = SparkEntry.queries("stats_sprt")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))
+    rows.groupBy(_._1).foreach { case (t, days) =>
+      val last = days.maxBy(_._2.getTime)
+      val cs = days.map(_._4).sum
+      val cn = days.map(_._3).sum
+      val expected = math.rint((cs * 0.251314428280906 +
+        (cn - cs) * -0.167054084663166) * 1e6) / 1e6
+      assert(math.abs(last._5 - expected) < 1e-9, t)
+    }
+    rows.foreach { case (_, _, _, _, llr, d) =>
+      val expect = if (llr >= 2.944438979166440) "accept_h1"
+        else if (llr <= -2.944438979166440) "accept_h0" else "continue"
+      assert(d === expect)
+    }
+  }
+
+  test("dedup_lsh_sweep: more bands never lose candidates; confirmed bounded") {
+    val rows = SparkEntry.queries("dedup_lsh_sweep")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2L, 4L, 8L))
+    assert(rows.forall { case (nb, rpb, _, _, _) => nb * rpb === 16L })
+    // recall monotonicity: every pair caught by an r-row band is caught
+    // by its two (r/2)-row halves in the finer config
+    assert(rows(0)._3 <= rows(1)._3 && rows(1)._3 <= rows(2)._3)
+    assert(rows.forall { case (_, _, cand, conf, _) => conf <= cand })
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
