@@ -946,6 +946,32 @@ object TextAnalysis {
           .as("other_pm"))
   }
 
+  /** Top-5 character trigrams per language — the n-gram profile a
+    * trainable language identifier is built from (the production
+    * successor to [[langId]]'s marker heuristic), and a drift check
+    * on the corpus's orthography. The trigram explode is per-row
+    * bounded fan-out (|chars|−2); counts collapse in a map-side-
+    * combined (lang, trigram) aggregate — vocabulary-grain, not
+    * corpus-grain — and the per-lang cut is a row_number over each
+    * language's trigram vocabulary with a deterministic (count desc,
+    * trigram asc) tiebreak.
+    */
+  def ngramProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_occurrences").desc, col("trigram").asc)
+    Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 3)
+      .select(col("lang"),
+        explode(transform(sequence(lit(1), length(col("text")) - 2),
+          i => col("text").substr(i, lit(3)))).as("trigram"))
+      .groupBy("lang", "trigram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn").cast("long").as("rank_in_lang"),
+        col("trigram"), col("n_occurrences"))
+  }
+
   /** Language-ID confusion matrix — the quality read on [[langId]]
     * itself: labeled × predicted counts with integer per-mille recall
     * (n·1000 div labeled-row total), the evaluation table every
@@ -1134,6 +1160,22 @@ object TextAnalysis {
               SELECT doc_id, lang,
                   $scoreExprs
               FROM documents)""",
+      "text_ngram_profile" ->
+        """WITH tg AS (
+             SELECT lang,
+                    unnest([substr(text, i, 3)
+                            for i in range(1, length(text) - 1)]) AS trigram
+             FROM documents WHERE length(text) >= 3),
+           counts AS (
+             SELECT lang, trigram, count(*) AS n_occurrences
+             FROM tg GROUP BY 1, 2),
+           ranked AS (
+             SELECT lang, trigram, n_occurrences,
+                    row_number() OVER (PARTITION BY lang
+                      ORDER BY n_occurrences DESC, trigram ASC) AS rn
+             FROM counts)
+           SELECT lang, CAST(rn AS BIGINT) AS rank_in_lang, trigram, n_occurrences
+           FROM ranked WHERE rn <= 5""",
       "text_char_profile" ->
         """WITH per AS (
              SELECT lang, length(text) AS n,
@@ -1348,5 +1390,6 @@ object TextAnalysis {
     "text_readability" -> readability _,
     "text_lang_confusion" -> langConfusion _,
     "text_char_profile" -> charProfile _,
+    "text_ngram_profile" -> ngramProfile _,
   )
 }

@@ -240,6 +240,25 @@ object Relational {
         (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** Explicit GROUPING SETS — the third of the multi-grain aggregate
+    * family next to [[aggRollup]]/[[aggCube]]: exactly the grains the
+    * report needs (per type, per weekday, grand total) without the
+    * cube's unused cross-grain. One Expand + one aggregate pass;
+    * grouping ids disambiguate the NULL placeholders.
+    */
+  def aggGroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"),
+        cents(col("value")).as("cent"))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("dow")), Seq.empty),
+        col("event_type"), col("dow"))
+      .agg(
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("dow")).cast("long").as("g_dow"),
+        (sum(col("cent")) / lit(100.0)).as("sum_value"),
+        count(lit(1)).as("n_rows"))
+
   /** Exact distinct aggregation: distinct users per event type.
     * (Catalyst plans count(distinct) as a two-stage expand+aggregate.)
     */
@@ -1404,6 +1423,15 @@ object Relational {
                 ms[2] AS boot_lo, ms[${BootstrapReplicas - 1}] AS boot_hi
          FROM bands"""
     },
+    "agg_grouping_sets" ->
+      """SELECT event_type,
+                CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+                CAST(GROUPING(CAST(dayofweek(ts) + 1 AS BIGINT)) AS BIGINT) AS g_dow,
+                sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+                count(*) AS n_rows
+         FROM events
+         GROUP BY GROUPING SETS ((event_type), (CAST(dayofweek(ts) + 1 AS BIGINT)), ())""",
     "stats_sprt" ->
       s"""WITH daily AS (
            SELECT event_type,
@@ -2051,6 +2079,7 @@ object Relational {
     "q16_part_supplier" -> q16PartSupplier _,
     "q15_top_supplier" -> q15TopSupplier _,
     "stats_sprt" -> sprtTest _,
+    "agg_grouping_sets" -> aggGroupingSets _,
     "q11_value_concentration" -> q11ValueConcentration _,
     "q21_late_supplier" -> q21LateSupplier _,
   )

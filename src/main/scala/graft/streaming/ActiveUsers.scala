@@ -172,6 +172,27 @@ object ActiveUsers {
       .groupBy("cohort_day", "day_offset")
       .agg(count(lit(1)).as("n_users"))
 
+  /** User growth curve, continuously maintained — the streaming twin
+    * of [[graft.operators.EventAnalytics.userGrowth]]: each day's NEW
+    * users are exactly the offset-0 cells of the retention triangle
+    * the [[startRetention]] machine already maintains (a user's
+    * first-touch day IS its cohort day), so growth is a stacked VIEW
+    * over that machine's sink ([[Patterns]] K7 view discipline) — the
+    * cumulative base folds |days| rows at read time; no second
+    * stateful operator, no extra state.
+    */
+  def growthView(spark: org.apache.spark.sql.SparkSession,
+      retentionTable: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spark.table(retentionTable)
+      .filter(col("day_offset") === 0)
+      .select(col("cohort_day").as("day"), col("n_users").as("new_users"))
+      .select(col("day"), col("new_users"),
+        sum(col("new_users")).over(w).as("cum_users"))
+  }
+
   def startRetention(
       events: DataFrame,
       queryName: String,

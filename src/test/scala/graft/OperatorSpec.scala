@@ -1375,6 +1375,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall { case (_, _, cand, conf, _) => conf <= cand })
   }
 
+  test("grouping sets emit exactly the three requested grains; trigram profile ranked") {
+    val gs = SparkEntry.queries("agg_grouping_sets")(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    // (g_type, g_dow) ∈ {(0,1) per-type, (1,0) per-dow, (1,1) total} — never (0,0)
+    assert(gs.toSet === Set((0L, 1L), (1L, 0L), (1L, 1L)).filter(k => gs.contains(k)))
+    assert(!gs.contains((0L, 0L)))
+    assert(gs.count(_ == (1L, 1L)) === 1)
+    val tp = SparkEntry.queries("text_ngram_profile")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    tp.groupBy(_._1).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq, lang)
+      assert(sorted.map(_._4).zip(sorted.map(_._4).tail).forall { case (a, b) => a >= b }, lang)
+      assert(rows.forall(_._3.length == 3), lang)
+    }
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())

@@ -99,6 +99,31 @@ class ActiveUsersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming growth view equals the batch user-growth curve") {
+    val dir = writeBatchFixture()
+    val batch = graft.operators.EventAnalytics.userGrowth(spark, dir)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = ActiveUsers.startRetention(
+      EventCodec.parse(input.toDF()), "growth_retention_stream")
+    try {
+      val (first, second) = fixture.splitAt(4)
+      input.addData(first.map { case (ts, uid) => ev(ts, uid) })
+      q.processAllAvailable()
+      input.addData(second.map { case (ts, uid) => ev(ts, uid) })
+      q.processAllAvailable()
+      val streamed = ActiveUsers
+        .growthView(spark, "growth_retention_stream").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("retention horizon: beyond-horizon activity is cut, eviction re-anchors a returning user") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
