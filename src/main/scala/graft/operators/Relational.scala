@@ -240,6 +240,53 @@ object Relational {
         (sum(cents(col("l_quantity"))) / lit(100.0)).as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** NTILE quartiles of customers by account balance — the bucketing
+    * window of the family ([[windowRank]] ranks, this segments).
+    * Deterministic: the order key is (exact cents, custkey), so tile
+    * boundaries never depend on float ordering or physical row order.
+    * One |customers| window per nation partition — the same shape as
+    * windowRank, bounded per-partition state.
+    */
+  def windowNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(cents(col("c_acctbal")).desc, col("c_custkey").asc)
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        cents(col("c_acctbal")).as("bal_cents"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** Per-type OLS trend of event value over time — the fitted line
+    * behind every "is spend drifting" dashboard: slope (cents/day) and
+    * intercept from the five exact integer moments (x = day index from
+    * the corpus's own min day, y = value cents; decimal(38) products),
+    * divided once into rounded doubles. The [[statsCorr]] discipline
+    * extended to the regression coefficients.
+    */
+  def statsLinreg(spark: SparkSession, sfDir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(spark, sfDir)
+    val scalars = ev.agg(min(col("ts").cast("date")).as("min_day"))
+    ev.crossJoin(broadcast(scalars))
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), col("min_day")).cast(d38).as("x"),
+        cents(col("value")).cast(d38).as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("n").cast("long").as("n_events"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope_cents_per_day"),
+        round((col("sy").cast("double")
+          - ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept_cents"))
+  }
+
   /** Explicit GROUPING SETS — the third of the multi-grain aggregate
     * family next to [[aggRollup]]/[[aggCube]]: exactly the grains the
     * report needs (per type, per weekday, grand total) without the
@@ -1423,6 +1470,35 @@ object Relational {
                 ms[2] AS boot_lo, ms[${BootstrapReplicas - 1}] AS boot_hi
          FROM bands"""
     },
+    "window_ntile" ->
+      """SELECT c_custkey,
+                CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                  ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                           c_custkey ASC) AS BIGINT) AS quartile
+         FROM customer""",
+    "stats_linreg" ->
+      """WITH s0 AS (SELECT min(CAST(ts AS DATE)) AS min_day FROM events),
+         base AS (
+           SELECT event_type,
+                  CAST(date_diff('day', s0.min_day, CAST(ts AS DATE)) AS HUGEINT) AS x,
+                  CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT) AS y
+           FROM events, s0),
+         m AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sxx, sum(x * y) AS sxy
+           FROM base GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n_events,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+                round((CAST(sy AS DOUBLE)
+                       - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                  AS intercept_cents
+         FROM m""",
     "agg_grouping_sets" ->
       """SELECT event_type,
                 CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
@@ -2080,6 +2156,8 @@ object Relational {
     "q15_top_supplier" -> q15TopSupplier _,
     "stats_sprt" -> sprtTest _,
     "agg_grouping_sets" -> aggGroupingSets _,
+    "window_ntile" -> windowNtile _,
+    "stats_linreg" -> statsLinreg _,
     "q11_value_concentration" -> q11ValueConcentration _,
     "q21_late_supplier" -> q21LateSupplier _,
   )
