@@ -912,11 +912,16 @@ object Dedup {
     val pairs = minhashLsh(spark, sfDir)
       .filter(col("est_jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"))
+    // the degree-annotated edge frame feeds all three iterations —
+    // persist IT (dup-graph-sized, small at est ≥ 0.8), not a
+    // throwaway materialization of the result: an eager count-then-
+    // unpersist here would leave the returned frame to recompute the
+    // whole chain again on the caller's action
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("dg"))
     val withDeg = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("v"), lit(RankScale).as("r"))
     for (_ <- 1 to PageRankIters) {
       ranks = withDeg.join(ranks, col("src") === col("v"))
@@ -926,10 +931,7 @@ object Dedup {
         .select(col("dst").as("v"),
           expr("CAST(150000 + (85 * in_sum) div 100 AS BIGINT)").as("r"))
     }
-    val out = ranks.select(col("v").as("doc_id"), col("r").as("rank_e6"))
-    out.count() // materialize before releasing the edge cache
-    edges.unpersist(false)
-    out
+    ranks.select(col("v").as("doc_id"), col("r").as("rank_e6"))
   }
 
   /** 60-bit SimHash per document: per-word 60-bit hash (first 15 hex

@@ -966,13 +966,16 @@ object Relational {
     * it (via the lineitem link — no partsupp in this schema) with the
     * lowest account balance. The correlated-min is an argmin
     * AGGREGATE (`min_by` on the exact (cents, suppkey) pair — ties to
-    * the smaller suppkey), not a window: the (part, supplier) pairs
-    * deduplicate first, then one partial-combined aggregate per part
-    * — no per-part sort, no row_number shuffle of the full join.
+    * the smaller suppkey), not a window: one partial-combined
+    * aggregate per part over the raw link rows (duplicates cannot
+    * change an argmin, so there is no pair-dedup exchange) — no
+    * per-part sort, no row_number shuffle of the full join.
     */
   def q2MinSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val largeParts = Tables.part(spark, sfDir)
       .filter(col("p_type") === "LARGE").select("p_partkey", "p_name")
+    // no pair-dedup exchange: duplicate (part, supplier) rows cannot
+    // change a min_by argmin, so the raw link rows feed the aggregate
     val eurSupp = Tables.supplier(spark, sfDir)
       .join(broadcast(Tables.nation(spark, sfDir)
         .join(broadcast(Tables.region(spark, sfDir)
@@ -982,7 +985,7 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
     val pairs = Tables.lineitem(spark, sfDir)
-      .select("l_partkey", "l_suppkey").distinct()
+      .select("l_partkey", "l_suppkey")
     pairs
       .join(largeParts, col("l_partkey") === col("p_partkey"))
       .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
@@ -999,13 +1002,16 @@ object Relational {
     * suppliers serve each (brand, type, size) class, for parts outside
     * an excluded brand/type and suppliers not on the complaint list
     * (negative balance here — no comment column). The supplier link
-    * rides the deduplicated lineitem (partkey, suppkey) pairs — no
-    * partsupp in this schema; exclusion is a left-anti on the tiny bad
-    * list; the distinct count is an exact two-level aggregate.
+    * rides the raw lineitem (partkey, suppkey) link — no partsupp in
+    * this schema, and no pair-level distinct (countDistinct dedups
+    * itself); exclusion is a left-anti on the tiny bad list; the
+    * distinct count is an exact two-level aggregate.
     */
   def q16PartSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    // countDistinct dedups suppliers itself — a pair-level distinct
+    // here would just add a corpus-grain exchange
     val pairs = Tables.lineitem(spark, sfDir)
-      .select("l_partkey", "l_suppkey").distinct()
+      .select("l_partkey", "l_suppkey")
     val parts = Tables.part(spark, sfDir)
       .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO")
       .select("p_partkey", "p_brand", "p_type", "p_size")

@@ -193,6 +193,59 @@ object ActiveUsers {
         sum(col("new_users")).over(w).as("cum_users"))
   }
 
+  /** Continuously-maintained daily volume per event type — the
+    * stateful half of the streaming anomaly twin: ONE watermarked
+    * aggregation on (event_type, day); late data within `lateness`
+    * revises its day's count. Emitted in complete mode into the
+    * monitor sink (the anomaly view needs every day, and the table IS
+    * calendar-bounded: |types| × days); an update-mode + upsert-store
+    * deployment ([[Patterns]] K2) is the high-cardinality variant.
+    */
+  def dailyVolume(events: DataFrame, lateness: String = "1 minute"): DataFrame =
+    events
+      .select(col("event_type"), date_trunc("day", col("timestamp")).as("day"))
+      .withWatermark("day", lateness)
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+
+  def startDailyVolume(
+      events: DataFrame,
+      queryName: String,
+      lateness: String = "1 minute",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      dailyVolume(events, lateness)
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName), trigger)
+      .start()
+
+  /** 2σ anomaly flags over the maintained [[dailyVolume]] sink — the
+    * streaming twin of [[graft.operators.EventAnalytics.anomaly]],
+    * with the identical pure-integer decimal(38) inequality
+    * ((N·n − Σ)² > 4·(N·Σn² − Σ²)) folded at read time over the
+    * calendar-grain table ([[growthView]]'s stacked-view discipline:
+    * the stateful operator maintains sufficient statistics' INPUTS,
+    * the monitor view derives the decision — so batch and stream
+    * flags are bit-identical by construction).
+    */
+  def anomalyView(spark: org.apache.spark.sql.SparkSession,
+      volumeTable: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val wType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val daily = spark.table(volumeTable)
+      .select(col("event_type"), col("day"), col("n"),
+        count(lit(1)).over(wType).cast(d19).as("nd"),
+        sum(col("n")).over(wType).cast(d19).as("s"),
+        sum(col("n").cast(d19) * col("n").cast(d19)).over(wType)
+          .cast("decimal(38,0)").as("ss"))
+    val dev = col("nd") * col("n").cast(d19) - col("s")
+    val varN2 = col("nd") * col("ss") - col("s") * col("s")
+    daily.select(col("event_type"), col("day"), col("n"),
+      (dev * dev > lit(4).cast(d19) * varN2).as("is_anomaly"))
+  }
+
   def startRetention(
       events: DataFrame,
       queryName: String,

@@ -370,6 +370,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap: the 32-replica multiplier is a broadcast, and the corpus collapses map-side") {
+    val plan = executedPlan("stats_bootstrap")
+    // the replica frame joins in via broadcast (either NLJ over the
+    // 32-row side or BHJ) — never a sort-merge shuffle of the corpus
+    assert(!plan.contains("SortMergeJoin"), s"\n$plan")
+    // partial aggregation runs before the (type, b) exchange
+    assert(plan.contains("partial_sum") || plan.contains("Partial"), s"\n$plan")
+  }
+
+  test("pq serving: code scan has no corpus-grain shuffle before the bounded heap") {
+    val plan = executedPlan("sim_topk_pq")
+    assert(!plan.contains("SortMergeJoin"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    // the only hash exchange is the |queries|-keyed heap merge
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 1, s"\n$plan")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.expressions.GraftFunctions.register(spark)

@@ -124,6 +124,30 @@ class ActiveUsersSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly view equals the batch 2-sigma flags on the same events") {
+    val dir = writeBatchFixture()
+    val batch = graft.operators.EventAnalytics.anomaly(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2), r.getBoolean(3)))
+      .toSet
+
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = ActiveUsers.startDailyVolume(
+      EventCodec.parse(input.toDF()), "volume_stream")
+    try {
+      val (first, second) = fixture.splitAt(4)
+      input.addData(first.map { case (ts, uid) => ev(ts, uid) })
+      q.processAllAvailable()
+      input.addData(second.map { case (ts, uid) => ev(ts, uid) })
+      q.processAllAvailable()
+      val streamed = ActiveUsers.anomalyView(spark, "volume_stream").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2), r.getBoolean(3)))
+        .toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("retention horizon: beyond-horizon activity is cut, eviction re-anchors a returning user") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
