@@ -1078,23 +1078,31 @@ object Relational {
     * only key columns). Counted per supplier, top-20 deterministic.
     */
   def q21LateSupplier(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    // the EXISTS ("another supplier on the order") and NOT EXISTS
+    // ("no OTHER late supplier") collapse algebraically to two counts
+    // at the (order) grain: I'm late ∧ n_suppliers ≥ 2 ∧ n_late = 1 —
+    // so the fact table is scanned ONCE into the (order, supplier)
+    // grain (an exchange-free aggregate on the bucketed l_orderkey
+    // layout), the order-grain counts are a second tiny aggregate on
+    // the same key, and the correlated pair becomes one co-located
+    // equi-join — where the literal semi+anti form re-derives the
+    // joined fact three times (DataFrame plans share no CTEs)
+    val wOrd = Window.partitionBy("l_orderkey")
+    Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey"),
-        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
-    val lateLines = li.filter(col("late"))
-      .select("l_orderkey", "l_suppkey").distinct()
-    val othersExist = li
-      .select(col("l_orderkey").as("e_ok"), col("l_suppkey").as("e_sk")).distinct()
-    val othersLate = lateLines
-      .select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk"))
-    lateLines
-      .join(othersExist, col("l_orderkey") === col("e_ok") &&
-        col("l_suppkey") =!= col("e_sk"), "left_semi")
-      .join(othersLate, col("l_orderkey") === col("a_ok") &&
-        col("l_suppkey") =!= col("a_sk"), "left_anti")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        1L).otherwise(0L)).as("is_late"))
+      // order-grain counts ride a whole-partition window over the SAME
+      // (l_orderkey) key the aggregate just hashed on — one derivation
+      // of the fact scan, no self-join (a grp-vs-grp join would plan
+      // the scan twice: DataFrame plans share no CTEs)
+      .select(col("l_suppkey"), col("is_late"),
+        count(lit(1)).over(wOrd).as("n_supp"),
+        sum(col("is_late")).over(wOrd).as("n_late"))
+      .filter(col("is_late") === 1L && col("n_supp") >= 2 && col("n_late") === 1L)
       .groupBy(col("l_suppkey").as("s_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey").asc)
