@@ -841,6 +841,14 @@ object Dedup {
     */
   private val SweepConfigs = Seq(2, 4, 8)
 
+  /** Hot-bucket cap for [[lshSweep]]: band buckets holding more docs
+    * than this are excluded from pair generation (and counted in the
+    * report). The loose 8-band/2-row config would otherwise go
+    * quadratic inside boilerplate buckets at corpus scale — the
+    * [[DefaultMaxShingleDf]] discipline applied to band signatures.
+    */
+  private val SweepBucketCap = 64L
+
   /** LSH band-parameter sweep — the tuning report behind the
     * banding choice ([[minhashLsh]] ships bands=4): for each
     * (bands, rows) split of the same 16-hash signature, the candidate
@@ -864,8 +872,15 @@ object Dedup {
         .select(col("doc_id"), col("b"),
           md5(array_join(slice(col("mhs"), col("b") * rows + 1, lit(rows)), "|"))
             .as("bsig"))
-      val cand = bands.toDF("doc_a", "b", "bsig")
-        .join(bands.toDF("doc_b", "b_r", "bsig_r"),
+      // hot-bucket cap BEFORE the self-join: bucket occupancy decides
+      // pair work (occupancy² per bucket), so oversize band buckets
+      // are excluded from pair generation and surfaced as a count
+      val occ = bands.groupBy("b", "bsig").agg(count(lit(1)).as("occ"))
+      val capped = occ.filter(col("occ") > SweepBucketCap)
+      val keptBands = bands.join(capped.select(col("b").as("cb"), col("bsig").as("cs")),
+        col("b") === col("cb") && col("bsig") === col("cs"), "left_anti")
+      val cand = keptBands.toDF("doc_a", "b", "bsig")
+        .join(keptBands.toDF("doc_b", "b_r", "bsig_r"),
           col("b") === col("b_r") && col("bsig") === col("bsig_r") &&
             col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
@@ -876,11 +891,13 @@ object Dedup {
           x => x)) * 5 >= NumHashes * 4).as("confirmed"))
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("confirmed"), 1L).otherwise(0L)).as("n_confirmed"))
+        .crossJoin(broadcast(capped.agg(count(lit(1)).as("n_capped_buckets"))))
         .select(lit(nb.toLong).as("n_bands"), lit(rows.toLong).as("rows_per_band"),
           col("n_candidates"), col("n_confirmed"),
           when(col("n_candidates") === 0, 0L)
             .otherwise(expr("CAST(n_confirmed * 1000 div n_candidates AS BIGINT)"))
-            .as("precision_pm"))
+            .as("precision_pm"),
+          col("n_capped_buckets"))
     }
     reports.reduce(_.unionByName(_))
   }
@@ -1244,9 +1261,22 @@ object Dedup {
                      s.mhs[(16 // cfg.nb) * t.b + 1
                            : (16 // cfg.nb) * t.b + (16 // cfg.nb)], '|')) AS bsig
             FROM sig s, cfg, range(8) t(b) WHERE t.b < cfg.nb),
+          occ AS (
+            SELECT nb, b, bsig, count(*) AS occ
+            FROM bandsall GROUP BY 1, 2, 3),
+          cappedcnt AS (
+            SELECT cfg.nb,
+                   (SELECT count(*) FROM occ o
+                    WHERE o.nb = cfg.nb AND o.occ > $SweepBucketCap)
+                     AS n_capped_buckets
+            FROM cfg),
+          kept AS (
+            SELECT ba.* FROM bandsall ba
+            JOIN occ o ON ba.nb = o.nb AND ba.b = o.b AND ba.bsig = o.bsig
+            WHERE o.occ <= $SweepBucketCap),
           cand AS (
             SELECT DISTINCT a.nb, a.doc_id AS doc_a, b2.doc_id AS doc_b
-            FROM bandsall a JOIN bandsall b2
+            FROM kept a JOIN kept b2
               ON a.nb = b2.nb AND a.b = b2.b AND a.bsig = b2.bsig
              AND a.doc_id < b2.doc_id),
           conf AS (
@@ -1265,8 +1295,11 @@ object Dedup {
                  CAST(coalesce(agg.n_confirmed, 0) AS BIGINT) AS n_confirmed,
                  CAST(CASE WHEN coalesce(agg.n_candidates, 0) = 0 THEN 0
                       ELSE agg.n_confirmed * 1000 // agg.n_candidates END AS BIGINT)
-                   AS precision_pm
-          FROM cfg LEFT JOIN agg ON cfg.nb = agg.nb""",
+                   AS precision_pm,
+                 CAST(cc.n_capped_buckets AS BIGINT) AS n_capped_buckets
+          FROM cfg
+          LEFT JOIN agg ON cfg.nb = agg.nb
+          JOIN cappedcnt cc ON cc.nb = cfg.nb""",
     "dedup_graph_rank" ->
       s"""WITH RECURSIVE $ShingleCte, $Comp08Ctes,
           deg AS (SELECT src AS v, count(*) AS dg FROM edges GROUP BY 1),

@@ -1363,16 +1363,37 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
-  test("dedup_lsh_sweep: more bands never lose candidates; confirmed bounded") {
+  test("dedup_lsh_sweep: more bands never lose candidates; confirmed bounded; cap idle here") {
     val rows = SparkEntry.queries("dedup_lsh_sweep")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
       .sortBy(_._1)
     assert(rows.map(_._1).toSeq === Seq(2L, 4L, 8L))
-    assert(rows.forall { case (nb, rpb, _, _, _) => nb * rpb === 16L })
-    // recall monotonicity: every pair caught by an r-row band is caught
-    // by its two (r/2)-row halves in the finer config
+    assert(rows.forall { case (nb, rpb, _, _, _, _) => nb * rpb === 16L })
+    // no bucket exceeds the 64-doc cap at this sf, so recall
+    // monotonicity holds unconditioned: every pair caught by an r-row
+    // band is caught by its two (r/2)-row halves in the finer config
+    assert(rows.forall(_._6 === 0L))
     assert(rows(0)._3 <= rows(1)._3 && rows(1)._3 <= rows(2)._3)
-    assert(rows.forall { case (_, _, cand, conf, _) => conf <= cand })
+    assert(rows.forall { case (_, _, cand, conf, _, _) => conf <= cand })
+  }
+
+  test("lsh sweep hot-bucket cap excludes an adversarial boilerplate bucket") {
+    // 100 identical docs would form one band bucket of occupancy 100 >
+    // 64 in EVERY config — the cap must exclude it (else pair work is
+    // occupancy² = 10k per bucket at any scale)
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("lshcap")
+    val docs = (0L until 100L).map(i => (i, ("spark " * 30).trim, "en", "src0", 60L)) :+
+      ((100L, "unique words entirely different content here now", "en", "src0", 40L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_lsh_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(5)))
+    rows.foreach { case (nb, cand, capped) =>
+      assert(capped >= 1L, s"config $nb should cap the boilerplate bucket")
+      assert(cand === 0L, s"config $nb pair work must be zero after the cap")
+    }
   }
 
   test("grouping sets emit exactly the three requested grains; trigram profile ranked") {
