@@ -142,6 +142,68 @@ object Advanced {
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
   }
 
+  /** Staleness bound for [[joinAsOfTolerance]]: matches older than
+    * this are nulled out (pandas `merge_asof(tolerance=...)`).
+    */
+  private val AsofToleranceUs = 30L * 86400 * 1000 * 1000 // 30 days
+
+  /** As-of join with a staleness tolerance — [[joinAsOf]] plus the
+    * bound every feature-store point-in-time join actually ships with
+    * (a 2-year-old "most recent order" is not a feature, it is a
+    * leak): matches further back than [[AsofToleranceUs]] are nulled,
+    * keeping the probe row. Same binary-search timeline plan — the
+    * tolerance is a pure post-probe projection, zero extra shuffle.
+    */
+  def joinAsOfTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val fresh = col("pick").isNotNull &&
+      unix_micros(col("ts")) -
+        unix_micros(col("pick.o_orderdate").cast("timestamp")) <= AsofToleranceUs
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.asofLast
+    val timeline = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(struct(col("o_orderdate"), col("o_orderkey"))))
+        .as("ord_tl"))
+    Tables.events(spark, sfDir)
+      .join(timeline, col("user_id") === col("o_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        asofLast(col("ord_tl"), col("ts")).as("pick"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(fresh, col("pick.o_orderkey")).as("asof_orderkey"),
+        when(fresh, col("pick.o_orderdate")).as("asof_orderdate"))
+  }
+
+  /** Native `session_window` sessionization — the same 8-hour gap rule
+    * as [[sessionize]], expressed through Spark's built-in dynamic
+    * session-window operator instead of the lag→cumsum window pair:
+    * the grouped aggregate merges overlapping per-event windows into
+    * sessions inside ONE aggregation (batch form of the streaming
+    * session-window state machine; no per-user sort exposed in the
+    * plan contract). Session ids are re-derived per user by start
+    * order so the output contract matches [[sessionize]] exactly —
+    * and the DuckDB oracle (which has no session_window) is the
+    * lag→cumsum form, making this query an ENGINE-LEVEL equivalence
+    * proof between the two formulations.
+    */
+  def sessionizeNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy(col("session_start").asc)
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${SessionGapUs / 1000000L} seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"),
+        row_number().over(wUser).cast("long").as("session_id"),
+        col("session_start"), col("session_end"),
+        col("n_events"), col("n_clicks"),
+        (unix_micros(col("session_end")) - unix_micros(col("session_start")))
+          .as("duration_us"))
+  }
+
   /** End-to-end corpus preparation: the composition a training-data
     * pipeline actually runs — quality-score filter, then near-dup
     * removal (drop the higher doc_id of every MinHash-LSH candidate
@@ -756,6 +818,20 @@ object Advanced {
          FROM events e
          ASOF LEFT JOIN ordd o
            ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
+    "join_asof_tolerance" ->
+      s"""WITH ordd AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey, o_orderdate)
+         SELECT e.event_id, e.user_id, e.ts,
+                CASE WHEN o.o_orderdate IS NOT NULL
+                      AND epoch_us(e.ts) - epoch_us(o.o_orderdate) <= $AsofToleranceUs
+                     THEN o.o_orderkey END AS asof_orderkey,
+                CASE WHEN o.o_orderdate IS NOT NULL
+                      AND epoch_us(e.ts) - epoch_us(o.o_orderdate) <= $AsofToleranceUs
+                     THEN o.o_orderdate END AS asof_orderdate
+         FROM events e
+         ASOF LEFT JOIN ordd o
+           ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
     "join_asof_forward" ->
       """WITH ordd AS (
            SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
@@ -766,6 +842,25 @@ object Advanced {
          ASOF LEFT JOIN ordd o
            ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts""",
     "sessionize" ->
+      s"""WITH e AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > $SessionGapUs
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+          s AS (
+            SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM e)
+          SELECT user_id, session_id,
+                 min(ts) AS session_start, max(ts) AS session_end,
+                 count(*) AS n_events,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+                 CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+          FROM s GROUP BY user_id, session_id""",
+    "sessionize_native" ->
       s"""WITH e AS (
             SELECT user_id, ts, event_id, event_type,
                    CASE WHEN lag(ts) OVER w IS NULL
@@ -827,7 +922,9 @@ object Advanced {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsOf _,
     "join_asof_forward" -> joinAsOfForward _,
+    "join_asof_tolerance" -> joinAsOfTolerance _,
     "sessionize" -> sessionize _,
+    "sessionize_native" -> sessionizeNative _,
     "emb_label_centroids" -> embLabelCentroids _,
     "corpus_prep" -> corpusPrep _,
     "corpus_prep_cc" -> corpusPrepCc _,

@@ -1413,6 +1413,43 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize_native equals the lag-cumsum sessionize row-for-row") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_id", "session_start", "session_end",
+        "n_events", "n_clicks", "duration_us")
+      .collect().map(_.toString).toSet
+    val a = norm(SparkEntry.queries("sessionize")(spark, sf))
+    val b = norm(SparkEntry.queries("sessionize_native")(spark, sf))
+    assert(a === b)
+  }
+
+  test("join_asof_tolerance: stale picks nulled, fresh picks identical to join_asof") {
+    val base = SparkEntry.queries("join_asof")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    val tol = SparkEntry.queries("join_asof_tolerance")(spark, sf).collect()
+    val bound = 30L * 86400 * 1000000L
+    var nulled = 0
+    tol.foreach { r =>
+      val (bk, bd) = base(r.getLong(0))
+      if (r.isNullAt(3)) {
+        // either no match at all, or the base match was stale
+        bd.foreach { d =>
+          val dUs = d match {
+            case t: java.sql.Timestamp => t.getTime * 1000
+            case l: java.time.LocalDateTime =>
+              l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000
+          }
+          val gap = r.getTimestamp(2).getTime * 1000 - dUs
+          assert(gap > bound)
+          nulled += 1
+        }
+      } else {
+        assert(Option(r.get(3)) === bk && Option(r.get(4)) === bd)
+      }
+    }
+    assert(nulled > 0) // the 30-day bound actually bites on this corpus
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
