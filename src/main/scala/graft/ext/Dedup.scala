@@ -864,42 +864,63 @@ object Dedup {
     * re-scan.
     */
   def lshSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val sig = minhashSignatures(spark, sfDir)
-    val reports = SweepConfigs.map { nb =>
-      val rows = NumHashes / nb
-      val bands = sig
-        .withColumn("b", explode(sequence(lit(0), lit(nb - 1))))
-        .select(col("doc_id"), col("b"),
-          md5(array_join(slice(col("mhs"), col("b") * rows + 1, lit(rows)), "|"))
-            .as("bsig"))
-      // hot-bucket cap BEFORE the self-join: bucket occupancy decides
-      // pair work (occupancy² per bucket), so oversize band buckets
-      // are excluded from pair generation and surfaced as a count
-      val occ = bands.groupBy("b", "bsig").agg(count(lit(1)).as("occ"))
-      val capped = occ.filter(col("occ") > SweepBucketCap)
-      val keptBands = bands.join(capped.select(col("b").as("cb"), col("bsig").as("cs")),
-        col("b") === col("cb") && col("bsig") === col("cs"), "left_anti")
-      val cand = keptBands.toDF("doc_a", "b", "bsig")
-        .join(keptBands.toDF("doc_b", "b_r", "bsig_r"),
-          col("b") === col("b_r") && col("bsig") === col("bsig_r") &&
-            col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-      cand
-        .join(sig.toDF("doc_a", "mhs_a"), "doc_a")
-        .join(sig.toDF("doc_b", "mhs_b"), "doc_b")
-        .select((size(filter(zip_with(col("mhs_a"), col("mhs_b"), (p, q) => p === q),
+    // ALL configs band in one pass: each signature row fans out to
+    // Σnb = 14 (nb, b, bsig) rows, so one occupancy aggregate, one
+    // anti join, and one pair join serve the whole sweep (a
+    // per-config loop triples every stage; the report is grouped by
+    // nb at the end)
+    val cfgLit = typedlit(SweepConfigs)
+    val bandsAll = sig
+      .select(col("doc_id"), col("mhs"), explode(cfgLit).as("nb"))
+      .select(col("doc_id"), col("mhs"), col("nb"),
+        explode(sequence(lit(0), col("nb") - 1)).as("b"))
+      .select(col("doc_id"), col("nb"), col("b"),
+        md5(array_join(
+          slice(col("mhs"), col("b") * (lit(NumHashes) / col("nb")).cast("int") + 1,
+            (lit(NumHashes) / col("nb")).cast("int")), "|")).as("bsig"))
+    // hot-bucket cap BEFORE the self-join: bucket occupancy decides
+    // pair work (occupancy² per bucket), so oversize band buckets are
+    // excluded from pair generation and surfaced as a count
+    val occ = bandsAll.groupBy("nb", "b", "bsig").agg(count(lit(1)).as("occ"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = occ.filter(col("occ") > SweepBucketCap)
+    val cappedCounts = capped.groupBy(col("nb").as("cc_nb"))
+      .agg(count(lit(1)).as("n_capped_buckets"))
+    val keptBands = bandsAll.join(
+      capped.select(col("nb").as("cn"), col("b").as("cb"), col("bsig").as("cs")),
+      col("nb") === col("cn") && col("b") === col("cb") && col("bsig") === col("cs"),
+      "left_anti")
+    val cand = keptBands.select(col("nb"), col("doc_id").as("doc_a"),
+        col("b"), col("bsig"))
+      .join(keptBands.select(col("nb").as("nb_r"), col("doc_id").as("doc_b"),
+        col("b").as("b_r"), col("bsig").as("bsig_r")),
+        col("nb") === col("nb_r") && col("b") === col("b_r") &&
+          col("bsig") === col("bsig_r") && col("doc_a") < col("doc_b"))
+      .select("nb", "doc_a", "doc_b").distinct()
+    val report = cand
+      .join(sig.toDF("doc_a", "mhs_a"), "doc_a")
+      .join(sig.toDF("doc_b", "mhs_b"), "doc_b")
+      .select(col("nb"),
+        (size(filter(zip_with(col("mhs_a"), col("mhs_b"), (p, q) => p === q),
           x => x)) * 5 >= NumHashes * 4).as("confirmed"))
-        .agg(count(lit(1)).as("n_candidates"),
-          sum(when(col("confirmed"), 1L).otherwise(0L)).as("n_confirmed"))
-        .crossJoin(broadcast(capped.agg(count(lit(1)).as("n_capped_buckets"))))
-        .select(lit(nb.toLong).as("n_bands"), lit(rows.toLong).as("rows_per_band"),
-          col("n_candidates"), col("n_confirmed"),
-          when(col("n_candidates") === 0, 0L)
-            .otherwise(expr("CAST(n_confirmed * 1000 div n_candidates AS BIGINT)"))
-            .as("precision_pm"),
-          col("n_capped_buckets"))
-    }
-    reports.reduce(_.unionByName(_))
+      .groupBy("nb")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("confirmed"), 1L).otherwise(0L)).as("n_confirmed"))
+    // config spine: a config with zero candidates (or zero capped
+    // buckets) still reports a row
+    SweepConfigs.map(nb => (nb.toLong, (NumHashes / nb).toLong))
+      .toDF("n_bands", "rows_per_band")
+      .join(report, col("n_bands") === col("nb"), "left_outer")
+      .join(cappedCounts, col("n_bands") === col("cc_nb"), "left_outer")
+      .select(col("n_bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_confirmed"), lit(0L)).as("n_confirmed"),
+        when(coalesce(col("n_candidates"), lit(0L)) === 0, 0L)
+          .otherwise(expr("CAST(n_confirmed * 1000 div n_candidates AS BIGINT)"))
+          .as("precision_pm"),
+        coalesce(col("n_capped_buckets"), lit(0L)).as("n_capped_buckets"))
   }
 
   /** Fixed iteration count / rank scale for [[graphRank]]. */
