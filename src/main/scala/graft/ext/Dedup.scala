@@ -923,6 +923,35 @@ object Dedup {
         coalesce(col("n_capped_buckets"), lit(0L)).as("n_capped_buckets"))
   }
 
+  /** Quality-vs-duplication calibration curve — does the quality
+    * score actually separate boilerplate? Per quality-score decile,
+    * the integer per-mille share of docs sitting in an est-0.8
+    * near-dup cluster. If dup share doesn't fall as quality rises,
+    * the quality gate and the dedup pass are fighting over the same
+    * mass and the release recipe ([[graft.operators.Advanced
+    * .corpusPrepFull]]) is mis-ordered — this is the diagnostic that
+    * says so. Buckets floor identical cross-engine doubles (the
+    * text_quality score is hash-verified), so the binning is exact;
+    * shares are `n·1000 div total`.
+    *
+    * Scale shape: rides the memoized component label index and the
+    * scan-side quality projection — one doc-grain left join, a
+    * 10-row aggregate.
+    */
+  def qualityCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = graft.functions.TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val members = dupComponents(spark, sfDir, 0.8)
+      .select(col("v").as("doc_id"), lit(1L).as("is_dup"))
+    q.join(members, Seq("doc_id"), "left_outer")
+      .select(least(lit(9L), floor(col("quality_score") * 10).cast("long"))
+        .as("q_bucket"), coalesce(col("is_dup"), lit(0L)).as("d"))
+      .groupBy("q_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("d")).as("n_dup_members"))
+      .select(col("q_bucket"), col("n_docs"), col("n_dup_members"),
+        expr("CAST(n_dup_members * 1000 div n_docs AS BIGINT)").as("dup_pm"))
+  }
+
   /** Fixed iteration count / rank scale for [[graphRank]]. */
   private val PageRankIters = 3
   private val RankScale = 1000000L
@@ -1269,6 +1298,25 @@ object Dedup {
           SELECT sz AS cluster_size, count(*) AS n_clusters,
                  CAST(sum(sz) AS BIGINT) AS n_docs
           FROM sizes GROUP BY sz""",
+    "dedup_quality_calibration" -> {
+      val stopList = graft.functions.TextAnalysis.markerList(
+        graft.functions.TextAnalysis.Stopwords)
+      s"""WITH RECURSIVE $ShingleCte, $Comp08Ctes,
+          q AS (
+            SELECT doc_id,
+                   least(1.0, CAST(len(ws) AS DOUBLE) / 256.0)
+                   * (1.0 - CAST(len(list_filter(ws, w -> w IN ($stopList)))
+                             AS DOUBLE) / len(ws)) AS quality_score
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+          tagged AS (
+            SELECT least(9, CAST(floor(q.quality_score * 10) AS BIGINT)) AS q_bucket,
+                   CASE WHEN c.v IS NULL THEN 0 ELSE 1 END AS d
+            FROM q LEFT JOIN comps c ON q.doc_id = c.v)
+          SELECT q_bucket, count(*) AS n_docs,
+                 CAST(sum(d) AS BIGINT) AS n_dup_members,
+                 CAST(sum(d) * 1000 // count(*) AS BIGINT) AS dup_pm
+          FROM tagged GROUP BY 1"""
+    },
     "dedup_lsh_sweep" ->
       s"""WITH $ShingleCte,
           mh AS (
@@ -1398,6 +1446,7 @@ object Dedup {
     "sample_dedup_weight" -> softDedupWeights _,
     "dedup_graph_rank" -> graphRank _,
     "dedup_lsh_sweep" -> lshSweep _,
+    "dedup_quality_calibration" -> qualityCalibration _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_winnow_pairs" -> winnowPairs _,

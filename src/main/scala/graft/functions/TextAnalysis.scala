@@ -25,7 +25,7 @@ object TextAnalysis {
     * function words are 'the'/'a'; real deployments swap in a full
     * stopword list — the expression shape is unchanged).
     */
-  private val Stopwords = Seq("the", "a")
+  private[graft] val Stopwords = Seq("the", "a")
 
   /** Per-language marker-word lists for [[langId]]. The synthetic
     * corpus is English word soup, so these are deterministic stand-ins
@@ -913,7 +913,7 @@ object TextAnalysis {
         regexp_replace(col("text"), UrlRe, "<URL>"),
         EmailRe, "<EMAIL>").as("scrubbed"))
 
-  private def markerList(markers: Seq[String]): String =
+  private[graft] def markerList(markers: Seq[String]): String =
     markers.map(m => s"'$m'").mkString(", ")
 
   /** Per-language character-class profile — the charset QC every

@@ -1450,6 +1450,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(nulled > 0) // the 30-day bound actually bites on this corpus
   }
 
+  test("quality calibration covers the corpus; dup members match the component index") {
+    val rows = SparkEntry.queries("dedup_quality_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum === Tables.documents(spark, sf).count())
+    val dupTotal = graft.ext.Dedup.dupComponents(spark, sf, 0.8).count()
+    assert(rows.map(_._3).sum === dupTotal)
+    rows.foreach { case (b, n, d, pm) =>
+      assert(b >= 0 && b <= 9)
+      assert(pm === d * 1000 / n)
+    }
+  }
+
   test("emb_label_cohesion covers every vector; mean cosine stays in (-1, 1]") {
     val rows = ext.Similarity.embLabelCohesion(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
