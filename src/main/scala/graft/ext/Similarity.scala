@@ -175,6 +175,106 @@ object Similarity {
         round(col("col._2"), 6).as("score"))
   }
 
+  /** Exact brute-force max-inner-product top-10 per query vector —
+    * the MIPS sibling of [[bruteforceTopK]] (recommendation scoring,
+    * un-normalized retrieval: the ranking metric is `⟨q,c⟩`, NOT
+    * cosine, and the two orders differ whenever corpus norms vary).
+    * Same scale shape: broadcast query set, ONE corpus scan, codegen
+    * [[GraftFunctions.vectorDot]] scoring, heap-trimmed partial top-K
+    * so the exchange carries O(partitions × K) rows. The classic
+    * scale path beyond brute force is the norm-augmentation reduction
+    * (Bachrach et al., RecSys 2014): append `sqrt(M²-‖c‖²)` to every
+    * corpus vector and 0 to the query, turning MIPS into cosine over
+    * dim+1 — after which [[annLshTopK]]/[[ivfTopK]] apply unchanged;
+    * brute force is the exact baseline those indexes are measured
+    * against.
+    */
+  def mipsTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.vectorDot(col("embedding"), col("q_emb")).as("score"))
+      .groupBy("query_id")
+      .agg(topK(10)(col("vec_id"), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("neighbor_id"),
+        round(col("col._2"), 6).as("score"))
+  }
+
+  /** Neighbors per vertex in [[knnGraph]]/[[knnClusters]]. */
+  private val KnnK = 3
+
+  /** k-NN graph construction — every vector's top-[[KnnK]] cosine
+    * neighbors within its LSH sign bucket, each edge marked `mutual`
+    * when the reverse edge also made the neighbor's top-K. The
+    * primitive under graph-based clustering, label propagation, and
+    * graph-ANN index builds; mutual edges are the standard symmetric
+    * sparsifier (a one-way edge usually means the target sits in a
+    * denser region).
+    *
+    * Scale shape: the all-pairs form is O(n²) and never built —
+    * candidates come from the memoized [[bucketedEmb]] self-join on
+    * bucket equality, whose expected per-bucket occupancy is held at
+    * ≤[[TargetOccupancy]] by the corpus-derived plane count, so
+    * candidate work is O(n·occ) by construction. Per-source top-K is
+    * the heap-trimmed partial aggregate (never a window over scored
+    * pairs); the mutual check is a self-join of the EDGE LIST — n·K
+    * narrow rows, not candidates — on the reversed key.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = bucketedEmb(spark, sfDir)
+    val cand = emb.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("bucket").as("c_bucket"))
+    val edges = emb.join(cand,
+        col("bucket") === col("c_bucket") && col("vec_id") =!= col("c_id"))
+      .select(col("vec_id").as("src"), col("c_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("score"))
+      .groupBy("src")
+      .agg(topK(KnnK)(col("c_id"), col("score")).as("hits"))
+      .select(col("src"), posexplode(col("hits")))
+      .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("dst"), round(col("col._2"), 6).as("score"))
+    val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
+    edges.join(rev,
+        col("src") === col("r_src") && col("dst") === col("r_dst"), "left_outer")
+      .select(col("src"), col("rank"), col("dst"), col("score"),
+        col("r_src").isNotNull.as("mutual"))
+  }
+
+  /** Embedding clusters — connected components over the MUTUAL
+    * [[knnGraph]] edges, every vector labeled with its cluster
+    * representative (min vec_id) and singletons kept as their own
+    * cluster. Mutual-kNN components are the classic density-aware
+    * clustering that needs no k upfront (cf. Sarfraz et al., "FINCH",
+    * CVPR 2019) and the embedding-side twin of the text pipeline's
+    * [[graft.ext.Dedup.components]].
+    *
+    * Scale shape: edge generation is the [[knnGraph]] bucket join
+    * (linear by construction); components run through the shared
+    * large-star/small-star contraction ([[graft.ext.Dedup.starComponents]],
+    * O(log n) rounds, per-round exact-count shuffle sizing); the final
+    * label attach is a broadcast-or-shuffle join of a labels frame
+    * whose row count is the vector count.
+    */
+  def knnClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val mutual = knnGraph(spark, sfDir).filter(col("mutual"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val (labels, _) = graft.ext.Dedup.starComponents(mutual)
+    Tables.embeddings(spark, sfDir).select(col("vec_id"))
+      .join(labels.select(col("v").as("vec_id"), col("comp")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster"),
+        (coalesce(col("comp"), col("vec_id")) === col("vec_id")).as("is_rep"))
+  }
+
   /** LSH-bucketed approximate top-3: candidates share the query's
     * 8-bit hyperplane sign bucket; exact cosine re-rank within the
     * bucket. Recall < 1 by construction — the tradeoff the scale path
@@ -1257,6 +1357,65 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 10""",
+    "sim_topk_mips" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+                             for i in range(len(q.embedding))]) AS score
+            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < $NumQueryVecs)
+          SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+                 round(score, 6) AS score
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rn
+                FROM scored)
+          WHERE rn <= 10""",
+    "sim_knn_graph" ->
+      s"""WITH $LshSigsSql,
+          b AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sigs s USING (vec_id)),
+          scored AS (
+            SELECT q.vec_id AS src, c.vec_id AS dst,
+                   $CosExpr AS score
+            FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id),
+          edges AS (
+            SELECT src, CAST(rn AS BIGINT) AS rank, dst, round(score, 6) AS score
+            FROM (SELECT *, row_number() OVER (PARTITION BY src
+                            ORDER BY score DESC, dst ASC) AS rn
+                  FROM scored)
+            WHERE rn <= $KnnK)
+          SELECT e.src, e.rank, e.dst, e.score,
+                 EXISTS (SELECT 1 FROM edges r
+                         WHERE r.src = e.dst AND r.dst = e.src) AS mutual
+          FROM edges e""",
+    "emb_cluster_knn" ->
+      s"""WITH RECURSIVE $LshSigsSql,
+          b AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sigs s USING (vec_id)),
+          scored AS (
+            SELECT q.vec_id AS src, c.vec_id AS dst,
+                   $CosExpr AS score
+            FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id),
+          knn AS (
+            SELECT src, dst
+            FROM (SELECT *, row_number() OVER (PARTITION BY src
+                            ORDER BY score DESC, dst ASC) AS rn
+                  FROM scored)
+            WHERE rn <= $KnnK),
+          mutual AS (
+            SELECT e.src, e.dst FROM knn e
+            WHERE EXISTS (SELECT 1 FROM knn r
+                          WHERE r.src = e.dst AND r.dst = e.src)),
+          verts AS (SELECT DISTINCT src AS v FROM mutual),
+          reach(v, r) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT reach.v, e.dst FROM reach JOIN mutual e ON e.src = reach.r),
+          labels AS (SELECT v, min(r) AS comp FROM reach GROUP BY v)
+          SELECT emb.vec_id,
+                 coalesce(l.comp, emb.vec_id) AS cluster,
+                 coalesce(l.comp, emb.vec_id) = emb.vec_id AS is_rep
+          FROM embeddings emb LEFT JOIN labels l ON l.v = emb.vec_id""",
     "sim_ann_lsh" ->
       s"""WITH $LshSigsSql,
           b AS (SELECT e.vec_id, e.embedding, s.bucket
@@ -1448,5 +1607,8 @@ object Similarity {
     "sim_topk_pq" -> pqTopK _,
     "dedup_pq_blocks" -> pqBlocks _,
     "sim_ivfpq_topk" -> ivfPqTopK _,
+    "sim_topk_mips" -> mipsTopK _,
+    "sim_knn_graph" -> knnGraph _,
+    "emb_cluster_knn" -> knnClusters _,
   )
 }

@@ -1456,6 +1456,76 @@ object Relational {
         (sum(cents(col("c_acctbal"))) / lit(100.0)).as("totacctbal"))
   }
 
+  /** TPC-H Q12 shape — shipping modes and order priority: for
+    * late-shipped lineitems of a year (shipped >90 days after the
+    * order date; this schema has no ship mode or commit/receipt
+    * dates, so `l_returnflag` stands in as the mode-like low-
+    * cardinality grouping and ship-vs-order lag as the lateness
+    * test), count lines from critical-priority orders vs the rest.
+    * The shape under test: fact⋈fact equi-join on `l_orderkey` with
+    * a cross-side residual date predicate, then CASE-conditional
+    * counts over a 3-value group domain. Rides the bucketed orderkey
+    * layout; only (key, date, priority) columns cross the join.
+    */
+  def q12ShipmodePriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li.join(ord, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 0L).otherwise(1L))
+          .as("low_line_count"))
+  }
+
+  /** Dominance share numerator/denominator for [[q20PotentialPromotion]]:
+    * a supplier "dominates" a part when it shipped strictly more than
+    * `DomNum/DomDen` of the part's total 1997 quantity. Exact-integer
+    * compare (`supp_qty·Den > part_qty·Num` in cents) so the cut is
+    * bit-identical across engines.
+    */
+  private val DomNum = 1L
+  private val DomDen = 2L
+
+  /** TPC-H Q20 shape — potential part promotion: name suppliers who
+    * dominated the 1997 supply of any PROMO part (this schema has no
+    * partsupp/availqty, so "excess stock" becomes "shipped more than
+    * half the part's total year volume" — the same nested-aggregate →
+    * semi-join chain). Shape under test: two-level aggregation of the
+    * same fact slice at (supp, part) and (part) grain, an exact-
+    * integer dominance cut joining them on `l_partkey`, and a final
+    * left-semi into the supplier dim. The fact slice aggregates ONCE
+    * at the finer grain and the part totals re-aggregate those
+    * partials, so the corpus is scanned and shuffled a single time.
+    */
+  def q20PotentialPromotion(spark: SparkSession, sfDir: String): DataFrame = {
+    val promoParts = Tables.part(spark, sfDir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val perSuppPart = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(cents(col("l_quantity"))).as("supp_qty"))
+    val perPart = perSuppPart.groupBy(col("l_partkey").as("pp_key"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    val dominant = perSuppPart.join(perPart, col("l_partkey") === col("pp_key"))
+      .filter(col("supp_qty") * DomDen > col("part_qty") * DomNum)
+      .select("l_suppkey")
+    Tables.supplier(spark, sfDir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   val oracleSql: Map[String, String] = Map(
     "stats_bootstrap" -> {
       val multCase = PoissonCdf10k.zipWithIndex
@@ -1709,6 +1779,36 @@ object Relational {
            AND l_shipdate <  TIMESTAMP '1998-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07
            AND l_quantity < 24""",
+    "q12_shipmode_priority" ->
+      """SELECT l_returnflag,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate <  TIMESTAMP '1998-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+         GROUP BY 1""",
+    "q20_potential_promotion" ->
+      s"""WITH per_supp_part AS (
+           SELECT l_partkey, l_suppkey,
+                  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS supp_qty
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'PROMO'
+             AND l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate <  TIMESTAMP '1998-01-01'
+           GROUP BY 1, 2),
+         per_part AS (
+           SELECT l_partkey, sum(supp_qty) AS part_qty
+           FROM per_supp_part GROUP BY 1)
+         SELECT s_suppkey, s_name
+         FROM supplier
+         WHERE EXISTS (
+           SELECT 1 FROM per_supp_part sp JOIN per_part p USING (l_partkey)
+           WHERE sp.l_suppkey = s_suppkey
+             AND CAST(sp.supp_qty AS HUGEINT) * $DomDen
+                 > CAST(p.part_qty AS HUGEINT) * $DomNum)""",
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
          FROM orders
@@ -2174,5 +2274,7 @@ object Relational {
     "stats_linreg" -> statsLinreg _,
     "q11_value_concentration" -> q11ValueConcentration _,
     "q21_late_supplier" -> q21LateSupplier _,
+    "q12_shipmode_priority" -> q12ShipmodePriority _,
+    "q20_potential_promotion" -> q20PotentialPromotion _,
   )
 }
