@@ -913,6 +913,138 @@ object TextAnalysis {
         regexp_replace(col("text"), UrlRe, "<URL>"),
         EmailRe, "<EMAIL>").as("scrubbed"))
 
+  /** PII patterns for the [[piiScan]]/[[piiRedact]] pair — like
+    * [[EmailRe]], written to the Java-regex ∩ RE2 dialect (character
+    * classes and `\b` only). The phone pattern pins the NANP 555
+    * fictional exchange so it can NEVER overlap the SSN pattern's
+    * 3-2-4 digit grouping on the same span.
+    */
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\b555-\\d{3}-\\d{4}\\b"
+  private[graft] val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** The PII-bearing corpus view both [[piiScan]] and [[piiRedact]]
+    * (and their oracles) scan: the synthetic corpus is digit-free word
+    * salad, so scanning it raw would verify nothing — every count 0 no
+    * matter how broken the detector ([[scrub]] carries exactly that
+    * caveat). Instead each document is suffixed with deterministic
+    * doc_id-derived PII (two emails, an IPv4, a 555 phone, an SSN-
+    * shaped id), constructed with the IDENTICAL integer/string
+    * expressions in the DuckDB oracle — so the hash compare exercises
+    * the full detect/redact machinery on known-nonzero matches, cross-
+    * engine. A pure projection: at 100 TB this is the same zero-
+    * shuffle scan-bound pass as every per-row stage in this file.
+    */
+  private[graft] def piiAugmented(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or backup-"), col("doc_id").cast("string"),
+        lit("@example.org ip 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"),
+        lit(".7 call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" id 900-"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+      ).as("text"))
+
+  /** Oracle twin of [[piiAugmented]]'s suffix expression (DuckDB
+    * dialect, same integer mods and zero-padding).
+    */
+  private val PiiAugSql =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR)
+        || '@mail.example.com or backup-' || CAST(doc_id AS VARCHAR)
+        || '@example.org ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        || '.' || CAST(doc_id % 100 AS VARCHAR)
+        || '.7 call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        || ' id 900-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"""
+
+  /** PII detection sweep — per-document counts of each PII category
+    * over the [[piiAugmented]] fixture view, plus the `has_pii` release
+    * gate bit. Counts are taken independently per category on the same
+    * original text (the [[scrub]] doctrine: report what was FOUND, not
+    * what another rule left behind). Zero-shuffle projection.
+    */
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame =
+    piiAugmented(spark, sfDir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(SsnRe), lit(0)))
+        .cast("long").as("n_ssns"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ips") + col("n_phones") + col("n_ssns") > 0)
+
+  /** PII redaction — the release-blocking rewrite over the same
+    * fixture view: every category replaced by its typed placeholder,
+    * most-specific pattern first (phone before SSN: both are digit
+    * runs with dashes, and the 3-2-4 SSN shape must not consume a
+    * 3-3-4 phone's prefix once the phone is already gone; email before
+    * IPv4 keeps host-part digits out of the IP rule's reach). The
+    * emitted `redacted_md5`/`n_chars_redacted` pin the ENTIRE rewritten
+    * string cross-engine without shipping corpus text through the
+    * compare. Zero-shuffle projection.
+    */
+  private[graft] def piiRedactedText(spark: SparkSession, sfDir: String): DataFrame =
+    piiAugmented(spark, sfDir).select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          SsnRe, "<SSN>"),
+        Ipv4Re, "<IP>").as("redacted"))
+
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    piiRedactedText(spark, sfDir)
+      .select(
+        col("doc_id"),
+        md5(col("redacted")).as("redacted_md5"),
+        length(col("redacted")).cast("long").as("n_chars_redacted"))
+
+  /** Ranks profiled by [[zipfProfile]]. */
+  private val ZipfTopN = 100
+
+  /** Zipf-law profile — the rank-frequency curve of the top-[[ZipfTopN]]
+    * terms, the distributional fingerprint every corpus data card
+    * plots (natural language tracks freq(r) ≈ freq(1)/r; template spam
+    * and mode-collapsed synthetic text flatten or step it). The
+    * emitted `zipf_permille = 1000·tf·rank div tf(1)` is exactly
+    * 1000·(observed/ideal-Zipf) per rank — ≈1000 all the way down for
+    * a perfectly Zipfian corpus — computed in pure integer arithmetic:
+    * a fitted log-log OLS slope would hinge on `ln` being bit-identical
+    * across engines' libm, which it is not guaranteed to be.
+    *
+    * Scale shape: rides the memoized [[vocabulary]] index (corpus is
+    * not re-tokenized); top-N is orderBy+limit (per-partition heaps,
+    * N-row driver merge — never a full sort); the unpartitioned
+    * row_number window and the scalar cross join then run on the
+    * N-row frame only.
+    */
+  def zipfProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = vocabulary(spark, sfDir)
+      .select(col("token"), col("total_tf"))
+      .orderBy(col("total_tf").desc, col("token").asc)
+      .limit(ZipfTopN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("total_tf").desc, col("token").asc)
+    val f1 = top.agg(max(col("total_tf")).as("f1"))
+    top.select(col("token"), col("total_tf"),
+        row_number().over(w).cast("long").as("rank"))
+      .crossJoin(broadcast(f1))
+      .select(col("rank"), col("token"), col("total_tf"),
+        expr("total_tf * rank * 1000 div f1").as("zipf_permille"))
+  }
+
   private[graft] def markerList(markers: Seq[String]): String =
     markers.map(m => s"'$m'").mkString(", ")
 
@@ -1141,6 +1273,47 @@ object TextAnalysis {
                      regexp_replace(text, '$UrlRe', '<URL>', 'g'),
                      '$EmailRe', '<EMAIL>', 'g') AS scrubbed
             FROM documents""",
+      "text_zipf" ->
+        s"""WITH tok AS (
+              SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+            agg AS (SELECT token, CAST(count(*) AS BIGINT) AS total_tf
+                    FROM tok GROUP BY token),
+            top AS (SELECT token, total_tf,
+                           row_number() OVER (ORDER BY total_tf DESC, token ASC)
+                             AS rank
+                    FROM agg
+                    ORDER BY total_tf DESC, token ASC LIMIT $ZipfTopN),
+            f1 AS (SELECT max(total_tf) AS f1 FROM top)
+            SELECT CAST(rank AS BIGINT) AS rank, token, total_tf,
+                   total_tf * rank * 1000 // f1 AS zipf_permille
+            FROM top, f1""",
+      "text_pii_scan" ->
+        s"""WITH aug AS (SELECT doc_id, $PiiAugSql AS text FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+                   len(regexp_extract_all(text, '$Ipv4Re')) AS n_ips,
+                   len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+                   len(regexp_extract_all(text, '$SsnRe')) AS n_ssns,
+                   len(regexp_extract_all(text, '$EmailRe'))
+                     + len(regexp_extract_all(text, '$Ipv4Re'))
+                     + len(regexp_extract_all(text, '$PhoneRe'))
+                     + len(regexp_extract_all(text, '$SsnRe')) > 0 AS has_pii
+            FROM aug""",
+      "text_pii_redact" ->
+        s"""WITH aug AS (SELECT doc_id, $PiiAugSql AS text FROM documents),
+            red AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+                           '$PhoneRe', '<PHONE>', 'g'),
+                         '$SsnRe', '<SSN>', 'g'),
+                       '$Ipv4Re', '<IP>', 'g') AS redacted
+              FROM aug)
+            SELECT doc_id, md5(redacted) AS redacted_md5,
+                   length(redacted) AS n_chars_redacted
+            FROM red""",
       "text_token_count" ->
         """SELECT doc_id,
                   len(string_split(text, ' ')) AS ws_tokens,
@@ -1391,5 +1564,8 @@ object TextAnalysis {
     "text_lang_confusion" -> langConfusion _,
     "text_char_profile" -> charProfile _,
     "text_ngram_profile" -> ngramProfile _,
+    "text_pii_scan" -> piiScan _,
+    "text_pii_redact" -> piiRedact _,
+    "text_zipf" -> zipfProfile _,
   )
 }

@@ -1470,4 +1470,81 @@ class OperatorSpec extends AnyFunSuite {
       withClue(s"label ${r.getInt(0)}")(assert(mean > -1.0 && mean <= 1.0))
     }
   }
+
+  test("sim_topk_mips rank-1 equals the in-memory argmax dot per query") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val top = ext.Similarity.mipsTopK(spark, sf).filter($"rank" === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 5L).foreach { q =>
+      val expect = vecs.keys.filter(_ != q)
+        .maxBy(c => (dot(vecs(q), vecs(c)), -c))
+      withClue(s"query $q")(assert(top(q) === expect))
+    }
+  }
+
+  test("sim_knn_graph: <=K edges per src; mutual flag == reverse-edge existence") {
+    val edges = ext.Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
+    val edgeSet = edges.map(e => (e._1, e._2)).toSet
+    edges.groupBy(_._1).foreach { case (src, es) =>
+      withClue(s"src $src")(assert(es.length <= 3))
+    }
+    edges.foreach { case (src, dst, mutual) =>
+      withClue(s"$src->$dst")(assert(mutual === edgeSet.contains((dst, src))))
+    }
+  }
+
+  test("emb_cluster_knn: labels cover every vector; mutual edges never cross clusters") {
+    val labels = ext.Similarity.knnClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(labels.length === Tables.embeddings(spark, sf).count())
+    val comp = labels.map(l => (l._1, l._2)).toMap
+    labels.foreach { case (v, c, isRep) =>
+      assert(comp(c) === c, s"representative $c must label itself")
+      assert(isRep === (v === c))
+    }
+    ext.Similarity.knnGraph(spark, sf).filter($"mutual").collect()
+      .foreach { r =>
+        val (s, d) = (r.getLong(0), r.getLong(2))
+        withClue(s"$s-$d")(assert(comp(s) === comp(d)))
+      }
+  }
+
+  test("pii: scan finds the injected fixtures; redaction leaves zero residual matches") {
+    import graft.functions.TextAnalysis
+    val scans = TextAnalysis.piiScan(spark, sf).collect()
+    scans.foreach { r =>
+      withClue(s"doc ${r.getLong(0)}") {
+        assert(r.getLong(1) >= 2) // two injected emails
+        assert(r.getLong(2) >= 1) // injected IPv4
+        assert(r.getLong(3) >= 1) // injected phone
+        assert(r.getLong(4) >= 1) // injected SSN-shaped id
+        assert(r.getBoolean(5))
+      }
+    }
+    val residual = TextAnalysis.piiRedactedText(spark, sf)
+      .select(
+        (size(regexp_extract_all($"redacted", lit(TextAnalysis.EmailRe), lit(0))) +
+          size(regexp_extract_all($"redacted", lit(TextAnalysis.Ipv4Re), lit(0))) +
+          size(regexp_extract_all($"redacted", lit(TextAnalysis.PhoneRe), lit(0))) +
+          size(regexp_extract_all($"redacted", lit(TextAnalysis.SsnRe), lit(0)))
+          ).as("n"))
+      .agg(sum($"n")).first().getLong(0)
+    assert(residual === 0L)
+  }
+
+  test("text_zipf: contiguous ranks from 1, rank-1 permille exactly 1000, tf nonincreasing") {
+    val rows = SparkEntry.queries("text_zipf")(spark, sf)
+      .orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === (1L to rows.length))
+    assert(rows.head._3 === 1000L)
+    rows.sliding(2).foreach {
+      case Array((_, tf1, _), (_, tf2, _)) => assert(tf1 >= tf2)
+      case _ =>
+    }
+  }
 }
