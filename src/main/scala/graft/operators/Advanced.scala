@@ -627,7 +627,51 @@ object Advanced {
             AND doc_id NOT IN (SELECT doc_id FROM losers)
             AND doc_id NOT IN (SELECT doc_id FROM contam)"""
 
+  /** Z-order layout key derivation — the declared-query face of
+    * [[graft.sinks.PartitionedWrite.zOrdered]]: per event, the 16-bit
+    * keys (user, day index from the corpus's own min day) and their
+    * interleaved 32-bit Morton code. Sorting/range-partitioning the
+    * warehouse on `zval` clusters each output file into a compact
+    * rectangle of the (user, day) plane, so parquet min/max stats
+    * prune files for predicates on EITHER dimension — the layout
+    * optimization a 100 TB warehouse runs where single-column sorting
+    * leaves the second column's per-file span at the full domain.
+    * Pure codegen shifts/masks over one scan (the min-day scalar is a
+    * broadcast 1-row cross join); the actual clustered write is
+    * exercised in PartitionedWriteSpec.
+    */
+  def layoutZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val minDay = ev.agg(min(col("ts").cast("date")).as("min_day"))
+    ev.crossJoin(broadcast(minDay))
+      .select(col("event_id"), col("user_id").as("x"),
+        datediff(col("ts").cast("date"), col("min_day")).cast("long").as("y"))
+      .select(col("event_id"), col("x"), col("y"),
+        graft.sinks.PartitionedWrite.zValue(col("x"), col("y")).as("zval"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "layout_zorder" ->
+      """WITH m AS (SELECT min(CAST(ts AS DATE)) AS min_day FROM events),
+         base AS (
+           SELECT event_id, user_id AS x,
+                  CAST(datediff('day', min_day, CAST(ts AS DATE)) AS BIGINT) AS y
+           FROM events, m),
+         b0 AS (SELECT event_id, x, y,
+                       x & 65535 AS xs0, y & 65535 AS ys0 FROM base),
+         b1 AS (SELECT event_id, x, y,
+                       (xs0 | (xs0 << 8)) & 16711935 AS xs1,
+                       (ys0 | (ys0 << 8)) & 16711935 AS ys1 FROM b0),
+         b2 AS (SELECT event_id, x, y,
+                       (xs1 | (xs1 << 4)) & 252645135 AS xs2,
+                       (ys1 | (ys1 << 4)) & 252645135 AS ys2 FROM b1),
+         b3 AS (SELECT event_id, x, y,
+                       (xs2 | (xs2 << 2)) & 858993459 AS xs3,
+                       (ys2 | (ys2 << 2)) & 858993459 AS ys3 FROM b2),
+         b4 AS (SELECT event_id, x, y,
+                       (xs3 | (xs3 << 1)) & 1431655765 AS xs4,
+                       (ys3 | (ys3 << 1)) & 1431655765 AS ys4 FROM b3)
+         SELECT event_id, x, y, xs4 | (ys4 << 1) AS zval FROM b4""",
     "corpus_prep_best" ->
       s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
           mh AS (
@@ -938,5 +982,6 @@ object Advanced {
     "shard_assign" -> shardAssign _,
     "corpus_prep_best" -> corpusPrepBest _,
     "sample_token_budget" -> sampleTokenBudget _,
+    "layout_zorder" -> layoutZorder _,
   )
 }

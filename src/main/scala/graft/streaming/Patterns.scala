@@ -456,4 +456,36 @@ object BonusPattern {
     spark.sql(
       s"""SELECT * FROM user_clicks_view
           ORDER BY count_of_clicks DESC, user_id ASC LIMIT $n""")
+
+  /** Continuously-maintained trending top-K — the STATEFUL twin of
+    * the polled view stack above (and of the batch `bonus_topk`
+    * query): instead of re-scanning the whole topic per poll, the
+    * per-user counts live in streaming aggregation state and every
+    * trigger emits the complete current top-K. Complete-mode sort +
+    * limit is the supported streaming TakeOrdered plan: the sort runs
+    * over the AGGREGATED key space (per-user totals), never the event
+    * stream, and the K-row result replaces the sink table per batch.
+    *
+    * At scale the poll form is O(topic) per query while this is
+    * O(delta) per trigger — the exact re-scan-vs-incremental tradeoff
+    * the reference's bonus pattern demonstrates on the poll side
+    * (SURVEY §7.4); together they bracket it from both ends. State is
+    * one (count, max-ts) pair per user, the same monoid
+    * [[Patterns.clickSummary]] maintains everywhere else.
+    */
+  def startTopK(
+      parsed: DataFrame,
+      sinkTable: String,
+      n: Int = 5,
+      clickType: String = "CLICK",
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = Patterns.clickSummary(parsed, clickType)
+      .orderBy(col("count_of_clicks").desc, col("user_id").asc)
+      .limit(n)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkTable)
+    Patterns.withTrigger(w, trigger).start()
+  }
 }

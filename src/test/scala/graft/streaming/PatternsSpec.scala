@@ -151,6 +151,28 @@ class PatternsSpec extends AnyFunSuite {
       Seq(("u1", 3L), ("u2", 2L), ("u3", 1L)))
   }
 
+  test("bonus streaming top-K converges to the polled view's rows per installment") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = BonusPattern.startTopK(
+      EventCodec.parse(input.toDF()), "bonus_topk_stream", n = 5)
+    def sinkRows(): Seq[(String, Long)] =
+      spark.table("bonus_topk_stream")
+        .orderBy($"count_of_clicks".desc, $"user_id".asc).collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSeq
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      assert(sinkRows() === Seq(("u1", 2L), ("u2", 1L)))
+      input.addData(batch2); q.processAllAvailable()
+      // the stateful top-K absorbs the late row the poll form would
+      // also count (full re-scan) — identical totals both ways
+      BonusPattern.registerViews(spark, (batch1 ++ batch2).toDF("message"))
+      val polled = BonusPattern.topUsers(spark, 5).collect()
+        .map(r => (r.getString(0), r.getLong(2))).toSeq
+      assert(sinkRows() === polled)
+    } finally q.stop()
+  }
+
   test("pattern 1.1 strict mode reproduces the reference's late-drop quirk (T6)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
