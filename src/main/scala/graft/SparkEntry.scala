@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Advanced.queries ++
       operators.EventAnalytics.queries ++
       functions.TextAnalysis.queries ++
+      functions.Retrieval.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.Multimodal.queries
@@ -36,6 +37,7 @@ object SparkEntry {
       operators.Advanced.oracleSql ++
       operators.EventAnalytics.oracleSql ++
       functions.TextAnalysis.oracleSql ++
+      functions.Retrieval.oracleSql ++
       ext.Dedup.oracleSql ++
       ext.Similarity.oracleSql ++
       ext.Multimodal.oracleSql

@@ -1547,4 +1547,48 @@ class OperatorSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("retrieval_bm25 matches an independent in-memory Okapi computation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val n = docs.length.toLong
+    val sumDl = docs.map(_._2.length.toLong).sum.toDouble
+    val terms = functions.Retrieval.QueryTerms
+    val df = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val idfE9 = terms.map { t =>
+      t -> math.floor(math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) * 1e9 + 0.5).toLong
+    }.toMap
+    val expected = docs.flatMap { case (id, ws) =>
+      val dl = ws.length.toLong
+      val contribs = terms.flatMap { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0) None
+        else Some(math.floor(idfE9(t) / 1e9 * (tf * 2.2)
+          / (tf + 1.2 * (0.25 + 0.75 * dl / (sumDl / n))) * 1e6 + 0.5).toLong)
+      }
+      if (contribs.isEmpty) None
+      else Some((id, contribs.sum, contribs.length.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, s, k), i) => (id, s, k, i + 1L) }.toSeq
+    val got = functions.Retrieval.bm25TopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("retrieval_rrf: fused points recompute from the rank columns; query doc excluded") {
+    val rows = functions.Retrieval.hybridRrf(spark, sf).collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3))
+    }.toSeq
+    assert(rows.length === 10)
+    assert(!rows.exists(_._1 == 0L))
+    def pts(r: Option[Long]): Long =
+      r.map(k => math.floor(1e6 / (60 + k)).toLong).getOrElse(0L)
+    rows.foreach { case (id, bm, cos, fused) =>
+      withClue(id)(assert(fused === pts(bm) + pts(cos)))
+    }
+    assert(rows.map(_._4) === rows.map(_._4).sorted(Ordering[Long].reverse))
+  }
 }
