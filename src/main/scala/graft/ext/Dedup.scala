@@ -527,6 +527,33 @@ object Dedup {
           x => x)).cast("double") / NumHashes).as("est_jaccard"))
   }
 
+  /** Train/test split-leakage audit — near-duplicate pairs (est-0.8
+    * MinHash grade, the [[components]] edge set) whose endpoints land
+    * in DIFFERENT splits of [[graft.functions.TextAnalysis.trainTestSplit]]:
+    * each such pair is an eval-set answer the model saw in training.
+    * [[decontaminate]] audits the corpus against an EXTERNAL
+    * benchmark; this audits the corpus against its own held-out
+    * splits — the two leak surfaces a release checklist needs.
+    * Reusing the split function (not a re-derived hash) keeps the
+    * audited assignment bit-identical to the shipped one.
+    *
+    * Scale shape: the pair set is the already-linear LSH candidate
+    * output; the two split joins attach a 2-column doc-grain relation
+    * (bucketing `documents` on doc_id co-locates them for free, the
+    * [[editDistConfirm]] note).
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val splits = graft.functions.TextAnalysis.trainTestSplit(spark, sfDir)
+      .select(col("doc_id"), col("split"))
+    minhashLsh(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.8)
+      .join(splits.toDF("doc_a", "split_a"), "doc_a")
+      .join(splits.toDF("doc_b", "split_b"), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("est_jaccard"))
+  }
+
   /** Edit-distance confirmation of MinHash-LSH candidates — the
     * expensive exact check in its only scale-sane position: AFTER
     * blocking. Levenshtein is O(|a|·|b|) per pair, so it can never run
@@ -1270,6 +1297,27 @@ object Dedup {
           FROM cand
           JOIN documents x ON doc_a = x.doc_id
           JOIN documents y ON doc_b = y.doc_id""",
+    "split_leakage" ->
+      s"""WITH RECURSIVE $ShingleCte, $Comp08Ctes,
+          candj AS (
+            SELECT doc_a, doc_b,
+                   CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1]))
+                     AS DOUBLE) / 16 AS est_jaccard
+            FROM cand JOIN sig x ON doc_a = x.doc_id
+                      JOIN sig y ON doc_b = y.doc_id),
+          splits AS (
+            SELECT doc_id,
+                   CASE WHEN hash_mod < 80 THEN 'train'
+                        WHEN hash_mod < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hash_mod
+                  FROM documents))
+          SELECT c.doc_a, c.doc_b, sa.split AS split_a, sb.split AS split_b,
+                 c.est_jaccard
+          FROM candj c JOIN splits sa ON sa.doc_id = c.doc_a
+                       JOIN splits sb ON sb.doc_id = c.doc_b
+          WHERE c.est_jaccard >= 0.8 AND sa.split != sb.split""",
     "dedup_components" ->
       s"""WITH RECURSIVE $ShingleCte,
           mh AS (
@@ -1451,5 +1499,6 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_winnow_pairs" -> winnowPairs _,
     "dedup_source_overlap" -> sourceOverlap _,
+    "split_leakage" -> splitLeakage _,
   )
 }

@@ -275,6 +275,90 @@ object Similarity {
         (coalesce(col("comp"), col("vec_id")) === col("vec_id")).as("is_rep"))
   }
 
+  /** Hard-negative mining — per query vector, the top-5 most cosine-
+    * similar vectors carrying a DIFFERENT label: the contrastive-
+    * training data-prep pass (high-similarity cross-label items are
+    * the negatives that actually move an embedding model; random
+    * negatives are trivially separable). Exact brute-force form, the
+    * [[bruteforceTopK]] shape with the label predicate pushed into the
+    * broadcast join — candidates never materialize for same-label
+    * rows. At billion scale the same contract serves from the
+    * LSH/IVF candidate paths, with the label filter still inside the
+    * candidate join.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val hits = emb.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("score"))
+      .groupBy("query_id")
+      .agg(topK(5)(col("vec_id"), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("neighbor_id"), round(col("col._2"), 6).as("score"))
+    // labels attach on result rows only (5 per query), never candidates
+    hits.join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label")), "neighbor_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), col("score"))
+  }
+
+  /** SemDeDup cell-count derivation: enough quantizer cells to hold
+    * expected occupancy at ≤[[TargetOccupancy]] (floor 8) — the same
+    * corpus-derived-parameter rule as [[planesFor]], so per-cell pair
+    * work stays bounded as the corpus grows (the SemDeDup paper scales
+    * k with n for exactly this reason; a fixed k would be the
+    * quadratic-at-scale edge the LSH path already fixed).
+    */
+  private[graft] def semCellsFor(n: Long): Long =
+    math.max(8L, n / TargetOccupancy)
+
+  /** Semantic dedup (SemDeDup, Abbas et al., arXiv:2303.09540):
+    * cluster the corpus with a k-means-style quantizer, then prune
+    * within-cell cosine-duplicates — near-duplicate SEMANTICS (same
+    * content, different words) that lexical MinHash can't see. Every
+    * vector is assigned to its nearest of [[semCellsFor]] seed
+    * centroids (first-k seeding, the [[kmeansStep]] assignment via the
+    * codegen [[graft.functions.expressions.CellTopK]] kernel); within
+    * a cell a vector is dropped when a lower-id neighbor sits at
+    * cosine ≥ 0.3 (the [[embNearDupFrom]] keep rule, so the two
+    * near-dup paths agree on policy). Output is doc-grain: cell,
+    * number of nearer (lower-id) in-cell duplicates, keep flag.
+    *
+    * Scale shape: assignment is one corpus scan against a broadcast
+    * quantizer array; the pair join exchanges on the cell key with
+    * O(n²/k) total pair work — k grows with n, holding per-cell
+    * candidates at quantizer-occupancy grain.
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val k = semCellsFor(emb.count())
+    val quant = emb.filter(col("vec_id") < k)
+      .agg(collect_list(struct(col("vec_id").as("cell"), col("embedding").as("cw")))
+        .as("qcells0"))
+      .select(array_sort(col("qcells0")).as("qcells"))
+    val assigned = emb.crossJoin(broadcast(quant))
+      .select(col("vec_id"), col("embedding"),
+        get(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 1), lit(0))
+          .as("cell"))
+    val nearer = assigned.toDF("vec_b", "emb_b", "cell")
+      .join(assigned.select(col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("cell").as("cell_a")),
+        col("cell") === col("cell_a") && col("vec_a") < col("vec_b"))
+      .filter(GraftFunctions.cosineSim(col("emb_a"), col("emb_b")) >= 0.3)
+      .groupBy("vec_b").agg(count(lit(1)).as("n_nearer"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(nearer.withColumnRenamed("vec_b", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_nearer"), lit(0L)).as("n_nearer_dups"),
+        (coalesce(col("n_nearer"), lit(0L)) === 0).as("keep"))
+  }
+
   /** LSH-bucketed approximate top-3: candidates share the query's
     * 8-bit hyperplane sign bucket; exact cosine re-rank within the
     * bucket. Recall < 1 by construction — the tradeoff the scale path
@@ -1357,6 +1441,52 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 10""",
+    "sim_hard_negatives" ->
+      s"""WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   c.label AS neighbor_label,
+                   $CosExpr AS score
+            FROM embeddings q JOIN embeddings c ON c.label != q.label
+            WHERE q.vec_id < $NumQueryVecs)
+          SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+                 neighbor_label, round(score, 6) AS score
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rn
+                FROM scored)
+          WHERE rn <= 5""",
+    "semdedup" ->
+      s"""WITH k AS (
+            SELECT greatest(8, count(*) // $TargetOccupancy) AS k FROM embeddings),
+          seeds AS (
+            SELECT vec_id AS cell, embedding AS cw FROM embeddings, k
+            WHERE vec_id < k.k),
+          ascore AS (
+            SELECT e.vec_id, s.cell,
+                   list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(s.cw[i+1] AS DOUBLE)
+                             for i in range(len(e.embedding))])
+                   / (sqrt(list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)
+                             for i in range(len(e.embedding))]))
+                      * sqrt(list_sum([CAST(s.cw[i+1] AS DOUBLE) * CAST(s.cw[i+1] AS DOUBLE)
+                             for i in range(len(s.cw))]))) AS cscore
+            FROM embeddings e, seeds s),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cscore DESC, cell ASC) AS rn
+              FROM ascore) WHERE rn = 1),
+          nearer AS (
+            SELECT b.vec_id AS vec_b, count(*) AS n_nearer
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN embeddings q ON q.vec_id = a.vec_id
+            JOIN embeddings c ON c.vec_id = b.vec_id
+            WHERE $CosExpr >= 0.3
+            GROUP BY b.vec_id)
+          SELECT a.vec_id, a.cell,
+                 CAST(coalesce(n.n_nearer, 0) AS BIGINT) AS n_nearer_dups,
+                 coalesce(n.n_nearer, 0) = 0 AS keep
+          FROM assigned a LEFT JOIN nearer n ON n.vec_b = a.vec_id""",
     "sim_topk_mips" ->
       s"""WITH scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1610,5 +1740,7 @@ object Similarity {
     "sim_topk_mips" -> mipsTopK _,
     "sim_knn_graph" -> knnGraph _,
     "emb_cluster_knn" -> knnClusters _,
+    "sim_hard_negatives" -> hardNegatives _,
+    "semdedup" -> semDedup _,
   )
 }

@@ -1548,6 +1548,55 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_hard_negatives: no neighbor shares its query's label; 5 ranked hits per query") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = ext.Similarity.hardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (q, hits) =>
+      withClue(q) {
+        assert(hits.length === 5)
+        assert(hits.map(_._2).sorted === Seq(1L, 2L, 3L, 4L, 5L))
+        hits.foreach { case (_, _, nid, nlabel) =>
+          assert(nlabel === emb(nid))
+          assert(nlabel !== emb(q))
+        }
+      }
+    }
+  }
+
+  test("semdedup: full coverage; keep == no nearer dup; per-cell min id always kept") {
+    val rows = ext.Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length === Tables.embeddings(spark, sf).count())
+    rows.foreach { case (id, _, n, keep) =>
+      withClue(id)(assert(keep === (n == 0L)))
+    }
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val minId = members.map(_._1).min
+      withClue(cell)(assert(members.find(_._1 == minId).get._4))
+    }
+  }
+
+  test("split_leakage pairs cross splits and are exactly the est-0.8 cross-split LSH pairs") {
+    val splits = graft.functions.TextAnalysis.trainTestSplit(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = ext.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, e) => e >= 0.8 && splits(a) != splits(b) }
+      .map { case (a, b, _) => (a, b) }.toSet
+    val got = ext.Dedup.splitLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    got.foreach { case (a, b, sa, sb) =>
+      assert(sa === splits(a))
+      assert(sb === splits(b))
+      assert(sa !== sb)
+    }
+    assert(got.map(t => (t._1, t._2)).toSet === expected)
+  }
+
   test("retrieval_bm25 matches an independent in-memory Okapi computation") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
