@@ -227,20 +227,33 @@ object Similarity {
     * pairs); the mutual check is a self-join of the EDGE LIST — n·K
     * narrow rows, not candidates — on the reversed key.
     */
+  private val knnEdgeCache = new graft.SessionCache[DataFrame]
+
+  /** Memoized directed k-NN edge list (src, rank, dst, score) — the
+    * shared substrate of [[knnGraph]] and [[knnClusters]] (the graph
+    * is built once per session, not once per consumer; n·K narrow
+    * rows, DISK_ONLY per the corpus-sized-state rule).
+    */
+  private[graft] def knnEdges(spark: SparkSession, sfDir: String): DataFrame =
+    knnEdgeCache.getOrElseUpdate(spark, sfDir) {
+      GraftFunctions.register(spark)
+      val emb = bucketedEmb(spark, sfDir)
+      val cand = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"), col("bucket").as("c_bucket"))
+      emb.join(cand,
+          col("bucket") === col("c_bucket") && col("vec_id") =!= col("c_id"))
+        .select(col("vec_id").as("src"), col("c_id"),
+          GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("score"))
+        .groupBy("src")
+        .agg(topK(KnnK)(col("c_id"), col("score")).as("hits"))
+        .select(col("src"), posexplode(col("hits")))
+        .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
+          col("col._1").as("dst"), round(col("col._2"), 6).as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+
   def knnGraph(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val emb = bucketedEmb(spark, sfDir)
-    val cand = emb.select(col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"), col("bucket").as("c_bucket"))
-    val edges = emb.join(cand,
-        col("bucket") === col("c_bucket") && col("vec_id") =!= col("c_id"))
-      .select(col("vec_id").as("src"), col("c_id"),
-        GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("score"))
-      .groupBy("src")
-      .agg(topK(KnnK)(col("c_id"), col("score")).as("hits"))
-      .select(col("src"), posexplode(col("hits")))
-      .select(col("src"), (col("pos") + 1).cast("long").as("rank"),
-        col("col._1").as("dst"), round(col("col._2"), 6).as("score"))
+    val edges = knnEdges(spark, sfDir)
     val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
     edges.join(rev,
         col("src") === col("r_src") && col("dst") === col("r_dst"), "left_outer")
@@ -264,7 +277,13 @@ object Similarity {
     * whose row count is the vector count.
     */
   def knnClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val mutual = knnGraph(spark, sfDir).filter(col("mutual"))
+    // mutual edges via INNER reverse join on the memoized edge list —
+    // the outer-join mutual MARKING of knnGraph is only needed when
+    // non-mutual edges must survive into the output
+    val edges = knnEdges(spark, sfDir).select("src", "dst")
+    val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
+    val mutual = edges.join(rev,
+        col("src") === col("r_src") && col("dst") === col("r_dst"))
       .select(col("src").as("u"), col("dst").as("v"))
     val (labels, _) = graft.ext.Dedup.starComponents(mutual)
     Tables.embeddings(spark, sfDir).select(col("vec_id"))

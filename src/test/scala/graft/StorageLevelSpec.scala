@@ -18,6 +18,7 @@ class StorageLevelSpec extends AnyFunSuite {
     assert(ext.Similarity.bucketedEmb(spark, sf).storageLevel === StorageLevel.DISK_ONLY)
     assert(ext.Dedup.explodedShingleHashes(spark, sf).storageLevel === StorageLevel.DISK_ONLY)
     assert(ext.Dedup.minhashSignatures(spark, sf).storageLevel === StorageLevel.DISK_ONLY)
+    assert(ext.Similarity.knnEdges(spark, sf).storageLevel === StorageLevel.DISK_ONLY)
     // IVF index: 1-row quantizer may sit in memory, the inverted file
     // (carries the corpus embeddings) must not
     val (quant, assigned) = ext.Similarity.ivfIndex(spark, sf)
@@ -30,5 +31,6 @@ class StorageLevelSpec extends AnyFunSuite {
     assert(ext.Dedup.explodedShingleHashes(spark, sf) eq
       ext.Dedup.explodedShingleHashes(spark, sf))
     assert(ext.Dedup.minhashSignatures(spark, sf) eq ext.Dedup.minhashSignatures(spark, sf))
+    assert(ext.Similarity.knnEdges(spark, sf) eq ext.Similarity.knnEdges(spark, sf))
   }
 }
