@@ -41,57 +41,60 @@ object Retrieval {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Per-document (dl, term, tf) for the fixed query terms plus the
-    * corpus-global (n_docs, sum_dl) — all from ONE scan: term
-    * frequencies are per-row array folds over the fixed term set (no
-    * corpus-grain explode/shuffle; the only exchanges after this are
-    * key-grain at ≤|terms| rows and the final TakeOrdered). That is
-    * the 100 TB shape: scoring a fixed query against a corpus is a
-    * linear scan however big the corpus, because every per-term
-    * reduction happens inside the row.
-    */
-  private def termFrequencies(docs: DataFrame): DataFrame = {
-    val ws = words(col("text"))
-    val perTerm = array(QueryTerms.map { t =>
-      struct(lit(t).as("term"),
-        size(filter(ws, w => w === lit(t))).cast("long").as("tf"))
-    }: _*)
-    docs
-      .select(col("doc_id"), size(ws).cast("long").as("dl"),
-        explode(perTerm).as("tt"))
-      .select(col("doc_id"), col("dl"),
-        col("tt.term").as("term"), col("tt.tf").as("tf"))
-      .filter(col("tf") > 0)
-  }
-
-  /** Scored BM25 postings: (doc_id, contrib_e6) per matched (doc,
-    * term), with idf from the matched-doc counts of this query's own
-    * term set. `idf_e9` is floored at 1e-9 straight off the `ln` (libm
-    * vs java Math.log agree at that grain) and each term contribution
-    * is floored to integer micro-points before the per-doc sum — the
-    * sum is exact integer arithmetic.
+  /** Per-document BM25 scores — TWO corpus scans and ZERO wide
+    * exchanges, because the term set is fixed at plan time: scan 1 is
+    * one global aggregate producing (n_docs, sum_dl) AND every term's
+    * document frequency as separate `count_if(tf_t > 0)` columns (a
+    * 1-row broadcast); scan 2 computes each term's tf as a per-row
+    * array fold and sums the per-term integer micro-point
+    * contributions inside the projection — no explode, no doc-grain
+    * groupBy, nothing shuffles until the final TakeOrdered. That is
+    * the 100 TB shape: scoring a fixed query is a linear scan however
+    * big the corpus, with every per-term reduction inside the row.
+    *
+    * Determinism: `idf_e9` is floored at 1e-9 straight off the `ln`
+    * (libm vs java Math.log agree at that grain) and each term
+    * contribution is floored to integer micro-points BEFORE the
+    * per-doc sum — integer addition, immune to summation order.
     */
   private def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val global = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(words(col("text")))).cast("double").as("sum_dl"))
-    val tfs = termFrequencies(docs)
-    val dfs = tfs.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(global))
-      .select(col("term"),
-        floor(log(lit(1.0)
-            + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          * lit(1e9) + lit(0.5)).cast("long").as("idf_e9"),
-        col("n_docs"), col("sum_dl"))
-    tfs.join(broadcast(dfs), "term")
-      .select(col("doc_id"),
-        floor(col("idf_e9") / lit(1e9) * (col("tf") * lit(K1 + 1))
-            / (col("tf") + lit(K1) * (lit(1 - B)
+    def tfOf(t: String): Column = {
+      val ws = words(col("text"))
+      size(filter(ws, w => w === lit(t))).cast("long")
+    }
+    val statAggs =
+      count(lit(1)).as("n_docs") +:
+        sum(size(words(col("text")))).cast("double").as("sum_dl") +:
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          count_if(tfOf(t) > 0).as(s"df_$i")
+        }
+    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val idfE9 = QueryTerms.indices.map { i =>
+      floor(log(lit(1.0)
+          + (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
+        * lit(1e9) + lit(0.5)).cast("long").as(s"idf_$i")
+    }
+    val docCols =
+      col("doc_id") +: size(words(col("text"))).cast("long").as("dl") +:
+        QueryTerms.zipWithIndex.map { case (t, i) => tfOf(t).as(s"tf_$i") }
+    val scored = docs.select(docCols: _*)
+      .crossJoin(broadcast(stats.select(
+        col("n_docs") +: col("sum_dl") +: idfE9: _*)))
+    def contrib(i: Int): Column = {
+      val tf = col(s"tf_$i")
+      when(tf > 0,
+        floor(col(s"idf_$i") / lit(1e9) * (tf * lit(K1 + 1))
+            / (tf + lit(K1) * (lit(1 - B)
               + lit(B) * col("dl") / (col("sum_dl") / col("n_docs"))))
-          * lit(1e6) + lit(0.5)).cast("long").as("contrib_e6"))
-      .groupBy("doc_id")
-      .agg(sum(col("contrib_e6")).as("score_e6"),
-        count(lit(1)).as("n_terms"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(0L))
+    }
+    scored.select(col("doc_id"),
+      QueryTerms.indices.map(contrib).reduce(_ + _).as("score_e6"),
+      QueryTerms.indices.map(i => (col(s"tf_$i") > 0).cast("long")).reduce(_ + _)
+        .as("n_terms"))
+      .filter(col("n_terms") > 0)
   }
 
   /** BM25 top-20 for the fixed keyword query: (doc_id, score_e6,
