@@ -173,6 +173,7 @@ object Bench {
       "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
       "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),
       "knn_edges" -> (() => { ext.Similarity.knnEdges(spark, queryDir).count(); () }),
+      "sem_cells" -> (() => { ext.Similarity.semAssigned(spark, queryDir).count(); () }),
       "dup_components_0" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.0); () }),
       "dup_components_80" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.8); () }))
     indexBuilds.foreach { case (name, build) =>

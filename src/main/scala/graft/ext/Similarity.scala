@@ -353,18 +353,35 @@ object Similarity {
     * O(n²/k) total pair work — k grows with n, holding per-cell
     * candidates at quantizer-occupancy grain.
     */
+  private val semAssignCache = new graft.SessionCache[DataFrame]
+
+  /** Memoized SemDeDup cell assignment (vec_id, embedding, cell) —
+    * one corpus scan + broadcast-quantizer argmax, built once per
+    * session (the [[bucketedEmb]] index lifecycle: DISK_ONLY, or
+    * warehouse-persisted under `spark.graft.indexDir`); [[semDedup]]
+    * consumes it three times (both pair sides + coverage) and would
+    * otherwise recompute the scan per consumer.
+    */
+  private[graft] def semAssigned(spark: SparkSession, sfDir: String): DataFrame =
+    semAssignCache.getOrElseUpdate(spark, sfDir) {
+      GraftFunctions.register(spark)
+      val emb = Tables.embeddings(spark, sfDir)
+      val k = semCellsFor(emb.count())
+      val quant = emb.filter(col("vec_id") < k)
+        .agg(collect_list(struct(col("vec_id").as("cell"), col("embedding").as("cw")))
+          .as("qcells0"))
+        .select(array_sort(col("qcells0")).as("qcells"))
+      def build = emb.crossJoin(broadcast(quant))
+        .select(col("vec_id"), col("embedding"),
+          get(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 1), lit(0))
+            .as("cell"))
+      graft.IndexStore.resolve(spark, sfDir, "sem_cells", Some("cell"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
+
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, sfDir)
-    val k = semCellsFor(emb.count())
-    val quant = emb.filter(col("vec_id") < k)
-      .agg(collect_list(struct(col("vec_id").as("cell"), col("embedding").as("cw")))
-        .as("qcells0"))
-      .select(array_sort(col("qcells0")).as("qcells"))
-    val assigned = emb.crossJoin(broadcast(quant))
-      .select(col("vec_id"), col("embedding"),
-        get(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 1), lit(0))
-          .as("cell"))
+    val assigned = semAssigned(spark, sfDir)
     val nearer = assigned.toDF("vec_b", "emb_b", "cell")
       .join(assigned.select(col("vec_id").as("vec_a"),
           col("embedding").as("emb_a"), col("cell").as("cell_a")),
