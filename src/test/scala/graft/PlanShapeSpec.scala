@@ -52,6 +52,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Aggregate"))
   }
 
+  test("retrieval_bm25: no doc-grain exchange — stats broadcast, scoring in-row, TakeOrdered cut") {
+    val plan = executedPlan("retrieval_bm25")
+    // the only partitioned exchanges allowed are the round-robin table
+    // reads; scoring must not shuffle at doc grain (no hashpartitioning)
+    assert(!plan.contains("hashpartitioning"))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    // no corpus-grain explode survives the rewrite
+    assert(!plan.contains("Generate explode"))
+  }
+
   test("emb_quantize is a pure projection: the corpus never exchanges") {
     val plan = executedPlan("emb_quantize")
     assert(!plan.contains("Exchange"))
