@@ -66,6 +66,12 @@ class InvarianceSpec extends AnyFunSuite {
     "q17_small_quantity",   // integer 20%-of-avg correlated cut
     "q21_late_supplier",    // semi+anti correlated pair over one fact
     "sample_dedup_weight",  // component-sized integer weights
+    "retrieval_bm25",       // integer micro-point sums + TakeOrdered rank
+    "retrieval_rrf",        // two bounded rank lists fused via integer points
+    "semdedup",             // broadcast-quantizer assignment + cell-blocked pairs
+    "sim_hard_negatives",   // cross-label heap top-K
+    "split_leakage",        // LSH pair set ∘ hash split assignment
+    "layout_zorder",        // bit-interleave projection + broadcast min-day
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
