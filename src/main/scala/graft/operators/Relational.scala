@@ -1298,21 +1298,26 @@ object Relational {
     * least [[BasketMinSupport]] orders, the support counting behind
     * association rules and co-purchase recommenders.
     *
-    * Scale shape: baskets deduplicate to (order, part) first, then the
-    * pair self-join rides the `l_orderkey` equi-key — co-located and
-    * exchange-free when lineitem is bucketed on it (the bench
-    * warehouse layout); per-order fan-out is items², bounded by the
-    * order line limit (TPC-H: 7), so pair output is linear in orders.
-    * The support filter collapses the pair space before anything else
-    * sees it.
+    * Scale shape: ONE grouped exchange folds lineitem into per-order
+    * item SETS (collect_set dedups in the aggregation buffer — no
+    * separate distinct pass), then the items² pair expansion happens
+    * INSIDE the row as a sorted-array double-transform (bounded by the
+    * order line limit — TPC-H: 7 — so pair output is linear in
+    * orders), and one more exchange counts pair support. The previous
+    * distinct + equi-self-join form planned three exchanges and a
+    * join; this is two exchanges and none. The support filter
+    * collapses the pair space before anything else sees it.
     */
   def basketPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val items = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val l = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val r = items.select(col("l_orderkey").as("ok_r"), col("l_partkey").as("part_b"))
-    l.join(r, col("l_orderkey") === col("ok_r") && col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
+    val baskets = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+        y => struct(x.as("part_a"), y.as("part_b")))))
+    baskets.select(explode(pairs).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= BasketMinSupport)
   }
