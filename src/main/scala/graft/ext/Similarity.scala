@@ -336,6 +336,17 @@ object Similarity {
   private[graft] def semCellsFor(n: Long): Long =
     math.max(8L, n / TargetOccupancy)
 
+  /** Hot-cell candidate cap for [[semDedup]] pair generation — 8× the
+    * expected cell occupancy (floor [[TargetOccupancy]]), the
+    * [[hotBucketCap]] rule re-based on the quantizer's cell count: a
+    * cell that collapses 8× the expected mass is a degenerate cluster
+    * (near-identical boilerplate) whose O(occ²) pairs are dedup noise,
+    * and is excluded from pair generation so worst-case pair work
+    * stays linear even under an adversarial all-in-one-cell corpus.
+    */
+  private[graft] def semCellCap(n: Long): Long =
+    math.max(TargetOccupancy, (8L * n) / semCellsFor(n))
+
   /** Semantic dedup (SemDeDup, Abbas et al., arXiv:2303.09540):
     * cluster the corpus with a k-means-style quantizer, then prune
     * within-cell cosine-duplicates — near-duplicate SEMANTICS (same
@@ -382,8 +393,22 @@ object Similarity {
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     val assigned = semAssigned(spark, sfDir)
-    val nearer = assigned.toDF("vec_b", "emb_b", "cell")
-      .join(assigned.select(col("vec_id").as("vec_a"),
+    semDedupFrom(assigned, semCellCap(Tables.embeddings(spark, sfDir).count()))
+  }
+
+  /** Pair generation + keep resolution over an already-assigned corpus
+    * with an explicit hot-cell cap (separated from [[semDedup]] so the
+    * cap is testable against adversarial fixtures — the
+    * [[embNearDupFrom]] pattern). The occupancy aggregate and the pair
+    * self-join exchange on the SAME cell key; rows in over-cap cells
+    * skip pair generation and keep their documents.
+    */
+  private[graft] def semDedupFrom(assigned: DataFrame, cap: Long): DataFrame = {
+    val occ = assigned.groupBy("cell").agg(count(lit(1)).as("occ"))
+    val cold = assigned.join(occ.filter(col("occ") <= cap).select("cell"), "cell")
+    val nearer = cold.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("cell"))
+      .join(cold.select(col("vec_id").as("vec_a"),
           col("embedding").as("emb_a"), col("cell").as("cell_a")),
         col("cell") === col("cell_a") && col("vec_a") < col("vec_b"))
       .filter(GraftFunctions.cosineSim(col("emb_a"), col("emb_b")) >= 0.3)
@@ -1511,9 +1536,18 @@ object Similarity {
                      row_number() OVER (PARTITION BY vec_id
                                         ORDER BY cscore DESC, cell ASC) AS rn
               FROM ascore) WHERE rn = 1),
+          cap AS (
+            SELECT greatest($TargetOccupancy,
+                     (8 * (SELECT count(*) FROM embeddings)) // k.k) AS cap
+            FROM k),
+          cold AS (
+            SELECT a.vec_id, a.cell FROM assigned a
+            JOIN (SELECT cell, count(*) AS occ FROM assigned GROUP BY cell) o
+              USING (cell), cap
+            WHERE o.occ <= cap.cap),
           nearer AS (
             SELECT b.vec_id AS vec_b, count(*) AS n_nearer
-            FROM assigned a JOIN assigned b
+            FROM cold a JOIN cold b
               ON a.cell = b.cell AND a.vec_id < b.vec_id
             JOIN embeddings q ON q.vec_id = a.vec_id
             JOIN embeddings c ON c.vec_id = b.vec_id

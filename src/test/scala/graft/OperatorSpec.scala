@@ -1579,6 +1579,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup hot-cell cap: an adversarial all-in-one-cell corpus generates zero pairs") {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    // 40 identical vectors in one cell (every pair cosine 1.0) plus a
+    // 2-member cold cell; cap 10 must drop the hot cell's O(occ²)
+    // pair work entirely while the cold cell still resolves its dup
+    val vec = Array.fill(4)(1.0f)
+    val hot = (0L until 40L).map(i => (i, vec, 0L))
+    val cold = Seq((100L, vec, 1L), (101L, vec, 1L))
+    val assigned = (hot ++ cold).toDF("vec_id", "embedding", "cell")
+    val out = ext.Similarity.semDedupFrom(assigned, cap = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out.length === 42)
+    out.filter(_._1 < 100L).foreach { case (id, n, keep) =>
+      withClue(id) { assert(n === 0L); assert(keep) }
+    }
+    assert(out.find(_._1 == 100L).get._3 === true)
+    assert(out.find(_._1 == 101L).get === ((101L, 1L, false)))
+  }
+
   test("split_leakage pairs cross splits and are exactly the est-0.8 cross-split LSH pairs") {
     val splits = graft.functions.TextAnalysis.trainTestSplit(spark, sf)
       .select("doc_id", "split").collect()
