@@ -250,6 +250,57 @@ object Multimodal {
       .groupBy(md5(col("payload")).as("payload_md5"))
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Max Hamming distance for [[phashNearDup]] — the
+    * [[graft.ext.Dedup.simhashPairs]] threshold, so the text and
+    * payload near-dup tiers agree on policy.
+    */
+  private val PhashMaxHamming = 8
+
+  /** Perceptual-hash near-duplicate payloads — the NEAR-dup tier
+    * above [[payloadDedup]]'s byte-exact screen: re-encoded or
+    * slightly-corrupted re-crawls of the same media share most of
+    * their content bytes but no md5. A 60-bit average-hash (the
+    * aHash shape: 60 stride-sampled payload bytes, bit k set iff
+    * sample k is above the sample mean — on real decoded media the
+    * samples are the 8×8 grayscale tile; here they sample the payload
+    * directly, the [[MediaDecoder]] stub discipline) is compared at
+    * Hamming ≤ [[PhashMaxHamming]] over the same 15-bit-chunk
+    * pigeonhole blocking as [[graft.ext.Dedup.simhashPairs]]
+    * (guaranteed recall at distance ≤ 3, approximate above — the
+    * documented tradeoff of chunk blocking).
+    *
+    * Scale shape: the hash is a per-row projection (payload bytes
+    * never cross an exchange); only (doc_id, 60-bit hash) rows — 16
+    * bytes/doc regardless of media size — reach the 4-chunk explode
+    * and the chunk-blocked self-join.
+    */
+  def phashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = Tables.documentsRaw(spark, sfDir)
+      .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"),
+        octet_length(col("text").cast("binary")).cast("long").as("nb"))
+      .selectExpr("doc_id",
+        """transform(sequence(0, 59), k ->
+             CAST(conv(substr(hx, CAST(2 * ((k * nb) div 60) + 1 AS INT), 2), 16, 10)
+               AS BIGINT)) AS bs""")
+      .selectExpr("doc_id", "bs", "aggregate(bs, 0L, (a, x) -> a + x) AS tot")
+      .selectExpr("doc_id",
+        """aggregate(sequence(0, 59), 0L, (a, k) ->
+             a + IF(element_at(bs, CAST(k + 1 AS INT)) * 60 > tot,
+                    shiftleft(1L, CAST(k AS INT)), 0L)) AS phash""")
+    val chunks = sig
+      .withColumn("c", explode(sequence(lit(0), lit(3))))
+      .select(col("doc_id"), col("c"),
+        expr("shiftright(phash, 15 * c) & 32767").as("chunk"), col("phash"))
+    chunks.toDF("doc_a", "c", "chunk", "ph_a")
+      .join(chunks.toDF("doc_b", "c_r", "chunk_r", "ph_b"),
+        col("c") === col("c_r") && col("chunk") === col("chunk_r") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashMaxHamming)
+  }
+
   /** Items per GPU batch in [[batchPlan]]. */
   private val BatchSize = 32
 
@@ -345,6 +396,31 @@ object Multimodal {
                 count(*) AS n_copies
          FROM documents
          GROUP BY 1""",
+    "mm_phash_neardup" ->
+      """WITH b AS (
+           SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS nb
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  [('0x' || substr(hx, 2*((k*nb)//60)+1, 2))::BIGINT
+                   for k in range(60)] AS bs
+           FROM b),
+         s2 AS (SELECT doc_id, bs, list_sum(bs) AS tot FROM s),
+         h AS (
+           SELECT doc_id,
+                  list_sum([CASE WHEN bs[k+1]*60 > tot
+                            THEN (1::BIGINT << k) ELSE 0::BIGINT END
+                            for k in range(60)]) AS phash
+           FROM s2),
+         chunks AS (
+           SELECT doc_id, c, (phash >> (15 * c)) & 32767 AS chunk, phash
+           FROM h, range(4) t(c))
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.phash, b.phash)) AS hamming
+         FROM chunks a JOIN chunks b
+           ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash, b.phash)) <= 8""",
     "mm_decode_meta" ->
       """WITH b AS (
            SELECT doc_id, hex(encode(text)) AS hx,
@@ -391,6 +467,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> decodeMeta _,
     "mm_dedup_payload" -> payloadDedup _,
+    "mm_phash_neardup" -> phashNearDup _,
     "mm_frame_sample" -> frameSample _,
     "mm_resize_dims" -> resizeDims _,
     "mm_batch_plan" -> batchPlan _,

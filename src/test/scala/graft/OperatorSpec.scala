@@ -1579,6 +1579,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_phash_neardup matches an independent in-memory aHash + chunk-blocking recompute") {
+    def phashRef(text: String): Long = {
+      val bytes = text.getBytes("UTF-8").map(_ & 0xFF)
+      val samples = (0 until 60).map(k => bytes((k.toLong * bytes.length / 60).toInt).toLong)
+      val tot = samples.sum
+      (0 until 60).foldLeft(0L)((acc, k) =>
+        if (samples(k) * 60 > tot) acc | (1L << k) else acc)
+    }
+    val hs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), phashRef(r.getString(1)))).sortBy(_._1)
+    def chunk(h: Long, c: Int): Long = (h >> (15 * c)) & 32767L
+    val expected = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      (a, ha) = hs(i); (b, hb) = hs(j)
+      if (0 until 4).exists(c => chunk(ha, c) == chunk(hb, c))
+      hd = java.lang.Long.bitCount(ha ^ hb)
+      if hd <= 8
+    } yield ((a, b), hd.toLong)).toMap
+    val got = ext.Multimodal.phashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
   test("semdedup hot-cell cap: an adversarial all-in-one-cell corpus generates zero pairs") {
     graft.functions.expressions.GraftFunctions.register(spark)
     // 40 identical vectors in one cell (every pair cosine 1.0) plus a
