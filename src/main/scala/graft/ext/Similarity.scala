@@ -326,6 +326,37 @@ object Similarity {
         col("neighbor_label"), col("score"))
   }
 
+  /** ANN recall evaluation — the index-quality measurement a serving
+    * deployment runs before trading exactness for throughput: per
+    * query vector, how many of the exact brute-force top-3
+    * ([[bruteforceTopK]]) the single-probe LSH path ([[annLshTopK]])
+    * actually returned, as integer per-mille recall. Ships as a
+    * declared query (not just a test) because at scale recall drifts
+    * with the data distribution and the check must rerun on corpus
+    * refresh — the eval IS part of the pipeline.
+    *
+    * Scale shape: both rank lists are bounded (3 rows/query); the
+    * comparison join and the per-query counts are constant-size work
+    * on top of the two serving paths, which each keep their own
+    * documented scale shapes.
+    */
+  def recallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val bf = bruteforceTopK(spark, sfDir).filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = annLshTopK(spark, sfDir)
+      .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+    val hits = bf.join(ann,
+        col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
+        "left_outer")
+      .groupBy("query_id")
+      .agg(count(col("a_nid")).as("n_hits"))
+    val annCounts = ann.groupBy(col("a_qid")).agg(count(lit(1)).as("n_ann"))
+    hits.join(annCounts, col("query_id") === col("a_qid"), "left_outer")
+      .select(col("query_id"), coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        col("n_hits"),
+        expr("CAST((n_hits * 1000) div 3 AS BIGINT)").as("recall_permille"))
+  }
+
   /** SemDeDup cell-count derivation: enough quantizer cells to hold
     * expected occupancy at ≤[[TargetOccupancy]] (floor 8) — the same
     * corpus-derived-parameter rule as [[planesFor]], so per-cell pair
@@ -1631,6 +1662,41 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 3""",
+    "sim_recall_eval" ->
+      s"""WITH $LshSigsSql,
+          b AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sigs s USING (vec_id)),
+          bfs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   $CosExpr AS score
+            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < $NumQueryVecs),
+          bf AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rn
+                  FROM bfs)
+            WHERE rn <= 3),
+          anns AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   $CosExpr AS score
+            FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+            WHERE q.vec_id < $NumQueryVecs),
+          ann AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rn
+                  FROM anns)
+            WHERE rn <= 3),
+          annc AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY query_id),
+          hits AS (
+            SELECT bf.query_id, count(a.neighbor_id) AS n_hits
+            FROM bf LEFT JOIN ann a
+              ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
+            GROUP BY bf.query_id)
+          SELECT h.query_id, CAST(coalesce(c.n_ann, 0) AS BIGINT) AS n_ann,
+                 h.n_hits, (h.n_hits * 1000) // 3 AS recall_permille
+          FROM hits h LEFT JOIN annc c USING (query_id)""",
     "sim_ann_multiprobe" ->
       s"""WITH $LshSigsSql,
           b AS (SELECT e.vec_id, e.embedding, s.bucket
@@ -1812,5 +1878,6 @@ object Similarity {
     "emb_cluster_knn" -> knnClusters _,
     "sim_hard_negatives" -> hardNegatives _,
     "semdedup" -> semDedup _,
+    "sim_recall_eval" -> recallEval _,
   )
 }
