@@ -72,6 +72,8 @@ class InvarianceSpec extends AnyFunSuite {
     "sim_hard_negatives",   // cross-label heap top-K
     "split_leakage",        // LSH pair set ∘ hash split assignment
     "layout_zorder",        // bit-interleave projection + broadcast min-day
+    "mm_phash_neardup",     // per-row aHash + chunk-blocked pair join
+    "sim_recall_eval",      // bounded rank-list comparison counts
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
