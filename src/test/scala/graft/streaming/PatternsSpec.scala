@@ -173,6 +173,50 @@ class PatternsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: fixed dim joins broadcast, left-outer keeps unmatched") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq(("u1", "gold"), ("u2", "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[String]
+    val q = Enrich.start(EventCodec.parse(input.toDF()), dim, "enrich_sink")
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      // u1/u2 enriched, u3 kept with null tier — degraded mode
+      val rows = spark.table("enrich_sink").collect()
+        .map(r => (r.getString(0), Option(r.getAs[String]("tier")).getOrElse("∅")))
+        .toSet
+      assert(rows === Set(("u1", "gold"), ("u2", "silver"), ("u3", "∅")))
+    } finally q.stop()
+  }
+
+  test("refreshable enrichment: per-batch dim re-read picks up a warehouse overwrite") {
+    implicit val ctx = spark.sqlContext
+    val dimDir = graft.TestSpark.tmpDir("enrich-dim")
+    val outDir = graft.TestSpark.tmpDir("enrich-out")
+    val ckpt = graft.TestSpark.tmpDir("enrich-ckpt")
+    Seq(("u1", "gold"), ("u2", "silver")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    val input = MemoryStream[String]
+    val q = Enrich.startRefreshable(
+      EventCodec.parse(input.toDF()), dimDir, outDir, ckpt)
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      val v1 = spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[String]("user_id"),
+          Option(r.getAs[String]("tier")).getOrElse("∅"))).toSet
+      assert(v1 === Set(("u1", "gold"), ("u2", "silver"), ("u3", "∅")))
+      // warehouse refresh between triggers: u3 gains a profile, u1 is
+      // re-tiered; the SAME running query resolves v2 on the next batch
+      Seq(("u1", "platinum"), ("u2", "silver"), ("u3", "bronze"))
+        .toDF("user_id", "tier").write.mode("overwrite").parquet(dimDir)
+      input.addData(batch2); q.processAllAvailable()
+      val v2 = spark.read.parquet(outDir).collect()
+        .filter(_.getAs[java.sql.Timestamp]("timestamp").getTime >=
+          java.sql.Timestamp.valueOf("2024-01-01 00:01:00").getTime)
+        .map(r => (r.getAs[String]("user_id"), r.getAs[String]("tier"))).toSet
+      assert(v2 === Set(("u2", "silver"), ("u3", "bronze")))
+    } finally q.stop()
+  }
+
   test("pattern 1.1 strict mode reproduces the reference's late-drop quirk (T6)") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
