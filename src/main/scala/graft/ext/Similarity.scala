@@ -328,9 +328,11 @@ object Similarity {
 
   /** ANN recall evaluation — the index-quality measurement a serving
     * deployment runs before trading exactness for throughput: per
-    * query vector, how many of the exact brute-force top-3
-    * ([[bruteforceTopK]]) the single-probe LSH path ([[annLshTopK]])
-    * actually returned, as integer per-mille recall. Ships as a
+    * query vector and each approximate serving path (single-probe
+    * [[annLshTopK]] and Hamming-1 multi-probe [[annLshMultiProbe]]),
+    * how many of the exact brute-force top-3 ([[bruteforceTopK]]) the
+    * path actually returned, as integer per-mille recall — the
+    * recall-vs-cost frontier in one relation. Ships as a
     * declared query (not just a test) because at scale recall drifts
     * with the data distribution and the check must rerun on corpus
     * refresh — the eval IS part of the pipeline.
@@ -343,18 +345,22 @@ object Similarity {
   def recallEval(spark: SparkSession, sfDir: String): DataFrame = {
     val bf = bruteforceTopK(spark, sfDir).filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"))
-    val ann = annLshTopK(spark, sfDir)
-      .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
-    val hits = bf.join(ann,
-        col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
-        "left_outer")
-      .groupBy("query_id")
-      .agg(count(col("a_nid")).as("n_hits"))
-    val annCounts = ann.groupBy(col("a_qid")).agg(count(lit(1)).as("n_ann"))
-    hits.join(annCounts, col("query_id") === col("a_qid"), "left_outer")
-      .select(col("query_id"), coalesce(col("n_ann"), lit(0L)).as("n_ann"),
-        col("n_hits"),
-        expr("CAST((n_hits * 1000) div 3 AS BIGINT)").as("recall_permille"))
+    def evalOne(annDf: DataFrame, method: String): DataFrame = {
+      val ann = annDf
+        .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+      val hits = bf.join(ann,
+          col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
+          "left_outer")
+        .groupBy("query_id")
+        .agg(count(col("a_nid")).as("n_hits"))
+      val annCounts = ann.groupBy(col("a_qid")).agg(count(lit(1)).as("n_ann"))
+      hits.join(annCounts, col("query_id") === col("a_qid"), "left_outer")
+        .select(lit(method).as("method"), col("query_id"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"), col("n_hits"),
+          expr("CAST((n_hits * 1000) div 3 AS BIGINT)").as("recall_permille"))
+    }
+    evalOne(annLshTopK(spark, sfDir), "lsh")
+      .unionAll(evalOne(annLshMultiProbe(spark, sfDir), "multiprobe"))
   }
 
   /** SemDeDup cell-count derivation: enough quantizer cells to hold
@@ -1688,15 +1694,39 @@ object Similarity {
                             ORDER BY score DESC, neighbor_id ASC) AS rn
                   FROM anns)
             WHERE rn <= 3),
+          mps AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   $CosExpr AS score
+            FROM b q JOIN b c
+              ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND c.vec_id != q.vec_id
+            WHERE q.vec_id < $NumQueryVecs),
+          mp AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rn
+                  FROM mps)
+            WHERE rn <= 3),
           annc AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY query_id),
+          mpc AS (SELECT query_id, count(*) AS n_ann FROM mp GROUP BY query_id),
           hits AS (
             SELECT bf.query_id, count(a.neighbor_id) AS n_hits
             FROM bf LEFT JOIN ann a
               ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
+            GROUP BY bf.query_id),
+          mhits AS (
+            SELECT bf.query_id, count(a.neighbor_id) AS n_hits
+            FROM bf LEFT JOIN mp a
+              ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
             GROUP BY bf.query_id)
-          SELECT h.query_id, CAST(coalesce(c.n_ann, 0) AS BIGINT) AS n_ann,
+          SELECT 'lsh' AS method, h.query_id,
+                 CAST(coalesce(c.n_ann, 0) AS BIGINT) AS n_ann,
                  h.n_hits, (h.n_hits * 1000) // 3 AS recall_permille
-          FROM hits h LEFT JOIN annc c USING (query_id)""",
+          FROM hits h LEFT JOIN annc c USING (query_id)
+          UNION ALL
+          SELECT 'multiprobe' AS method, h.query_id,
+                 CAST(coalesce(c.n_ann, 0) AS BIGINT) AS n_ann,
+                 h.n_hits, (h.n_hits * 1000) // 3 AS recall_permille
+          FROM mhits h LEFT JOIN mpc c USING (query_id)""",
     "sim_ann_multiprobe" ->
       s"""WITH $LshSigsSql,
           b AS (SELECT e.vec_id, e.embedding, s.bucket
