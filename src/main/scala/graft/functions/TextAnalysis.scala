@@ -814,6 +814,53 @@ object TextAnalysis {
         (1 until HashFeatDim).map(j => count_if(col("b") === j).as(s"f$j")): _*)
   }
 
+  /** Bounded vocabulary size for [[tokenIds]] — 16 for the synthetic
+    * corpus (its base vocabulary is ~32 words, so both the in-vocab
+    * and OOV branches carry real mass); production tokenizers bound at
+    * 32k-256k, same contract.
+    */
+  private[graft] val TokenIdVocab = 16
+
+  /** Vocabulary-rank token ENCODING — the actual tokenize-at-scale
+    * pass that [[tokenCount]] only counts: each document becomes its
+    * sequence of integer token ids, id = 1-based rank of the token in
+    * the TOP-[[TokenIdVocab]] vocabulary by (df DESC, token ASC), 0
+    * for out-of-vocabulary — the (UNK, bounded-vocab) contract of a
+    * word-level tokenizer. Complements [[hashFeatures]] (stateless,
+    * unordered) with the stateful, ORDER-PRESERVING encoding training
+    * actually consumes.
+    *
+    * Scale shape: the tokenizer ships to the data, not the reverse —
+    * the ranked vocabulary folds into a 1-row token→id MAP broadcast
+    * to every task (the quantizer-as-data discipline of
+    * [[graft.ext.Similarity]]'s IVF path: a 256k-entry map is a few
+    * MB, nothing for Janino to compile), and encoding is a per-row
+    * array transform: ZERO corpus-grain exchange, output rows stay on
+    * their scan partitions. The only non-scan work is the bounded
+    * vocab rank (TakeOrdered to [[TokenIdVocab]] rows, then a
+    * window over that constant-size list).
+    */
+  def tokenIds(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = vocabulary(spark, sfDir)
+      .select(col("token"), col("df"))
+      .orderBy(col("df").desc, col("token").asc).limit(TokenIdVocab)
+      .withColumn("id", row_number().over(
+        Window.orderBy(col("df").desc, col("token").asc)).cast("long"))
+    val vmap = ranked
+      .agg(map_from_entries(collect_list(struct(col("token"), col("id"))))
+        .as("vmap"))
+    val ws = words(col("text"))
+    Tables.documents(spark, sfDir)
+      .crossJoin(broadcast(vmap))
+      .select(col("doc_id"),
+        transform(ws, w => coalesce(try_element_at(col("vmap"), w), lit(0L))).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        size(filter(col("ids"), i => i === 0)).cast("long").as("n_oov"),
+        array_join(transform(col("ids"), i => i.cast("string")), ",").as("ids_csv"))
+  }
+
   /** Winnowing shingle length (k words) and window width for
     * [[winnow]]; the scheme guarantees any shared run of
     * k + w − 1 = 6 tokens produces at least one common fingerprint.
@@ -1314,6 +1361,28 @@ object TextAnalysis {
             SELECT doc_id, md5(redacted) AS redacted_md5,
                    length(redacted) AS n_chars_redacted
             FROM red""",
+      "text_token_ids" ->
+        s"""WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+            td AS (SELECT token, doc_id FROM tok GROUP BY token, doc_id),
+            vocab AS (SELECT token, count(*) AS df FROM td GROUP BY token),
+            ranked AS (
+              SELECT token,
+                     CAST(row_number() OVER (ORDER BY df DESC, token ASC) AS BIGINT) AS id
+              FROM (SELECT * FROM vocab ORDER BY df DESC, token ASC LIMIT $TokenIdVocab)),
+            d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            tk AS (
+              SELECT doc_id,
+                     unnest([struct_pack(i := i, token := ws[i+1])
+                             for i in range(len(ws))]) AS s
+              FROM d),
+            ids AS (
+              SELECT doc_id, s.i AS i, coalesce(r.id, 0) AS id
+              FROM tk LEFT JOIN ranked r ON r.token = s.token)
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   string_agg(CAST(id AS VARCHAR), ',' ORDER BY i) AS ids_csv
+            FROM ids GROUP BY doc_id""",
       "text_token_count" ->
         """SELECT doc_id,
                   len(string_split(text, ' ')) AS ws_tokens,
@@ -1541,6 +1610,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> quality _,
     "text_token_count" -> tokenCount _,
+    "text_token_ids" -> tokenIds _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,
     "text_lexical_diversity" -> lexicalDiversity _,

@@ -1639,6 +1639,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2)).toSet === expected)
   }
 
+  test("text_token_ids matches an independent in-memory bounded-vocab encoding") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val df = docs.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val rank = df.toSeq.sortBy { case (t, d) => (-d, t) }
+      .take(graft.functions.TextAnalysis.TokenIdVocab)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    val expected = docs.map { case (id, ws) =>
+      val ids = ws.map(w => rank.getOrElse(w, 0L))
+      (id, ws.length.toLong, ids.count(_ == 0L).toLong, ids.mkString(","))
+    }.toSet
+    val got = graft.functions.TextAnalysis.tokenIds(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === expected)
+  }
+
   test("retrieval_bm25 matches an independent in-memory Okapi computation") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
