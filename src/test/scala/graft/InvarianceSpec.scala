@@ -74,6 +74,7 @@ class InvarianceSpec extends AnyFunSuite {
     "layout_zorder",        // bit-interleave projection + broadcast min-day
     "mm_phash_neardup",     // per-row aHash + chunk-blocked pair join
     "sim_recall_eval",      // bounded rank-list comparison counts
+    "text_token_ids",       // broadcast vocab-map per-row encoding
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
