@@ -275,6 +275,10 @@ object Multimodal {
     * and the chunk-blocked self-join.
     */
   def phashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // self-joined below; (doc_id, 60-bit hash) rows are the one shape
+    // the storage-level rule allows in memory (16 bytes/doc) — without
+    // the cache both join sides re-run the interpreted HOF hash chain
+    // over the full payload scan (the dedup_simhash_pairs discipline)
     val sig = Tables.documentsRaw(spark, sfDir)
       .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"),
         octet_length(col("text").cast("binary")).cast("long").as("nb"))
@@ -287,6 +291,7 @@ object Multimodal {
         """aggregate(sequence(0, 59), 0L, (a, k) ->
              a + IF(element_at(bs, CAST(k + 1 AS INT)) * 60 > tot,
                     shiftleft(1L, CAST(k AS INT)), 0L)) AS phash""")
+      .cache()
     val chunks = sig
       .withColumn("c", explode(sequence(lit(0), lit(3))))
       .select(col("doc_id"), col("c"),
