@@ -343,8 +343,11 @@ object Similarity {
     * documented scale shapes.
     */
   def recallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    // the exact truth list is 3 rows/query — cache it so each method's
+    // eval branch doesn't rerun the brute-force corpus pass
     val bf = bruteforceTopK(spark, sfDir).filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"))
+      .cache()
     def evalOne(annDf: DataFrame, method: String): DataFrame = {
       val ann = annDf
         .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
