@@ -329,10 +329,11 @@ object Similarity {
   /** ANN recall evaluation — the index-quality measurement a serving
     * deployment runs before trading exactness for throughput: per
     * query vector and each approximate serving path (single-probe
-    * [[annLshTopK]] and Hamming-1 multi-probe [[annLshMultiProbe]]),
-    * how many of the exact brute-force top-3 ([[bruteforceTopK]]) the
-    * path actually returned, as integer per-mille recall — the
-    * recall-vs-cost frontier in one relation. Ships as a
+    * [[annLshTopK]], Hamming-1 multi-probe [[annLshMultiProbe]], and
+    * [[ivfTopK]]), how many of the exact brute-force top-3
+    * ([[bruteforceTopK]]) the path actually returned, as integer
+    * per-mille recall — the recall-vs-cost frontier in one relation.
+    * Ships as a
     * declared query (not just a test) because at scale recall drifts
     * with the data distribution and the check must rerun on corpus
     * refresh — the eval IS part of the pipeline.
@@ -364,6 +365,7 @@ object Similarity {
     }
     evalOne(annLshTopK(spark, sfDir), "lsh")
       .unionAll(evalOne(annLshMultiProbe(spark, sfDir), "multiprobe"))
+      .unionAll(evalOne(ivfTopK(spark, sfDir), "ivf"))
   }
 
   /** SemDeDup cell-count derivation: enough quantizer cells to hold
@@ -1672,7 +1674,8 @@ object Similarity {
                 FROM scored)
           WHERE rn <= 3""",
     "sim_recall_eval" ->
-      s"""WITH $LshSigsSql,
+      s"""WITH $IvfAssignCtes,
+          $LshSigsSql,
           b AS (SELECT e.vec_id, e.embedding, s.bucket
                 FROM embeddings e JOIN sigs s USING (vec_id)),
           bfs AS (
@@ -1709,8 +1712,21 @@ object Similarity {
                             ORDER BY score DESC, neighbor_id ASC) AS rn
                   FROM mps)
             WHERE rn <= 3),
+          ivs AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id, $CosExpr AS score
+            FROM probes p
+            JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.query_id
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN embeddings c ON c.vec_id = a.vec_id),
+          iv AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rn
+                  FROM ivs)
+            WHERE rn <= 3),
           annc AS (SELECT query_id, count(*) AS n_ann FROM ann GROUP BY query_id),
           mpc AS (SELECT query_id, count(*) AS n_ann FROM mp GROUP BY query_id),
+          ivc AS (SELECT query_id, count(*) AS n_ann FROM iv GROUP BY query_id),
           hits AS (
             SELECT bf.query_id, count(a.neighbor_id) AS n_hits
             FROM bf LEFT JOIN ann a
@@ -1719,6 +1735,11 @@ object Similarity {
           mhits AS (
             SELECT bf.query_id, count(a.neighbor_id) AS n_hits
             FROM bf LEFT JOIN mp a
+              ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
+            GROUP BY bf.query_id),
+          ihits AS (
+            SELECT bf.query_id, count(a.neighbor_id) AS n_hits
+            FROM bf LEFT JOIN iv a
               ON a.query_id = bf.query_id AND a.neighbor_id = bf.neighbor_id
             GROUP BY bf.query_id)
           SELECT 'lsh' AS method, h.query_id,
@@ -1729,7 +1750,12 @@ object Similarity {
           SELECT 'multiprobe' AS method, h.query_id,
                  CAST(coalesce(c.n_ann, 0) AS BIGINT) AS n_ann,
                  h.n_hits, (h.n_hits * 1000) // 3 AS recall_permille
-          FROM mhits h LEFT JOIN mpc c USING (query_id)""",
+          FROM mhits h LEFT JOIN mpc c USING (query_id)
+          UNION ALL
+          SELECT 'ivf' AS method, h.query_id,
+                 CAST(coalesce(c.n_ann, 0) AS BIGINT) AS n_ann,
+                 h.n_hits, (h.n_hits * 1000) // 3 AS recall_permille
+          FROM ihits h LEFT JOIN ivc c USING (query_id)""",
     "sim_ann_multiprobe" ->
       s"""WITH $LshSigsSql,
           b AS (SELECT e.vec_id, e.embedding, s.bucket
