@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (exprs.length == 1) ShingleHashes(exprs(0), 5)
         else ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.WSqDistName),
+      info(GraftFunctions.WSqDistName,
+        "diagonal-Mahalanobis weighted squared distance to a constant center"),
+      (exprs: Seq[Expression]) => WeightedSqDist(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier(GraftFunctions.DotIntName),
       info(GraftFunctions.DotIntName,
         "exact integer dot of two array<int> code vectors, long accumulation"),
