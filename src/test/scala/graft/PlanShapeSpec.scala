@@ -185,8 +185,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // the build lineage): a single groupBy(token) computes tf and df
     // together from the first-occurrence-tagged explode — exactly one
     // grouped exchange (the n_docs branch is a zero-column count +
-    // 1-row broadcast)
-    val plan = functions.TextAnalysis.vocabularyBuild(spark, sf)
+    // 1-row broadcast). Pinned at sf0.01, NOT the suite's sf0.001:
+    // Spark's cache manager substitutes by plan equality, so once any
+    // other suite persists the sf0.001 vocabulary index the identical
+    // build plan here resolves to an InMemoryTableScan and the pin
+    // would race with test order; no test persists a vocabulary for
+    // sf0.01, keeping this plan cache-free deterministically.
+    val plan = functions.TextAnalysis.vocabularyBuild(spark, "/root/testdata/sf0.01")
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, s"\n$plan")
