@@ -44,6 +44,25 @@ object Dedup {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingleArray).as("shingle"))
 
+  /** MinHash signatures of ANY (doc_id, text) frame — the signature
+    * expression factored out of [[minhashSignatures]] so the batch
+    * index build and the streaming index REFRESH
+    * ([[graft.streaming.CorpusPrep.startIndexRefresh]]) compute
+    * bit-identical signatures and cannot drift. Signatures are per-doc
+    * (no cross-document dependency), which is exactly why incremental
+    * maintenance is sound: a batch of new documents appends its own
+    * rows and touches nothing else.
+    */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingleArray).as("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
+        (1 until NumHashes).map(i =>
+          min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mhs"))
+
   /** Exact dedup: group by content hash; keeper = lowest doc_id.
     * One shuffle on md5(text).
     */
@@ -496,14 +515,7 @@ object Dedup {
       // transform(sequence(..), i -> array_min(..)) — is interpreted
       // per-element in Spark and benches ~8x slower; HOFs stay out of
       // this hot path deliberately.)
-      def build = shingles(spark, sfDir)
-        .groupBy("doc_id")
-        .agg(
-          min(md5(concat(lit("0|"), col("shingle")))).as("mh0"),
-          (1 until NumHashes).map(i =>
-            min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"mh$i")): _*)
-        .select(col("doc_id"),
-          array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("mhs"))
+      def build = signaturesOf(Tables.documents(spark, sfDir))
       graft.IndexStore.resolve(spark, sfDir, "minhash_sig", Some("doc_id"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }

@@ -61,4 +61,41 @@ object CorpusPrep {
         .outputMode("append")
         .format("memory"), trigger)
       .start()
+
+  /** Incremental index maintenance — the REFRESH leg of the
+    * train-once/serve-many index lifecycle ([[graft.IndexStore]]):
+    * each micro-batch of newly-landed (gated, deduped) documents
+    * computes its MinHash signatures with the SAME factored expression
+    * the batch index build uses
+    * ([[graft.ext.Dedup.signaturesOf]] — bit-identical by
+    * construction) and APPENDS them to the signature table, so the
+    * near-dup serving index stays fresh without ever recomputing the
+    * landed corpus. Sound because signatures are strictly per-document
+    * — a new batch appends its own rows and touches nothing else; the
+    * batch path re-derives banding/pairs from the grown table on its
+    * own cadence.
+    *
+    * Scale shape: per-batch work is (batch × shingles) — one grouped
+    * aggregation at batch grain, no state, no join against the landed
+    * index; the append is partition-local parquet. Checkpointed, so a
+    * replayed batch re-appends only after a crash BEFORE the commit —
+    * the downstream banding pass is insensitive to duplicate signature
+    * rows (DISTINCT pair generation), the same tolerance the reference
+    * accepts for its staging appends (SURVEY K4).
+    */
+  def startIndexRefresh(
+      docs: DataFrame,
+      sigDir: String,
+      checkpoint: String,
+      lateness: String = "1 minute",
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = prepared(docs, lateness)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Dedup.signaturesOf(batch.select("doc_id", "text"))
+          .write.mode("append").parquet(sigDir)
+      }
+    Patterns.withTrigger(w, trigger).start()
+  }
 }

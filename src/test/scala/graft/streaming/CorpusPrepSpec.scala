@@ -61,4 +61,35 @@ class CorpusPrepSpec extends AnyFunSuite {
       assert(math.abs(score1 - (100.0 / 256.0)) < 1e-12) // no stopwords → n/256
     } finally q.stop()
   }
+
+  test("streaming index refresh appends signatures bit-identical to the batch builder") {
+    implicit val ctx = spark.sqlContext
+    val sigDir = TestSpark.tmpDir("sig-refresh")
+    val ckpt = TestSpark.tmpDir("sig-refresh-ckpt")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = CorpusPrep.startIndexRefresh(docs, sigDir, ckpt)
+    try {
+      // 100 tokens → quality 100/256, above the 0.3 gate
+      def doc(seed: Int) =
+        (1 to 100).map(i => s"w${(i * seed) % 17}_$i").mkString(" ")
+      input.addData(Seq(
+        (1L, doc(3), ts(1)),
+        (2L, "the the the the the the", ts(2)),  // gated out → never indexed
+        (3L, doc(5), ts(3))))
+      q.processAllAvailable()
+      input.addData(Seq(
+        (4L, doc(3), ts(4)),   // cross-batch duplicate → suppressed, not re-indexed
+        (5L, doc(7), ts(5))))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(sigDir).collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toList)).sortBy(_._1).toSeq
+      // batch builder over the documents that should have landed
+      val expected = graft.ext.Dedup.signaturesOf(
+        Seq((1L, doc(3)), (3L, doc(5)), (5L, doc(7))).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList))
+        .sortBy(_._1).toSeq
+      assert(streamed === expected)
+    } finally q.stop()
+  }
 }
