@@ -1639,6 +1639,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2)).toSet === expected)
   }
 
+  test("sim_recall_eval: multiprobe recall dominates single-probe per query") {
+    // multiprobe's candidate pool is a strict superset of the
+    // single-probe bucket; displacing a truth item from an ANN top-3
+    // requires 3 better-scoring candidates, which would themselves be
+    // truth items — so per-query recall is monotone in the pool
+    val rows = ext.Similarity.recallEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    val byQ = rows.groupBy(_._2)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, ms) =>
+      val m = ms.map(t => t._1 -> t._3).toMap
+      withClue(q)(assert(m("multiprobe") >= m("lsh")))
+    }
+  }
+
   test("text_token_ids matches an independent in-memory bounded-vocab encoding") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
