@@ -20,6 +20,7 @@ class StorageLevelSpec extends AnyFunSuite {
     assert(ext.Dedup.minhashSignatures(spark, sf).storageLevel === StorageLevel.DISK_ONLY)
     assert(ext.Similarity.knnEdges(spark, sf).storageLevel === StorageLevel.DISK_ONLY)
     assert(ext.Similarity.semAssigned(spark, sf).storageLevel === StorageLevel.DISK_ONLY)
+    assert(ext.Similarity.sq8Index(spark, sf).storageLevel === StorageLevel.DISK_ONLY)
     // IVF index: 1-row quantizer may sit in memory, the inverted file
     // (carries the corpus embeddings) must not
     val (quant, assigned) = ext.Similarity.ivfIndex(spark, sf)
