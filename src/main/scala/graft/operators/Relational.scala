@@ -344,17 +344,20 @@ object Relational {
           greatest(lit(5L), ceil(col("n_exact") * 0.15).cast("long")))
           .as("within_band"))
 
-  /** TPC-H Q14-style promo revenue: lineitem ⋈ broadcast part with a
+  /** TPC-H Q14-style promo revenue: lineitem ⋈ part with a
     * conditional (CASE-guarded) aggregate — the fraction of revenue
     * from promotional parts per month. Demonstrates conditional
-    * aggregation and a fact⋈dimension join on the part table.
+    * aggregation and a fact⋈dimension join on the part table. `part`
+    * grows linearly with SF, so the join strategy is left to
+    * stats/AQE (no hint): small SFs broadcast by size, a 100 TB run
+    * degrades to a shuffle join instead of OOMing the executors.
     */
   def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val rev = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") >= lit("2000-01-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("2001-01-01 00:00:00").cast("timestamp"))
-      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_type")),
+      .join(Tables.part(spark, sfDir).select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
       .agg(
@@ -371,8 +374,9 @@ object Relational {
     * cents — order-independent under any partitioning, so the top-20
     * cut is deterministic; ranking on a float sum could flip ties
     * across engines), with doubles only in the final projection. The
-    * limit plans as TakeOrderedAndProject; the customer dim joins
-    * broadcast.
+    * limit plans as TakeOrderedAndProject; the customer join strategy
+    * is stats/AQE-decided (customer grows with the data — never a
+    * hardcoded broadcast hint, same policy as q5/q18).
     */
   def q10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
     val revCbp = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
@@ -382,8 +386,8 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(revCbp).as("rev_cbp"), count(lit(1)).as("n_items"))
-      .join(broadcast(Tables.customer(spark, sfDir)
-        .select("c_custkey", "c_name", "c_acctbal")),
+      .join(Tables.customer(spark, sfDir)
+        .select("c_custkey", "c_name", "c_acctbal"),
         col("o_custkey") === col("c_custkey"))
       .orderBy(col("rev_cbp").desc, col("c_custkey").asc)
       .limit(20)
@@ -1786,10 +1790,10 @@ object Relational {
            AND l_quantity < 24""",
     "q12_shipmode_priority" ->
       """SELECT l_returnflag,
-                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-                sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
            AND l_shipdate <  TIMESTAMP '1998-01-01'

@@ -42,13 +42,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object Enrich {
 
   /** Enriched stream as a DataFrame (composable with the pattern
-    * sinks); `dim` must carry `joinKey`.
+    * sinks); `dim` must carry `joinKey`. No broadcast hint: the
+    * planner decides by the dimension's size stats, so a small dim
+    * broadcasts and an oversized one degrades to a shuffle join on
+    * the key instead of OOMing — the fallback the header's scale
+    * shape promises (a hardcoded hint would disable it).
     */
   def enriched(
       parsed: DataFrame,
       dim: DataFrame,
       joinKey: String = "user_id"): DataFrame =
-    parsed.join(broadcast(dim), Seq(joinKey), "left_outer")
+    parsed.join(dim, Seq(joinKey), "left_outer")
 
   /** Fixed-dimension form: append-mode memory sink, dim resolved once
     * at start.
@@ -69,8 +73,13 @@ object Enrich {
 
   /** Refreshable-dimension form: the dimension parquet path is
     * re-read per micro-batch inside `foreachBatch`, enriched output
-    * appends to `outDir`. Checkpointed — exactly-once per batch id
-    * through the same sink discipline as the patterns.
+    * lands in `outDir`. Idempotent per batch id: each batch OVERWRITES
+    * its own `batch_id=<n>` subdirectory, so a crash between the write
+    * and the checkpoint commit replays the batch onto itself instead
+    * of double-appending — exactly-once at the directory level.
+    * Readers `spark.read.parquet(outDir)` as usual; partition
+    * discovery surfaces `batch_id` as an extra long column (which
+    * doubles as replay lineage).
     */
   def startRefreshable(
       parsed: DataFrame,
@@ -81,10 +90,10 @@ object Enrich {
       trigger: Option[Trigger] = None): StreamingQuery = {
     val w = parsed.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dim = batch.sparkSession.read.parquet(dimPath)
-        batch.join(broadcast(dim), Seq(joinKey), "left_outer")
-          .write.mode("append").parquet(outDir)
+        batch.join(dim, Seq(joinKey), "left_outer")
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
     Patterns.withTrigger(w, trigger).start()
   }

@@ -311,6 +311,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q10/q14: grow-with-data joins carry no broadcast hint — stats/AQE decide") {
+    // customer (q10) and part (q14) grow linearly with SF; a hardcoded
+    // hint would override AQE's size check and OOM at 100× scale. The
+    // small-SF plans above still broadcast — but by SIZE STATS, which
+    // is visible as the absence of any hint node in the logical plan.
+    for (q <- Seq("q10_returned_items", "q14_promo_revenue")) {
+      val logical = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.analyzed.toString
+      assert(!logical.contains("ResolvedHint"), s"$q\n$logical")
+    }
+  }
+
   test("basket_pairs: pair join rides the order equi-key — never a nested loop") {
     val plan = executedPlan("basket_pairs")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"\n$plan")
