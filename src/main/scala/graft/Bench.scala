@@ -188,7 +188,11 @@ object Bench {
       Seq(
         "knn_edges" -> (() => { ext.Similarity.knnEdges(spark, queryDir).count(); () }),
         "dup_components_0" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.0); () }),
-        "dup_components_80" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.8); () })))
+        "dup_components_80" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.8); () })),
+      // wave 3: the mutual-kNN component labels contract the wave-2
+      // edge list (the dup_components lifecycle on the embedding side)
+      Seq(
+        "knn_cluster_labels" -> (() => { ext.Similarity.knnClusterLabels(spark, queryDir); () })))
     val indexSeconds: Seq[(String, Double)] = indexWaves.flatMap { wave =>
       Await.result(Future.traverse(wave) { case (name, build) => Future {
         val t0 = System.nanoTime()

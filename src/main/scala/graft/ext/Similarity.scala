@@ -276,16 +276,34 @@ object Similarity {
     * label attach is a broadcast-or-shuffle join of a labels frame
     * whose row count is the vector count.
     */
+  /** Memoized mutual-kNN component labels (v, comp) — the clustering
+    * IS an index artifact (the [[graft.ext.Dedup.dupComponents]]
+    * lifecycle: built once with the edge list it contracts, persisted
+    * DISK_ONLY or warehouse-bucketed under
+    * [[graft.IndexStore.IndexDirKey]]); [[knnClusters]] queries then
+    * reduce to one labels join, exactly as the text side's
+    * `dedup_components` serves from its label index instead of
+    * re-running the O(log n) star contraction per query.
+    */
+  private val knnLabelCache = new graft.SessionCache[DataFrame]
+
+  private[graft] def knnClusterLabels(spark: SparkSession, sfDir: String): DataFrame =
+    knnLabelCache.getOrElseUpdate(spark, sfDir) {
+      // mutual edges via INNER reverse join on the memoized edge list —
+      // the outer-join mutual MARKING of knnGraph is only needed when
+      // non-mutual edges must survive into the output
+      val edges = knnEdges(spark, sfDir).select("src", "dst")
+      val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
+      val mutual = edges.join(rev,
+          col("src") === col("r_src") && col("dst") === col("r_dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      def build = graft.ext.Dedup.starComponents(mutual)._1
+      graft.IndexStore.resolve(spark, sfDir, "knn_cluster_labels", Some("v"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
+
   def knnClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    // mutual edges via INNER reverse join on the memoized edge list —
-    // the outer-join mutual MARKING of knnGraph is only needed when
-    // non-mutual edges must survive into the output
-    val edges = knnEdges(spark, sfDir).select("src", "dst")
-    val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
-    val mutual = edges.join(rev,
-        col("src") === col("r_src") && col("dst") === col("r_dst"))
-      .select(col("src").as("u"), col("dst").as("v"))
-    val (labels, _) = graft.ext.Dedup.starComponents(mutual)
+    val labels = knnClusterLabels(spark, sfDir)
     Tables.embeddings(spark, sfDir).select(col("vec_id"))
       .join(labels.select(col("v").as("vec_id"), col("comp")),
         Seq("vec_id"), "left_outer")
