@@ -380,6 +380,75 @@ object Advanced {
       .select(col("doc_id"), col("source"), col("hash_mod"), col("keep_pm"))
   }
 
+  /** Hashed-feature dimensionality of [[sampleDsir]]'s bucket models —
+    * 64 for the synthetic corpus (production DSIR uses ~10k; the
+    * contract is identical). Bounded and fixed, so both bucket models
+    * are card-sized relations regardless of corpus size.
+    */
+  private val DsirBuckets = 64L
+
+  /** DSIR importance weighting — data selection via importance
+    * resampling (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS 2023): score every raw-corpus
+    * document by how much more likely its hashed-n-gram features are
+    * under a TARGET distribution than under the raw distribution,
+    * log w(d) = Σ_b k_d(b)·(log p_target(b) − log p_raw(b)), then keep
+    * the documents the target domain "wants". The target here is the
+    * benchmark head ([[graft.ext.Dedup.BenchmarkDocs]] — the same
+    * target-set convention decontamination uses); features are
+    * unigrams hashed into [[DsirBuckets]] buckets by the md5 bucket
+    * rule every sampler in this file shares, and both bucket models
+    * carry Laplace +1 smoothing over a full bucket spine so
+    * zero-count buckets are defined identically in both engines.
+    *
+    * Determinism: bucket log-probs round at 1e-9 BEFORE the
+    * difference (the [[graft.functions.TextAnalysis.unigramModel]]
+    * discipline), per-doc weights at 1e-6 after the ≤[[DsirBuckets]]-
+    * term sum, and `selected` compares the ROUNDED weight against a
+    * fixed literal (0 = more target-like than raw-like) — so the
+    * selection set is bit-reproducible run-over-run and cross-engine,
+    * never a `rand()` draw (DSIR's Gumbel-noise sampling step is a
+    * per-row stateless addition on top of these weights; the weight
+    * relation is the distributed artifact).
+    *
+    * Scale shape: the corpus token stream collapses to (doc, bucket)
+    * counts in ONE corpus-grain aggregate; both models are re-
+    * aggregations of card-sized partials from that grain (64 rows
+    * each) and come back as a BROADCAST join onto the per-doc counts —
+    * the corpus crosses an exchange once, the models never grow with
+    * the data, and there is no driver-side collect anywhere.
+    */
+  def sampleDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = (conv(substring(md5(col("t")), 1, 15), 16, 10)
+      .cast("long") % DsirBuckets).as("b")
+    val docB = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), b)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
+    val spine = spark.range(DsirBuckets).select(col("id").as("b"))
+    def bucketModel(counts: DataFrame, lpName: String): DataFrame = {
+      val total = counts.agg(sum(col("c")).as("tot"))
+      spine.join(counts, Seq("b"), "left_outer")
+        .crossJoin(broadcast(total))
+        .select(col("b"),
+          round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+            (col("tot") + DsirBuckets)), 9).as(lpName))
+    }
+    val target = bucketModel(
+      docB.filter(col("doc_id") < graft.ext.Dedup.BenchmarkDocs)
+        .groupBy("b").agg(sum(col("k")).as("c")), "lt")
+    val raw = bucketModel(
+      docB.groupBy("b").agg(sum(col("k")).as("c")), "lr")
+    val model = target.join(raw, "b")
+      .select(col("b"), (col("lt") - col("lr")).as("dlp"))
+    docB.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_tokens"),
+        round(sum(col("k") * col("dlp")), 6).as("dsir_logw"))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_logw"),
+        (col("dsir_logw") > 0.0).as("selected"))
+  }
+
   /** Tokens per packed training sequence for [[packSequences]]. */
   private val PackBudget = 256L
 
@@ -740,6 +809,35 @@ object Advanced {
                  CAST(row_number() OVER (PARTITION BY hv % $NumShards
                                          ORDER BY hv, doc_id) AS BIGINT) AS pos_in_shard
           FROM h""",
+    "sample_dsir" ->
+      s"""WITH db AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 15))::BIGINT % $DsirBuckets AS b,
+                   count(*) AS k
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            GROUP BY 1, 2),
+          spine AS (SELECT range AS b FROM range($DsirBuckets)),
+          tcnt AS (SELECT b, sum(k) AS c FROM db
+                   WHERE doc_id < ${graft.ext.Dedup.BenchmarkDocs} GROUP BY b),
+          rcnt AS (SELECT b, sum(k) AS c FROM db GROUP BY b),
+          tt AS (SELECT sum(c) AS tot FROM tcnt),
+          rt AS (SELECT sum(c) AS tot FROM rcnt),
+          model AS (
+            SELECT s.b,
+                   round(ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE)
+                            / (tt.tot + $DsirBuckets)), 9)
+                   - round(ln(CAST(coalesce(rc.c, 0) + 1 AS DOUBLE)
+                              / (rt.tot + $DsirBuckets)), 9) AS dlp
+            FROM spine s
+            LEFT JOIN tcnt tc USING (b)
+            LEFT JOIN rcnt rc USING (b), tt, rt),
+          w AS (
+            SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+                   round(sum(k * dlp), 6) AS dsir_logw
+            FROM db JOIN model USING (b) GROUP BY doc_id)
+          SELECT doc_id, n_tokens, dsir_logw, dsir_logw > 0.0 AS selected
+          FROM w""",
     "sample_temperature" ->
       """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
          mn AS (SELECT min(n) AS m FROM cnt),
@@ -978,6 +1076,7 @@ object Advanced {
     "sample_cap_source" -> sampleCapPerSource _,
     "sample_balance_sources" -> sampleBalanceSources _,
     "sample_temperature" -> sampleTemperature _,
+    "sample_dsir" -> sampleDsir _,
     "pack_sequences" -> packSequences _,
     "shard_assign" -> shardAssign _,
     "corpus_prep_best" -> corpusPrepBest _,

@@ -43,6 +43,7 @@ class InvarianceSpec extends AnyFunSuite {
     "dedup_emb_neardup",    // derived-plane LSH pairs + hot-bucket cap
     "corpus_prep_best",     // struct-ordered keeper argmax over components
     "sample_token_budget",  // per-source hash-ordered prefix-sum cut
+    "sample_dsir",          // broadcast bucket-model scoring + rounded logs
     "text_heavy_hitters",   // MG sketch-then-confirm — sketch state varies, confirmed set must not
     "dedup_spans",          // packed-long first-occurrence min
     "events_attribution",   // click-timeline as-of probe + window gate

@@ -739,6 +739,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(aKept > 0 && aKept < 400) // strictly downsampled, not truncated
   }
 
+  test("sample_dsir: independent recompute — target-like docs weigh positive") {
+    val dir = TestSpark.tmpDir("dsir")
+    // target = doc_id < BenchmarkDocs(25): alpha-heavy; raw tail: beta-heavy.
+    // Token counts well above the 64-bucket Laplace pseudo-mass, so the
+    // learned ratios dominate the smoothing (as at corpus scale).
+    def rep(t: String, n: Int) = Seq.fill(n)(t).mkString(" ")
+    val rows = Seq(
+      (1L, rep("alpha", 30) + " gamma gamma", "en", "s", 0L),
+      (2L, rep("alpha", 20) + " gamma", "en", "s", 0L),
+      (100L, rep("alpha", 20), "en", "s", 0L), // target-like raw doc
+      (200L, rep("beta", 20), "en", "s", 0L),  // raw-only vocabulary
+      (201L, rep("beta", 10) + " gamma", "en", "s", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = operators.Advanced.sampleDsir(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.size === 5)
+    assert(got(1L)._1 === 32L) // n_tokens = whitespace count
+
+    // independent recompute: same md5 bucketing, Laplace +1 models
+    val B = 64L
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % B
+    }
+    val toks = rows.map { case (id, text, _, _, _) => id -> text.split(" ").toSeq }
+    val tgt = toks.filter(_._1 < ext.Dedup.BenchmarkDocs).flatMap(_._2)
+      .groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val raw = toks.flatMap(_._2).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val (tt, rt) = (tgt.values.sum, raw.values.sum)
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dlp(b: Long) =
+      r9(math.log((tgt.getOrElse(b, 0L) + 1).toDouble / (tt + B))) -
+        r9(math.log((raw.getOrElse(b, 0L) + 1).toDouble / (rt + B)))
+    for ((id, ts) <- toks) {
+      val expected = ts.groupBy(bucket).map { case (b, g) => g.size * dlp(b) }.sum
+      assert(math.abs(got(id)._2 - expected) < 1e-5, s"doc $id")
+      assert(got(id)._3 === (got(id)._2 > 0.0), s"doc $id selected flag")
+    }
+    // the semantic claim: target vocabulary weighs positive, raw-only negative
+    assert(got(100L)._3, "alpha-heavy raw doc should be selected")
+    assert(!got(200L)._3, "beta-only raw doc should not be selected")
+  }
+
   test("text_chunk: boundaries, overlap, and full coverage") {
     val dir = TestSpark.tmpDir("chunk")
     def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
