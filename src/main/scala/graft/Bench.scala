@@ -184,6 +184,7 @@ object Bench {
         "unigram_model" -> (() => { functions.TextAnalysis.unigramModel(spark, queryDir); () }),
         "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
         "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),
+        "dsir_model" -> (() => { operators.Advanced.dsirModel(spark, queryDir); () }),
         "sem_cells" -> (() => { ext.Similarity.semAssigned(spark, queryDir).count(); () })),
       Seq(
         "knn_edges" -> (() => { ext.Similarity.knnEdges(spark, queryDir).count(); () }),

@@ -418,36 +418,62 @@ object Advanced {
     * the corpus crosses an exchange once, the models never grow with
     * the data, and there is no driver-side collect anywhere.
     */
-  def sampleDsir(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document (bucket, count) features of [[sampleDsir]] — the one
+    * corpus-grain pass both the model build and the scoring consume.
+    */
+  private def dsirDocBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val b = (conv(substring(md5(col("t")), 1, 15), 16, 10)
       .cast("long") % DsirBuckets).as("b")
-    val docB = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"), b)
       .groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
-    val spine = spark.range(DsirBuckets).select(col("id").as("b"))
-    def bucketModel(counts: DataFrame, lpName: String): DataFrame = {
-      val total = counts.agg(sum(col("c")).as("tot"))
-      spine.join(counts, Seq("b"), "left_outer")
-        .crossJoin(broadcast(total))
-        .select(col("b"),
-          round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
-            (col("tot") + DsirBuckets)), 9).as(lpName))
+  }
+
+  /** The trained DSIR model as a (b, dlp) relation — built once per
+    * (session, dir) and persisted in memory (64 rows, the quantizer-
+    * as-data size rule) or to the warehouse under
+    * [[graft.IndexStore.IndexDirKey]]; [[sampleDsir]] queries then
+    * cost one corpus pass + a broadcast join, the
+    * [[graft.functions.TextAnalysis.unigramModel]] train-once
+    * lifecycle.
+    */
+  private val dsirModelCache = new graft.SessionCache[DataFrame]
+
+  private[graft] def dsirModel(spark: SparkSession, sfDir: String): DataFrame =
+    dsirModelCache.getOrElseUpdate(spark, sfDir) {
+      def build = {
+        val docB = dsirDocBuckets(spark, sfDir)
+        val spine = spark.range(DsirBuckets).select(col("id").as("b"))
+        def bucketModel(counts: DataFrame, lpName: String): DataFrame = {
+          val total = counts.agg(sum(col("c")).as("tot"))
+          spine.join(counts, Seq("b"), "left_outer")
+            .crossJoin(broadcast(total))
+            .select(col("b"),
+              round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+                (col("tot") + DsirBuckets)), 9).as(lpName))
+        }
+        val target = bucketModel(
+          docB.filter(col("doc_id") < graft.ext.Dedup.BenchmarkDocs)
+            .groupBy("b").agg(sum(col("k")).as("c")), "lt")
+        val raw = bucketModel(
+          docB.groupBy("b").agg(sum(col("k")).as("c")), "lr")
+        target.join(raw, "b")
+          .select(col("b"), (col("lt") - col("lr")).as("dlp"))
+      }
+      graft.IndexStore.resolve(spark, sfDir, "dsir_model")(build)
+        .getOrElse(build
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
-    val target = bucketModel(
-      docB.filter(col("doc_id") < graft.ext.Dedup.BenchmarkDocs)
-        .groupBy("b").agg(sum(col("k")).as("c")), "lt")
-    val raw = bucketModel(
-      docB.groupBy("b").agg(sum(col("k")).as("c")), "lr")
-    val model = target.join(raw, "b")
-      .select(col("b"), (col("lt") - col("lr")).as("dlp"))
-    docB.join(broadcast(model), "b")
+
+  def sampleDsir(spark: SparkSession, sfDir: String): DataFrame =
+    dsirDocBuckets(spark, sfDir)
+      .join(broadcast(dsirModel(spark, sfDir)), "b")
       .groupBy("doc_id")
       .agg(sum(col("k")).as("n_tokens"),
         round(sum(col("k") * col("dlp")), 6).as("dsir_logw"))
       .select(col("doc_id"), col("n_tokens"), col("dsir_logw"),
         (col("dsir_logw") > 0.0).as("selected"))
-  }
 
   /** Tokens per packed training sequence for [[packSequences]]. */
   private val PackBudget = 256L

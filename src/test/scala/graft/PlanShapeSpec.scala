@@ -311,6 +311,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_dsir: one corpus-grain exchange pair, model joins broadcast") {
+    val df = SparkEntry.queries("sample_dsir")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // scoring side: the (doc,bucket) partial→final aggregate and the
+    // final doc-grain aggregate — nothing else at corpus grain; the
+    // 64-row model rides a broadcast join (never SMJ). The memoized
+    // model's own build plan is inlined under its InMemoryRelation in
+    // the text — cut there: its exchanges are train-once, not serving
+    assert(plan.contains("BroadcastHashJoin"), s"\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"\n$plan")
+    val servingPlan = plan
+      .split("== Initial Plan ==").head
+      .split("InMemoryRelation").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(servingPlan).length
+    assert(hashExchanges <= 2, s"\n$plan")
+  }
+
   test("q10/q14: grow-with-data joins carry no broadcast hint — stats/AQE decide") {
     // customer (q10) and part (q14) grow linearly with SF; a hardcoded
     // hint would override AQE's size check and OOM at 100× scale. The
