@@ -1058,6 +1058,114 @@ object TextAnalysis {
         md5(col("redacted")).as("redacted_md5"),
         length(col("redacted")).cast("long").as("n_chars_redacted"))
 
+  /** The structure-injected corpus view [[gopherRules]] (and its
+    * oracle) scan: the synthetic corpus is single-line lowercase word
+    * soup, so the line- and character-class rules below would fire on
+    * nothing — the [[piiAugmented]] problem again. Each doc_id class
+    * (mod 11) gets a deterministic defect injected with expressions
+    * mirrored verbatim in the DuckDB oracle, so every rule is
+    * exercised on known-failing documents cross-engine:
+    *   0 → 10 appended bullet lines (bullet-line share 10/11 ≥ 90%)
+    *   1 → 2 of 3 lines end in "..." (ellipsis share ≥ 30%)
+    *   2 → one '#' word per 5 original words (symbol share ≥ 10%)
+    *   3 → text replaced by a 3-word stub (word count < 50)
+    *   4 → one numeric word per 3 original words (alpha share < 80%)
+    *   5 → 60-word zz-soup with zero stopwords (stopword hits < 2)
+    *   6 → alternating the/28-char word (mean word length > 10)
+    *   7-10 → untouched (pass-through)
+    * Proportional injections (classes 2 and 4) derive their repeat
+    * count from the doc's OWN word count, so the violated ratio is
+    * length-independent — the fixture survives any corpus scale.
+    * A pure projection: zero-shuffle at 100 TB like every per-row
+    * stage in this file.
+    */
+  private[graft] def gopherAugmented(spark: SparkSession, sfDir: String): DataFrame = {
+    val nw = size(split(col("text"), " "))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      when(col("doc_id") % 11 === 0,
+        concat(col("text"), repeat(lit("\n- item"), 10)))
+        .when(col("doc_id") % 11 === 1,
+          concat(col("text"), lit("\nmore soon...\nto be continued...")))
+        .when(col("doc_id") % 11 === 2,
+          concat(col("text"), repeat(lit(" #"), floor(nw / 5).cast("int"))))
+        .when(col("doc_id") % 11 === 3, lit("tiny doc stub"))
+        .when(col("doc_id") % 11 === 4,
+          concat(col("text"), repeat(lit(" 12345"), floor(nw / 3).cast("int"))))
+        .when(col("doc_id") % 11 === 5,
+          rtrim(repeat(lit("zzz yyy xxx qqq vvv "), 12)))
+        .when(col("doc_id") % 11 === 6,
+          rtrim(repeat(lit("the antidisestablishmentarianism "), 40)))
+        .otherwise(col("text"))
+        .as("text"))
+  }
+
+  /** Oracle twin of [[gopherAugmented]]'s injection expression (DuckDB
+    * dialect, same mod classes and proportional repeat counts).
+    */
+  private val GopherAugSql =
+    """CASE
+         WHEN doc_id % 11 = 0 THEN text || repeat(chr(10) || '- item', 10)
+         WHEN doc_id % 11 = 1 THEN text || chr(10) || 'more soon...' || chr(10) || 'to be continued...'
+         WHEN doc_id % 11 = 2 THEN text || repeat(' #', CAST(len(string_split(text, ' ')) // 5 AS INT))
+         WHEN doc_id % 11 = 3 THEN 'tiny doc stub'
+         WHEN doc_id % 11 = 4 THEN text || repeat(' 12345', CAST(len(string_split(text, ' ')) // 3 AS INT))
+         WHEN doc_id % 11 = 5 THEN rtrim(repeat('zzz yyy xxx qqq vvv ', 12))
+         WHEN doc_id % 11 = 6 THEN rtrim(repeat('the antidisestablishmentarianism ', 40))
+         ELSE text
+       END"""
+
+  /** Gopher-style document-quality rule gate (after Rae et al. 2021's
+    * repetition/quality filters, the public rule set every pretraining
+    * corpus pass reimplements): per-document integer metrics — word
+    * count, mean word length, symbol-word share, bullet-line share,
+    * ellipsis-line share, alphabetic-word share, stopword hits — each
+    * thresholded into a rule bit, AND-folded into the release `keep`
+    * flag. Evaluated over the [[gopherAugmented]] fixture view so every
+    * rule fires on its injected defect class.
+    *
+    * All ratios are integer permille / micro-units via integer
+    * division — no float formatting in the cross-engine contract.
+    * Scale shape: one narrow scan → per-row array folds, zero shuffle;
+    * at 100 TB this is parquet-scan-bound like [[quality]].
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val ws = split(regexp_replace(col("text"), "\n", " "), " ")
+    val nWords = size(ws).cast("long")
+    val nLines = size(lines).cast("long")
+    val sumChars = aggregate(transform(ws, w => length(w).cast("long")), lit(0L), _ + _)
+    val meanLenE6 = expr("sum_chars * 1000000 div n_words")
+    val nSymbol = size(filter(ws, w => w === "#")).cast("long")
+    val nBullet = size(filter(lines, l => substring(l, 1, 2) === "- ")).cast("long")
+    val nEllipsis = size(filter(lines, l => substring(l, -3, 3) === "...")).cast("long")
+    val nAlpha = size(filter(ws, w => w.rlike("^[a-z]+$"))).cast("long")
+    val nStop = hitCount(ws, Stopwords).cast("long")
+    gopherAugmented(spark, sfDir)
+      .select(col("doc_id"), nWords.as("n_words"), nLines.as("n_lines"),
+        sumChars.as("sum_chars"), nSymbol.as("n_symbol"), nBullet.as("n_bullet"),
+        nEllipsis.as("n_ellipsis"), nAlpha.as("n_alpha"), nStop.as("n_stopwords"))
+      .select(col("doc_id"), col("n_words"), col("n_lines"), col("n_stopwords"),
+        meanLenE6.as("mean_word_len_e6"),
+        expr("n_symbol * 1000 div n_words").as("symbol_permille"),
+        expr("n_bullet * 1000 div n_lines").as("bullet_permille"),
+        expr("n_ellipsis * 1000 div n_lines").as("ellipsis_permille"),
+        expr("n_alpha * 1000 div n_words").as("alpha_permille"))
+      .select(col("*"),
+        (col("n_words") >= 50 && col("n_words") <= 50000).as("r_wordcount"),
+        (col("mean_word_len_e6") >= 3000000L &&
+          col("mean_word_len_e6") <= 10000000L).as("r_meanlen"),
+        (col("symbol_permille") < 100).as("r_symbol"),
+        (col("bullet_permille") < 900).as("r_bullet"),
+        (col("ellipsis_permille") < 300).as("r_ellipsis"),
+        (col("alpha_permille") >= 800).as("r_alpha"),
+        (col("n_stopwords") >= 2).as("r_stopword"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_meanlen") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stopword"))
+  }
+
   /** Ranks profiled by [[zipfProfile]]. */
   private val ZipfTopN = 100
 
@@ -1217,6 +1325,47 @@ object TextAnalysis {
       s"len(list_filter(string_split(text, ' '), w -> w IN (${markerList(m)}))) AS score_$l"
     }.mkString(",\n                  ")
     Map(
+      "text_gopher_rules" ->
+        s"""WITH aug AS (SELECT doc_id, $GopherAugSql AS text FROM documents),
+           base AS (
+             SELECT doc_id,
+                    string_split(replace(text, chr(10), ' '), ' ') AS ws,
+                    string_split(text, chr(10)) AS lines
+             FROM aug),
+           m AS (
+             SELECT doc_id,
+                    CAST(len(ws) AS BIGINT) AS n_words,
+                    CAST(len(lines) AS BIGINT) AS n_lines,
+                    CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_chars,
+                    CAST(len(list_filter(ws, w -> w = '#')) AS BIGINT) AS n_symbol,
+                    CAST(len(list_filter(lines, l -> l LIKE '- %')) AS BIGINT) AS n_bullet,
+                    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis,
+                    CAST(len(list_filter(ws, w -> regexp_full_match(w, '[a-z]+'))) AS BIGINT) AS n_alpha,
+                    CAST(len(list_filter(ws, w -> w IN ($stopList))) AS BIGINT) AS n_stopwords
+             FROM base),
+           r AS (
+             SELECT doc_id, n_words, n_lines, n_stopwords,
+                    sum_chars * 1000000 // n_words AS mean_word_len_e6,
+                    n_symbol * 1000 // n_words AS symbol_permille,
+                    n_bullet * 1000 // n_lines AS bullet_permille,
+                    n_ellipsis * 1000 // n_lines AS ellipsis_permille,
+                    n_alpha * 1000 // n_words AS alpha_permille
+             FROM m)
+           SELECT doc_id, n_words, n_lines, n_stopwords, mean_word_len_e6,
+                  symbol_permille, bullet_permille, ellipsis_permille, alpha_permille,
+                  n_words >= 50 AND n_words <= 50000 AS r_wordcount,
+                  mean_word_len_e6 >= 3000000 AND mean_word_len_e6 <= 10000000 AS r_meanlen,
+                  symbol_permille < 100 AS r_symbol,
+                  bullet_permille < 900 AS r_bullet,
+                  ellipsis_permille < 300 AS r_ellipsis,
+                  alpha_permille >= 800 AS r_alpha,
+                  n_stopwords >= 2 AS r_stopword,
+                  (n_words >= 50 AND n_words <= 50000)
+                    AND (mean_word_len_e6 >= 3000000 AND mean_word_len_e6 <= 10000000)
+                    AND symbol_permille < 100 AND bullet_permille < 900
+                    AND ellipsis_permille < 300 AND alpha_permille >= 800
+                    AND n_stopwords >= 2 AS keep
+           FROM r""",
       "text_readability" ->
         """WITH per AS (
              SELECT lang,
@@ -1637,5 +1786,6 @@ object TextAnalysis {
     "text_pii_scan" -> piiScan _,
     "text_pii_redact" -> piiRedact _,
     "text_zipf" -> zipfProfile _,
+    "text_gopher_rules" -> gopherRules _,
   )
 }

@@ -1594,6 +1594,29 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("text_gopher_rules: each injected defect class fails its targeted rule; keep = AND of rule bits") {
+    val rows = SparkEntry.queries("text_gopher_rules")(spark, sf).collect()
+    assert(rows.length > 0)
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    def bit(r: org.apache.spark.sql.Row, n: String): Boolean = r.getBoolean(idx(n))
+    val ruleNames = Seq("r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+      "r_ellipsis", "r_alpha", "r_stopword")
+    // targeted rule per doc_id % 11 defect class (3 also trips others on
+    // the stub; only the targeted bit is asserted)
+    val targeted = Map(0L -> "r_bullet", 1L -> "r_ellipsis", 2L -> "r_symbol",
+      3L -> "r_wordcount", 4L -> "r_alpha", 5L -> "r_stopword", 6L -> "r_meanlen")
+    rows.foreach { r =>
+      val id = r.getLong(idx("doc_id"))
+      targeted.get(id % 11).foreach { rule =>
+        withClue(s"doc $id should fail $rule")(assert(!bit(r, rule)))
+      }
+      withClue(s"doc $id keep bit")(
+        assert(bit(r, "keep") === ruleNames.forall(bit(r, _))))
+    }
+    // at least one pass-through doc survives the full gate
+    assert(rows.exists(r => bit(r, "keep")))
+  }
+
   test("sim_hard_negatives: no neighbor shares its query's label; 5 ranked hits per query") {
     val emb = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
