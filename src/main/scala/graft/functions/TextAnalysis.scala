@@ -1040,16 +1040,25 @@ object TextAnalysis {
     * string cross-engine without shipping corpus text through the
     * compare. Zero-shuffle projection.
     */
+  /** The redaction expression itself, factored so the batch
+    * [[piiRedact]] pass and the streaming ingest stage
+    * ([[graft.streaming.CorpusPrep.startRedacted]]) evaluate the
+    * IDENTICAL rewrite and cannot drift — the [[qualityScore]]
+    * discipline applied to the release gate.
+    */
+  private[graft] def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        SsnRe, "<SSN>"),
+      Ipv4Re, "<IP>")
+
   private[graft] def piiRedactedText(spark: SparkSession, sfDir: String): DataFrame =
     piiAugmented(spark, sfDir).select(
       col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
-            PhoneRe, "<PHONE>"),
-          SsnRe, "<SSN>"),
-        Ipv4Re, "<IP>").as("redacted"))
+      redactPii(col("text")).as("redacted"))
 
   def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
     piiRedactedText(spark, sfDir)

@@ -590,6 +590,64 @@ object Advanced {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_before"))
   }
 
+  /** Token-grain mixture optimization — the data-mixing solver between
+    * dedup and packing: given per-source target weights (here the
+    * deterministic stand-in `1 + src_index % 4`; production passes
+    * DoReMi/Pile-style learned or hand-set weights — the dataflow is
+    * identical) and a total token budget of half the corpus, compute
+    * each source's sampling allocation by exact water-filling: sources
+    * too small to supply their weighted share are taken whole
+    * (saturated) and their unused share re-spreads over the rest at a
+    * common water level λ = remaining budget / remaining weight.
+    * [[sampleBalanceSources]] equalizes DOC counts; this solves the
+    * TOKEN-grain mixture the trainer actually consumes, and emits the
+    * per-source rate a downstream [[sampleTokenBudget]]-style pass
+    * enforces.
+    *
+    * Everything is integer arithmetic — λ is carried as an exact
+    * (numerator, denominator) pair and allocations are floor-divided,
+    * so the cross-engine compare is bit-exact; the budget shortfall
+    * from flooring is < one token per unsaturated source (spec-pinned).
+    *
+    * Scale shape: corpus-grain work is ONE partial-aggregated
+    * `groupBy(source)` token count; the solver (ordered prefix sums,
+    * saturation flags, λ) runs entirely on source-cardinality rows —
+    * the unpartitioned window is bounded by the number of sources, the
+    * same documented post-aggregation tiny-frame shape as the
+    * retrieval rankers, never corpus grain.
+    */
+  def sampleMixTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        lit(1L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)))
+    val scalars = per.agg(sum("n_tokens").as("t_total"), sum("weight").as("w_total"))
+    val ord = Window.orderBy(col("ratio"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = per.crossJoin(broadcast(scalars))
+      .withColumn("budget", expr("t_total div 2"))
+      .withColumn("ratio", expr("n_tokens * 1000000 div weight"))
+      .withColumn("pfx_t", coalesce(sum(col("n_tokens")).over(ord), lit(0L)))
+      .withColumn("pfx_w", coalesce(sum(col("weight")).over(ord), lit(0L)))
+      .withColumn("saturated",
+        col("n_tokens") * (col("w_total") - col("pfx_w")) <=
+          (col("budget") - col("pfx_t")) * col("weight"))
+    val lam = flagged.agg(
+      (max(col("budget")) -
+        sum(when(col("saturated"), col("n_tokens")).otherwise(0L))).as("lam_num"),
+      (max(col("w_total")) -
+        sum(when(col("saturated"), col("weight")).otherwise(0L))).as("lam_den"))
+    flagged.crossJoin(broadcast(lam))
+      .withColumn("alloc_tokens",
+        when(col("saturated"), col("n_tokens"))
+          .otherwise(expr("lam_num * weight div lam_den")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("saturated"), col("alloc_tokens"),
+        expr("alloc_tokens * 1000000 div n_tokens").as("rate_e6"))
+  }
+
   /** Shard count for [[shardAssign]]. */
   private val NumShards = 8L
 
@@ -811,6 +869,40 @@ object Advanced {
           SELECT doc_id, n_tokens, quality_score FROM q
           WHERE quality_score >= 0.3
             AND doc_id NOT IN (SELECT doc_id FROM losers)""",
+    "sample_mix_tokens" ->
+      """WITH per0 AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         per AS (
+           SELECT *, 1 + CAST(substr(source, 4) AS BIGINT) % 4 AS weight FROM per0),
+         tot AS (
+           SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+                  CAST(sum(weight) AS BIGINT) AS w_total FROM per),
+         j AS (
+           SELECT per.*, t_total, w_total, t_total // 2 AS budget,
+                  n_tokens * 1000000 // weight AS ratio
+           FROM per, tot),
+         p AS (
+           SELECT *,
+                  CAST(coalesce(sum(n_tokens) OVER (ORDER BY ratio, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx_t,
+                  CAST(coalesce(sum(weight) OVER (ORDER BY ratio, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx_w
+           FROM j),
+         s AS (
+           SELECT *, n_tokens * (w_total - pfx_w) <= (budget - pfx_t) * weight AS saturated
+           FROM p),
+         lam AS (
+           SELECT max(budget) - sum(CASE WHEN saturated THEN n_tokens ELSE 0 END) AS lam_num,
+                  max(w_total) - sum(CASE WHEN saturated THEN weight ELSE 0 END) AS lam_den
+           FROM s)
+         SELECT source, n_docs, n_tokens, weight, saturated,
+                CASE WHEN saturated THEN n_tokens
+                     ELSE lam_num * weight // lam_den END AS alloc_tokens,
+                (CASE WHEN saturated THEN n_tokens
+                      ELSE lam_num * weight // lam_den END) * 1000000 // n_tokens AS rate_e6
+         FROM s, lam""",
     "sample_token_budget" ->
       s"""WITH d AS (
             SELECT doc_id, source,
@@ -1107,6 +1199,7 @@ object Advanced {
     "shard_assign" -> shardAssign _,
     "corpus_prep_best" -> corpusPrepBest _,
     "sample_token_budget" -> sampleTokenBudget _,
+    "sample_mix_tokens" -> sampleMixTokens _,
     "layout_zorder" -> layoutZorder _,
   )
 }

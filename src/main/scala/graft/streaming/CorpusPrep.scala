@@ -62,6 +62,41 @@ object CorpusPrep {
         .format("memory"), trigger)
       .start()
 
+  /** PII-redacting ingest — the release gate applied AT THE DOOR
+    * instead of at release time: documents are quality-gated and
+    * deduped exactly as [[prepared]] (content hash taken on the
+    * ORIGINAL text, so a replay of the raw document still dedups
+    * against its redacted first landing), then rewritten with the SAME
+    * factored redaction expression the batch `text_pii_redact` pass
+    * uses ([[graft.functions.TextAnalysis.redactPii]] — bit-identical
+    * by construction). Landing redacted text means raw PII never
+    * reaches the warehouse at all — the stronger compliance posture —
+    * while the periodic batch scan stays the audit that nothing
+    * slipped through a detector gap.
+    *
+    * Scale shape: redaction is a stateless per-row projection stacked
+    * on [[prepared]]'s watermark-bounded dedup state — zero additional
+    * state or exchanges.
+    */
+  def redacted(docs: DataFrame, lateness: String = "1 minute"): DataFrame =
+    prepared(docs, lateness)
+      .withColumn("redacted",
+        graft.functions.TextAnalysis.redactPii(col("text")))
+      .drop("text")
+
+  def startRedacted(
+      docs: DataFrame,
+      queryName: String,
+      lateness: String = "1 minute",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      redacted(docs, lateness)
+        .writeStream
+        .queryName(queryName)
+        .outputMode("append")
+        .format("memory"), trigger)
+      .start()
+
   /** Incremental index maintenance — the REFRESH leg of the
     * train-once/serve-many index lifecycle ([[graft.IndexStore]]):
     * each micro-batch of newly-landed (gated, deduped) documents

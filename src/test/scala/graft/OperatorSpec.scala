@@ -1617,6 +1617,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(r => bit(r, "keep")))
   }
 
+  test("sample_mix_tokens: water-filling invariants — caps, budget fill, common water level") {
+    val rows = SparkEntry.queries("sample_mix_tokens")(spark, sf).collect()
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    val nTok = rows.map(_.getLong(idx("n_tokens")))
+    val alloc = rows.map(_.getLong(idx("alloc_tokens")))
+    val sat = rows.map(_.getBoolean(idx("saturated")))
+    val weight = rows.map(_.getLong(idx("weight")))
+    val budget = nTok.sum / 2
+    // every allocation within its source's supply; saturated = taken whole
+    rows.indices.foreach { i =>
+      assert(alloc(i) <= nTok(i))
+      if (sat(i)) assert(alloc(i) === nTok(i)) else assert(alloc(i) < nTok(i))
+    }
+    // budget filled up to < 1 token of flooring slack per unsaturated source
+    val nUnsat = sat.count(!_)
+    assert(alloc.sum <= budget)
+    assert(budget - alloc.sum < nUnsat.max(1))
+    // unsaturated sources sit at a common water level: alloc div weight
+    // equal up to flooring (difference < 1 token per weight unit)
+    val levels = rows.indices.filterNot(sat(_)).map(i => alloc(i) / weight(i))
+    if (levels.nonEmpty) assert(levels.max - levels.min <= 1)
+  }
+
   test("sim_hard_negatives: no neighbor shares its query's label; 5 ranked hits per query") {
     val emb = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()

@@ -62,6 +62,45 @@ class CorpusPrepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("redacting ingest: stream output equals the batch redaction expression; zero residual PII") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = CorpusPrep.startRedacted(docs, "corpus_redact_stream_out")
+    try {
+      val filler = (1 to 100).map(i => s"tok$i").mkString(" ")
+      val pii = s"$filler contact bob@example.com ip 10.1.2.3 call 555-123-4567 id 900-12-3456"
+      val clean = s"$filler nothing sensitive here"
+      input.addData(Seq(
+        (1L, pii, ts(1)),
+        (2L, clean, ts(2)),
+        (3L, pii, ts(3)))) // exact dup of the RAW text → suppressed
+      q.processAllAvailable()
+      input.addData(Seq((4L, pii, ts(4)))) // cross-batch raw replay → suppressed
+      q.processAllAvailable()
+      val out = spark.table("corpus_redact_stream_out")
+      assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+
+      // bit-identical to the batch redaction expression on the same rows
+      val streamed = out.select("doc_id", "redacted").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      val batch = Seq((1L, pii), (2L, clean)).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.redactPii(col("text")).as("redacted"))
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+      assert(streamed === batch)
+
+      // redaction actually fired and left zero residual matches
+      val red1 = streamed.head._2
+      assert(red1.contains("<EMAIL>") && red1.contains("<IP>") &&
+        red1.contains("<PHONE>") && red1.contains("<SSN>"))
+      Seq("[a-z0-9.]+@[a-z0-9.]+", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+        "\\b555-\\d{3}-\\d{4}\\b", "\\b\\d{3}-\\d{2}-\\d{4}\\b").foreach { re =>
+        assert(!re.r.findFirstIn(red1).isDefined, s"residual match for $re")
+      }
+    } finally q.stop()
+  }
+
   test("streaming index refresh appends signatures bit-identical to the batch builder") {
     implicit val ctx = spark.sqlContext
     val sigDir = TestSpark.tmpDir("sig-refresh")
