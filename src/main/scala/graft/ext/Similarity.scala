@@ -555,6 +555,51 @@ object Similarity {
         round(col("col._2"), 6).as("score"))
   }
 
+  /** Cosine floor for [[rangeSearch]] — low enough that every query
+    * has hits at every test scale factor (max pairwise cosine in the
+    * synthetic corpus is ~0.33-0.39), so the threshold is ACTIVE and
+    * the oracle exercises the boundary.
+    */
+  private val RangeTau = 0.2
+
+  /** Radius (threshold) retrieval — the serving API's third shape next
+    * to top-K and recall eval: ALL neighbors with cosine ≥ [[RangeTau]],
+    * not a fixed count. The dedup/link-discovery form of ANN serving
+    * (near-dup candidate pulls, "everything similar enough" audits),
+    * where K is unknowable upfront and a top-K API silently truncates.
+    *
+    * Candidates come from the memoized LSH index via the multiprobe
+    * probe set (own bucket + every Hamming-1 neighbor — the
+    * [[annLshMultiProbe]] recall knob, reused verbatim), then the
+    * exact cosine filter runs only inside probed buckets. The
+    * threshold compares the ROUNDED score in both engines, so the
+    * boundary cannot flap on float formatting.
+    *
+    * Scale shape identical to [[annLshMultiProbe]]: probe fan-out
+    * multiplies only the broadcast query set; the corpus is bucketed
+    * once and joined once on bucket equality; output is the hit set
+    * itself (no per-query state). Recall < 1 by construction — the
+    * documented single-index tradeoff, measured by [[recallEval]].
+    */
+  def rangeSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idx = lshIndex(spark, sfDir)
+    val emb = idx.df
+    val probeBuckets = array((0 to idx.numPlanes).map {
+      case 0 => col("q_bucket")
+      case p => col("q_bucket").bitwiseXOR(lit(1 << (p - 1)))
+    }: _*)
+    val q = emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+      .select(col("query_id"), col("q_emb"), explode(probeBuckets).as("probe_bucket"))
+    emb.join(broadcast(q),
+        col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(GraftFunctions.cosineSim(col("embedding"), col("q_emb")), 6).as("score"))
+      .filter(col("score") >= RangeTau)
+  }
+
   private val NumProbe = 2
 
   /** IVF (inverted-file) approximate top-3 — the second scale path
@@ -1774,6 +1819,17 @@ object Similarity {
                  CAST(coalesce(c.n_ann, 0) AS BIGINT) AS n_ann,
                  h.n_hits, (h.n_hits * 1000) // 3 AS recall_permille
           FROM ihits h LEFT JOIN ivc c USING (query_id)""",
+    "sim_range_search" ->
+      s"""WITH $LshSigsSql,
+          b AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sigs s USING (vec_id)),
+          scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   round($CosExpr, 6) AS score
+            FROM b q JOIN b c
+              ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND c.vec_id != q.vec_id
+            WHERE q.vec_id < $NumQueryVecs)
+          SELECT query_id, neighbor_id, score FROM scored WHERE score >= $RangeTau""",
     "sim_ann_multiprobe" ->
       s"""WITH $LshSigsSql,
           b AS (SELECT e.vec_id, e.embedding, s.bucket
@@ -1936,6 +1992,7 @@ object Similarity {
     "sim_topk_bruteforce" -> bruteforceTopK _,
     "sim_ann_lsh" -> annLshTopK _,
     "sim_ann_multiprobe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
+    "sim_range_search" -> rangeSearch _,
     "sim_ivf_topk" -> ivfTopK _,
     "emb_quantize" -> quantize _,
     "emb_covariance" -> covariance _,

@@ -827,6 +827,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(2L).sum === 10L)
   }
 
+  test("sim_range_search: every hit clears the threshold with an independently recomputed score; no self-hits") {
+    val emb = Tables.embeddings(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val hits = SparkEntry.queries("sim_range_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.nonEmpty)
+    hits.foreach { case (q, n, s) =>
+      assert(q != n)
+      assert(s >= 0.2)
+      val expect = BigDecimal(cos(emb(q), emb(n)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      withClue(s"pair ($q,$n)")(assert(math.abs(s - expect) < 2e-6))
+    }
+    // radius semantics: hit counts per query vary (not a fixed K)
+    val counts = hits.groupBy(_._1).view.mapValues(_.length).values.toSet
+    assert(counts.nonEmpty)
+  }
+
   test("emb_rp_sketch preserves similarity structure (JL property, sampled pairs)") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
       .collect().map(r => r.getLong(0) ->
