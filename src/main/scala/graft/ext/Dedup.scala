@@ -459,6 +459,24 @@ object Dedup {
       (bitsRow, mBits)
     }
 
+  /** The k-probe Bloom membership test as a COLUMN expression — bit
+    * `pmod(xxhash64(h,i), m)` of the dense `bits` word array, for all
+    * [[BloomNumHashes]] probes — factored so the batch
+    * [[decontaminateBloom]] confirm path and the streaming ingest gate
+    * ([[graft.streaming.CorpusPrep.startDecontaminated]]) evaluate the
+    * IDENTICAL probe and cannot drift. Column-parameterized (not an
+    * expr string) so it composes inside higher-order-function lambdas;
+    * the variable-distance shift goes through `call_function` because
+    * the Scala `shiftright` helper only takes a literal distance.
+    */
+  private[graft] def bloomProbe(bits: Column, mBits: Long)(h: Column): Column =
+    (0 until BloomNumHashes).map { i =>
+      val pos = pmod(xxhash64(h, lit(i)), lit(mBits))
+      (call_function("shiftright",
+        element_at(bits, (pos / lit(64)).cast("int") + 1),
+        pmod(pos, lit(64)).cast("int")).bitwiseAND(lit(1L))) === lit(1L)
+    }.reduce(_ && _)
+
   def decontaminateBloom(spark: SparkSession, sfDir: String): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(spark)
     import graft.functions.expressions.GraftFunctions.shingleHashes
@@ -467,11 +485,7 @@ object Dedup {
     val bench = docs.filter(col("doc_id") < BenchmarkDocs)
       .select(explode(col("hs")).as("h")).distinct()
     val (bitsRow, mBits) = bloomIndex(spark, sfDir)
-    val mightContain = (0 until BloomNumHashes).map { i =>
-      expr(s"""((shiftright(
-                  element_at(bits, cast(pmod(xxhash64(h, $i), ${mBits}L) div 64 as int) + 1),
-                  cast(pmod(xxhash64(h, $i), ${mBits}L) % 64 as int))) & 1) = 1""")
-    }.reduce(_ && _)
+    val mightContain = bloomProbe(col("bits"), mBits)(col("h"))
     val benchHits = bench.withColumn("hit", lit(1))
     docs
       .select(col("doc_id"), coalesce(size(col("hs")), lit(0)).as("n_shingles"),

@@ -97,6 +97,62 @@ object CorpusPrep {
         .format("memory"), trigger)
       .start()
 
+  /** Contamination drop rule shared with the batch release pipeline:
+    * a doc is rejected when more than 5% of its shingles hit the
+    * benchmark filter (`hits·20 > n_shingles`, integer-exact — the
+    * `corpus_prep_full` constant).
+    */
+  private val ContamFactor = 20
+
+  /** Decontaminating ingest — the benchmark gate applied at the door:
+    * each gated/deduped document's 5-gram shingles probe the SAME
+    * memoized Bloom bitmap the batch pass serves from
+    * ([[graft.ext.Dedup.bloomIndex]]), via the SAME factored probe
+    * expression ([[graft.ext.Dedup.bloomProbe]] — bit-identical by
+    * construction), and docs over the 5% overlap rule never land.
+    *
+    * Honest semantics: this is the PREFILTER decision only — Bloom
+    * false positives (~4·10⁻⁴ per shingle) can over-count a doc's
+    * overlap, so the ingest gate over-drops by that trickle instead of
+    * running the exact confirm join (which would put a corpus-grain
+    * stateful join in the ingest path). No false negatives: everything
+    * truly over the rule is stopped; the periodic batch
+    * `decontaminate` audit remains the exact record.
+    *
+    * Scale shape: the bitmap rides a 1-row broadcast cross join (the
+    * batch path's own discipline) and the probe is a stateless
+    * per-row array fold — zero state, zero exchanges added to ingest.
+    */
+  def decontaminated(docs: DataFrame, sfDir: String, lateness: String = "1 minute"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.shingleHashes
+    val (bitsRow, mBits) = graft.ext.Dedup.bloomIndex(spark, sfDir)
+    prepared(docs, lateness)
+      .crossJoin(broadcast(bitsRow))
+      .withColumn("n_shingles",
+        coalesce(size(shingleHashes(col("text"))), lit(0)))
+      .withColumn("n_bloom_hits",
+        coalesce(size(filter(shingleHashes(col("text")),
+          h => graft.ext.Dedup.bloomProbe(col("bits"), mBits)(h))), lit(0)))
+      .filter(col("n_bloom_hits") * ContamFactor <= col("n_shingles"))
+      .drop("bits")
+  }
+
+  def startDecontaminated(
+      docs: DataFrame,
+      sfDir: String,
+      queryName: String,
+      lateness: String = "1 minute",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      decontaminated(docs, sfDir, lateness)
+        .writeStream
+        .queryName(queryName)
+        .outputMode("append")
+        .format("memory"), trigger)
+      .start()
+
   /** Incremental index maintenance — the REFRESH leg of the
     * train-once/serve-many index lifecycle ([[graft.IndexStore]]):
     * each micro-batch of newly-landed (gated, deduped) documents

@@ -101,6 +101,36 @@ class CorpusPrepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminating ingest: benchmark-derived doc is stopped at the door, novel doc lands with zero hits") {
+    implicit val ctx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = CorpusPrep.startDecontaminated(docs, sfDir, "corpus_decon_stream_out")
+    try {
+      // contaminated fixture: benchmark doc 0's text tripled — clears
+      // the quality gate (3× word count) while nearly every shingle
+      // stays a benchmark shingle (only junction 5-grams are novel)
+      val bench0 = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") === 0L).select("text").collect().head.getString(0)
+      val contaminated = s"$bench0 $bench0 $bench0"
+      val clean = (1 to 120).map(i => s"novelword$i").mkString(" ")
+      input.addData(Seq(
+        (1000L, contaminated, ts(1)),
+        (1001L, clean, ts(2))))
+      q.processAllAvailable()
+      val out = spark.table("corpus_decon_stream_out")
+      val landed = out.select("doc_id").as[Long].collect().toSeq
+      assert(landed === Seq(1001L))
+      // the landed doc exposes its audit columns; novel text has zero
+      // bloom hits (deterministic given the fixed hash family)
+      val row = out.filter(col("doc_id") === 1001L)
+        .select("n_shingles", "n_bloom_hits").collect().head
+      assert(row.getInt(0) === 116) // 120 tokens → n-4 shingles
+      assert(row.getInt(1) === 0)
+    } finally q.stop()
+  }
+
   test("streaming index refresh appends signatures bit-identical to the batch builder") {
     implicit val ctx = spark.sqlContext
     val sigDir = TestSpark.tmpDir("sig-refresh")
