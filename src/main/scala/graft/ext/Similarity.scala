@@ -889,6 +889,47 @@ object Similarity {
       round(array_max(asD), 6).as("el_max"))
   }
 
+  /** Per-dimension distribution drift between two corpus halves — the
+    * regression monitor every embedding-model refresh runs: after
+    * re-embedding (or after a new crawl epoch lands), did any
+    * dimension's distribution move? Halves here are the deterministic
+    * vec_id parity split (production compares epoch t vs t+1 or model
+    * v1 vs v2 — the dataflow is identical); per dimension the operator
+    * emits exact integer sufficient statistics for each half (count,
+    * Σx at e6 scale, Σx² at e3 scale — the coarser square scale keeps
+    * the long-sum bound at ~8·10¹² per 5·10⁵ rows per half) plus a
+    * drift flag on the CROSS-MULTIPLIED mean delta
+    * `|Σa·n_b − Σb·n_a| > τ·n_a·n_b` (τ = 0.005 in e6 units, active at every test scale factor) — no
+    * division anywhere, so truncation-direction mismatches between
+    * engines on negative sums cannot exist and the compare is
+    * bit-exact.
+    *
+    * Scale shape: one corpus scan, posexplode to (row × dim) feeding a
+    * hash aggregate on the 64-value dim key — partial aggregation
+    * collapses each partition to 64 rows before the exchange, so the
+    * shuffle carries partitions × dim rows of longs, never the corpus.
+    * Consumers with D² appetite get [[covariance]]; this is the O(D)
+    * per-dim monitor.
+    */
+  def embDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val even = pmod(col("vec_id"), lit(2)) === 0
+    val xe6 = floor(col("x").cast("double") * 1e6 + 0.5).cast("long")
+    val xe3 = floor(col("x").cast("double") * 1e3 + 0.5).cast("long")
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        count(when(even, 1)).as("n_even"),
+        count(when(!even, 1)).as("n_odd"),
+        sum(when(even, xe6).otherwise(0L)).as("sum_e6_even"),
+        sum(when(!even, xe6).otherwise(0L)).as("sum_e6_odd"),
+        sum(when(even, xe3 * xe3).otherwise(0L)).as("sumsq_e3_even"),
+        sum(when(!even, xe3 * xe3).otherwise(0L)).as("sumsq_e3_odd"))
+      .withColumn("drift_flag",
+        abs(col("sum_e6_even") * col("n_odd") - col("sum_e6_odd") * col("n_even")) >
+          lit(5000L) * col("n_even") * col("n_odd"))
+  }
+
   /** Per-label cluster cohesion: every vector's cosine to its own
     * label centroid, summed per label — the compactness report that
     * validates embedding quality before the labels are trusted for
@@ -1943,6 +1984,25 @@ object Similarity {
          FROM (SELECT vec_id, embedding,
                       list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127 AS scale
                FROM embeddings)""",
+    "emb_drift" ->
+      s"""WITH el AS (
+            SELECT e.vec_id, t.d,
+                   CAST(floor(CAST(e.embedding[t.d + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS xe6,
+                   CAST(floor(CAST(e.embedding[t.d + 1] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS xe3
+            FROM embeddings e, range($Dim) t(d)),
+          agg AS (
+            SELECT CAST(d AS BIGINT) AS dim,
+                   count(*) FILTER (vec_id % 2 = 0) AS n_even,
+                   count(*) FILTER (vec_id % 2 != 0) AS n_odd,
+                   CAST(sum(CASE WHEN vec_id % 2 = 0 THEN xe6 ELSE 0 END) AS BIGINT) AS sum_e6_even,
+                   CAST(sum(CASE WHEN vec_id % 2 != 0 THEN xe6 ELSE 0 END) AS BIGINT) AS sum_e6_odd,
+                   CAST(sum(CASE WHEN vec_id % 2 = 0 THEN xe3 * xe3 ELSE 0 END) AS BIGINT) AS sumsq_e3_even,
+                   CAST(sum(CASE WHEN vec_id % 2 != 0 THEN xe3 * xe3 ELSE 0 END) AS BIGINT) AS sumsq_e3_odd
+            FROM el GROUP BY d)
+          SELECT *,
+                 abs(sum_e6_even * n_odd - sum_e6_odd * n_even) >
+                   5000 * n_even * n_odd AS drift_flag
+          FROM agg""",
     "emb_stats" ->
       """SELECT vec_id,
                 CAST(len(embedding) AS INTEGER) AS dim,
@@ -1999,6 +2059,7 @@ object Similarity {
     "sim_topk_sq8" -> sq8TopK _,
     "emb_outliers" -> outlierScores _,
     "emb_stats" -> embStats _,
+    "emb_drift" -> embDrift _,
     "emb_label_cohesion" -> embLabelCohesion _,
     "emb_rp_sketch" -> rpSketch _,
     "emb_kmeans_step" -> kmeansStep _,

@@ -850,6 +850,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(counts.nonEmpty)
   }
 
+  test("emb_drift: sufficient statistics match an independent recompute; flag mixes true and false") {
+    val emb = Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rows = SparkEntry.queries("emb_drift")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === 64)
+    // independent per-dim recompute of the integer sufficient stats
+    val dims = Seq(0, 17, 63)
+    dims.foreach { d =>
+      var (na, nb, sa, sb) = (0L, 0L, 0L, 0L)
+      emb.foreach { case (id, v) =>
+        val e6 = math.floor(v(d).toDouble * 1e6 + 0.5).toLong
+        if (id % 2 == 0) { na += 1; sa += e6 } else { nb += 1; sb += e6 }
+      }
+      val r = rows(d.toLong)
+      assert(r.getLong(1) === na && r.getLong(2) === nb)
+      assert(r.getLong(3) === sa && r.getLong(4) === sb)
+      assert(r.getBoolean(7) ===
+        (math.abs(sa * nb - sb * na) > 5000L * na * nb))
+    }
+    val flags = rows.values.map(_.getBoolean(7)).toSeq
+    assert(flags.contains(true) && flags.contains(false))
+  }
+
   test("emb_rp_sketch preserves similarity structure (JL property, sampled pairs)") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 40)
       .collect().map(r => r.getLong(0) ->
