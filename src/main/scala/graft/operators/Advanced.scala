@@ -527,6 +527,39 @@ object Advanced {
         (col("tokens_before") % PackBudget).as("offset_in_pack"))
   }
 
+  /** Candidate sequence lengths for [[packEfficiency]] — spanning the
+    * shorter-than-doc to much-longer-than-doc regimes so the report
+    * actually shows the tradeoff curve at every test scale factor.
+    */
+  private val PackCandidates = Seq(128, 512, 2048, 8192)
+
+  /** Packing-parameter tuning report — the table a pipeline computes
+    * BEFORE choosing `max_seq_len`: under the pad-to-length training
+    * model (each document chunked to ⌈n/L⌉ sequences, last chunk
+    * padded), what fraction of every batch is real tokens vs padding,
+    * per candidate L? Low utilization at large L is precisely the
+    * waste [[packSequences]]'s concat-stream layout exists to remove —
+    * this report quantifies what switching buys. All integer
+    * arithmetic (ceil via `(n + L − 1) div L`, utilization in
+    * permille), so the compare is exact.
+    *
+    * Scale shape: one narrow scan, a 4× literal-array explode, and a
+    * 4-group hash aggregate with map-side partials — no window, no
+    * corpus-grain exchange.
+    */
+  def packEfficiency(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        explode(typedLit(PackCandidates)).as("seq_len"))
+      .groupBy(col("seq_len").cast("long").as("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(expr("(n_tokens + seq_len - 1) div seq_len")).as("n_chunks"))
+      .withColumn("padded_tokens",
+        col("n_chunks") * col("seq_len") - col("total_tokens"))
+      .withColumn("util_permille",
+        expr("total_tokens * 1000 div (n_chunks * seq_len)"))
+
   /** Quality-aware near-dup keeper policy — [[corpusPrepCc]] with the
     * production selection rule: instead of keeping each duplicate
     * cluster's lowest doc_id, keep its HIGHEST-quality member
@@ -869,6 +902,20 @@ object Advanced {
           SELECT doc_id, n_tokens, quality_score FROM q
           WHERE quality_score >= 0.3
             AND doc_id NOT IN (SELECT doc_id FROM losers)""",
+    "pack_efficiency" ->
+      """WITH d AS (
+           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(unnest([128, 512, 2048, 8192]) AS BIGINT) AS seq_len
+           FROM documents),
+         agg AS (
+           SELECT seq_len, count(*) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                  CAST(sum((n_tokens + seq_len - 1) // seq_len) AS BIGINT) AS n_chunks
+           FROM d GROUP BY seq_len)
+         SELECT seq_len, n_docs, total_tokens, n_chunks,
+                n_chunks * seq_len - total_tokens AS padded_tokens,
+                total_tokens * 1000 // (n_chunks * seq_len) AS util_permille
+         FROM agg""",
     "sample_mix_tokens" ->
       """WITH per0 AS (
            SELECT source, count(*) AS n_docs,
@@ -1200,6 +1247,7 @@ object Advanced {
     "corpus_prep_best" -> corpusPrepBest _,
     "sample_token_budget" -> sampleTokenBudget _,
     "sample_mix_tokens" -> sampleMixTokens _,
+    "pack_efficiency" -> packEfficiency _,
     "layout_zorder" -> layoutZorder _,
   )
 }

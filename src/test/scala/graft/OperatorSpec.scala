@@ -1664,6 +1664,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(r => bit(r, "keep")))
   }
 
+  test("pack_efficiency: exact recompute per candidate length; utilization bounded and monotone vs padding") {
+    val nTokens = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long")).as[Long].collect()
+    val rows = SparkEntry.queries("pack_efficiency")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(128L, 512L, 2048L, 8192L))
+    rows.foreach { case (l, r) =>
+      val chunks = nTokens.map(n => (n + l - 1) / l).sum
+      val total = nTokens.sum
+      assert(r.getLong(1) === nTokens.length.toLong)
+      assert(r.getLong(2) === total)
+      assert(r.getLong(3) === chunks)
+      assert(r.getLong(4) === chunks * l - total)
+      assert(r.getLong(5) === total * 1000 / (chunks * l))
+      assert(r.getLong(5) <= 1000L)
+    }
+    // padding can only grow with L once every doc fits in one chunk
+    val utils = Seq(512L, 2048L, 8192L).map(rows(_).getLong(5))
+    assert(utils === utils.sorted.reverse)
+  }
+
   test("sample_mix_tokens: water-filling invariants — caps, budget fill, common water level") {
     val rows = SparkEntry.queries("sample_mix_tokens")(spark, sf).collect()
     val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
