@@ -153,6 +153,43 @@ object CorpusPrep {
         .format("memory"), trigger)
       .start()
 
+  /** The COMPLETE streaming ingest — every door gate this module
+    * provides, composed in release-pipeline order: quality floor ∘
+    * watermark-bounded exact dedup ([[prepared]]) ∘ Bloom benchmark
+    * decontamination ([[decontaminated]]) ∘ PII redaction (the
+    * [[redacted]] stage) — the streaming twin of the batch
+    * `corpus_prep_full` release pass, built entirely from the SAME
+    * factored expressions the batch stages use, so every decision is
+    * bit-identical to its batch counterpart by construction. The only
+    * batch-exclusive stage is near-dup component resolution, which is
+    * deliberately NOT here (the documented streaming/batch split:
+    * exact-hash suppression at the door, LSH compaction on the landed
+    * corpus).
+    *
+    * Scale shape: the union of its parts — one watermark-bounded
+    * dedup state, a 1-row broadcast bitmap, and stateless projections;
+    * nothing else.
+    */
+  def fullIngest(docs: DataFrame, sfDir: String, lateness: String = "1 minute"): DataFrame =
+    decontaminated(docs, sfDir, lateness)
+      .withColumn("redacted",
+        graft.functions.TextAnalysis.redactPii(col("text")))
+      .drop("text")
+
+  def startFullIngest(
+      docs: DataFrame,
+      sfDir: String,
+      queryName: String,
+      lateness: String = "1 minute",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      fullIngest(docs, sfDir, lateness)
+        .writeStream
+        .queryName(queryName)
+        .outputMode("append")
+        .format("memory"), trigger)
+      .start()
+
   /** Incremental index maintenance — the REFRESH leg of the
     * train-once/serve-many index lifecycle ([[graft.IndexStore]]):
     * each micro-batch of newly-landed (gated, deduped) documents

@@ -131,6 +131,36 @@ class CorpusPrepSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full ingest: each gate fires on its class; the survivor lands redacted with audit columns") {
+    implicit val ctx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = CorpusPrep.startFullIngest(docs, sfDir, "corpus_full_ingest_out")
+    try {
+      val bench0 = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") === 0L).select("text").collect().head.getString(0)
+      val filler = (1 to 120).map(i => s"freshword$i").mkString(" ")
+      val junk = "the the the the the the the the"
+      val goodPii = s"$filler mail carol@example.org id 900-44-5555"
+      input.addData(Seq(
+        (1L, junk, ts(1)),                         // quality gate
+        (2L, goodPii, ts(2)),                      // survivor
+        (3L, goodPii, ts(3)),                      // exact dup of raw text
+        (4L, s"$bench0 $bench0 $bench0", ts(4))))  // decontamination gate
+      q.processAllAvailable()
+      val out = spark.table("corpus_full_ingest_out")
+      assert(out.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+      val row = out.filter(col("doc_id") === 2L)
+        .select("redacted", "n_bloom_hits", "quality_score").collect().head
+      val red = row.getString(0)
+      assert(red.contains("<EMAIL>") && red.contains("<SSN>"))
+      assert(!red.contains("carol@") && !red.contains("900-44-5555"))
+      assert(row.getInt(1) === 0)
+      assert(row.getDouble(2) >= CorpusPrep.QualityFloor)
+    } finally q.stop()
+  }
+
   test("streaming index refresh appends signatures bit-identical to the batch builder") {
     implicit val ctx = spark.sqlContext
     val sigDir = TestSpark.tmpDir("sig-refresh")
