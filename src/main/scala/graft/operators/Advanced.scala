@@ -656,10 +656,17 @@ object Advanced {
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
       .withColumn("weight",
         lit(1L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)))
-    val scalars = per.agg(sum("n_tokens").as("t_total"), sum("weight").as("w_total"))
+    // the whole solver runs as window passes over the ONE post-agg
+    // solver frame (source-cardinality rows, single partition) — a
+    // separate scalar-totals aggregate would re-derive the corpus
+    // subtree and scan the input twice (caught by the plan pin)
+    val full = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ord = Window.orderBy(col("ratio"), col("source"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val flagged = per.crossJoin(broadcast(scalars))
+    per
+      .withColumn("t_total", sum(col("n_tokens")).over(full))
+      .withColumn("w_total", sum(col("weight")).over(full))
       .withColumn("budget", expr("t_total div 2"))
       .withColumn("ratio", expr("n_tokens * 1000000 div weight"))
       .withColumn("pfx_t", coalesce(sum(col("n_tokens")).over(ord), lit(0L)))
@@ -667,12 +674,10 @@ object Advanced {
       .withColumn("saturated",
         col("n_tokens") * (col("w_total") - col("pfx_w")) <=
           (col("budget") - col("pfx_t")) * col("weight"))
-    val lam = flagged.agg(
-      (max(col("budget")) -
-        sum(when(col("saturated"), col("n_tokens")).otherwise(0L))).as("lam_num"),
-      (max(col("w_total")) -
-        sum(when(col("saturated"), col("weight")).otherwise(0L))).as("lam_den"))
-    flagged.crossJoin(broadcast(lam))
+      .withColumn("lam_num", col("budget") -
+        sum(when(col("saturated"), col("n_tokens")).otherwise(0L)).over(full))
+      .withColumn("lam_den", col("w_total") -
+        sum(when(col("saturated"), col("weight")).otherwise(0L)).over(full))
       .withColumn("alloc_tokens",
         when(col("saturated"), col("n_tokens"))
           .otherwise(expr("lam_num * weight div lam_den")))

@@ -435,6 +435,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashExchanges <= 1, s"\n$plan")
   }
 
+  test("text_gopher_rules: a pure projection — zero exchanges, zero aggregates") {
+    val plan = executedPlan("text_gopher_rules")
+    assert(!plan.contains("Exchange"), s"\n$plan")
+    assert(!plan.contains("Aggregate"), s"\n$plan")
+  }
+
+  test("sample_mix_tokens: corpus-grain work is ONE reused source aggregate; solver runs post-aggregation") {
+    // the scalar-totals branch re-derives the per-source subtree in the
+    // static plan; AQE's exchange reuse must collapse it back to one
+    // physical corpus aggregation — finalize the plan and assert that
+    val df = SparkEntry.queries("sample_mix_tokens")(spark, sf)
+    df.collect()
+    // the adaptive plan's toString echoes the pre-AQE plan below an
+    // "== Initial Plan ==" marker — assert on the FINAL section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val corpusScans = "FileScan parquet".r.findAllIn(plan).length
+    assert(corpusScans === 1, s"\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("Partial"), s"\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"\n$plan")
+  }
+
+  test("emb_drift: the dim-keyed aggregate collapses map-side — one hash exchange, no joins") {
+    val plan = executedPlan("emb_drift")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges === 1, s"\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("Partial"), s"\n$plan")
+    assert(!plan.contains("Join"), s"\n$plan")
+  }
+
+  test("pack_efficiency: literal-array explode then one 4-group aggregate — no window, no join") {
+    val plan = executedPlan("pack_efficiency")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges === 1, s"\n$plan")
+    assert(!plan.contains("Window"), s"\n$plan")
+    assert(!plan.contains("Join"), s"\n$plan")
+  }
+
+  test("sim_range_search: bucket-equality broadcast join only — no corpus shuffle, no cartesian") {
+    val plan = executedPlan("sim_range_search")
+    assert(!plan.contains("SortMergeJoin"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"\n$plan")
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
     graft.functions.expressions.GraftFunctions.register(spark)
