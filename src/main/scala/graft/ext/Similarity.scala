@@ -287,16 +287,22 @@ object Similarity {
     */
   private val knnLabelCache = new graft.SessionCache[DataFrame]
 
+  /** Mutual edges via INNER reverse join on the memoized edge list —
+    * the outer-join mutual MARKING of [[knnGraph]] is only needed when
+    * non-mutual edges must survive into the output. Shared by the
+    * clustering index build and [[labelProp]].
+    */
+  private[graft] def mutualEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = knnEdges(spark, sfDir).select("src", "dst")
+    val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
+    edges.join(rev,
+        col("src") === col("r_src") && col("dst") === col("r_dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+  }
+
   private[graft] def knnClusterLabels(spark: SparkSession, sfDir: String): DataFrame =
     knnLabelCache.getOrElseUpdate(spark, sfDir) {
-      // mutual edges via INNER reverse join on the memoized edge list —
-      // the outer-join mutual MARKING of knnGraph is only needed when
-      // non-mutual edges must survive into the output
-      val edges = knnEdges(spark, sfDir).select("src", "dst")
-      val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
-      val mutual = edges.join(rev,
-          col("src") === col("r_src") && col("dst") === col("r_dst"))
-        .select(col("src").as("u"), col("dst").as("v"))
+      val mutual = mutualEdges(spark, sfDir)
       def build = graft.ext.Dedup.starComponents(mutual)._1
       graft.IndexStore.resolve(spark, sfDir, "knn_cluster_labels", Some("v"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
@@ -310,6 +316,59 @@ object Similarity {
       .select(col("vec_id"),
         coalesce(col("comp"), col("vec_id")).as("cluster"),
         (coalesce(col("comp"), col("vec_id")) === col("vec_id")).as("is_rep"))
+  }
+
+  /** Seed-set size for [[labelProp]] — a fifth of the smallest test
+    * corpus, so the propagation frontier (and the unlabeled remainder)
+    * are both non-empty at every scale factor.
+    */
+  private val LabelPropSeeds = 100
+
+  /** Semi-supervised label propagation over the mutual k-NN graph —
+    * the curation pass that stretches a small labeled set across an
+    * unlabeled corpus (Zhu & Ghahramani's classic label propagation,
+    * fixed-round form): vectors with `vec_id <` [[LabelPropSeeds]] keep
+    * their true label as seeds; two synchronous rounds then give each
+    * still-unlabeled vector the MAJORITY label among its mutual-graph
+    * neighbors' current labels (tiebreak: smaller label id —
+    * deterministic, engine-portable). The output carries the true
+    * label next to the propagated one with per-row agreement, so the
+    * relation doubles as the propagation-accuracy eval — rerun on
+    * every corpus refresh like [[recallEval]].
+    *
+    * Scale shape: rounds are bounded (2) and each is one edge-grain
+    * join against the CURRENT label frame plus a (v, label)-keyed count
+    * aggregate and an argmax fold (`max(struct(count, -label))` — a
+    * hash aggregate, never a window over edge rows); edges come from
+    * the memoized [[knnEdges]] list (n·K narrow rows). Label state per
+    * round is one row per labeled vector.
+    */
+  def labelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+    val edges = mutualEdges(spark, sfDir)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val seeds = emb.filter(col("vec_id") < LabelPropSeeds)
+      .select(col("vec_id").as("v"), col("label").as("plabel"),
+        lit(0).as("prop_round"))
+    def round(cur: DataFrame, r: Int): DataFrame = {
+      val majority = edges
+        .join(cur.select(col("v").as("dst"), col("plabel")), "dst")
+        .groupBy(col("src"), col("plabel"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"),
+          (-col("plabel")).cast("long").as("neg"))).as("best"))
+        .select(col("src").as("v"),
+          (-col("best.neg")).cast("int").as("plabel"), lit(r).as("prop_round"))
+      cur.unionByName(majority.join(cur.select("v"), Seq("v"), "left_anti"))
+    }
+    val labeled = round(round(seeds, 1), 2)
+    emb
+      .join(labeled.select(col("v").as("vec_id"), col("plabel"), col("prop_round")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("label").as("label_true"),
+        col("plabel").as("label_prop"), col("prop_round"),
+        (col("plabel") === col("label")).as("correct"))
   }
 
   /** Hard-negative mining — per query vector, the top-5 most cosine-
@@ -1734,6 +1793,48 @@ object Similarity {
                  EXISTS (SELECT 1 FROM edges r
                          WHERE r.src = e.dst AND r.dst = e.src) AS mutual
           FROM edges e""",
+    "sim_label_prop" ->
+      s"""WITH $LshSigsSql,
+          b AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sigs s USING (vec_id)),
+          scored AS (
+            SELECT q.vec_id AS src, c.vec_id AS dst,
+                   $CosExpr AS score
+            FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id),
+          knn AS (
+            SELECT src, dst
+            FROM (SELECT *, row_number() OVER (PARTITION BY src
+                            ORDER BY score DESC, dst ASC) AS rn
+                  FROM scored)
+            WHERE rn <= $KnnK),
+          mutual AS (
+            SELECT e.src, e.dst FROM knn e
+            WHERE EXISTS (SELECT 1 FROM knn r
+                          WHERE r.src = e.dst AND r.dst = e.src)),
+          seeds AS (
+            SELECT vec_id AS v, label AS plabel, 0 AS prop_round
+            FROM embeddings WHERE vec_id < $LabelPropSeeds),
+          c1 AS (
+            SELECT m.src AS v, s.plabel, count(*) AS c
+            FROM mutual m JOIN seeds s ON s.v = m.dst GROUP BY m.src, s.plabel),
+          r1 AS (
+            SELECT v, plabel, 1 AS prop_round
+            FROM (SELECT *, row_number() OVER (PARTITION BY v
+                            ORDER BY c DESC, plabel ASC) AS rn FROM c1)
+            WHERE rn = 1 AND v NOT IN (SELECT v FROM seeds)),
+          l1 AS (SELECT * FROM seeds UNION ALL SELECT * FROM r1),
+          c2 AS (
+            SELECT m.src AS v, s.plabel, count(*) AS c
+            FROM mutual m JOIN l1 s ON s.v = m.dst GROUP BY m.src, s.plabel),
+          r2 AS (
+            SELECT v, plabel, 2 AS prop_round
+            FROM (SELECT *, row_number() OVER (PARTITION BY v
+                            ORDER BY c DESC, plabel ASC) AS rn FROM c2)
+            WHERE rn = 1 AND v NOT IN (SELECT v FROM l1)),
+          l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM r2)
+          SELECT e.vec_id, e.label AS label_true, l.plabel AS label_prop,
+                 l.prop_round, l.plabel = e.label AS correct
+          FROM embeddings e LEFT JOIN l2 l ON l.v = e.vec_id""",
     "emb_cluster_knn" ->
       s"""WITH RECURSIVE $LshSigsSql,
           b AS (SELECT e.vec_id, e.embedding, s.bucket
@@ -2053,6 +2154,7 @@ object Similarity {
     "sim_ann_lsh" -> annLshTopK _,
     "sim_ann_multiprobe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
     "sim_range_search" -> rangeSearch _,
+    "sim_label_prop" -> labelProp _,
     "sim_ivf_topk" -> ivfTopK _,
     "emb_quantize" -> quantize _,
     "emb_covariance" -> covariance _,

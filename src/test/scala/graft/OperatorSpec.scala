@@ -1708,6 +1708,34 @@ class OperatorSpec extends AnyFunSuite {
     if (levels.nonEmpty) assert(levels.max - levels.min <= 1)
   }
 
+  test("sim_label_prop: seeds keep truth at round 0; propagated labels come from mutual neighbors; rounds bounded") {
+    val rows = SparkEntry.queries("sim_label_prop")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+    assert(rows.length === Tables.embeddings(spark, sf).count())
+    val byRound = rows.groupBy(_._4)
+    // every seed keeps its true label at round 0
+    byRound(Some(0)).foreach { case (id, truth, prop, _) =>
+      assert(id < 100 && prop === Some(truth))
+    }
+    // propagation actually reached new vectors, in bounded rounds
+    assert(byRound.keySet.subsetOf(Set(None, Some(0), Some(1), Some(2))))
+    assert(byRound.contains(Some(1)))
+    // each propagated label is one of the node's mutual-neighbor labels
+    // at the PREVIOUS round (validity, recomputed from the graph query)
+    val edges = ext.Similarity.knnGraph(spark, sf)
+      .filter(col("mutual")).select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labelAt = rows.collect { case (id, _, Some(p), Some(rd)) => id -> (p, rd) }.toMap
+    byRound.getOrElse(Some(1), Array.empty).foreach { case (id, _, Some(p), _) =>
+      val neighborSeedLabels = edges.collect {
+        case (s, d) if s == id && labelAt.get(d).exists(_._2 == 0) => labelAt(d)._1
+      }
+      withClue(s"node $id")(assert(neighborSeedLabels.contains(p)))
+    }
+  }
+
   test("sim_hard_negatives: no neighbor shares its query's label; 5 ranked hits per query") {
     val emb = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
