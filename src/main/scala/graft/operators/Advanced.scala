@@ -656,6 +656,17 @@ object Advanced {
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
       .withColumn("weight",
         lit(1L) + pmod(substring(col("source"), 4, 10).cast("long"), lit(4L)))
+    mixSolver(per)
+  }
+
+  /** The water-filling solver on an arbitrary per-source frame
+    * (`source`, `n_docs`, `n_tokens`, `weight`) — factored from
+    * [[sampleMixTokens]] so the saturation branch (a source too small
+    * for its weighted share, taken whole) can be pinned on an
+    * adversarial skewed fixture: the synthetic corpus is
+    * near-uniform, so the declared query alone never saturates.
+    */
+  private[graft] def mixSolver(per: DataFrame): DataFrame = {
     // the whole solver runs as window passes over the ONE post-agg
     // solver frame (source-cardinality rows, single partition) — a
     // separate scalar-totals aggregate would re-derive the corpus

@@ -1685,6 +1685,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(utils === utils.sorted.reverse)
   }
 
+  test("mix solver saturation branch: a starved source is taken whole and its share re-spreads") {
+    // adversarial skew: src1 is tiny but carries weight 2 — its
+    // weighted share of the half-corpus budget exceeds its supply, so
+    // it MUST saturate (the branch the near-uniform corpus never hits)
+    val per = Seq(
+      ("src0", 10L, 100000L, 1L),
+      ("src1", 10L, 50L, 2L),
+      ("src2", 10L, 80000L, 1L))
+      .toDF("source", "n_docs", "n_tokens", "weight")
+    val out = operators.Advanced.mixSolver(per).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // budget = 180050 div 2 = 90025; src1 saturates at 50 tokens
+    assert(out("src1").getBoolean(4) === true)
+    assert(out("src1").getLong(5) === 50L)
+    // the unsaturated pair sits at the common water level λ = 89975/2
+    val lam = (90025L - 50L) / 2L
+    assert(out("src0").getBoolean(4) === false)
+    assert(out("src0").getLong(5) === lam)
+    assert(out("src2").getBoolean(4) === false)
+    assert(out("src2").getLong(5) === lam)
+    // budget filled up to flooring slack
+    val alloc = out.values.map(_.getLong(5)).sum
+    assert(alloc <= 90025L && 90025L - alloc < 2)
+  }
+
   test("sample_mix_tokens: water-filling invariants — caps, budget fill, common water level") {
     val rows = SparkEntry.queries("sample_mix_tokens")(spark, sf).collect()
     val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
