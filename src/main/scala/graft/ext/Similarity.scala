@@ -126,6 +126,16 @@ object Similarity {
   private[graft] def bucketedEmb(spark: SparkSession, sfDir: String): DataFrame =
     lshIndex(spark, sfDir).df
 
+  /** Bucket assignment for NEW vectors under the EXISTING index's
+    * derived plane count — the expression the streaming index refresh
+    * ([[graft.streaming.VectorIngest]]) shares with the batch build,
+    * bit-identical by construction. Reads the memoized index (does not
+    * rebuild it) so the stream's signature width always matches what
+    * the serving paths probe.
+    */
+  private[graft] def bucketAssign(spark: SparkSession, sfDir: String, emb: Column): Column =
+    bucketCol(emb, lshIndex(spark, sfDir).numPlanes)
+
   /** Deterministic pseudo-random weight in [-1, 1] for seed string
     * `s`: md5(s) → first 15 hex chars → long → % 2001 − 1000 → /1000.
     * Bit-for-bit reproducible in the DuckDB oracle.
