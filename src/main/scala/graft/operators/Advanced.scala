@@ -752,6 +752,42 @@ object Advanced {
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Release audit relation — the "why was my document dropped" table
+    * next to the release pipeline: EVERY corpus document with its
+    * release outcome and, for dropped docs, the FIRST gate that
+    * rejected it under a fixed precedence (benchmark membership >
+    * quality floor > near-dup loser > contamination — the order the
+    * pipeline applies them). The `kept` set is definitionally
+    * identical to [[corpusPrepFull]]'s output (spec-pinned), so this
+    * relation is the complement view the release process publishes for
+    * provenance/debugging.
+    *
+    * Scale shape: pure composition of already-audited stages (quality
+    * projection, memoized dup components, broadcast decontamination)
+    * joined at doc grain by left joins against tiny loser/flag sets —
+    * the [[corpusPrepFull]] shape with the anti-joins turned into
+    * reason columns.
+    */
+  def corpusDropReasons(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = graft.functions.TextAnalysis.quality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val losers = graft.ext.Dedup.dupComponents(spark, sfDir, 0.8)
+      .filter(col("v") =!= col("comp"))
+      .select(col("v").as("doc_id"), lit(true).as("is_loser"))
+    val contam = graft.ext.Dedup.decontaminate(spark, sfDir)
+      .select(col("doc_id"),
+        (col("n_contaminated") * ContamPerMilleNum > col("n_shingles")).as("is_contam"))
+    q.join(losers, Seq("doc_id"), "left_outer")
+      .join(contam, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("doc_id") < graft.ext.Dedup.BenchmarkDocs, "benchmark")
+          .when(col("quality_score") < 0.3, "quality")
+          .when(coalesce(col("is_loser"), lit(false)), "near_dup")
+          .when(coalesce(col("is_contam"), lit(false)), "contaminated")
+          .otherwise("kept").as("reason"))
+      .withColumn("kept", col("reason") === "kept")
+  }
+
   /** Per-source data card of the release pipeline — the summary table
     * that ships WITH a released corpus: for each source, documents and
     * tokens in, documents and tokens surviving [[corpusPrepFull]], and
@@ -1106,6 +1142,34 @@ object Advanced {
           WHERE quality_score >= 0.3
             AND doc_id NOT IN (SELECT doc_id FROM losers)""",
     "corpus_prep_full" -> CorpusPrepFullSql,
+    "corpus_drop_reasons" ->
+      s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
+          ${graft.ext.Dedup.Comp08Ctes},
+          losers AS (SELECT v AS doc_id FROM comps WHERE v != comp),
+          bench AS (SELECT DISTINCT shingle FROM ex
+                    WHERE doc_id < ${graft.ext.Dedup.BenchmarkDocs}),
+          hits AS (SELECT e.doc_id, count(*) AS n_cont
+                   FROM ex e JOIN bench USING (shingle) GROUP BY e.doc_id),
+          contam AS (
+            SELECT s.doc_id, len(s.s) AS n_sh, coalesce(h.n_cont, 0) AS n_cont
+            FROM sh s LEFT JOIN hits h USING (doc_id)),
+          q AS (
+            SELECT doc_id,
+                   least(1.0, CAST(len(ws) AS DOUBLE) / 256.0) *
+                   (1.0 - CAST(len(list_filter(ws, w -> w IN ('the', 'a'))) AS DOUBLE) / len(ws))
+                     AS quality_score
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+          SELECT d.doc_id,
+                 CASE WHEN d.doc_id < ${graft.ext.Dedup.BenchmarkDocs} THEN 'benchmark'
+                      WHEN q.quality_score < 0.3 THEN 'quality'
+                      WHEN d.doc_id IN (SELECT doc_id FROM losers) THEN 'near_dup'
+                      WHEN c.n_cont * $ContamPerMilleNum > c.n_sh THEN 'contaminated'
+                      ELSE 'kept' END AS reason,
+                 (d.doc_id >= ${graft.ext.Dedup.BenchmarkDocs}
+                   AND q.quality_score >= 0.3
+                   AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+                   AND c.n_cont * $ContamPerMilleNum <= c.n_sh) AS kept
+          FROM documents d JOIN q USING (doc_id) JOIN contam c USING (doc_id)""",
     "corpus_release_card" ->
       s"""WITH kept AS ($CorpusPrepFullSql)
           SELECT d.source,
@@ -1264,6 +1328,7 @@ object Advanced {
     "sample_token_budget" -> sampleTokenBudget _,
     "sample_mix_tokens" -> sampleMixTokens _,
     "pack_efficiency" -> packEfficiency _,
+    "corpus_drop_reasons" -> corpusDropReasons _,
     "layout_zorder" -> layoutZorder _,
   )
 }

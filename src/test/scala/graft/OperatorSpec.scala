@@ -1685,6 +1685,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(utils === utils.sorted.reverse)
   }
 
+  test("corpus_drop_reasons: the kept set is exactly corpus_prep_full's output; reasons respect precedence") {
+    val reasons = SparkEntry.queries("corpus_drop_reasons")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val keptSet = reasons.filter(_._3).map(_._1).toSet
+    val fullSet = operators.Advanced.corpusPrepFull(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptSet === fullSet)
+    reasons.foreach { case (id, reason, kept) =>
+      assert(kept === (reason == "kept"))
+      if (id < 25) assert(reason === "benchmark")
+    }
+    // the audit covers the whole corpus and every reason code appears
+    assert(reasons.length === Tables.documents(spark, sf).count())
+    val codes = reasons.map(_._2).toSet
+    assert(codes.contains("kept") && codes.contains("benchmark") &&
+      codes.contains("quality"))
+  }
+
   test("mix solver saturation branch: a starved source is taken whole and its share re-spreads") {
     // adversarial skew: src1 is tiny but carries weight 2 — its
     // weighted share of the half-corpus budget exceeds its supply, so
