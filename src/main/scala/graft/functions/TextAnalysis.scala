@@ -1209,6 +1209,44 @@ object TextAnalysis {
         expr("total_tf * rank * 1000 div f1").as("zipf_permille"))
   }
 
+  /** Vocabulary size profiled by [[textDrift]]. */
+  private val TextDriftTopN = 100
+
+  /** Term-distribution drift between two corpus halves — the text twin
+    * of the embedding side's `emb_drift`, and the monitor a corpus
+    * refresh runs to catch topical/source composition shifts before
+    * they reach training: for the top-[[TextDriftTopN]] terms by total
+    * frequency, per-half counts and a drift flag on the
+    * CROSS-MULTIPLIED share delta (`|c_a·T_b − c_b·T_a|·1000 >
+    * T_a·T_b` — share moved by more than 1‰ of the top-vocabulary
+    * mass), all integer arithmetic, no division, deterministic halves
+    * by doc_id parity (production compares epoch t vs t+1 — identical
+    * dataflow).
+    *
+    * Scale shape: ONE corpus-grain term aggregate (map-side combined),
+    * then a distributed TakeOrdered trims to the bounded top set
+    * before any single-partition work; the totals ride the
+    * [[zipfProfile]] 1-row crossJoin discipline. Shares are measured
+    * within the top-set mass, keeping every operand derived from the
+    * bounded frame.
+    */
+  def textDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val even = pmod(col("doc_id"), lit(2)) === 0
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(sum(when(even, 1L).otherwise(0L)).as("c_even"),
+        sum(when(!even, 1L).otherwise(0L)).as("c_odd"))
+      .withColumn("total_tf", col("c_even") + col("c_odd"))
+    val top = counts
+      .orderBy(col("total_tf").desc, col("token").asc).limit(TextDriftTopN)
+    val tot = top.agg(sum(col("c_even")).as("t_even"), sum(col("c_odd")).as("t_odd"))
+    top.crossJoin(broadcast(tot))
+      .select(col("token"), col("c_even"), col("c_odd"), col("total_tf"),
+        (abs(col("c_even") * col("t_odd") - col("c_odd") * col("t_even")) * 1000 >
+          col("t_even") * col("t_odd")).as("drift_flag"))
+  }
+
   private[graft] def markerList(markers: Seq[String]): String =
     markers.map(m => s"'$m'").mkString(", ")
 
@@ -1375,6 +1413,23 @@ object TextAnalysis {
                     AND ellipsis_permille < 300 AND alpha_permille >= 800
                     AND n_stopwords >= 2 AS keep
            FROM r""",
+      "text_drift" ->
+        """WITH toks AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+           counts AS (
+             SELECT token,
+                    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_even,
+                    CAST(sum(CASE WHEN doc_id % 2 != 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_odd
+             FROM toks GROUP BY token),
+           top AS (
+             SELECT *, c_even + c_odd AS total_tf FROM counts
+             ORDER BY c_even + c_odd DESC, token ASC LIMIT 100),
+           tot AS (
+             SELECT CAST(sum(c_even) AS BIGINT) AS t_even,
+                    CAST(sum(c_odd) AS BIGINT) AS t_odd FROM top)
+           SELECT token, c_even, c_odd, total_tf,
+                  abs(c_even * t_odd - c_odd * t_even) * 1000 > t_even * t_odd AS drift_flag
+           FROM top, tot""",
       "text_readability" ->
         """WITH per AS (
              SELECT lang,
@@ -1796,5 +1851,6 @@ object TextAnalysis {
     "text_pii_redact" -> piiRedact _,
     "text_zipf" -> zipfProfile _,
     "text_gopher_rules" -> gopherRules _,
+    "text_drift" -> textDrift _,
   )
 }

@@ -850,6 +850,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(counts.nonEmpty)
   }
 
+  test("text_drift: per-half counts match an independent recompute; flag formula exact") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    docs.foreach { case (id, text) =>
+      text.split(" ").foreach { t =>
+        val (e, o) = counts.getOrElse(t, (0L, 0L))
+        counts(t) = if (id % 2 == 0) (e + 1, o) else (e, o + 1)
+      }
+    }
+    val rows = SparkEntry.queries("text_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty && rows.length <= 100)
+    val tEven = rows.map(_._2).sum
+    val tOdd = rows.map(_._3).sum
+    rows.foreach { case (tok, ce, co, tf, flag) =>
+      val (e, o) = counts(tok)
+      assert(ce === e && co === o && tf === e + o)
+      assert(flag === (math.abs(ce * tOdd - co * tEven) * 1000 > tEven * tOdd))
+    }
+    // top set is the max-total_tf slice of the true vocabulary
+    val cut = rows.map(_._4).min
+    assert(counts.values.count { case (e, o) => e + o > cut } <=
+      rows.count(_._4 > cut))
+  }
+
   test("emb_drift: sufficient statistics match an independent recompute; flag mixes true and false") {
     val emb = Tables.embeddings(spark, sf)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
