@@ -353,13 +353,14 @@ object Similarity {
     * the memoized [[knnEdges]] list (n·K narrow rows). Label state per
     * round is one row per labeled vector.
     */
-  def labelProp(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "label")
-    val edges = mutualEdges(spark, sfDir)
-      .select(col("u").as("src"), col("v").as("dst"))
-    val seeds = emb.filter(col("vec_id") < LabelPropSeeds)
-      .select(col("vec_id").as("v"), col("label").as("plabel"),
-        lit(0).as("prop_round"))
+  /** The propagation core on arbitrary (src, dst) edges and
+    * (v, plabel, prop_round) seeds — factored from [[labelProp]] so
+    * the majority/tiebreak semantics can be pinned on hand-built
+    * fixtures (the corpus exercises whatever votes it happens to
+    * contain; ties and exact majorities need construction).
+    */
+  private[graft] def propagateRounds(
+      edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     def round(cur: DataFrame, r: Int): DataFrame = {
       val majority = edges
         .join(cur.select(col("v").as("dst"), col("plabel")), "dst")
@@ -372,7 +373,17 @@ object Similarity {
           (-col("best.neg")).cast("int").as("plabel"), lit(r).as("prop_round"))
       cur.unionByName(majority.join(cur.select("v"), Seq("v"), "left_anti"))
     }
-    val labeled = round(round(seeds, 1), 2)
+    (1 to rounds).foldLeft(seeds)(round)
+  }
+
+  def labelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+    val edges = mutualEdges(spark, sfDir)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val seeds = emb.filter(col("vec_id") < LabelPropSeeds)
+      .select(col("vec_id").as("v"), col("label").as("plabel"),
+        lit(0).as("prop_round"))
+    val labeled = propagateRounds(edges, seeds, 2)
     emb
       .join(labeled.select(col("v").as("vec_id"), col("plabel"), col("prop_round")),
         Seq("vec_id"), "left_outer")

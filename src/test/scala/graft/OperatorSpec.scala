@@ -1777,6 +1777,29 @@ class OperatorSpec extends AnyFunSuite {
     if (levels.nonEmpty) assert(levels.max - levels.min <= 1)
   }
 
+  test("label propagation core: exact majority wins; ties break to the smaller label; unreached stay absent") {
+    // undirected star fixture: node 10 sees labels {3, 7} once each
+    // (tie → 3); node 11 sees {7, 7, 3} (majority 7); node 12 has no
+    // labeled neighbor in round 1 but reaches 10's round-1 label in
+    // round 2; node 99 is disconnected
+    val edges = Seq(
+      (10L, 1L), (10L, 2L),
+      (11L, 3L), (11L, 4L), (11L, 5L),
+      (12L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(
+      (1L, 3, 0), (2L, 7, 0),
+      (3L, 7, 0), (4L, 7, 0), (5L, 3, 0))
+      .toDF("v", "plabel", "prop_round")
+    val out = ext.Similarity.propagateRounds(edges, seeds, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(10L) === ((3, 1)))  // tie {3,7} → smaller label
+    assert(out(11L) === ((7, 1)))  // 2-vs-1 majority
+    assert(out(12L) === ((3, 2)))  // second-round frontier
+    assert(!out.contains(99L))     // disconnected never labeled
+    assert(out(1L) === ((3, 0)))   // seeds untouched
+  }
+
   test("sim_label_prop: seeds keep truth at round 0; propagated labels come from mutual neighbors; rounds bounded") {
     val rows = SparkEntry.queries("sim_label_prop")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1),
