@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming multimodal ingest — the byte-exact payload-dedup gate
+  * ([[graft.ext.Multimodal.payloadDedup]]'s policy: first arrival by
+  * doc_id wins per checksum) applied at the door, with the payload
+  * BYTES kept out of every exchange:
+  *
+  *  1. per micro-batch, checksums are computed in a projection and the
+  *     dedup decision runs on (doc_id, payload_md5) rows ONLY — the
+  *     keeper aggregate and the landed-hash anti-join never carry the
+  *     binary column (the [[graft.ext.Multimodal]] scale discipline,
+  *     streamed);
+  *  2. the winning ids re-attach to their payloads through a BROADCAST
+  *     of the keeper set, so the batch's payload rows stay
+  *     partition-local end to end;
+  *  3. landed state is a checksum-only parquet index (16-byte rows per
+  *     landed payload, not the media itself) read back per batch — the
+  *     cross-batch memory of the gate, the same filter-as-data shape
+  *     as the decontamination bitmap.
+  *
+  * Idempotent per batch id: data and hash-index rows land under
+  * `batch_id=<n>` subdirectories that a replayed batch OVERWRITES onto
+  * itself (the [[Enrich.startRefreshable]] contract), so a crash
+  * between write and checkpoint commit cannot double-land media.
+  */
+object MediaIngest {
+
+  private def landedHashes(spark: SparkSession, dir: String): DataFrame =
+    scala.util.Try(spark.read.parquet(s"$dir/_hashes").select("payload_md5"))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[String].toDF("payload_md5")
+      }
+
+  def startPayloadDedup(
+      media: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hashed = batch.select(col("doc_id"), col("payload"),
+          md5(col("payload")).as("payload_md5"))
+        val keepers = hashed.select("doc_id", "payload_md5")
+          .join(landedHashes(spark, outDir), Seq("payload_md5"), "left_anti")
+          .groupBy("payload_md5").agg(min(col("doc_id")).as("doc_id"))
+        val fresh = hashed.join(broadcast(keepers), Seq("payload_md5", "doc_id"))
+        fresh.select("doc_id", "payload_md5", "payload")
+          .write.mode("overwrite").parquet(s"$outDir/data/batch_id=$batchId")
+        keepers.select("payload_md5")
+          .write.mode("overwrite").parquet(s"$outDir/_hashes/batch_id=$batchId")
+      }
+    Patterns.withTrigger(w, trigger).start()
+  }
+}

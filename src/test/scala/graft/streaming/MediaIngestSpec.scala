@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Streaming payload-dedup gate: first arrival per checksum lands,
+  * in-batch and cross-batch duplicates are suppressed, and the landed
+  * hash index accumulates.
+  */
+class MediaIngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+
+  test("first arrival per checksum lands; in-batch and cross-batch replays are suppressed") {
+    implicit val ctx = spark.sqlContext
+    val outDir = TestSpark.tmpDir("media-ingest")
+    val ckpt = TestSpark.tmpDir("media-ingest-ckpt")
+    val input = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val media = input.toDF().toDF("doc_id", "payload", "ingest_ts")
+    val q = MediaIngest.startPayloadDedup(media, outDir, ckpt)
+    try {
+      val imgA = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+      val imgB = Array.tabulate[Byte](64)(i => (i * 5 + 1).toByte)
+      val imgC = Array.tabulate[Byte](64)(i => (i * 7 + 2).toByte)
+      input.addData(Seq(
+        (7L, imgA, ts(1)),
+        (3L, imgA, ts(2)),   // in-batch duplicate → keeper is min id 3
+        (9L, imgB, ts(3))))
+      q.processAllAvailable()
+      input.addData(Seq(
+        (20L, imgA, ts(4)),  // cross-batch duplicate → suppressed
+        (21L, imgC, ts(5)))) // novel → lands
+      q.processAllAvailable()
+      val landed = spark.read.parquet(s"$outDir/data")
+        .select("doc_id", "payload").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      assert(landed.keySet === Set(3L, 9L, 21L))
+      assert(landed(3L) === imgA.toSeq)
+      assert(landed(21L) === imgC.toSeq)
+      // hash index carries one row per distinct landed payload
+      val nHashes = spark.read.parquet(s"$outDir/_hashes")
+        .select("payload_md5").distinct().count()
+      assert(nHashes === 3L)
+    } finally q.stop()
+  }
+}
