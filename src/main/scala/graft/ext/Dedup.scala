@@ -553,6 +553,47 @@ object Dedup {
           x => x)).cast("double") / NumHashes).as("est_jaccard"))
   }
 
+  /** Incremental near-dup — the ARRIVING-BATCH form of [[minhashLsh]]
+    * and the reason the signature index is maintained at all (batch
+    * build + [[graft.streaming.CorpusPrep.startIndexRefresh]] appends):
+    * when a new tranche lands, production never re-pairs the whole
+    * corpus — it band-joins the NEW signatures against the landed ones
+    * only. Here "new" is the corpus's last tenth by doc_id (cutoff
+    * derived from the corpus itself — one scalar aggregate riding a
+    * 1-row broadcast, active at every scale factor); production passes
+    * the tranche id the same way.
+    *
+    * Scale shape: candidate work is |new|·band-occupancy instead of
+    * the full self-join's |corpus|·occupancy — the asymmetric join is
+    * what makes continuous dedup affordable at 100 TB (the old×old
+    * pairs were already resolved in earlier tranches). Signature and
+    * estimate machinery are the memoized [[minhashSignatures]] and the
+    * same zip_with agreement fold as [[minhashLsh]], so the grade is
+    * bit-identical to the full pass on the shared pairs.
+    */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir)
+    val cut = Tables.documents(spark, sfDir)
+      .agg((max(col("doc_id")) + 1 - expr("count(1) div 10")).as("cutoff"))
+    val bands = sig
+      .withColumn("b", explode(sequence(lit(0), lit(NumBands - 1))))
+      .select(col("doc_id"), col("b"),
+        md5(array_join(slice(col("mhs"), col("b") * 4 + 1, lit(4)), "|")).as("bsig"))
+      .crossJoin(broadcast(cut))
+    val newB = bands.filter(col("doc_id") >= col("cutoff"))
+      .select(col("doc_id").as("doc_new"), col("b"), col("bsig"))
+    val oldB = bands.filter(col("doc_id") < col("cutoff"))
+      .select(col("doc_id").as("doc_old"), col("b").as("b_r"), col("bsig").as("bsig_r"))
+    newB.join(oldB, col("b") === col("b_r") && col("bsig") === col("bsig_r"))
+      .select("doc_new", "doc_old").distinct()
+      .join(sig.toDF("doc_new", "mhs_n"), "doc_new")
+      .join(sig.toDF("doc_old", "mhs_o"), "doc_old")
+      .select(col("doc_new"), col("doc_old"),
+        (size(filter(zip_with(col("mhs_n"), col("mhs_o"), (p, q) => p === q),
+          x => x)).cast("double") / NumHashes).as("est_jaccard"))
+      .withColumn("is_dup", col("est_jaccard") >= 0.8)
+  }
+
   /** Train/test split-leakage audit — near-duplicate pairs (est-0.8
     * MinHash grade, the [[components]] edge set) whose endpoints land
     * in DIFFERENT splits of [[graft.functions.TextAnalysis.trainTestSplit]]:
@@ -1283,6 +1324,26 @@ object Dedup {
     // the bloom prefilter is exact-by-construction (no false negatives
     // + exact confirm join), so the oracle is the SAME statement
     "decontaminate_bloom" -> DecontaminateSql,
+    "dedup_incremental" ->
+      s"""WITH $ShingleCte,
+          mh AS (
+            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+            FROM ex, range(16) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+            FROM sig, range(4) t(b)),
+          cut AS (SELECT max(doc_id) + 1 - count(*) // 10 AS cutoff FROM documents),
+          cand AS (
+            SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+            FROM bands n JOIN bands o ON n.b = o.b AND n.bsig = o.bsig, cut
+            WHERE n.doc_id >= cutoff AND o.doc_id < cutoff)
+          SELECT doc_new, doc_old,
+                 CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16
+                   AS est_jaccard,
+                 CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16
+                   >= 0.8 AS is_dup
+          FROM cand JOIN sig x ON doc_new = x.doc_id JOIN sig y ON doc_old = y.doc_id""",
     "dedup_minhash_lsh" ->
       s"""WITH $ShingleCte,
           mh AS (
@@ -1515,6 +1576,7 @@ object Dedup {
     "dedup_spans_clean" -> spanDedupClean _,
     "dedup_editdist" -> editDistConfirm _,
     "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_incremental" -> incrementalDedup _,
     "dedup_components" -> components _,
     "dedup_cluster_stats" -> clusterStats _,
     "sample_dedup_weight" -> softDedupWeights _,

@@ -1711,6 +1711,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(utils === utils.sorted.reverse)
   }
 
+  test("dedup_incremental: exactly the full-pass pairs that cross the cutoff, identical grades") {
+    val n = Tables.documents(spark, sf).count()
+    val maxId = Tables.documents(spark, sf).agg(max("doc_id")).as[Long].head()
+    val cutoff = maxId + 1 - n / 10
+    val full = ext.Dedup.minhashLsh(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .collect { case ((a, b), e) if a < cutoff && b >= cutoff => ((b, a), e) }
+      .toMap
+    val inc = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(inc.keySet === full.keySet)
+    inc.foreach { case (pair, (e, dup)) =>
+      assert(e === full(pair))
+      assert(dup === (e >= 0.8))
+    }
+  }
+
   test("corpus_drop_reasons: the kept set is exactly corpus_prep_full's output; reasons respect precedence") {
     val reasons = SparkEntry.queries("corpus_drop_reasons")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
