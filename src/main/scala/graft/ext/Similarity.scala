@@ -1088,6 +1088,38 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("score"), 6).as("score"))
   }
 
+  /** Incremental embedding near-dup — the vector-space twin of
+    * [[graft.ext.Dedup.incrementalDedup]] and the batch consumer of
+    * [[graft.streaming.VectorIngest]]'s appended buckets: an arriving
+    * tranche pairs against LANDED vectors only, through the same
+    * single-bucket candidates, hot-bucket cap, and cosine-≥0.3
+    * confirm as [[embNearDup]] — so candidate work is
+    * |tranche|·occupancy, never the full self-join, and grades agree
+    * with the full pass on shared pairs by construction. The tranche
+    * here is the vec_id-parity half (`emb_drift`'s epoch convention —
+    * odd = arriving, even = landed), which keeps the cross set
+    * non-empty at every test scale factor; production passes the
+    * tranche id the same way.
+    */
+  def embIncrementalNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idx = lshIndex(spark, sfDir)
+    val cap = hotBucketCap(idx.n, idx.numPlanes)
+    val occ = idx.df.groupBy("bucket").agg(count(lit(1)).as("occ"))
+    val cold = idx.df
+      .join(occ.filter(col("occ") <= cap).select("bucket"), "bucket")
+    val newE = cold.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("vec_new"), col("embedding").as("emb_n"), col("bucket"))
+    val oldE = cold.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("vec_old"), col("embedding").as("emb_o"),
+        col("bucket").as("bucket_r"))
+    newE.join(oldE, col("bucket") === col("bucket_r"))
+      .select(col("vec_new"), col("vec_old"),
+        GraftFunctions.cosineSim(col("emb_n"), col("emb_o")).as("score"))
+      .filter(col("score") >= 0.3)
+      .select(col("vec_new"), col("vec_old"), round(col("score"), 6).as("score"))
+  }
+
   /** Per-dimension-pair covariance of the embedding corpus — the
     * statistics every whitening / PCA / drift-detection pass consumes.
     * Output is the upper triangle (i ≤ j) of the 64×64 population
@@ -2154,6 +2186,20 @@ object Similarity {
                  $rCols
           FROM proj GROUP BY vec_id"""
     },
+    "emb_incremental_neardup" ->
+      s"""WITH $LshSigsSql,
+          occ AS (SELECT bucket, count(*) AS occ FROM sigs GROUP BY bucket),
+          capv AS (SELECT greatest($TargetOccupancy,
+                     (8::BIGINT * (SELECT count(*) FROM embeddings))
+                       // (1::BIGINT << (SELECT nplanes FROM np))) AS cap),
+          b AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sigs s USING (vec_id)
+                JOIN occ ON occ.bucket = s.bucket
+                WHERE occ.occ <= (SELECT cap FROM capv))
+          SELECT q.vec_id AS vec_new, c.vec_id AS vec_old,
+                 round($CosExpr, 6) AS score
+          FROM b q JOIN b c ON q.bucket = c.bucket
+          WHERE q.vec_id % 2 = 1 AND c.vec_id % 2 = 0 AND $CosExpr >= 0.3""",
     "dedup_emb_neardup" ->
       s"""WITH $LshSigsSql,
           occ AS (SELECT bucket, count(*) AS occ FROM sigs GROUP BY bucket),
@@ -2176,6 +2222,7 @@ object Similarity {
     "sim_ann_multiprobe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
     "sim_range_search" -> rangeSearch _,
     "sim_label_prop" -> labelProp _,
+    "emb_incremental_neardup" -> embIncrementalNearDup _,
     "sim_ivf_topk" -> ivfTopK _,
     "emb_quantize" -> quantize _,
     "emb_covariance" -> covariance _,

@@ -1711,6 +1711,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(utils === utils.sorted.reverse)
   }
 
+  test("emb_incremental_neardup: exactly the full pass's cross-parity pairs, identical scores") {
+    val full = ext.Similarity.embNearDup(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .collect { case ((a, b), s) if a % 2 != b % 2 =>
+        (if (a % 2 == 1) (a, b) else (b, a)) -> s
+      }.toMap
+    val inc = SparkEntry.queries("emb_incremental_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inc.keySet === full.keySet)
+    inc.foreach { case (pair, s) => assert(s === full(pair)) }
+    assert(inc.nonEmpty)
+  }
+
   test("dedup_incremental: exactly the full-pass pairs that cross the cutoff, identical grades") {
     val n = Tables.documents(spark, sf).count()
     val maxId = Tables.documents(spark, sf).agg(max("doc_id")).as[Long].head()
