@@ -47,6 +47,22 @@ class MediaIngestSpec extends AnyFunSuite {
       val nHashes = spark.read.parquet(s"$outDir/_hashes")
         .select("payload_md5").distinct().count()
       assert(nHashes === 3L)
-    } finally q.stop()
+
+      // the gate's memory is the landed index, not query state: a
+      // RESTARTED query (same checkpoint + outDir) still suppresses a
+      // replayed payload and admits a novel one
+      q.stop()
+      val q2 = MediaIngest.startPayloadDedup(media, outDir, ckpt)
+      try {
+        val imgD = Array.tabulate[Byte](64)(i => (i * 11 + 3).toByte)
+        input.addData(Seq(
+          (30L, imgA, ts(6)),   // post-restart replay → suppressed
+          (31L, imgD, ts(7))))  // novel → lands
+        q2.processAllAvailable()
+        val after = spark.read.parquet(s"$outDir/data")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(after === Set(3L, 9L, 21L, 31L))
+      } finally q2.stop()
+    } finally scala.util.Try(q.stop()) // already stopped on the happy path
   }
 }
