@@ -534,12 +534,27 @@ object Dedup {
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }
 
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = minhashSignatures(spark, sfDir)
-    val bands = sig
+  /** Band-signature expansion of a signature frame — ONE definition
+    * shared by the full self-join pass and the incremental
+    * tranche-vs-landed pass, so a banding change (band count, rows per
+    * band, band hash) can never desynchronize the two.
+    */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig
       .withColumn("b", explode(sequence(lit(0), lit(NumBands - 1))))
       .select(col("doc_id"), col("b"),
         md5(array_join(slice(col("mhs"), col("b") * 4 + 1, lit(4)), "|")).as("bsig"))
+
+  /** Estimated Jaccard from two minhash-signature columns — the shared
+    * agreement fold ([[bandsOf]]'s rationale applies).
+    */
+  private def estJaccard(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (p, q) => p === q), x => x))
+      .cast("double") / NumHashes
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minhashSignatures(spark, sfDir)
+    val bands = bandsOf(sig)
     val cand = bands.toDF("doc_a", "b", "bsig")
       .join(bands.toDF("doc_b", "b_r", "bsig_r"),
         col("b") === col("b_r") && col("bsig") === col("bsig_r") &&
@@ -549,8 +564,7 @@ object Dedup {
       .join(sig.toDF("doc_a", "mhs_a"), "doc_a")
       .join(sig.toDF("doc_b", "mhs_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("mhs_a"), col("mhs_b"), (p, q) => p === q),
-          x => x)).cast("double") / NumHashes).as("est_jaccard"))
+        estJaccard(col("mhs_a"), col("mhs_b")).as("est_jaccard"))
   }
 
   /** Incremental near-dup — the ARRIVING-BATCH form of [[minhashLsh]]
@@ -575,11 +589,7 @@ object Dedup {
     val sig = minhashSignatures(spark, sfDir)
     val cut = Tables.documents(spark, sfDir)
       .agg((max(col("doc_id")) + 1 - expr("count(1) div 10")).as("cutoff"))
-    val bands = sig
-      .withColumn("b", explode(sequence(lit(0), lit(NumBands - 1))))
-      .select(col("doc_id"), col("b"),
-        md5(array_join(slice(col("mhs"), col("b") * 4 + 1, lit(4)), "|")).as("bsig"))
-      .crossJoin(broadcast(cut))
+    val bands = bandsOf(sig).crossJoin(broadcast(cut))
     val newB = bands.filter(col("doc_id") >= col("cutoff"))
       .select(col("doc_id").as("doc_new"), col("b"), col("bsig"))
     val oldB = bands.filter(col("doc_id") < col("cutoff"))
@@ -589,8 +599,7 @@ object Dedup {
       .join(sig.toDF("doc_new", "mhs_n"), "doc_new")
       .join(sig.toDF("doc_old", "mhs_o"), "doc_old")
       .select(col("doc_new"), col("doc_old"),
-        (size(filter(zip_with(col("mhs_n"), col("mhs_o"), (p, q) => p === q),
-          x => x)).cast("double") / NumHashes).as("est_jaccard"))
+        estJaccard(col("mhs_n"), col("mhs_o")).as("est_jaccard"))
       .withColumn("is_dup", col("est_jaccard") >= 0.8)
   }
 

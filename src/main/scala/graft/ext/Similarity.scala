@@ -601,6 +601,22 @@ object Similarity {
     * probe buckets are distinct — so candidates are unique by
     * construction, no distinct, no multi-bucket corpus blow-up.
     */
+  /** The multiprobe query frame — own bucket first, then flip plane
+    * p−1 for probe p — factored so [[annLshMultiProbe]] and
+    * [[rangeSearch]] probe the IDENTICAL candidate set (a recall-knob
+    * change edits one definition, never desynchronizes the two).
+    */
+  private def probedQueries(emb: DataFrame, nProbe: Int): DataFrame = {
+    val probeBuckets = array((0 until nProbe).map {
+      case 0 => col("q_bucket")
+      case p => col("q_bucket").bitwiseXOR(lit(1 << (p - 1)))
+    }: _*)
+    emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+      .select(col("query_id"), col("q_emb"), explode(probeBuckets).as("probe_bucket"))
+  }
+
   def annLshMultiProbe(
       spark: SparkSession, sfDir: String, nProbeOpt: Option[Int] = None): DataFrame = {
     GraftFunctions.register(spark)
@@ -612,15 +628,7 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= 1 + idx.numPlanes,
       s"nProbe must be in [1, ${1 + idx.numPlanes}] (own bucket + one per plane)")
     val emb = idx.df
-    // probe sequence: own bucket first, then flip plane p-1 for probe p
-    val probeBuckets = array((0 until nProbe).map {
-      case 0 => col("q_bucket")
-      case p => col("q_bucket").bitwiseXOR(lit(1 << (p - 1)))
-    }: _*)
-    val q = emb.filter(col("vec_id") < NumQueryVecs)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"))
-      .select(col("query_id"), col("q_emb"), explode(probeBuckets).as("probe_bucket"))
+    val q = probedQueries(emb, nProbe)
     emb.join(broadcast(q),
         col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -665,14 +673,7 @@ object Similarity {
     GraftFunctions.register(spark)
     val idx = lshIndex(spark, sfDir)
     val emb = idx.df
-    val probeBuckets = array((0 to idx.numPlanes).map {
-      case 0 => col("q_bucket")
-      case p => col("q_bucket").bitwiseXOR(lit(1 << (p - 1)))
-    }: _*)
-    val q = emb.filter(col("vec_id") < NumQueryVecs)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("bucket").as("q_bucket"))
-      .select(col("query_id"), col("q_emb"), explode(probeBuckets).as("probe_bucket"))
+    val q = probedQueries(emb, 1 + idx.numPlanes)
     emb.join(broadcast(q),
         col("bucket") === col("probe_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -978,11 +979,14 @@ object Similarity {
     * emits exact integer sufficient statistics for each half (count,
     * Σx at e6 scale, Σx² at e3 scale — the coarser square scale keeps
     * the long-sum bound at ~8·10¹² per 5·10⁵ rows per half) plus a
-    * drift flag on the CROSS-MULTIPLIED mean delta
-    * `|Σa·n_b − Σb·n_a| > τ·n_a·n_b` (τ = 0.005 in e6 units, active at every test scale factor) — no
-    * division anywhere, so truncation-direction mismatches between
-    * engines on negative sums cannot exist and the compare is
-    * bit-exact.
+    * drift flag on the per-half MEAN delta `|Σa/n_a − Σb/n_b| > τ`
+    * (τ = 0.005 in e6 units, active at every test scale factor),
+    * computed in DOUBLE: both engines cast the same exact longs and
+    * perform the same correctly-rounded IEEE divisions, so the flag
+    * is bit-deterministic at any corpus size — integer division would
+    * truncate negative sums in different directions across engines,
+    * and an integer cross-multiplication would overflow Long beyond
+    * ~1.5e6 rows per half.
     *
     * Scale shape: one corpus scan, posexplode to (row × dim) feeding a
     * hash aggregate on the 64-value dim key — partial aggregation
@@ -1006,8 +1010,14 @@ object Similarity {
         sum(when(even, xe3 * xe3).otherwise(0L)).as("sumsq_e3_even"),
         sum(when(!even, xe3 * xe3).otherwise(0L)).as("sumsq_e3_odd"))
       .withColumn("drift_flag",
-        abs(col("sum_e6_even") * col("n_odd") - col("sum_e6_odd") * col("n_even")) >
-          lit(5000L) * col("n_even") * col("n_odd"))
+        // mean compare in DOUBLE: both engines cast the same exact
+        // longs and perform the same correctly-rounded IEEE divisions,
+        // so the flag is bit-deterministic at ANY corpus size — the
+        // integer cross-multiplication (sum·n) would overflow Long
+        // beyond ~1.5e6 rows per half
+        abs(col("sum_e6_even").cast("double") / greatest(col("n_even"), lit(1L)) -
+          col("sum_e6_odd").cast("double") / greatest(col("n_odd"), lit(1L))) >
+          lit(5000.0))
   }
 
   /** Per-label cluster cohesion: every vector's cosine to its own
@@ -1075,9 +1085,18 @@ object Similarity {
     * the SAME bucket key, so the filter adds no extra corpus shuffle
     * pattern; within kept buckets pair work is ≤ cap²/2 per bucket.
     */
-  private[graft] def embNearDupFrom(emb: DataFrame, cap: Long): DataFrame = {
+  /** Hot-bucket-capped corpus frame — the occupancy filter factored so
+    * the full pair pass and the incremental tranche pass generate
+    * candidates from the IDENTICAL cold-bucket set (a cap-rule change
+    * edits one definition).
+    */
+  private def coldBuckets(emb: DataFrame, cap: Long): DataFrame = {
     val occ = emb.groupBy("bucket").agg(count(lit(1)).as("occ"))
-    val cold = emb.join(occ.filter(col("occ") <= cap).select("bucket"), "bucket")
+    emb.join(occ.filter(col("occ") <= cap).select("bucket"), "bucket")
+  }
+
+  private[graft] def embNearDupFrom(emb: DataFrame, cap: Long): DataFrame = {
+    val cold = coldBuckets(emb, cap)
     val l = cold.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
     val r = cold.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
       col("bucket").as("bucket_r"))
@@ -1105,9 +1124,7 @@ object Similarity {
     GraftFunctions.register(spark)
     val idx = lshIndex(spark, sfDir)
     val cap = hotBucketCap(idx.n, idx.numPlanes)
-    val occ = idx.df.groupBy("bucket").agg(count(lit(1)).as("occ"))
-    val cold = idx.df
-      .join(occ.filter(col("occ") <= cap).select("bucket"), "bucket")
+    val cold = coldBuckets(idx.df, cap)
     val newE = cold.filter(pmod(col("vec_id"), lit(2)) === 1)
       .select(col("vec_id").as("vec_new"), col("embedding").as("emb_n"), col("bucket"))
     val oldE = cold.filter(pmod(col("vec_id"), lit(2)) === 0)
@@ -2154,8 +2171,9 @@ object Similarity {
                    CAST(sum(CASE WHEN vec_id % 2 != 0 THEN xe3 * xe3 ELSE 0 END) AS BIGINT) AS sumsq_e3_odd
             FROM el GROUP BY d)
           SELECT *,
-                 abs(sum_e6_even * n_odd - sum_e6_odd * n_even) >
-                   5000 * n_even * n_odd AS drift_flag
+                 abs(CAST(sum_e6_even AS DOUBLE) / greatest(n_even, 1)
+                     - CAST(sum_e6_odd AS DOUBLE) / greatest(n_odd, 1)) > 5000.0
+                   AS drift_flag
           FROM agg""",
     "emb_stats" ->
       """SELECT vec_id,

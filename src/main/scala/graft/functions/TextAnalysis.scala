@@ -1216,12 +1216,16 @@ object TextAnalysis {
     * of the embedding side's `emb_drift`, and the monitor a corpus
     * refresh runs to catch topical/source composition shifts before
     * they reach training: for the top-[[TextDriftTopN]] terms by total
-    * frequency, per-half counts and a drift flag on the
-    * CROSS-MULTIPLIED share delta (`|c_a·T_b − c_b·T_a|·1000 >
-    * T_a·T_b` — share moved by more than 1‰ of the top-vocabulary
-    * mass), all integer arithmetic, no division, deterministic halves
-    * by doc_id parity (production compares epoch t vs t+1 — identical
-    * dataflow).
+    * frequency, per-half counts, each half's share of the top-set
+    * mass in integer parts-per-million, and a drift flag on the ppm
+    * delta (> 1000 ppm = the share moved by more than 1‰),
+    * deterministic halves by doc_id parity (production compares epoch
+    * t vs t+1 — identical dataflow). Shares are floor-divided ppm of
+    * NON-NEGATIVE longs, so both engines truncate identically; the
+    * `c·10⁶` numerator bounds the contract at ~9·10¹² occurrences per
+    * term per half — comfortably above a 100 TB corpus's hottest
+    * token (a raw cross-multiplied compare would overflow three
+    * orders of magnitude earlier).
     *
     * Scale shape: ONE corpus-grain term aggregate (map-side combined),
     * then a distributed TakeOrdered trims to the bounded top set
@@ -1241,10 +1245,17 @@ object TextAnalysis {
     val top = counts
       .orderBy(col("total_tf").desc, col("token").asc).limit(TextDriftTopN)
     val tot = top.agg(sum(col("c_even")).as("t_even"), sum(col("c_odd")).as("t_odd"))
+    // shares in integer parts-per-million BEFORE comparing: operands
+    // stay ≤ 1e6 at any corpus size — a raw cross-multiplication
+    // (count × mass × 1000) would overflow Long already at ~1e10
+    // tokens; all quantities are non-negative so the floor division
+    // truncates identically in both engines
     top.crossJoin(broadcast(tot))
       .select(col("token"), col("c_even"), col("c_odd"), col("total_tf"),
-        (abs(col("c_even") * col("t_odd") - col("c_odd") * col("t_even")) * 1000 >
-          col("t_even") * col("t_odd")).as("drift_flag"))
+        expr("c_even * 1000000 div greatest(t_even, 1)").as("share_even_ppm"),
+        expr("c_odd * 1000000 div greatest(t_odd, 1)").as("share_odd_ppm"))
+      .withColumn("drift_flag",
+        abs(col("share_even_ppm") - col("share_odd_ppm")) > 1000)
   }
 
   private[graft] def markerList(markers: Seq[String]): String =
@@ -1428,7 +1439,10 @@ object TextAnalysis {
              SELECT CAST(sum(c_even) AS BIGINT) AS t_even,
                     CAST(sum(c_odd) AS BIGINT) AS t_odd FROM top)
            SELECT token, c_even, c_odd, total_tf,
-                  abs(c_even * t_odd - c_odd * t_even) * 1000 > t_even * t_odd AS drift_flag
+                  c_even * 1000000 // greatest(t_even, 1) AS share_even_ppm,
+                  c_odd * 1000000 // greatest(t_odd, 1) AS share_odd_ppm,
+                  abs(c_even * 1000000 // greatest(t_even, 1)
+                      - c_odd * 1000000 // greatest(t_odd, 1)) > 1000 AS drift_flag
            FROM top, tot""",
       "text_readability" ->
         """WITH per AS (

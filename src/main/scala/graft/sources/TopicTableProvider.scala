@@ -24,10 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * Storage layout — one directory per topic, one FILE per topic
   * partition (lexicographic name order fixes partition ids), one
   * newline-delimited message per line (the producer envelope,
-  * FileReplaySpec's wire format). The exposed schema is the Kafka
-  * batch-scan shape with `value` pre-renamed to `message` (the
-  * tributary relation contract [[graft.streaming.BonusPattern
-  * .registerViews]] consumes):
+  * FileReplaySpec's wire format). CONTRACT: messages are UTF-8 TEXT
+  * envelopes — the reader decodes lines as UTF-8 and re-encodes them
+  * into the binary column, so arbitrary non-UTF-8 payload bytes would
+  * not round-trip (raw binary topics need a length-framed or
+  * byte-splitting reader, not this newline layout; the reference's
+  * producer envelope is JSON text, so the narrower contract matches
+  * the modeled system). The exposed schema is the Kafka batch-scan
+  * shape with `value` pre-renamed to `message` (the tributary
+  * relation contract [[graft.streaming.BonusPattern.registerViews]]
+  * consumes):
   *
   *   message binary, topic string, partition int, offset long,
   *   timestamp timestamp

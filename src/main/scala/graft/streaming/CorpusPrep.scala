@@ -78,11 +78,17 @@ object CorpusPrep {
     * on [[prepared]]'s watermark-bounded dedup state — zero additional
     * state or exchanges.
     */
-  def redacted(docs: DataFrame, lateness: String = "1 minute"): DataFrame =
-    prepared(docs, lateness)
-      .withColumn("redacted",
+  /** The redaction projection itself — ONE definition shared by
+    * [[redacted]] and [[fullIngest]] so the two ingest variants'
+    * landed shape cannot fork.
+    */
+  private def redactStage(df: DataFrame): DataFrame =
+    df.withColumn("redacted",
         graft.functions.TextAnalysis.redactPii(col("text")))
       .drop("text")
+
+  def redacted(docs: DataFrame, lateness: String = "1 minute"): DataFrame =
+    redactStage(prepared(docs, lateness))
 
   def startRedacted(
       docs: DataFrame,
@@ -171,10 +177,7 @@ object CorpusPrep {
     * nothing else.
     */
   def fullIngest(docs: DataFrame, sfDir: String, lateness: String = "1 minute"): DataFrame =
-    decontaminated(docs, sfDir, lateness)
-      .withColumn("redacted",
-        graft.functions.TextAnalysis.redactPii(col("text")))
-      .drop("text")
+    redactStage(decontaminated(docs, sfDir, lateness))
 
   def startFullIngest(
       docs: DataFrame,

@@ -80,6 +80,13 @@ object Enrich {
     * Readers `spark.read.parquet(outDir)` as usual; partition
     * discovery surfaces `batch_id` as an extra long column (which
     * doubles as replay lineage).
+    *
+    * MIGRATION NOTE: this layout replaced a flat `mode("append")`
+    * write. An outDir populated by the flat layout must be rebuilt
+    * (or its files moved under a `batch_id=-1` subdirectory) before
+    * resuming — mixing root-level data files with partition
+    * directories fails Spark's partition discovery with "Conflicting
+    * directory structures detected".
     */
   def startRefreshable(
       parsed: DataFrame,

@@ -29,12 +29,44 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object MediaIngest {
 
-  private def landedHashes(spark: SparkSession, dir: String): DataFrame =
-    scala.util.Try(spark.read.parquet(s"$dir/_hashes").select("payload_md5"))
-      .getOrElse {
-        import spark.implicits._
-        Seq.empty[String].toDF("payload_md5")
-      }
+  /** Landed checksum index, EXCLUDING the current batch's own
+    * partition: a crash-replayed batch re-runs with the same batchId
+    * and must not see the hashes it wrote before the crash, or the
+    * anti-join would empty its keeper set and the idempotent overwrite
+    * would replace the batch's landed media with nothing. Only the
+    * missing-directory case (first batch ever) maps to empty — any
+    * real read error propagates so the checkpoint retries the batch
+    * instead of silently resetting the gate's memory.
+    */
+  private def landedHashes(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/_hashes")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
+      import spark.implicits._
+      Seq.empty[String].toDF("payload_md5")
+    } else
+      spark.read.parquet(path.toString)
+        .filter(col("batch_id") =!= batchId)
+        .select("payload_md5")
+  }
+
+  /** One micro-batch of the gate, factored so the crash-replay path
+    * (same batchId re-entering after the writes but before the
+    * checkpoint commit) is directly testable.
+    */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val hashed = batch.select(col("doc_id"), col("payload"),
+      md5(col("payload")).as("payload_md5"))
+    val keepers = hashed.select("doc_id", "payload_md5")
+      .join(landedHashes(spark, outDir, batchId), Seq("payload_md5"), "left_anti")
+      .groupBy("payload_md5").agg(min(col("doc_id")).as("doc_id"))
+    val fresh = hashed.join(broadcast(keepers), Seq("payload_md5", "doc_id"))
+    fresh.select("doc_id", "payload_md5", "payload")
+      .write.mode("overwrite").parquet(s"$outDir/data/batch_id=$batchId")
+    keepers.select("payload_md5")
+      .write.mode("overwrite").parquet(s"$outDir/_hashes/batch_id=$batchId")
+  }
 
   def startPayloadDedup(
       media: DataFrame,
@@ -44,17 +76,7 @@ object MediaIngest {
     val w = media.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val hashed = batch.select(col("doc_id"), col("payload"),
-          md5(col("payload")).as("payload_md5"))
-        val keepers = hashed.select("doc_id", "payload_md5")
-          .join(landedHashes(spark, outDir), Seq("payload_md5"), "left_anti")
-          .groupBy("payload_md5").agg(min(col("doc_id")).as("doc_id"))
-        val fresh = hashed.join(broadcast(keepers), Seq("payload_md5", "doc_id"))
-        fresh.select("doc_id", "payload_md5", "payload")
-          .write.mode("overwrite").parquet(s"$outDir/data/batch_id=$batchId")
-        keepers.select("payload_md5")
-          .write.mode("overwrite").parquet(s"$outDir/_hashes/batch_id=$batchId")
+        processBatch(batch, batchId, outDir)
       }
     Patterns.withTrigger(w, trigger).start()
   }

@@ -861,14 +861,17 @@ class OperatorSpec extends AnyFunSuite {
       }
     }
     val rows = SparkEntry.queries("text_drift")(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
     assert(rows.nonEmpty && rows.length <= 100)
     val tEven = rows.map(_._2).sum
     val tOdd = rows.map(_._3).sum
-    rows.foreach { case (tok, ce, co, tf, flag) =>
+    rows.foreach { case (tok, ce, co, tf, se, so, flag) =>
       val (e, o) = counts(tok)
       assert(ce === e && co === o && tf === e + o)
-      assert(flag === (math.abs(ce * tOdd - co * tEven) * 1000 > tEven * tOdd))
+      assert(se === ce * 1000000L / math.max(tEven, 1))
+      assert(so === co * 1000000L / math.max(tOdd, 1))
+      assert(flag === (math.abs(se - so) > 1000))
     }
     // top set is the max-total_tf slice of the true vocabulary
     val cut = rows.map(_._4).min
@@ -894,7 +897,7 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getLong(1) === na && r.getLong(2) === nb)
       assert(r.getLong(3) === sa && r.getLong(4) === sb)
       assert(r.getBoolean(7) ===
-        (math.abs(sa * nb - sb * na) > 5000L * na * nb))
+        (math.abs(sa.toDouble / na - sb.toDouble / nb) > 5000.0))
     }
     val flags = rows.values.map(_.getBoolean(7)).toSeq
     assert(flags.contains(true) && flags.contains(false))
