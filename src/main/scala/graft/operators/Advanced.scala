@@ -993,14 +993,18 @@ object Advanced {
            SELECT *, n_tokens * (w_total - pfx_w) <= (budget - pfx_t) * weight AS saturated
            FROM p),
          lam AS (
-           SELECT max(budget) - sum(CASE WHEN saturated THEN n_tokens ELSE 0 END) AS lam_num,
-                  max(w_total) - sum(CASE WHEN saturated THEN weight ELSE 0 END) AS lam_den
+           -- CAST: sum(BIGINT) is HUGEINT in DuckDB; the driver's gate
+           -- canonicalizes HUGEINT output columns differently than the
+           -- engine's BIGINT (same axis as the q12 fix), so pin the type
+           -- before it reaches the output expressions
+           SELECT CAST(max(budget) - sum(CASE WHEN saturated THEN n_tokens ELSE 0 END) AS BIGINT) AS lam_num,
+                  CAST(max(w_total) - sum(CASE WHEN saturated THEN weight ELSE 0 END) AS BIGINT) AS lam_den
            FROM s)
          SELECT source, n_docs, n_tokens, weight, saturated,
-                CASE WHEN saturated THEN n_tokens
-                     ELSE lam_num * weight // lam_den END AS alloc_tokens,
-                (CASE WHEN saturated THEN n_tokens
-                      ELSE lam_num * weight // lam_den END) * 1000000 // n_tokens AS rate_e6
+                CAST(CASE WHEN saturated THEN n_tokens
+                     ELSE lam_num * weight // lam_den END AS BIGINT) AS alloc_tokens,
+                CAST((CASE WHEN saturated THEN n_tokens
+                      ELSE lam_num * weight // lam_den END) * 1000000 // n_tokens AS BIGINT) AS rate_e6
          FROM s, lam""",
     "sample_token_budget" ->
       s"""WITH d AS (
