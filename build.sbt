@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as
+// contract JSON. Default forked-run output goes through sbt's logger
+// ("[info] " prefix) and sbt appends "[success] Total time: …" — both
+// break that parse (BENCH_r01-r08 all record "parsed": null). Raw
+// pass-through output + no success epilogue leaves the bench's compact
+// JSON line as the true last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -194,6 +194,12 @@ object Bench {
       // edge list (the dup_components lifecycle on the embedding side)
       Seq(
         "knn_cluster_labels" -> (() => { ext.Similarity.knnClusterLabels(spark, queryDir); () })))
+    // SPARK_GRAFT_INDEX_PAR caps concurrent builders per wave (dev
+    // profiling: PAR=1 gives uncontended per-builder seconds; the
+    // in-wave walls below include scheduler/codegen contention)
+    val idxPool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_INDEX_PAR", "16").toInt)
+    val idxEc = scala.concurrent.ExecutionContext.fromExecutor(idxPool)
     val indexSeconds: Seq[(String, Double)] = indexWaves.flatMap { wave =>
       Await.result(Future.traverse(wave) { case (name, build) => Future {
         val t0 = System.nanoTime()
@@ -201,8 +207,9 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] index $name: $sec%.3f s")
         name -> sec
-      }}, Duration.Inf)
+      }(idxEc)}(implicitly, idxEc), Duration.Inf)
     }
+    idxPool.shutdown()
     val indexBuildSec = (System.nanoTime() - tIdx0) / 1e9
     val indexJson = indexSeconds
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
