@@ -630,6 +630,52 @@ object Dedup {
         col("est_jaccard"))
   }
 
+  /** Swept est-Jaccard thresholds for [[recallEval]], in permille.
+    * The 16-hash estimate moves in 1/16 steps, so the sweep sits on
+    * representable grades (8/16, 12/16, 14/16, 16/16) and every
+    * `est ≥ thr/1000` compare is exact in both engines.
+    */
+  private val RecallThresholdsPermille = Seq(500L, 750L, 875L, 1000L)
+
+  /** Precision/recall evaluation of the MinHash-LSH near-dup path
+    * against exact n-gram Jaccard ground truth — the dedup-side twin of
+    * the ANN `sim_recall_eval`: band count and confirm threshold are
+    * tuned FROM this table (a sweep of the estimate threshold against
+    * the exact grade), not from folklore. Ground truth is
+    * [[ngramJaccard]]'s df-capped exact pairs at jaccard ≥ 0.5;
+    * prediction is [[minhashLsh]] confirmed at each swept threshold.
+    * Counts are integer-exact; precision/recall ship as ppm integers
+    * (`hits·10⁶ div preds`), zero-guarded.
+    *
+    * Scale shape: both inputs are the memoized candidate-bounded pair
+    * frames (banded blocking + df caps keep them linear in corpus
+    * size, never all-pairs); the eval adds one full-outer join on the
+    * pair key and one threshold-conditional aggregate whose output is
+    * threshold-cardinality. At 100 TB production runs the same eval on
+    * a hash-sampled doc subset — the pair frames' generators already
+    * take the corpus frame as input, so sampling composes upstream.
+    */
+  def recallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = ngramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("is_true"))
+    val pred = minhashLsh(spark, sfDir)
+    val pairs = pred.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("est_jaccard"), lit(-1.0)).as("est"),
+        coalesce(col("is_true"), lit(false)).as("is_true"))
+    pairs
+      .select(explode(typedLit(RecallThresholdsPermille)).as("threshold_permille"),
+        col("est"), col("is_true"))
+      .withColumn("hit", col("est") >= col("threshold_permille").cast("double") / 1000.0)
+      .groupBy("threshold_permille")
+      .agg(count_if(col("is_true")).as("n_truth"),
+        count_if(col("hit")).as("n_pred"),
+        count_if(col("hit") && col("is_true")).as("n_hit"))
+      .withColumn("precision_e6",
+        when(col("n_pred") > 0, expr("n_hit * 1000000 div n_pred")).otherwise(0L))
+      .withColumn("recall_e6",
+        when(col("n_truth") > 0, expr("n_hit * 1000000 div n_truth")).otherwise(0L))
+  }
+
   /** Edit-distance confirmation of MinHash-LSH candidates — the
     * expensive exact check in its only scale-sane position: AFTER
     * blocking. Levenshtein is O(|a|·|b|) per pair, so it can never run
@@ -1370,6 +1416,55 @@ object Dedup {
                  CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16
                    AS est_jaccard
           FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id""",
+    "dedup_recall_eval" ->
+      s"""WITH $ShingleCte,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+          keptsh AS (SELECT shingle FROM ex GROUP BY shingle
+                     HAVING count(*) <= $DefaultMaxShingleDf),
+          exc AS (SELECT e.doc_id, e.shingle FROM ex e JOIN keptsh USING (shingle)),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM exc a JOIN exc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          truth AS (
+            SELECT doc_a, doc_b, true AS is_true
+            FROM inter
+            JOIN sizes x ON doc_a = x.doc_id
+            JOIN sizes y ON doc_b = y.doc_id
+            WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) >= 0.5),
+          mh AS (
+            SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+            FROM ex, range(16) t(i) GROUP BY doc_id, i),
+          sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+          bands AS (
+            SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+            FROM sig, range(4) t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+          pred AS (
+            SELECT doc_a, doc_b,
+                   CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16
+                     AS est
+            FROM cand JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id),
+          pairs AS (
+            SELECT coalesce(p.est, -1.0) AS est, coalesce(t.is_true, false) AS is_true
+            FROM pred p FULL OUTER JOIN truth t USING (doc_a, doc_b)),
+          thr AS (SELECT CAST(unnest([500, 750, 875, 1000]) AS BIGINT) AS threshold_permille)
+          SELECT threshold_permille,
+                 CAST(count(*) FILTER (WHERE is_true) AS BIGINT) AS n_truth,
+                 CAST(count(*) FILTER (WHERE est >= threshold_permille / 1000.0) AS BIGINT) AS n_pred,
+                 CAST(count(*) FILTER (WHERE is_true AND est >= threshold_permille / 1000.0) AS BIGINT) AS n_hit,
+                 CAST(CASE WHEN count(*) FILTER (WHERE est >= threshold_permille / 1000.0) > 0
+                      THEN count(*) FILTER (WHERE is_true AND est >= threshold_permille / 1000.0) * 1000000
+                           // count(*) FILTER (WHERE est >= threshold_permille / 1000.0)
+                      ELSE 0 END AS BIGINT) AS precision_e6,
+                 CAST(CASE WHEN count(*) FILTER (WHERE is_true) > 0
+                      THEN count(*) FILTER (WHERE is_true AND est >= threshold_permille / 1000.0) * 1000000
+                           // count(*) FILTER (WHERE is_true)
+                      ELSE 0 END AS BIGINT) AS recall_e6
+          FROM pairs, thr GROUP BY threshold_permille""",
     "dedup_editdist" ->
       s"""WITH $ShingleCte,
           mh AS (
@@ -1591,6 +1686,7 @@ object Dedup {
     "sample_dedup_weight" -> softDedupWeights _,
     "dedup_graph_rank" -> graphRank _,
     "dedup_lsh_sweep" -> lshSweep _,
+    "dedup_recall_eval" -> recallEval _,
     "dedup_quality_calibration" -> qualityCalibration _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,

@@ -75,6 +75,55 @@ object TextAnalysis {
       qualityScore(col("text")).as("quality_score"))
   }
 
+  /** Per-token weight modulus for [[classifierScore]]: weights live in
+    * [0, `ClassifierWeightMod`), centered at `ClassifierWeightMod div
+    * 2` at scoring time. Kept NONNEGATIVE so the integer mean uses the
+    * same division semantics in both engines (negative `div` truncates
+    * in Spark but floors in DuckDB).
+    */
+  private val ClassifierWeightMod = 2001L
+
+  /** Linear text-classifier scoring — the quality/domain-classifier
+    * inference pass of corpus filtering (the fastText-style model
+    * production pipelines run between heuristic gates and training):
+    * each token maps to a feature weight via the hashing trick
+    * (Weinberger et al., ICML'09 — no vocabulary dictionary,
+    * collisions tolerated by design), the document logit is the mean
+    * token weight, and the score is its logistic. Here the weight
+    * table IS the hash (weight = md5₆₀(token) mod 2001, a fixed
+    * pseudo-model), which keeps the oracle cross-engine exact;
+    * production broadcasts a trained weight vector indexed by the same
+    * hash — the dataflow is identical because the lookup is a pure
+    * per-token expression either way.
+    *
+    * Determinism: the fold is all-integer (sum of hashed weights,
+    * truncating integer per-mille mean), so the only float is the
+    * final logistic, computed from an exact integer logit and rounded
+    * at 1e-6 — the [[unigramLogprob]] libm discipline. The keep
+    * decision compares the INTEGER mean against the midpoint, so the
+    * gate itself never touches a float.
+    *
+    * Scale shape: pure per-row map — one narrow scan, an array fold
+    * per document, no explode and no exchange anywhere, output at
+    * corpus grain. Classifier gating at 100 TB is scan-bound, which is
+    * the whole point of the hashing trick.
+    */
+  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ws = words(col("text"))
+    val tokenWeight = (t: Column) =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % ClassifierWeightMod
+    val mid = ClassifierWeightMod / 2 // 1000: the zero-logit midpoint
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_tokens"),
+        aggregate(ws, lit(0L), (acc, t) => acc + tokenWeight(t)).as("w_sum"))
+      .withColumn("mean_milli", expr("w_sum div n_tokens"))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) +
+          exp((lit(mid) - col("mean_milli")).cast("double") / 250.0)), 6))
+      .withColumn("keep", col("mean_milli") >= mid)
+  }
+
   /** Token counting two ways: whitespace split and a BPE-ish regex
     * tokenizer (letter runs), plus distinct-token count.
     */
@@ -280,6 +329,55 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("total_tf"), col("idf"))
       .orderBy(col("df").desc, col("token").asc)
       .limit(20)
+
+  /** Vocabulary sizes swept by [[vocabCoverage]]. The synthetic corpus
+    * has ~31 distinct tokens, so the sweep spans the under- to
+    * over-complete regimes at every test scale factor; production uses
+    * tokenizer-budget candidates (16k/32k/64k/…) — same shape.
+    */
+  private val CoverageKs = Seq(1L, 2L, 5L, 10L, 20L, 50L)
+
+  /** Token-coverage curve of the top-k vocabulary — the data-card
+    * number behind tokenizer-budget and OOV decisions: for each
+    * candidate vocabulary size k, what fraction of all corpus token
+    * OCCURRENCES the k most frequent types cover (Zipf mass, the
+    * cumulative complement of [[oovRate]]'s fixed-vocab view).
+    *
+    * Determinism: frequencies and cumulative masses are exact
+    * integers; coverage ships as ppm via integer division. Ties in
+    * frequency break on the token string — a total order, so top-k
+    * membership is cross-engine identical.
+    *
+    * Scale shape: the corpus-grain work is the memoized [[vocabulary]]
+    * index (one scan, one grouped exchange — shared with every other
+    * tf-idf consumer); this query adds a distributed TakeOrdered that
+    * trims vocab-grain to max(k) = 50 rows, one tiny-frame conditional
+    * aggregate over the k-sweep, and a 1-row broadcast of the corpus
+    * token total. No vocab-grain sort, no corpus-grain exchange.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = vocabulary(spark, sfDir)
+    val tot = vocab.agg(sum(col("total_tf")).as("corpus_tf"))
+    // rank AFTER the TakeOrdered limit: the unpartitioned window runs
+    // on ≤ max(CoverageKs) rows — the documented post-limit tiny-frame
+    // shape, not a vocab-grain sort
+    val ranked = vocab
+      .select(col("token"), col("total_tf"))
+      .orderBy(col("total_tf").desc, col("token").asc)
+      .limit(CoverageKs.max.toInt)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("total_tf").desc, col("token").asc))
+          .cast("long"))
+    ranked
+      .select(explode(typedLit(CoverageKs)).as("k"), col("rk"), col("total_tf"))
+      .groupBy("k")
+      .agg(sum(when(col("rk") <= col("k"), col("total_tf")).otherwise(0L))
+        .as("topk_tf"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("topk_tf"), col("corpus_tf"),
+        expr("topk_tf * 1000000 div corpus_tf").as("coverage_ppm"))
+  }
 
   /** Per-source token-distribution entropy — the diversity line of a
     * corpus data card (a source whose entropy collapses is template
@@ -1610,6 +1708,35 @@ object TextAnalysis {
                    CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
                    string_agg(CAST(id AS VARCHAR), ',' ORDER BY i) AS ids_csv
             FROM ids GROUP BY doc_id""",
+      "text_classifier_score" ->
+        """WITH s AS (
+             SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    CAST(list_sum([('0x' || substr(md5(t), 1, 15))::BIGINT % 2001
+                                   for t in string_split(text, ' ')]) AS BIGINT) AS w_sum
+             FROM documents)
+           SELECT doc_id, n_tokens, w_sum,
+                  CAST(w_sum // n_tokens AS BIGINT) AS mean_milli,
+                  round(1.0 / (1.0 + exp((1000 - w_sum // n_tokens) / 250.0)), 6) AS score,
+                  (w_sum // n_tokens) >= 1000 AS keep
+           FROM s""",
+      "vocab_coverage" ->
+        """WITH tok AS (
+             SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+           agg AS (SELECT token, CAST(count(*) AS BIGINT) AS total_tf
+                   FROM tok GROUP BY token),
+           tot AS (SELECT CAST(sum(total_tf) AS BIGINT) AS corpus_tf FROM agg),
+           ranked AS (
+             SELECT token, total_tf,
+                    CAST(row_number() OVER (ORDER BY total_tf DESC, token ASC) AS BIGINT) AS rk
+             FROM agg ORDER BY total_tf DESC, token ASC LIMIT 50),
+           ks AS (SELECT CAST(unnest([1, 2, 5, 10, 20, 50]) AS BIGINT) AS k)
+           SELECT k,
+                  CAST(sum(CASE WHEN rk <= k THEN total_tf ELSE 0 END) AS BIGINT) AS topk_tf,
+                  corpus_tf,
+                  CAST(sum(CASE WHEN rk <= k THEN total_tf ELSE 0 END) * 1000000 // corpus_tf
+                    AS BIGINT) AS coverage_ppm
+           FROM ranked, ks, tot GROUP BY k, corpus_tf""",
       "text_token_count" ->
         """SELECT doc_id,
                   len(string_split(text, ' ')) AS ws_tokens,
@@ -1837,6 +1964,8 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> quality _,
     "text_token_count" -> tokenCount _,
+    "text_classifier_score" -> classifierScore _,
+    "vocab_coverage" -> vocabCoverage _,
     "text_token_ids" -> tokenIds _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,

@@ -82,6 +82,54 @@ object Advanced {
         col("pick.o_orderdate").as("next_orderdate"))
   }
 
+  /** NEAREST as-of join — each event joined to the user's closest
+    * order in EITHER time direction (pandas `merge_asof(direction=
+    * 'nearest')`), ties breaking backward like pandas: the alignment
+    * shape for joining two irregular time series where neither side
+    * leads — sensor pairing, price-mark matching, nearest-snapshot
+    * enrichment.
+    *
+    * Zero new machinery: ONE grouped timeline build carries BOTH sort
+    * orders (the ascending date array and the negated-micros array),
+    * so both directional [[graft.functions.expressions.AsofLast]]
+    * binary searches run against a single join's build side — same
+    * one-exchange-per-side scale shape as each directional form, and
+    * the direction choice is a pure post-probe projection on exact
+    * integer micro deltas.
+    */
+  def joinAsOfNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.asofLast
+    val timeline = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sort_array(collect_list(struct(col("o_orderdate"), col("o_orderkey"))))
+          .as("tl_back"),
+        sort_array(collect_list(struct(
+          (-unix_micros(col("o_orderdate").cast("timestamp"))).as("neg_t"),
+          col("o_orderdate"), col("o_orderkey")))).as("tl_fwd"))
+    val dBack = unix_micros(col("ts")) -
+      unix_micros(col("pb.o_orderdate").cast("timestamp"))
+    val dFwd = unix_micros(col("pf.o_orderdate").cast("timestamp")) -
+      unix_micros(col("ts"))
+    Tables.events(spark, sfDir)
+      .join(timeline, col("user_id") === col("o_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        asofLast(col("tl_back"), col("ts")).as("pb"),
+        asofLast(col("tl_fwd"), -unix_micros(col("ts"))).as("pf"))
+      .withColumn("use_back",
+        col("pb").isNotNull && (col("pf").isNull || dBack <= dFwd))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("use_back"), col("pb.o_orderkey"))
+          .otherwise(col("pf.o_orderkey")).as("nearest_orderkey"),
+        when(col("use_back"), col("pb.o_orderdate"))
+          .otherwise(col("pf.o_orderdate")).as("nearest_orderdate"),
+        when(col("use_back"), dBack)
+          .otherwise(dFwd).as("nearest_delta_us"))
+  }
+
   /** Per-label embedding centroids, one output row per (label,
     * dimension): the vector-aggregate shape of building class
     * prototypes / IVF coarse quantizer cells. The whole corpus folds
@@ -1232,6 +1280,35 @@ object Advanced {
          FROM events e
          ASOF LEFT JOIN ordd o
            ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts""",
+    "join_asof_nearest" ->
+      """WITH ordd AS (
+           SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY o_custkey, o_orderdate),
+         back AS (
+           SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                  epoch_us(e.ts) - epoch_us(o.o_orderdate) AS d_back
+           FROM events e
+           ASOF LEFT JOIN ordd o
+             ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts),
+         fwd AS (
+           SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                  epoch_us(o.o_orderdate) - epoch_us(e.ts) AS d_fwd
+           FROM events e
+           ASOF LEFT JOIN ordd o
+             ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
+         SELECT e.event_id, e.user_id, e.ts,
+                CASE WHEN b.o_orderdate IS NOT NULL
+                      AND (f.o_orderdate IS NULL OR b.d_back <= f.d_fwd)
+                     THEN b.o_orderkey ELSE f.o_orderkey END AS nearest_orderkey,
+                CASE WHEN b.o_orderdate IS NOT NULL
+                      AND (f.o_orderdate IS NULL OR b.d_back <= f.d_fwd)
+                     THEN b.o_orderdate ELSE f.o_orderdate END AS nearest_orderdate,
+                CAST(CASE WHEN b.o_orderdate IS NOT NULL
+                      AND (f.o_orderdate IS NULL OR b.d_back <= f.d_fwd)
+                     THEN b.d_back ELSE f.d_fwd END AS BIGINT) AS nearest_delta_us
+         FROM events e
+         LEFT JOIN back b USING (event_id)
+         LEFT JOIN fwd f USING (event_id)""",
     "sessionize" ->
       s"""WITH e AS (
             SELECT user_id, ts, event_id, event_type,
@@ -1314,6 +1391,7 @@ object Advanced {
     "join_asof" -> joinAsOf _,
     "join_asof_forward" -> joinAsOfForward _,
     "join_asof_tolerance" -> joinAsOfTolerance _,
+    "join_asof_nearest" -> joinAsOfNearest _,
     "sessionize" -> sessionize _,
     "sessionize_native" -> sessionizeNative _,
     "emb_label_centroids" -> embLabelCentroids _,

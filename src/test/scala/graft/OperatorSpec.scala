@@ -2028,4 +2028,111 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(rows.map(_._4) === rows.map(_._4).sorted(Ordering[Long].reverse))
   }
+
+  test("join_asof_nearest: picks whichever directional match is closer, ties backward") {
+    def us(v: Any): Long = v match {
+      case d: java.time.LocalDateTime =>
+        d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000
+      case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000
+      case t: java.sql.Timestamp =>
+        t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      case d: java.sql.Date => d.getTime * 1000L
+    }
+    val back = operators.Advanced.joinAsOf(spark, sf).collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(4)) None
+        else Some((r.getLong(3), us(r.getAs[Any](4)))))
+    }.toMap
+    val fwd = operators.Advanced.joinAsOfForward(spark, sf).collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(4)) None
+        else Some((r.getLong(3), us(r.getAs[Any](4)))))
+    }.toMap
+    val rows = operators.Advanced.joinAsOfNearest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val tsUs = us(r.getAs[Any](2))
+      val got = if (r.isNullAt(4)) None else Some((r.getLong(3), us(r.getAs[Any](4))))
+      val dBack = back(id).map { case (_, d) => tsUs - d }
+      val dFwd = fwd(id).map { case (_, d) => d - tsUs }
+      val expected = (dBack, dFwd) match {
+        case (Some(b), Some(f)) => if (b <= f) back(id) else fwd(id)
+        case (Some(_), None) => back(id)
+        case (None, Some(_)) => fwd(id)
+        case _ => None
+      }
+      withClue(id) {
+        assert(got === expected)
+        if (got.isDefined)
+          assert(r.getLong(5) === math.min(
+            dBack.getOrElse(Long.MaxValue), dFwd.getOrElse(Long.MaxValue)))
+      }
+    }
+  }
+
+  test("text_classifier_score: integer gate matches the logistic; hand-recomputed weights") {
+    val rows = functions.TextAnalysis.classifierScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val idx = rows.head.schema.fieldNames.zipWithIndex.toMap
+    rows.foreach { r =>
+      val n = r.getLong(idx("n_tokens")); val wSum = r.getLong(idx("w_sum"))
+      val mean = r.getLong(idx("mean_milli")); val score = r.getDouble(idx("score"))
+      val keep = r.getBoolean(idx("keep"))
+      assert(wSum >= 0 && n > 0 && mean === wSum / n && mean >= 0 && mean <= 2000)
+      assert(score > 0.0 && score < 1.0)
+      // the integer gate and the rounded logistic agree at the midpoint
+      assert(keep === (mean >= 1000))
+      assert(keep === (score >= 0.5))
+    }
+    // hand-recompute one document's hashed-weight sum
+    val doc = Tables.documents(spark, sf)
+      .select("doc_id", "text").orderBy("doc_id").limit(1).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wSumExp = doc.getString(1).split(" ", -1).map { t =>
+      val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001L
+    }.sum
+    val got = rows.find(_.getLong(idx("doc_id")) == doc.getLong(0)).get
+    assert(got.getLong(idx("w_sum")) === wSumExp)
+  }
+
+  test("vocab_coverage: ppm monotone in k, saturates at full vocab, k=1 equals the top token") {
+    val rows = functions.TextAnalysis.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === Seq(1L, 2L, 5L, 10L, 20L, 50L))
+    val corpusTf = rows.head._3
+    assert(rows.forall(_._3 == corpusTf))
+    rows.foreach { case (_, topk, tot, ppm) =>
+      assert(topk <= tot && ppm === topk * 1000000L / tot)
+    }
+    assert(rows.map(_._2) === rows.map(_._2).sorted) // monotone mass
+    // the synthetic vocab is < 50 types, so the last sweep point covers it all
+    assert(rows.last._2 === corpusTf && rows.last._4 === 1000000L)
+    // k=1 mass is the modal token's frequency, recomputed independently
+    val topTf = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().agg(max("count")).collect().head.getLong(0)
+    assert(rows.head._2 === topTf)
+  }
+
+  test("dedup_recall_eval: counts nest across thresholds; hits bounded by both sides") {
+    val rows = SparkEntry.queries("dedup_recall_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === Seq(500L, 750L, 875L, 1000L))
+    val nTruth = rows.head._2
+    assert(rows.forall(_._2 == nTruth)) // ground truth is threshold-free
+    rows.foreach { case (_, t, p, h, prec, rec) =>
+      assert(h <= p && h <= t)
+      assert(prec === (if (p > 0) h * 1000000L / p else 0L))
+      assert(rec === (if (t > 0) h * 1000000L / t else 0L))
+    }
+    // tightening the confirm threshold can only shrink predictions and hits
+    assert(rows.map(_._3).reverse === rows.map(_._3).reverse.sorted)
+    assert(rows.map(_._4).reverse === rows.map(_._4).reverse.sorted)
+    // the sweep is ACTIVE at test scale: the loosest threshold predicts
+    // something, so precision/recall are not vacuous zeros
+    assert(rows.head._3 > 0)
+  }
 }
