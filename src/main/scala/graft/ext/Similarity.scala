@@ -217,6 +217,58 @@ object Similarity {
         round(col("col._2"), 6).as("score"))
   }
 
+  /** Prefix dimensions swept by [[dimAblation]]: under- to fully-
+    * informative truncations of the 64-dim vectors. Production sweeps
+    * its Matryoshka training dims (64/128/256/…); same shape.
+    */
+  private val AblationDims = Seq(4L, 8L, 16L, 64L)
+
+  /** Embedding-dimension ablation — recall@10 of truncated-prefix
+    * cosine against full-dimension exact top-10 (the Matryoshka /
+    * adaptive-retrieval eval, Kusupati et al., NeurIPS 2022): serving
+    * a prefix of the embedding cuts memory and bandwidth linearly,
+    * and this table is the evidence for how much recall each
+    * truncation pays. d = [[Dim]] is the self-check row (recall ≡ 1).
+    *
+    * Determinism: prefix cosine folds the SAME leading elements in the
+    * same order as the full-dim kernel, so both engines compute
+    *  identical doubles; ranking ties break on neighbor_id. Recall
+    * ships as exact integer counts + ppm.
+    *
+    * Scale shape: identical to [[bruteforceTopK]] — broadcast query
+    * set, ONE corpus scan with the sweep exploded inline (work ×
+    * |sweep|, no extra scan), heap-trimmed per-(d, query) top-K so the
+    * exchange carries O(partitions × K × |sweep| × |Q|) rows; the
+    * recall join runs on K-row frames. The eval is brute-force BY
+    * DESIGN (it measures the truncation, not an index) and runs on a
+    * hash-sampled query set at 100 TB — the corpus side stays one
+    * scan regardless.
+    */
+  def dimAblation(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < NumQueryVecs)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val d = col("d").cast("int")
+    val hits = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(explode(typedLit(AblationDims)).as("d"), col("query_id"),
+        col("vec_id"),
+        GraftFunctions.cosineSim(
+          slice(col("embedding"), lit(1), d),
+          slice(col("q_emb"), lit(1), d)).as("score"))
+      .groupBy("d", "query_id")
+      .agg(topK(10)(col("vec_id"), col("score")).as("hits"))
+      .select(col("d"), col("query_id"),
+        transform(col("hits"), h => h.getField("_1")).as("ids"))
+    val truth = hits.filter(col("d") === Dim.toLong)
+      .select(col("query_id"), col("ids").as("true_ids"))
+    hits.join(truth, "query_id")
+      .select(col("d"), col("query_id"),
+        size(array_intersect(col("ids"), col("true_ids"))).cast("long")
+          .as("n_hit"))
+      .withColumn("recall_ppm", expr("n_hit * 1000000 div 10"))
+  }
+
   /** Neighbors per vertex in [[knnGraph]]/[[knnClusters]]. */
   private val KnnK = 3
 
@@ -1777,6 +1829,31 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 10""",
+    "sim_dim_ablation" ->
+      s"""WITH ds AS (SELECT CAST(unnest([4, 8, 16, 64]) AS BIGINT) AS d),
+          scored AS (
+            SELECT d, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+                             for i in range(d)])
+                   / (sqrt(list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)
+                             for i in range(d)]))
+                      * sqrt(list_sum([CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+                             for i in range(d)]))) AS score
+            FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id, ds
+            WHERE q.vec_id < $NumQueryVecs),
+          cand AS (
+            SELECT d, query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY d, query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rn
+                  FROM scored)
+            WHERE rn <= 10),
+          truth AS (SELECT query_id, neighbor_id FROM cand WHERE d = $Dim)
+          SELECT c.d, c.query_id,
+                 CAST(count(t.neighbor_id) AS BIGINT) AS n_hit,
+                 CAST(count(t.neighbor_id) * 1000000 // 10 AS BIGINT) AS recall_ppm
+          FROM cand c LEFT JOIN truth t
+            ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+          GROUP BY c.d, c.query_id""",
     "sim_hard_negatives" ->
       s"""WITH scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2236,6 +2313,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> bruteforceTopK _,
+    "sim_dim_ablation" -> dimAblation _,
     "sim_ann_lsh" -> annLshTopK _,
     "sim_ann_multiprobe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
     "sim_range_search" -> rangeSearch _,

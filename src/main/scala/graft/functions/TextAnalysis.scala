@@ -379,6 +379,147 @@ object TextAnalysis {
         expr("topk_tf * 1000000 div corpus_tf").as("coverage_ppm"))
   }
 
+  /** HLL register count (m) for [[hllNgrams]]: 256 registers = 8 index
+    * bits off the 60-bit md5 hash, leaving a 52-bit rank suffix. The
+    * standard-error of the raw estimator is 1.04/√m ≈ 6.5% — the data-
+    * card sketch size/accuracy trade production tunes per column.
+    */
+  private[graft] val HllRegisters = 256
+
+  /** Word-3-gram stream at (source, ngram) grain, doubled with the
+    * `__all__` label so per-source registers and the union sketch come
+    * from ONE pass — shared by [[hllNgrams]] and its streaming twin so
+    * the two derivations cannot drift.
+    */
+  private[graft] def ngramStream(docs: DataFrame): DataFrame = {
+    val ws = words(col("text"))
+    docs
+      .filter(size(ws) >= 3)
+      .select(col("source"),
+        explode(transform(sequence(lit(0), size(ws) - 3),
+          i => concat_ws(" ", slice(ws, i + 1, lit(3))))).as("ng"))
+      .select(explode(array(col("source"), lit("__all__"))).as("source"),
+        col("ng"))
+  }
+
+  /** (source, register j, rank ρ) triples for [[hllNgrams]] — factored
+    * out so the batch sketch and the streaming register refresh
+    * evaluate the IDENTICAL hash/rank expressions (the [[qualityScore]]
+    * no-drift discipline). ρ = leading-zero count of the 52-bit hash
+    * suffix + 1, computed exactly via `length(bin(w))` (both engines'
+    * `bin` renders without leading zeros, so `len = ⌊log₂w⌋+1`).
+    */
+  private[graft] def hllRegisterTriples(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long")
+    val w = shiftright(h, 8)
+    ngramStream(docs).select(
+      col("source"),
+      pmod(h, lit(HllRegisters)).as("j"),
+      when(w === 0L, lit(53))
+        .otherwise(lit(53) - length(bin(w))).as("rho"))
+  }
+
+  /** Distinct n-gram counting by HyperLogLog sketch (Flajolet et al.,
+    * AofA 2007) — the data-card cardinality number (vocabulary growth,
+    * novel-n-gram rate per source) at the only shape that survives
+    * 100 TB: per-source 256-register sketches that MERGE by per-register
+    * max, so the union estimate costs nothing beyond the per-source
+    * rows. The md5-derived hash makes the whole sketch cross-engine
+    * bit-exact: register index = low 8 bits, rank = leading-zero count
+    * of the 52-bit suffix, both pure integer ops.
+    *
+    * Determinism: registers, the scaled harmonic sum S = Σ 2^(53-M_j)
+    * (a BIGINT — every term is a power of two, so no float sum exists),
+    * and V (zero registers) are exact integers. The two float steps —
+    * raw estimate αm²·2⁵³/S and the small-range linear-counting
+    * correction m·ln(m/V) — run on exact integer inputs with the
+    * [[unigramLogprob]] libm discipline (ln rounded at 1e-9 before
+    * use), so both engines compute identical doubles.
+    *
+    * Scale shape: one corpus scan → explode to n-gram grain → hash to
+    * (source, j, ρ) immediately (no n-gram strings cross an exchange);
+    * partial max combines map-side, so the shuffle carries ≤ sources ×
+    * 256 rows. The `exact_distinct` column is the EVAL HARNESS (it
+    * pays the (source, ngram)-grain distinct the sketch exists to
+    * avoid) — production ships registers only and drops that branch;
+    * `err_ppm` is the observed estimator error the data card reports.
+    */
+  def hllNgrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val regs = hllRegisterTriples(docs)
+      .groupBy("source", "j").agg(max("rho").as("m"))
+    val agg = regs.groupBy("source").agg(
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")) +
+        (lit(HllRegisters.toLong) - count(lit(1))) * lit(1L << 53)).as("s_scaled"),
+      (lit(HllRegisters.toLong) - count(lit(1))).as("v_zero"))
+    val exact = ngramStream(docs).groupBy("source")
+      .agg(countDistinct(col("ng")).as("exact_distinct"))
+    agg.join(exact, "source")
+      .withColumn("est_raw", expr(
+        """CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+          |  * 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 0) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("est_lc", when(col("v_zero") > 0, expr(
+        "CAST(round(256.0 * round(ln(256.0 / CAST(v_zero AS DOUBLE)), 9), 0) AS BIGINT)")))
+      // the standard HLL regime switch: linear counting below 5m/2
+      .withColumn("est_hll",
+        when(col("v_zero") > 0 && col("est_raw") <= 640, col("est_lc"))
+          .otherwise(col("est_raw")))
+      .select(col("source"), col("v_zero"), col("s_scaled"),
+        col("exact_distinct"), col("est_hll"),
+        expr("abs(est_hll - exact_distinct) * 1000000 div exact_distinct")
+          .as("err_ppm"))
+  }
+
+  /** Doc-frequency threshold for [[boilerplateSpans]]: a 5-gram shared
+    * by ≥ 2 documents is boilerplate (C4 drops lines seen ≥ 3 times
+    * corpus-wide; RefinedWeb dedups exact lines — the threshold is the
+    * tunable, the shape is not). An absolute constant, NOT corpus-
+    * derived: boilerplate is "repeated at all", and a relative cut
+    * would silently stop flagging anything as the corpus grows.
+    */
+  private val BoilerplateMinDf = 2L
+
+  /** Frequency-based boilerplate detection — the C4 "repeated line"
+    * filter at span grain: a 5-gram span appearing in ≥
+    * [[BoilerplateMinDf]] DISTINCT documents is boilerplate
+    * (headers, navigation chrome, license banners), and each document
+    * reports its boilerplate share + a template verdict. The
+    * complement of [[graft.ext.Dedup.spanDedup]]: span dedup keeps
+    * FIRST occurrences and drops the rest, this KEEPS every document
+    * and scores how much of it is corpus-repeated — the retain/rewrite
+    * decision upstream of dropping.
+    *
+    * Scale shape: spans collapse to 64-bit `xxhash64` via the codegen
+    * [[graft.functions.expressions.ShingleHashes]] kernel before
+    * anything shuffles (the [[graft.ext.Dedup.spanDedup]] discipline —
+    * no span strings cross an exchange); the df aggregate is map-side-
+    * combined at hash grain, filtered to the (rare) boilerplate keys
+    * BEFORE joining back, so the join build side is the boilerplate
+    * set, not the span universe.
+    */
+  def boilerplateSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    import graft.functions.expressions.GraftFunctions.shingleHashes
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+    // hs is distinct-within-doc, so count(*) per hash IS doc frequency
+    val boiler = docs.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerplateMinDf)
+    docs
+      .select(col("doc_id"),
+        coalesce(size(col("hs")), lit(0)).cast("long").as("n_shingles"),
+        explode_outer(col("hs")).as("h")) // outer: short docs still emit
+      .join(boiler, Seq("h"), "left")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(col("df")).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        when(col("n_shingles") > 0, expr("n_boiler * 1000000 div n_shingles"))
+          .otherwise(0L).as("boiler_ppm"))
+      .withColumn("is_template", col("boiler_ppm") >= 500000)
+  }
+
   /** Per-source token-distribution entropy — the diversity line of a
     * corpus data card (a source whose entropy collapses is template
     * spam; mixing weights get sanity-checked against it): Shannon
@@ -1737,6 +1878,71 @@ object TextAnalysis {
                   CAST(sum(CASE WHEN rk <= k THEN total_tf ELSE 0 END) * 1000000 // corpus_tf
                     AS BIGINT) AS coverage_ppm
            FROM ranked, ks, tot GROUP BY k, corpus_tf""",
+      "stats_hll_ngrams" ->
+        """WITH tok AS (
+             SELECT source, string_split(text, ' ') AS ws FROM documents
+             WHERE len(string_split(text, ' ')) >= 3),
+           ng0 AS (
+             SELECT source,
+                    unnest([array_to_string(ws[i:i+2], ' ')
+                            for i in range(1, len(ws) - 1)]) AS ng
+             FROM tok),
+           ng AS (SELECT source, ng FROM ng0
+                  UNION ALL SELECT '__all__', ng FROM ng0),
+           h AS (SELECT source, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS h
+                 FROM ng),
+           reg AS (
+             SELECT source, h % 256 AS j,
+                    max(CASE WHEN h // 256 = 0 THEN 53
+                             ELSE 53 - length(bin(h // 256)) END) AS m
+             FROM h GROUP BY source, j),
+           agg AS (
+             SELECT source,
+                    CAST(sum(CAST(1 AS BIGINT) << (53 - m))
+                         + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
+                      AS BIGINT) AS s_scaled,
+                    CAST(256 - count(*) AS BIGINT) AS v_zero
+             FROM reg GROUP BY source),
+           ex AS (SELECT source, CAST(count(DISTINCT ng) AS BIGINT)
+                    AS exact_distinct FROM ng GROUP BY source),
+           est AS (
+             SELECT source, v_zero, s_scaled, exact_distinct,
+                    CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                      * 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 0)
+                      AS BIGINT) AS est_raw,
+                    CASE WHEN v_zero > 0 THEN
+                      CAST(round(256.0 * round(ln(256.0 / CAST(v_zero AS DOUBLE)), 9), 0)
+                        AS BIGINT) END AS est_lc
+             FROM agg JOIN ex USING (source)),
+           pick AS (
+             SELECT source, v_zero, s_scaled, exact_distinct,
+                    CASE WHEN v_zero > 0 AND est_raw <= 640 THEN est_lc
+                         ELSE est_raw END AS est_hll
+             FROM est)
+           SELECT source, v_zero, s_scaled, exact_distinct, est_hll,
+                  CAST(abs(est_hll - exact_distinct) * 1000000 // exact_distinct
+                    AS BIGINT) AS err_ppm
+           FROM pick""",
+      "text_boilerplate_spans" ->
+        s"""WITH ${graft.ext.Dedup.ShingleCte},
+           counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+                      FROM ex GROUP BY doc_id),
+           dfreq AS (SELECT shingle FROM ex GROUP BY shingle
+                     HAVING count(*) >= 2),
+           boiler AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+                      FROM ex e JOIN dfreq USING (shingle) GROUP BY e.doc_id)
+           SELECT d.doc_id,
+                  coalesce(c.n_shingles, 0) AS n_shingles,
+                  coalesce(b.n_boiler, 0) AS n_boiler,
+                  CAST(CASE WHEN coalesce(c.n_shingles, 0) > 0
+                       THEN coalesce(b.n_boiler, 0) * 1000000 // c.n_shingles
+                       ELSE 0 END AS BIGINT) AS boiler_ppm,
+                  CASE WHEN coalesce(c.n_shingles, 0) > 0
+                       THEN coalesce(b.n_boiler, 0) * 1000000 // c.n_shingles
+                       ELSE 0 END >= 500000 AS is_template
+           FROM (SELECT doc_id FROM documents) d
+           LEFT JOIN counts c USING (doc_id)
+           LEFT JOIN boiler b USING (doc_id)""",
       "text_token_count" ->
         """SELECT doc_id,
                   len(string_split(text, ' ')) AS ws_tokens,
@@ -1966,6 +2172,8 @@ object TextAnalysis {
     "text_token_count" -> tokenCount _,
     "text_classifier_score" -> classifierScore _,
     "vocab_coverage" -> vocabCoverage _,
+    "stats_hll_ngrams" -> hllNgrams _,
+    "text_boilerplate_spans" -> boilerplateSpans _,
     "text_token_ids" -> tokenIds _,
     "text_langid" -> langId _,
     "text_fingerprint" -> fingerprint _,

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.functions._
+
+/** Streaming HLL-register maintenance — the cardinality-sketch twin of
+  * [[VectorIngest]]: documents arrive continuously and the per-source
+  * distinct-n-gram registers (`graft.functions.TextAnalysis.hllNgrams`)
+  * must stay current without re-scanning the landed corpus. HLL
+  * registers are a max-monoid, so the streaming form IS the batch
+  * form: each arriving document folds into `max(ρ)` per (source,
+  * register) — no distinct state, no n-gram retention, nothing to
+  * evict.
+  *
+  * The hash/rank derivation is the SHARED
+  * [[graft.functions.TextAnalysis.hllRegisterTriples]] expression (the
+  * `qualityScore` no-drift discipline), so a register table maintained
+  * by this stream is bit-identical to one rebuilt by the batch sketch
+  * over the same rows — pinned by SketchRefreshSpec.
+  *
+  * Scale shape: per-batch work is a stateless explode/hash projection
+  * over ARRIVING documents only; the aggregation state is bounded at
+  * sources × 256 rows regardless of corpus size (the whole point of a
+  * sketch), which is why complete output mode is safe here and only
+  * here — the "result table" is the sketch itself, not the corpus.
+  */
+object SketchRefresh {
+
+  /** Register table (source, j, m) from a batch OR streaming documents
+    * frame — one shared derivation for both lifecycles.
+    */
+  def registers(docs: DataFrame): DataFrame =
+    graft.functions.TextAnalysis.hllRegisterTriples(docs)
+      .groupBy("source", "j").agg(max("rho").as("m"))
+
+  /** Start the register refresh into an in-memory/complete sink table
+    * `queryName` (tests; production swaps the sink for the warehouse
+    * register table — the plan upstream of the sink is unchanged).
+    */
+  def start(
+      docs: DataFrame,
+      queryName: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = registers(docs).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+    Patterns.withTrigger(w, trigger).start()
+  }
+}

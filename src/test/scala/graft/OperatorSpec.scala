@@ -2135,4 +2135,102 @@ class OperatorSpec extends AnyFunSuite {
     // something, so precision/recall are not vacuous zeros
     assert(rows.head._3 > 0)
   }
+
+  test("stats_hll_ngrams: plain-Scala sketch replica matches every source row") {
+    def md5_60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val ngrams = docs.flatMap { case (src, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < 3) Seq.empty
+      else (0 to ws.length - 3).flatMap { i =>
+        val ng = ws.slice(i, i + 3).mkString(" ")
+        Seq((src, ng), ("__all__", ng))
+      }
+    }
+    val expected = ngrams.groupBy(_._1).map { case (src, pairs) =>
+      val regs = scala.collection.mutable.Map.empty[Long, Int]
+      pairs.foreach { case (_, ng) =>
+        val h = md5_60(ng)
+        val j = h % 256
+        val w = h >>> 8
+        val rho = if (w == 0) 53 else java.lang.Long.numberOfLeadingZeros(w) - 11
+        regs(j) = math.max(regs.getOrElse(j, 0), rho)
+      }
+      val s = regs.values.map(m => 1L << (53 - m)).sum +
+        (256L - regs.size) * (1L << 53)
+      val v = 256L - regs.size
+      val exact = pairs.map(_._2).distinct.length.toLong
+      val estRaw = math.round(
+        (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0 / s.toDouble)
+      val estLc = if (v > 0)
+        math.round(256.0 * BigDecimal(math.log(256.0 / v.toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else 0L
+      val est = if (v > 0 && estRaw <= 640) estLc else estRaw
+      src -> ((v, s, exact, est, math.abs(est - exact) * 1000000L / exact))
+    }
+    val rows = SparkEntry.queries("stats_hll_ngrams")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rows.keySet === expected.keySet)
+    expected.foreach { case (src, e) => withClue(src)(assert(rows(src) === e)) }
+    // and the estimator is genuinely estimating: union error under 30%
+    val (_, _, exact, est, errPpm) = rows("__all__")
+    assert(exact > 1000 && est > 0 && errPpm < 300000L)
+  }
+
+  test("text_boilerplate_spans: kernel df matches a composed-expression recompute; invariants hold") {
+    val rows = SparkEntry.queries("text_boilerplate_spans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { case (id, n, b, ppm, tpl) =>
+      withClue(id) {
+        assert(b <= n)
+        assert(ppm === (if (n > 0) b * 1000000L / n else 0L))
+        assert(tpl === (ppm >= 500000L))
+      }
+    }
+    // exact-dup docs exist in the fixture, so boilerplate is non-vacuous
+    assert(rows.exists(_._5))
+    // independent df recompute: shingle STRINGS via composed expressions
+    // (no ShingleHashes kernel), same 5-gram/distinct definition
+    val ws = split(col("text"), " ")
+    val strShingles = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(when(size(ws) >= 5,
+          array_distinct(transform(sequence(lit(0), size(ws) - 5),
+            i => concat_ws(" ", slice(ws, i + 1, lit(5))))))
+          .otherwise(array())).as("sh"))
+    val dfCounts = strShingles.groupBy("sh").count().filter(col("count") >= 2)
+    val expected = strShingles.join(dfCounts, "sh")
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, _, b, _, _) =>
+      withClue(id)(assert(b === expected.getOrElse(id, 0L)))
+    }
+  }
+
+  test("sim_dim_ablation: full-dim row is the identity; truncation genuinely loses recall") {
+    val rows = SparkEntry.queries("sim_dim_ablation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 20) // 4 dims x 5 queries
+    rows.foreach { case (d, q, hit, ppm) =>
+      withClue((d, q)) {
+        assert(hit >= 0L && hit <= 10L)
+        assert(ppm === hit * 1000000L / 10L)
+      }
+    }
+    // the d = 64 sweep point compares the truth list to itself
+    assert(rows.filter(_._1 == 64L).forall(_._3 == 10L))
+    // random embeddings carry little prefix signal: the ablation is
+    // informative (some truncated row misses neighbors)
+    assert(rows.filter(_._1 < 64L).exists(_._3 < 10L))
+  }
 }

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Streaming HLL register refresh: registers maintained across
+  * micro-batches are bit-identical to the batch derivation over the
+  * same documents — the max-monoid merge happens live, including a
+  * later batch RAISING a register a previous batch set.
+  */
+class SketchRefreshSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed HLL registers equal the batch derivation; later batches raise registers") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = SketchRefresh.start(docs, "hll_regs_test")
+    try {
+      val b1 = Seq(
+        (1L, "fast scan merge sort table window key value", "en", "web", 44L),
+        (2L, "query plan join filter group agg", "en", "web", 33L),
+        (3L, "stream batch spark row column vector", "en", "books", 37L))
+      val b2 = Seq(
+        (4L, "fast scan merge sort table window key value", "en", "web", 44L), // dup of doc 1
+        (5L, "hash part small big slow data line customer", "en", "books", 44L))
+      input.addData(b1)
+      q.processAllAvailable()
+      val afterB1 = spark.table("hll_regs_test").as[(String, Long, Int)]
+        .collect().toSet
+      input.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_regs_test").as[(String, Long, Int)]
+        .collect().toSet
+      val batch = SketchRefresh.registers(
+        (b1 ++ b2).toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .as[(String, Long, Int)].collect().toSet
+      assert(streamed === batch)
+      // merge is monotone: every register present after b1 is still
+      // present with m' >= m (duplicate doc 4 adds nothing new to web)
+      val finalByKey = streamed.map { case (s, j, m) => (s, j) -> m }.toMap
+      assert(afterB1.forall { case (s, j, m) => finalByKey((s, j)) >= m })
+      // and b2's fresh doc genuinely extended the books registers
+      val booksB1 = afterB1.count(_._1 == "books")
+      val booksFinal = streamed.count(_._1 == "books")
+      assert(booksFinal > booksB1)
+    } finally q.stop()
+  }
+}
