@@ -482,7 +482,61 @@ object EventAnalytics {
         sum(col("new_users")).over(w).as("cum_users"))
   }
 
+  /** Band width for [[timeBandJoin]], in microseconds: the ±300 s
+    * context window IS the band, which is what makes one band of
+    * probe fanout (bucket-1, bucket, bucket+1) exactly sufficient —
+    * |t_c − t_p| ≤ B ⇒ |⌊t_c/B⌋ − ⌊t_p/B⌋| ≤ 1.
+    */
+  private val BandUs = 300L * 1000000L
+
+  /** Keyless time-range join, banded — "corpus-wide activity context
+    * at purchase time": for every purchase, how many clicks (by
+    * ANYONE — there is deliberately no user equi-key) landed within
+    * ±300 s, and by how many distinct users. The theta-join shape
+    * (ON abs(t_c − t_p) ≤ B) that a naive planner executes as a
+    * cartesian/nested-loop product — the one join family where
+    * declaring the predicate and hoping is NOT enough at scale.
+    *
+    * Scale shape: both sides bucket by ⌊t/B⌋ and the probe side
+    * explodes to its 3 adjacent buckets, turning the theta join into
+    * a plain shuffled EQUI-join on `bucket` (pinned by PlanShapeSpec:
+    * no CartesianProduct, no BroadcastNestedLoopJoin) with the exact
+    * |δ| ≤ B filter inside the join condition so LEFT semantics
+    * survive. Each click lives in exactly ONE bucket, so no
+    * dedup pass is needed after the band match. Cost is 3× probe
+    * fanout instead of |purchases|×|clicks|; time-skewed hot buckets
+    * are ordinary join skew, handled by AQE's skew split like every
+    * other hot key.
+    */
+  def timeBandJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bucket = expr(s"unix_micros(ts) div $BandUs")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(bucket.as("c_bucket"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("p_us"),
+        explode(sequence(bucket - 1, bucket + 1)).as("p_bucket"))
+    purchases.join(clicks,
+        col("p_bucket") === col("c_bucket") &&
+          abs(col("c_us") - col("p_us")) <= BandUs, "left")
+      .groupBy("event_id", "user_id", "ts")
+      .agg(count(col("c_us")).as("n_ctx_clicks"),
+        countDistinct(col("c_user")).as("n_ctx_users"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "join_time_banded" ->
+      """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS p_us
+                    FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us
+                 FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.ts,
+                CAST(count(c.c_us) AS BIGINT) AS n_ctx_clicks,
+                CAST(count(DISTINCT c.c_user) AS BIGINT) AS n_ctx_users
+         FROM p LEFT JOIN c ON abs(c.c_us - p.p_us) <= 300000000
+         GROUP BY p.event_id, p.user_id, p.ts""",
     "events_user_growth" ->
       """WITH first_touch AS (
            SELECT user_id,
@@ -722,5 +776,6 @@ object EventAnalytics {
     "events_path_topk" -> pathTopK _,
     "events_forecast_baseline" -> forecastBaseline _,
     "events_mix_drift" -> mixDrift _,
-    "events_user_growth" -> userGrowth _)
+    "events_user_growth" -> userGrowth _,
+    "join_time_banded" -> timeBandJoin _)
 }

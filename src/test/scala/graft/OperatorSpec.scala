@@ -2233,4 +2233,24 @@ class OperatorSpec extends AnyFunSuite {
     // informative (some truncated row misses neighbors)
     assert(rows.filter(_._1 < 64L).exists(_._3 < 10L))
   }
+
+  test("join_time_banded: banded equi-join equals the plain-Scala theta-join replica") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicks = ev.filter(_._4 == "click")
+    val expected = ev.filter(_._4 == "purchase").map { case (id, _, pUs, _) =>
+      val ctx = clicks.filter(c => math.abs(c._3 - pUs) <= 300000000L)
+      id -> ((ctx.length.toLong, ctx.map(_._2).distinct.length.toLong))
+    }.toMap
+    val rows = SparkEntry.queries("join_time_banded")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === expected.keySet)
+    expected.foreach { case (id, e) => withClue(id)(assert(rows(id) === e)) }
+    // the context is non-vacuous at test scale: some purchase has
+    // nearby clicks, and zero-context purchases survive the LEFT join
+    assert(rows.values.exists(_._1 > 0L))
+  }
 }

@@ -497,4 +497,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("*(2) Project [cosine_similarity") ||
       plan.contains("*(1) Project [cosine_similarity"))
   }
+
+  test("join_time_banded: the keyless range join becomes a bucket equi-join — no cartesian, no nested loop") {
+    val df = SparkEntry.queries("join_time_banded")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"\n$plan")
+    // the band bucket is the join key; the |δ|≤B bound is a residual
+    // condition on the equi-join, not a theta join
+    assert(plan.contains("_bucket"), s"\n$plan")
+  }
+
+  test("stats_hll_ngrams: register shuffle is partial-max combined, never n-gram strings") {
+    val df = SparkEntry.queries("stats_hll_ngrams")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the register aggregate hash-combines map-side (partial_max),
+    // so the exchange carries ≤ sources×256 rows
+    assert(plan.contains("partial_max"), s"\n$plan")
+    assert(plan.contains("HashAggregate"), s"\n$plan")
+    assert(!plan.contains("SortAggregate"), s"\n$plan")
+  }
 }
