@@ -76,6 +76,14 @@ class InvarianceSpec extends AnyFunSuite {
     "mm_phash_neardup",     // per-row aHash + chunk-blocked pair join
     "sim_recall_eval",      // bounded rank-list comparison counts
     "text_token_ids",       // broadcast vocab-map per-row encoding
+    "stats_hll_ngrams",     // max-monoid registers + BIGINT harmonic sum
+    "text_boilerplate_spans", // hash-grain df counts + broadcast boiler set
+    "sim_dim_ablation",     // prefix-cosine heap top-K vs full-dim truth
+    "join_time_banded",     // banded bucket equi-join, exact residual bound
+    "dedup_recall_eval",    // full-outer pair-key join of memoized frames
+    "join_asof_nearest",    // dual-order timeline probe, integer tie-break
+    "text_classifier_score", // hashed-weight integer fold + gate
+    "vocab_coverage",       // TakeOrdered trim + tiny-frame k-sweep
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
