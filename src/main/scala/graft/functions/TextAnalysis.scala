@@ -471,6 +471,73 @@ object TextAnalysis {
           .as("err_ppm"))
   }
 
+  /** Count-Min geometry for [[countMin]]: depth 4 independent hash
+    * rows × width 256 buckets = 1024 counters. Error bound is the
+    * classic ε = e/w of the total stream mass with failure probability
+    * e^−d (Cormode & Muthukrishnan, J.Alg 2005) — the sketch the data
+    * card sizes against its frequency-estimate tolerance.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 256L
+
+  /** Row/bucket coordinates of every token occurrence — one pair per
+    * (occurrence, hash row), shared by the batch [[countMin]] sketch
+    * and the streaming counter refresh so the two derivations cannot
+    * drift. The per-row hash is md5 over `"r|token"` — independent
+    * rows from one digest family, cross-engine exact.
+    */
+  private[graft] def cmsPairs(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(words(col("text"))).as("t"))
+      .select(explode(typedLit((0L until CmsDepth).toSeq)).as("r"), col("t"))
+      .select(col("r"), cmsBucket(col("r"), col("t")).as("b"))
+
+  /** Bucket of token `t` in hash row `r` — the probe-side expression
+    * MUST be this same function or point queries read the wrong cells.
+    */
+  private[graft] def cmsBucket(r: Column, t: Column): Column =
+    pmod(conv(substring(md5(concat(r.cast("string"), lit("|"), t)), 1, 15),
+      16, 10).cast("long"), lit(CmsWidth))
+
+  /** Token-frequency point estimation by Count-Min sketch — the third
+    * leg of the mergeable-sketch suite (Misra-Gries finds the heavy
+    * hitters, HyperLogLog counts distincts, Count-Min answers "how
+    * often does THIS token occur" without token-grain state): 4×256
+    * integer counters, estimate = min over rows of the probed cell,
+    * which can only OVERcount (collisions add, never subtract) — the
+    * one-sided error the overcount column exhibits. Counters are a
+    * sum-monoid, so sketches merge by cell-wise add across shards,
+    * sources, or micro-batches (the streaming twin in
+    * [[graft.streaming.SketchRefresh]]).
+    *
+    * Determinism: everything is exact integers — counts, minima, and
+    * the ppm overcount; there is no float anywhere in the sketch.
+    *
+    * Scale shape: one corpus scan explodes to (occurrence × depth)
+    * coordinate pairs that map-side-combine into ≤ 1024 partials per
+    * task, so the exchange carries ≤ tasks×1024 rows regardless of
+    * corpus size. The probe side is the 20 head tokens from the
+    * memoized vocabulary index (TakeOrdered trim) × depth — 80 rows
+    * against a broadcast 1024-row counter table. The `exact_count`
+    * column is the eval harness, priced at the vocabulary index the
+    * session already maintains.
+    */
+  def countMin(spark: SparkSession, sfDir: String): DataFrame = {
+    val counters = cmsPairs(Tables.documents(spark, sfDir))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val top = vocabulary(spark, sfDir)
+      .orderBy(col("total_tf").desc, col("token").asc).limit(20)
+      .select(col("token"), col("total_tf").as("exact_count"))
+    top
+      .select(col("token"), col("exact_count"),
+        explode(typedLit((0L until CmsDepth).toSeq)).as("r"))
+      .withColumn("b", cmsBucket(col("r"), col("token")))
+      .join(counters, Seq("r", "b"))
+      .groupBy("token", "exact_count")
+      .agg(min(col("c")).as("cms_estimate"))
+      .withColumn("overcount", col("cms_estimate") - col("exact_count"))
+  }
+
   /** Doc-frequency threshold for [[boilerplateSpans]]: a 5-gram shared
     * by ≥ 2 documents is boilerplate (C4 drops lines seen ≥ 3 times
     * corpus-wide; RefinedWeb dedups exact lines — the threshold is the
@@ -1923,6 +1990,26 @@ object TextAnalysis {
                   CAST(abs(est_hll - exact_distinct) * 1000000 // exact_distinct
                     AS BIGINT) AS err_ppm
            FROM pick""",
+      "stats_countmin" ->
+        """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+           r4 AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS r),
+           cnt AS (
+             SELECT r, ('0x' || substr(md5(r::VARCHAR || '|' || t), 1, 15))::BIGINT % 256 AS b,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM tok, r4 GROUP BY r, b),
+           vocab AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_count
+                     FROM tok GROUP BY t),
+           top AS (SELECT token, exact_count FROM vocab
+                   ORDER BY exact_count DESC, token ASC LIMIT 20),
+           probe AS (
+             SELECT top.token, top.exact_count, r4.r,
+                    ('0x' || substr(md5(r4.r::VARCHAR || '|' || top.token), 1, 15))::BIGINT % 256 AS b
+             FROM top, r4)
+           SELECT p.token, p.exact_count,
+                  CAST(min(c.c) AS BIGINT) AS cms_estimate,
+                  CAST(min(c.c) - p.exact_count AS BIGINT) AS overcount
+           FROM probe p JOIN cnt c ON c.r = p.r AND c.b = p.b
+           GROUP BY p.token, p.exact_count""",
       "text_boilerplate_spans" ->
         s"""WITH ${graft.ext.Dedup.ShingleCte},
            counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
@@ -2173,6 +2260,7 @@ object TextAnalysis {
     "text_classifier_score" -> classifierScore _,
     "vocab_coverage" -> vocabCoverage _,
     "stats_hll_ngrams" -> hllNgrams _,
+    "stats_countmin" -> countMin _,
     "text_boilerplate_spans" -> boilerplateSpans _,
     "text_token_ids" -> tokenIds _,
     "text_langid" -> langId _,

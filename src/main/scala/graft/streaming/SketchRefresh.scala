@@ -48,4 +48,27 @@ object SketchRefresh {
       .queryName(queryName)
     Patterns.withTrigger(w, trigger).start()
   }
+
+  /** Count-Min counter table (r, b, c) from a batch OR streaming
+    * documents frame — counters are a SUM-monoid (vs the registers'
+    * max), so arriving occurrences simply add into their cells; state
+    * stays bounded at depth × width cells regardless of corpus size.
+    */
+  def cmsCounters(docs: DataFrame): DataFrame =
+    graft.functions.TextAnalysis.cmsPairs(docs)
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+
+  /** Start the Count-Min counter refresh (complete mode into a memory
+    * table `queryName`) — same lifecycle as [[start]].
+    */
+  def startCms(
+      docs: DataFrame,
+      queryName: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = cmsCounters(docs).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+    Patterns.withTrigger(w, trigger).start()
+  }
 }

@@ -2234,6 +2234,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.filter(_._1 < 64L).exists(_._3 < 10L))
   }
 
+  test("stats_countmin: plain-Scala sketch replica matches; estimates only overcount") {
+    def md5_60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val counters = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (t <- toks; r <- 0L until 4L) {
+      val b = md5_60(s"$r|$t") % 256L
+      counters((r, b)) = counters.getOrElse((r, b), 0L) + 1L
+    }
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val expected = top.map { case (t, c) =>
+      t -> ((c, (0L until 4L).map(r => counters((r, md5_60(s"$r|$t") % 256L))).min))
+    }.toMap
+    val rows = SparkEntry.queries("stats_countmin")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet === expected.keySet)
+    expected.foreach { case (t, (c, est)) =>
+      withClue(t)(assert(rows(t) === ((c, est, est - c))))
+    }
+    // the CMS error is one-sided: collisions only ADD
+    assert(rows.values.forall { case (c, est, over) => est >= c && over === est - c })
+  }
+
   test("join_time_banded: banded equi-join equals the plain-Scala theta-join replica") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")),

@@ -48,4 +48,35 @@ class SketchRefreshSpec extends AnyFunSuite {
       assert(booksFinal > booksB1)
     } finally q.stop()
   }
+
+  test("streamed Count-Min counters equal the batch derivation; cells only grow") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = SketchRefresh.startCms(docs, "cms_test")
+    try {
+      val b1 = Seq(
+        (1L, "fast scan merge sort fast fast", "en", "web", 30L),
+        (2L, "query plan join filter", "en", "web", 22L))
+      val b2 = Seq((3L, "fast query stream batch", "en", "books", 23L))
+      input.addData(b1)
+      q.processAllAvailable()
+      val afterB1 = spark.table("cms_test").as[(Long, Long, Long)]
+        .collect().map { case (r, b, c) => (r, b) -> c }.toMap
+      input.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_test").as[(Long, Long, Long)]
+        .collect().map { case (r, b, c) => (r, b) -> c }.toMap
+      val batch = SketchRefresh.cmsCounters(
+        (b1 ++ b2).toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (r, b, c) => (r, b) -> c }.toMap
+      assert(streamed === batch)
+      // counters are a sum-monoid: no cell ever shrinks
+      assert(afterB1.forall { case (k, c) => streamed(k) >= c })
+      // total mass = occurrences × depth, conserved across batches
+      val tokens = (b1 ++ b2).map(_._2.split(" ").length).sum
+      assert(streamed.values.sum === tokens.toLong * 4)
+    } finally q.stop()
+  }
 }
