@@ -508,8 +508,15 @@ object EventAnalytics {
     * are ordinary join skew, handled by AQE's skew split like every
     * other hot key.
     */
-  def timeBandJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+  def timeBandJoin(spark: SparkSession, sfDir: String): DataFrame =
+    timeBandJoinOn(Tables.events(spark, sfDir))
+
+  /** [[timeBandJoin]] over any events-shaped frame — split out so the
+    * exact-boundary banding fixture (clicks at precisely ±B, one
+    * microsecond inside, one outside, straddling bucket edges) can
+    * drive the REAL operator rather than a reimplementation.
+    */
+  private[graft] def timeBandJoinOn(ev: DataFrame): DataFrame = {
     val bucket = expr(s"unix_micros(ts) div $BandUs")
     val clicks = ev.filter(col("event_type") === "click")
       .select(bucket.as("c_bucket"), col("user_id").as("c_user"),

@@ -2283,4 +2283,32 @@ class OperatorSpec extends AnyFunSuite {
     // nearby clicks, and zero-context purchases survive the LEFT join
     assert(rows.values.exists(_._1 > 0L))
   }
+
+  test("join_time_banded: exact ±B boundaries and bucket edges are caught by the 3-bucket probe") {
+    // purchase at the last microsecond of its bucket — the worst case
+    // for band membership: a click exactly +B lands in bucket k+1, one
+    // µs beyond in k+2 (and must be excluded by the residual, not lost
+    // by the banding)
+    val B = 300000000L
+    val pUs = 7L * B - 1L // bucket 6, top edge
+    def t(us: Long) = {
+      val ts = new java.sql.Timestamp(us / 1000000L * 1000L)
+      ts.setNanos((us % 1000000L).toInt * 1000)
+      ts
+    }
+    val ev = Seq(
+      (100L, 1L, t(pUs), "purchase"),
+      (1L, 2L, t(pUs - B), "click"),     // exactly −B: IN
+      (2L, 3L, t(pUs - B - 1), "click"), // one µs beyond: OUT
+      (3L, 4L, t(pUs + B), "click"),     // exactly +B (bucket 7): IN
+      (4L, 5L, t(pUs + B + 1), "click"), // one µs beyond (bucket 8): OUT
+      (5L, 6L, t(6L * B), "click"),      // same bucket, bottom edge: IN
+      (6L, 1L, t(pUs), "click"),         // zero delta, same user: IN
+      (200L, 9L, t(40L * B), "purchase") // isolated: LEFT join keeps it
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val rows = operators.EventAnalytics.timeBandJoinOn(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(100L) === ((4L, 4L))) // clicks 1,3,5,6 by users 2,4,6,1
+    assert(rows(200L) === ((0L, 0L)))
+  }
 }
