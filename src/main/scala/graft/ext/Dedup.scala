@@ -1205,15 +1205,13 @@ object Dedup {
       .filter(col("hamming") <= 8)
   }
 
-  /** Shared oracle fragment: per-doc distinct word-5-gram shingles. */
-  private[graft] val ShingleCte =
-    """sh AS (
-         SELECT doc_id,
-                list_distinct(CASE WHEN len(ws) >= 5
-                  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
-                  ELSE [] END) AS s
-         FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
-       ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)"""
+  /** Shared oracle fragment: per-doc distinct word-5-gram shingles —
+    * hoisted to the dependency-free
+    * [[graft.functions.SqlFragments]] (see its scaladoc for the
+    * clinit-cycle deadlock this prevents); aliased here so this file's
+    * many interpolations stay unchanged.
+    */
+  private[graft] val ShingleCte = graft.functions.SqlFragments.ShingleCte
 
   /** Shared oracle fragment: MinHash-LSH candidates confirmed at
     * est-Jaccard ≥ 0.8, resolved to connected components with their

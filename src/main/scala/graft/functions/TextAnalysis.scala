@@ -2011,7 +2011,7 @@ object TextAnalysis {
            FROM probe p JOIN cnt c ON c.r = p.r AND c.b = p.b
            GROUP BY p.token, p.exact_count""",
       "text_boilerplate_spans" ->
-        s"""WITH ${graft.ext.Dedup.ShingleCte},
+        s"""WITH ${SqlFragments.ShingleCte},
            counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
                       FROM ex GROUP BY doc_id),
            dfreq AS (SELECT shingle FROM ex GROUP BY shingle
