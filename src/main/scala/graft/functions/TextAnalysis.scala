@@ -391,15 +391,22 @@ object TextAnalysis {
     * from ONE pass — shared by [[hllNgrams]] and its streaming twin so
     * the two derivations cannot drift.
     */
-  private[graft] def ngramStream(docs: DataFrame): DataFrame = {
+  private[graft] def ngramStream(docs: DataFrame): DataFrame =
+    ngramsOf(docs)
+      .select(explode(array(col("source"), lit("__all__"))).as("source"),
+        col("ng"))
+
+  /** Word-3-gram occurrences at (source, ng) grain — the single-label
+    * base both [[ngramStream]] (doubled with `__all__`) and the exact
+    * branch of [[hllNgrams]] (per-source only) build on.
+    */
+  private[graft] def ngramsOf(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
     docs
       .filter(size(ws) >= 3)
       .select(col("source"),
         explode(transform(sequence(lit(0), size(ws) - 3),
           i => concat_ws(" ", slice(ws, i + 1, lit(3))))).as("ng"))
-      .select(explode(array(col("source"), lit("__all__"))).as("source"),
-        col("ng"))
   }
 
   /** (source, register j, rank ρ) triples for [[hllNgrams]] — factored
@@ -409,10 +416,20 @@ object TextAnalysis {
     * suffix + 1, computed exactly via `length(bin(w))` (both engines'
     * `bin` renders without leading zeros, so `len = ⌊log₂w⌋+1`).
     */
-  private[graft] def hllRegisterTriples(docs: DataFrame): DataFrame = {
+  private[graft] def hllRegisterTriples(docs: DataFrame): DataFrame =
+    hllTriplesFromNgrams(ngramStream(docs))
+
+  /** The hash/rank projection over any (source, ng) frame — the batch
+    * eval derives registers from the DISTINCT frame its exact column
+    * already pays for (max over a set equals max over the multiset),
+    * while the production/streaming path ([[hllRegisterTriples]], used
+    * by `SketchRefresh`) feeds occurrences straight off the scan with
+    * no distinct anywhere.
+    */
+  private[graft] def hllTriplesFromNgrams(ng: DataFrame): DataFrame = {
     val h = conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long")
     val w = shiftright(h, 8)
-    ngramStream(docs).select(
+    ng.select(
       col("source"),
       pmod(h, lit(HllRegisters)).as("j"),
       when(w === 0L, lit(53))
@@ -446,14 +463,24 @@ object TextAnalysis {
     */
   def hllNgrams(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // registers go scan-direct (no distinct anywhere — max is
+    // duplicate-insensitive, and the exchange carries ≤ sources×256
+    // rows after the map-side partial max)
     val regs = hllRegisterTriples(docs)
       .groupBy("source", "j").agg(max("rho").as("m"))
     val agg = regs.groupBy("source").agg(
       (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")) +
         (lit(HllRegisters.toLong) - count(lit(1))) * lit(1L << 53)).as("s_scaled"),
       (lit(HllRegisters.toLong) - count(lit(1))).as("v_zero"))
-    val exact = ngramStream(docs).groupBy("source")
-      .agg(countDistinct(col("ng")).as("exact_distinct"))
+    // the exact eval branch pays its n-gram-grain distinct ONCE at
+    // per-source label (half the doubled stream); the union row's
+    // exact count re-distincts the already-vocabulary-sized frame
+    val dng = ngramsOf(docs).distinct()
+    val exact = dng.groupBy("source")
+      .agg(count(lit(1)).as("exact_distinct"))
+      .union(dng.select("ng").distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+        .select(lit("__all__").as("source"), col("exact_distinct")))
     agg.join(exact, "source")
       .withColumn("est_raw", expr(
         """CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
