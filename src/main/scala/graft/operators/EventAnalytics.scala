@@ -487,7 +487,7 @@ object EventAnalytics {
     * probe fanout (bucket-1, bucket, bucket+1) exactly sufficient —
     * |t_c − t_p| ≤ B ⇒ |⌊t_c/B⌋ − ⌊t_p/B⌋| ≤ 1.
     */
-  private val BandUs = 300L * 1000000L
+  private[graft] val BandUs = 300L * 1000000L
 
   /** Keyless time-range join, banded — "corpus-wide activity context
     * at purchase time": for every purchase, how many clicks (by

@@ -77,6 +77,67 @@ object StreamJoin {
           .as("lag_us"))
   }
 
+  /** Streaming twin of the batch keyless banded time-range join
+    * (`EventAnalytics.timeBandJoin`): every purchase is paired with
+    * every click by ANYONE — deliberately no user equi-key — within
+    * ±[[graft.operators.EventAnalytics.BandUs]] (±300 s). Emits the
+    * matched PAIRS (append-mode-safe); the batch twin's per-purchase
+    * counts are one grouped aggregate downstream.
+    *
+    * Why banding matters MORE here than in batch: a stream-stream
+    * join shuffles both sides by the join's equi-keys. With only the
+    * theta predicate |t_c − t_p| ≤ B there is no equi-key, so every
+    * row would land in ONE state partition — a single-task bottleneck
+    * no 1000-executor cluster can help with. Banding both sides on
+    * ⌊t/B⌋ and exploding the probe side to its 3 adjacent buckets
+    * turns it into a plain hash-partitioned stream-stream equi-join,
+    * exactly the batch trick (each click lives in ONE bucket, so the
+    * band match needs no dedup). The symmetric ±B range condition on
+    * the two watermarked event-time columns is what lets the engine
+    * evict buffered rows once the global watermark passes their last
+    * possible partner — state stays (2B + lateness) of history on an
+    * unbounded stream.
+    */
+  def timeBandPairs(
+      events: DataFrame,
+      lateness: String = "1 minute"): DataFrame = {
+    val bandUs = graft.operators.EventAnalytics.BandUs
+    val clicks = events
+      .filter(col("event_type") === "CLICK")
+      .select(expr(s"unix_micros(timestamp) div $bandUs").as("band"),
+        col("user_id").as("ctx_user"), col("timestamp").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val purchases = events
+      .filter(col("event_type") === "PURCHASE")
+      .select(col("user_id"), col("timestamp").as("purchase_ts"),
+        explode(sequence(
+          expr(s"unix_micros(timestamp) div $bandUs") - 1,
+          expr(s"unix_micros(timestamp) div $bandUs") + 1)).as("p_band"))
+      .withWatermark("purchase_ts", lateness)
+    purchases.join(
+      clicks,
+      col("band") === col("p_band") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL '${bandUs / 1000000L}' SECOND") &&
+        col("click_ts") <= col("purchase_ts") + expr(s"INTERVAL '${bandUs / 1000000L}' SECOND"),
+      "inner")
+      .select(col("user_id"), col("purchase_ts"), col("ctx_user"), col("click_ts"),
+        (unix_micros(col("click_ts")) - unix_micros(col("purchase_ts")))
+          .as("delta_us"))
+  }
+
+  def startTimeBand(
+      events: DataFrame,
+      queryName: String,
+      lateness: String = "1 minute",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      timeBandPairs(events, lateness)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName), trigger)
+      .start()
+
   def start(
       events: DataFrame,
       queryName: String,

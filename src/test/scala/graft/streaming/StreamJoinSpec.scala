@@ -96,4 +96,42 @@ class StreamJoinSpec extends AnyFunSuite {
         ("u3", "2024-01-01 00:00:55.0", null, -1L)))
     } finally q.stop()
   }
+
+  test("keyless banded join pairs purchases with anyone's clicks in ±300 s, boundary inclusive, across bucket edges") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = StreamJoin.startTimeBand(EventCodec.parse(input.toDF()),
+      "timeband_out", lateness = "1 minute")
+    try {
+      // Purchase at 00:09:00 (bucket 1 for a 300 s band). Clicks by
+      // OTHER users at the exact boundaries and across bucket edges:
+      //  c1 00:04:00.000000  = −300 s exactly, bucket 0  → in (inclusive)
+      //  c2 00:03:59.999999  = −300.000001 s, bucket 0   → out by 1 µs
+      //  c3 00:14:00.000000  = +300 s exactly, bucket 2  → in (inclusive)
+      //  c4 00:14:00.000001  = +300.000001 s, bucket 2   → out by 1 µs
+      //  c5 00:09:30.000000  = +30 s, SAME bucket 1      → in
+      //  c6 00:09:10.000000  purchase's OWN user         → in (keyless)
+      input.addData(Seq(
+        ev("2024-01-01T00:04:00.000000", "c1", "CLICK"),
+        ev("2024-01-01T00:03:59.999999", "c2", "CLICK"),
+        ev("2024-01-01T00:14:00.000000", "c3", "CLICK"),
+        ev("2024-01-01T00:14:00.000001", "c4", "CLICK"),
+        ev("2024-01-01T00:09:30.000000", "c5", "CLICK"),
+        ev("2024-01-01T00:09:10.000000", "p1", "CLICK")))
+      q.processAllAvailable()
+      input.addData(Seq(ev("2024-01-01T00:09:00.000000", "p1", "PURCHASE")))
+      q.processAllAvailable()
+
+      val rows = spark.table("timeband_out")
+        .select("user_id", "ctx_user", "delta_us")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows === Set(
+        ("p1", "c1", -300000000L),
+        ("p1", "c3", 300000000L),
+        ("p1", "c5", 30000000L),
+        ("p1", "p1", 10000000L)))
+    } finally q.stop()
+  }
 }
