@@ -444,6 +444,72 @@ object Similarity {
         (col("plabel") === col("label")).as("correct"))
   }
 
+  /** Triangle census of the mutual-kNN graph — ONE summary row
+    * `(n_nodes, n_edges, n_wedges, n_triangles, transitivity_ppm)`,
+    * completing the graph-analysis suite (components cluster, PageRank
+    * ranks, label propagation classifies; transitivity measures how
+    * clique-like the neighborhood structure is — rising transitivity
+    * after a corpus refresh means tight duplicate cliques survived
+    * dedup, collapsing transitivity means the space grew hub nodes).
+    *
+    * Scale shape — the degree-ordered edge iterator (Suri &
+    * Vassilvitskii, "Counting Triangles and the Curse of the Last
+    * Reducer", WWW 2011): every undirected edge ORIENTS toward its
+    * (degree, id)-larger endpoint, wedges enumerate only at each
+    * pair's common LOWER endpoint, and a left-semi join against the
+    * oriented edge set closes them — each triangle counted exactly
+    * once at its order-minimal vertex. Orientation caps per-node wedge
+    * fanout at the out-degree, which the (degree, id) total order
+    * bounds by O(√m) on ANY graph — the hub guard that matters when
+    * this census runs over dedup-candidate graphs whose boilerplate
+    * hubs carry million-edge stars (on the mutual-kNN graph degree is
+    * already ≤ K, so orientation is cheap insurance, not a rescue).
+    * No per-node neighbor list ever materializes: n_wedges is
+    * Σ d(d−1)/2 over the degree relation, n_triangles a semi-join
+    * count, every aggregate map-side partial, scalars on 1-row
+    * broadcasts.
+    */
+  def triangleCensus(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCensusOn(
+      mutualEdges(spark, sfDir).filter(col("u") < col("v")))
+
+  /** The census core over any undirected (u, v) edge frame with
+    * `u < v`, one row per edge — factored from [[triangleCensus]] so
+    * closed-form fixtures (K₄, pendant vertices) can pin the
+    * wedge/triangle/transitivity arithmetic on the real operator.
+    */
+  private[graft] def triangleCensusOn(ue: DataFrame): DataFrame = {
+    val deg = ue.select(col("u").as("n")).union(ue.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val oriented = ue
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
+          .otherwise(
+            struct(col("v").as("a"), col("u").as("b"), col("du").as("db")))
+          .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db"))
+    val wedges = oriented.select(col("a"), col("b").as("x"), col("db").as("dx"))
+      .join(oriented.select(col("a"), col("b").as("y"), col("db").as("dy")), "a")
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("x"), col("y"))
+    val tri = wedges
+      .join(oriented.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeAgg = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    val edgeAgg = ue.agg(count(lit(1)).as("n_edges"))
+    nodeAgg.crossJoin(broadcast(edgeAgg)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("3 * n_triangles * 1000000 div n_wedges"))
+          .otherwise(lit(0L)).cast("long").as("transitivity_ppm"))
+  }
+
   /** Hard-negative mining — per query vector, the top-5 most cosine-
     * similar vectors carrying a DIFFERENT label: the contrastive-
     * training data-prep pass (high-similarity cross-label items are
@@ -1940,6 +2006,42 @@ object Similarity {
                  EXISTS (SELECT 1 FROM edges r
                          WHERE r.src = e.dst AND r.dst = e.src) AS mutual
           FROM edges e""",
+    "sim_triangle_census" ->
+      s"""WITH $LshSigsSql,
+          b AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sigs s USING (vec_id)),
+          scored AS (
+            SELECT q.vec_id AS src, c.vec_id AS dst,
+                   $CosExpr AS score
+            FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id),
+          knn AS (
+            SELECT src, dst
+            FROM (SELECT *, row_number() OVER (PARTITION BY src
+                            ORDER BY score DESC, dst ASC) AS rn
+                  FROM scored)
+            WHERE rn <= $KnnK),
+          mutual AS (
+            SELECT e.src, e.dst FROM knn e
+            WHERE EXISTS (SELECT 1 FROM knn r
+                          WHERE r.src = e.dst AND r.dst = e.src)),
+          ue AS (SELECT src AS u, dst AS v FROM mutual WHERE src < dst),
+          deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+                  FROM (SELECT u AS n FROM ue UNION ALL SELECT v AS n FROM ue)
+                  GROUP BY n),
+          na AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                        coalesce(CAST(sum(d * (d - 1) // 2) AS BIGINT), 0)
+                          AS n_wedges
+                 FROM deg),
+          ea AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ue),
+          tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                  FROM ue e1
+                  JOIN ue e2 ON e2.u = e1.u AND e2.v > e1.v
+                  JOIN ue e3 ON e3.u = e1.v AND e3.v = e2.v)
+          SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                 CASE WHEN n_wedges > 0
+                      THEN CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT)
+                      ELSE 0 END AS transitivity_ppm
+          FROM na, ea, tri""",
     "sim_label_prop" ->
       s"""WITH $LshSigsSql,
           b AS (SELECT e.vec_id, e.embedding, s.bucket
@@ -2318,6 +2420,7 @@ object Similarity {
     "sim_ann_multiprobe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),
     "sim_range_search" -> rangeSearch _,
     "sim_label_prop" -> labelProp _,
+    "sim_triangle_census" -> triangleCensus _,
     "emb_incremental_neardup" -> embIncrementalNearDup _,
     "sim_ivf_topk" -> ivfTopK _,
     "emb_quantize" -> quantize _,

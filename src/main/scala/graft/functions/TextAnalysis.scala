@@ -695,7 +695,17 @@ object TextAnalysis {
   /** Counter budget for [[heavyHitters]]: tokens above 1/32 of corpus
     * mass qualify.
     */
-  private val HeavyHitterK = 32
+  private[graft] val HeavyHitterK = 32
+
+  /** (token, 64-bit key) stream over any documents frame — factored
+    * out so the batch heavy-hitter pipeline and the streaming MG
+    * candidate refresh ([[graft.streaming.SketchRefresh.mgSummary]])
+    * fold the IDENTICAL key expression (the
+    * [[hllRegisterTriples]]/[[cmsPairs]] no-drift discipline).
+    */
+  private[graft] def tokenHashes(docs: DataFrame): DataFrame =
+    docs.select(explode(words(col("text"))).as("token"))
+      .select(col("token"), xxhash64(col("token")).as("h"))
 
   /** Heavy-hitter tokens — every token holding more than 1/k of the
     * corpus's total token mass, with its exact count. The monitoring
@@ -718,9 +728,7 @@ object TextAnalysis {
     * even though the sketch's internal counters are not.
     */
   def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(explode(words(col("text"))).as("token"))
-      .select(col("token"), xxhash64(col("token")).as("h"))
+    val toks = tokenHashes(Tables.documents(spark, sfDir))
     val summary = toks.agg(
       MisraGries.mg(HeavyHitterK)(col("h")).as("cand"),
       count(lit(1)).as("total"))
@@ -735,6 +743,59 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"), first(col("total")).as("total"))
       .filter(col("n_occurrences") * HeavyHitterK > col("total"))
       .select(col("token"), col("n_occurrences"))
+  }
+
+  /** Support floor for [[pmiCollocations]] — the standard
+    * low-frequency guard: raw PMI is maximized by hapax pairs (two
+    * rare tokens co-occurring once score arbitrarily high), so
+    * collocation extraction thresholds on pair support BEFORE ranking.
+    */
+  private val PmiMinPairCount = 5L
+
+  /** Collocations kept by [[pmiCollocations]]. */
+  private val PmiTopK = 20
+
+  /** PMI collocation extraction — the top-[[PmiTopK]] adjacent token
+    * pairs by pointwise mutual information
+    * `ln( p(t1,t2) / (p(t1)·p(t2)) )` with pair support ≥
+    * [[PmiMinPairCount]] (Church & Hanks, CL 1990): the corpus-level
+    * "these two tokens belong together" signal behind multi-word
+    * expression mining, tokenizer-merge candidates beyond raw
+    * frequency ([[bpeStep]] ranks by count; PMI ranks by association
+    * strength, which surfaces rare-but-always-together pairs), and
+    * template detection.
+    *
+    * Determinism: probabilities divide as doubles in a fixed
+    * operation order (pair over bigram mass; each margin over token
+    * mass), ln rounds at 1e-6 BEFORE ranking, and ties break on
+    * (t1, t2) — a total order, so the top-K set is cross-engine
+    * identical.
+    *
+    * Scale shape: one corpus scan folds pair counts (map-side
+    * partial, vocabulary²-bounded exchange — in practice the distinct
+    * adjacent-pair footprint); margins re-aggregate the PAIR relation
+    * (`sum(c12) group by t1/t2` — vocabulary-sized input, never a
+    * second corpus scan) exactly like [[bigramModel]]'s denominator;
+    * the two margin joins are vocabulary-sized and stats-broadcast;
+    * totals ride a 1-row broadcast; ranking is a distributed
+    * TakeOrdered, never a global sort.
+    */
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val c12 = bigrams(spark, sfDir)
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("t1").agg(sum(col("c12")).as("m1"))
+    val c2 = c12.groupBy("t2").agg(sum(col("c12")).as("m2"))
+    val totals = c12.agg(sum(col("c12")).as("n_big"))
+    c12.filter(col("c12") >= PmiMinPairCount)
+      .join(c1, "t1")
+      .join(c2, "t2")
+      .crossJoin(broadcast(totals))
+      .select(col("t1"), col("t2"), col("c12"),
+        round(log((col("c12").cast("double") / col("n_big")) /
+          ((col("m1").cast("double") / col("n_big")) *
+            (col("m2").cast("double") / col("n_big")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1").asc, col("t2").asc)
+      .limit(PmiTopK)
   }
 
   /** Unigram language-model scoring — the model-based quality filter
@@ -1823,6 +1884,25 @@ object TextAnalysis {
             FROM t, tot
             GROUP BY token, tot.n
             HAVING count(*) * $HeavyHitterK > tot.n""",
+      "text_pmi_collocations" ->
+        s"""WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            bg AS (
+              SELECT e.t1 AS t1, e.t2 AS t2
+              FROM (SELECT unnest([{'t1': ws[i], 't2': ws[i+1]}
+                                   for i in range(1, len(ws))]) AS e
+                    FROM d)),
+            c12 AS (SELECT t1, t2, count(*) AS c12 FROM bg GROUP BY t1, t2),
+            m1 AS (SELECT t1, CAST(sum(c12) AS BIGINT) AS m1 FROM c12 GROUP BY t1),
+            m2 AS (SELECT t2, CAST(sum(c12) AS BIGINT) AS m2 FROM c12 GROUP BY t2),
+            tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n_big FROM c12)
+            SELECT t1, t2, c12,
+                   round(ln((CAST(c12 AS DOUBLE) / n_big) /
+                         ((CAST(m1 AS DOUBLE) / n_big)
+                          * (CAST(m2 AS DOUBLE) / n_big))), 6) AS pmi
+            FROM c12 JOIN m1 USING (t1) JOIN m2 USING (t2), tot
+            WHERE c12 >= $PmiMinPairCount
+            ORDER BY pmi DESC, t1 ASC, t2 ASC
+            LIMIT $PmiTopK""",
       "text_quality" ->
         s"""SELECT doc_id, n_tokens, n_distinct_tokens, avg_token_len,
                    max_token_len, stopword_ratio,
@@ -2300,6 +2380,7 @@ object TextAnalysis {
     "text_bigram_logprob" -> bigramLogprob _,
     "text_oov_rate" -> oovRate _,
     "text_heavy_hitters" -> heavyHitters _,
+    "text_pmi_collocations" -> pmiCollocations _,
     "text_entropy" -> entropy _,
     "text_bpe_step" -> bpeStep _,
     "text_winnow" -> winnow _,

@@ -71,4 +71,51 @@ object SketchRefresh {
       .queryName(queryName)
     Patterns.withTrigger(w, trigger).start()
   }
+
+  /** Misra–Gries candidate summary — `(cand: array<long>, total)` —
+    * from a batch OR streaming documents frame: the heavy-hitter leg
+    * of the streaming sketch suite (HLL counts distincts, CMS answers
+    * point frequencies, MG names the candidates worth confirming).
+    * Tokens fold through the SHARED
+    * [[graft.functions.TextAnalysis.tokenHashes]] key expression.
+    *
+    * Semantics differ from the max/sum twins above in one honest way:
+    * MG's internal counters are ORDER-dependent, so stream and batch
+    * need not produce bit-identical summaries in general. What the
+    * streaming form maintains — and SketchRefreshSpec pins — is the
+    * sketch's actual contract: the one-sided guarantee (every key
+    * above 1/(k+1) of ALL mass seen so far is present among the ≤ k
+    * candidates) survives the state-store merge per Agarwal et al.'s
+    * mergeable-summaries rule, with `total` exact. In the ≤ k-distinct
+    * regime no decrement ever fires and stream ≡ batch exactly. The
+    * exact-confirm pass stays a batch scan over the landed corpus
+    * (`text_heavy_hitters`), exactly as in the batch pipeline.
+    *
+    * Scale shape: per-batch work is a stateless explode/hash over
+    * ARRIVING documents with map-side MG partials (exchange = k longs
+    * per task); the aggregation state is ONE ≤ k-counter buffer
+    * regardless of corpus size — complete mode is safe because the
+    * "result table" is the sketch itself.
+    */
+  def mgSummary(
+      docs: DataFrame,
+      k: Int = graft.functions.TextAnalysis.HeavyHitterK): DataFrame =
+    graft.functions.TextAnalysis.tokenHashes(docs)
+      .agg(graft.functions.MisraGries.mg(k)(col("h")).as("cand"),
+        count(lit(1)).as("total"))
+
+  /** Start the MG candidate refresh (complete mode into a memory table
+    * `queryName`) — same lifecycle as [[start]].
+    */
+  def startMg(
+      docs: DataFrame,
+      queryName: String,
+      k: Int = graft.functions.TextAnalysis.HeavyHitterK,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = mgSummary(docs, k).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+    Patterns.withTrigger(w, trigger).start()
+  }
 }

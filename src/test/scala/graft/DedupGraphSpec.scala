@@ -65,6 +65,30 @@ class DedupGraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("triangle census: K4 and a pendant vertex give closed-form wedge/triangle counts") {
+    // K4 on {0,1,2,3}: 6 edges, C(3,2)*4 = 12 wedges, 4 triangles,
+    // transitivity = 3*4/12 = 1.0
+    val k4 = (for { u <- 0L to 3L; v <- (u + 1) to 3L } yield (u, v))
+      .toDF("u", "v")
+    val c1 = graft.ext.Similarity.triangleCensusOn(k4).collect().head
+    assert((c1.getLong(0), c1.getLong(1), c1.getLong(2), c1.getLong(3),
+      c1.getLong(4)) === ((4L, 6L, 12L, 4L, 1000000L)))
+
+    // pendant vertex 5 attached to 0: degrees (4,3,3,3,1) →
+    // wedges = C(4,2)+3*C(3,2) = 15, triangles unchanged,
+    // transitivity = 12/15 = 0.8
+    val pend = k4.unionByName(Seq((0L, 5L)).toDF("u", "v"))
+    val c2 = graft.ext.Similarity.triangleCensusOn(pend).collect().head
+    assert((c2.getLong(0), c2.getLong(1), c2.getLong(2), c2.getLong(3),
+      c2.getLong(4)) === ((5L, 7L, 15L, 4L, 800000L)))
+
+    // triangle-free star (hub 0, leaves 1..4): 6 wedges, 0 triangles,
+    // transitivity 0 — the n_wedges>0 guard's live branch
+    val star = (1L to 4L).map(v => (0L, v)).toDF("u", "v")
+    val c3 = graft.ext.Similarity.triangleCensusOn(star).collect().head
+    assert((c3.getLong(2), c3.getLong(3), c3.getLong(4)) === ((6L, 0L, 0L)))
+  }
+
   test("component resolution leaks no persisted frames per invocation") {
     val before = spark.sparkContext.getPersistentRDDs.size
     Dedup.starComponents(chain(8))._1.count()

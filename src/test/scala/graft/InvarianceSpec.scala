@@ -84,6 +84,8 @@ class InvarianceSpec extends AnyFunSuite {
     "join_asof_nearest",    // dual-order timeline probe, integer tie-break
     "text_classifier_score", // hashed-weight integer fold + gate
     "vocab_coverage",       // TakeOrdered trim + tiny-frame k-sweep
+    "text_pmi_collocations", // vocab-sized margin joins + rounded-ln rank
+    "sim_triangle_census",  // degree-oriented wedge semi-join census
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {

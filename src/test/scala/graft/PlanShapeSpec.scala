@@ -519,4 +519,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"\n$plan")
     assert(!plan.contains("SortAggregate"), s"\n$plan")
   }
+
+  test("text_pmi_collocations: ranking is a distributed TakeOrdered over the thresholded pair relation, never a global sort") {
+    val df = SparkEntry.queries("text_pmi_collocations")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    // pair counts hash-combine map-side before any exchange
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"\n$plan")
+  }
+
+  test("sim_triangle_census: wedge closure is a semi join on the oriented edge set — no cartesian, no nested loop") {
+    val df = SparkEntry.queries("sim_triangle_census")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    // the only nested-loop joins are the 1-row scalar-census assembly
+    // (BuildRight, Cross) — never a conditioned inner loop over edges
+    assert(!plan.replace("BroadcastNestedLoopJoin BuildRight, Cross", "")
+      .contains("BroadcastNestedLoopJoin"), s"\n$plan")
+    assert(plan.contains("LeftSemi"), s"\n$plan")
+  }
 }

@@ -79,4 +79,57 @@ class SketchRefreshSpec extends AnyFunSuite {
       assert(streamed.values.sum === tokens.toLong * 4)
     } finally q.stop()
   }
+
+  test("streamed MG summary equals batch in the ≤k-distinct regime with an exact total") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = SketchRefresh.startMg(docs, "mg_small_test")
+    try {
+      // 12 distinct tokens total << k=32: no decrement ever fires, so
+      // the streamed summary must be BIT-identical to the batch fold
+      val b1 = Seq(
+        (1L, "fast scan merge sort fast fast table", "en", "web", 37L),
+        (2L, "query plan join filter", "en", "web", 22L))
+      val b2 = Seq((3L, "fast query stream batch spark", "en", "books", 29L))
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.table("mg_small_test")
+        .as[(Seq[Long], Long)].collect().toSeq
+      val batch = SketchRefresh.mgSummary(
+        (b1 ++ b2).toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .as[(Seq[Long], Long)].collect().toSeq
+      assert(streamed === batch)
+      val tokens = (b1 ++ b2).map(_._2.split(" ").length).sum.toLong
+      assert(streamed.head._2 === tokens)
+    } finally q.stop()
+  }
+
+  test("MG one-sided guarantee survives state-store merges across batches past the decrement regime") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = SketchRefresh.startMg(docs, "mg_guarantee_test", k = 4)
+    try {
+      // 17 tokens, "hot" owns 8 > 17/(k+1)=3.4; rare tokens (9 distinct
+      // across the two batches, > k) force the decrement path
+      input.addData(Seq((1L, "hot hot hot hot hot a b c d", "en", "web", 27L)))
+      q.processAllAvailable()
+      input.addData(Seq((2L, "hot hot hot e f g h i", "en", "web", 21L)))
+      q.processAllAvailable()
+      val (cand, total) = spark.table("mg_guarantee_test")
+        .as[(Seq[Long], Long)].collect().head
+      val hotHash = spark.range(1)
+        .select(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit("hot")))
+        .as[Long].collect().head
+      assert(total === 17L)
+      assert(cand.size <= 4)
+      assert(cand.contains(hotHash),
+        "a key above 1/(k+1) of all mass seen must be present")
+      assert(cand === cand.sorted)
+    } finally q.stop()
+  }
 }
