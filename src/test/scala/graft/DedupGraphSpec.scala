@@ -89,6 +89,37 @@ class DedupGraphSpec extends AnyFunSuite {
     assert((c3.getLong(2), c3.getLong(3), c3.getLong(4)) === ((6L, 0L, 0L)))
   }
 
+  test("triangle census matches a brute-force reference on random graphs (degree-tie coverage)") {
+    // Fixed-seed G(n,p) sweep: small random graphs are dense in degree
+    // TIES, exactly where the (degree, id) orientation order could go
+    // wrong — every census column must equal the O(n^3) reference.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val n = 4 + rnd.nextInt(6)
+      val p = 0.25 + rnd.nextDouble() * 0.5
+      val edges = for {
+        u <- 0L until n; v <- (u + 1) until n if rnd.nextDouble() < p
+      } yield (u, v)
+      if (edges.nonEmpty) {
+        val es = edges.toSet
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+        val tris = (for {
+          u <- 0L until n; v <- (u + 1) until n; w <- (v + 1) until n
+          if es((u, v)) && es((u, w)) && es((v, w))
+        } yield 1).size.toLong
+        val expTrans = if (wedges > 0) 3 * tris * 1000000L / wedges else 0L
+        val row = graft.ext.Similarity
+          .triangleCensusOn(edges.toDF("u", "v")).collect().head
+        assert((row.getLong(0), row.getLong(1), row.getLong(2),
+          row.getLong(3), row.getLong(4)) ===
+          ((deg.size.toLong, edges.size.toLong, wedges, tris, expTrans)),
+          s"trial $trial: n=$n edges=$edges")
+      }
+    }
+  }
+
   test("component resolution leaks no persisted frames per invocation") {
     val before = spark.sparkContext.getPersistentRDDs.size
     Dedup.starComponents(chain(8))._1.count()
