@@ -34,6 +34,27 @@ object SketchRefresh {
     graft.functions.TextAnalysis.hllRegisterTriples(docs)
       .groupBy("source", "j").agg(max("rho").as("m"))
 
+  /** Shared starter: every sketch refresh is the same lifecycle —
+    * complete mode into a memory table `queryName` (tests; production
+    * swaps the sink for the warehouse sketch table — the plan upstream
+    * of the sink is unchanged), optionally checkpointed so the
+    * aggregation state (registers/counters/candidates) survives a
+    * crash/redeploy and the recovered table still equals the batch
+    * fold over ALL rows ever seen — pinned by SketchRefreshSpec.
+    */
+  private def startComplete(
+      sketch: DataFrame,
+      queryName: String,
+      trigger: Option[Trigger],
+      checkpoint: Option[String]): StreamingQuery = {
+    val w = sketch.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+    val wc = checkpoint.fold(w)(dir => w.option("checkpointLocation", dir))
+    Patterns.withTrigger(wc, trigger).start()
+  }
+
   /** Start the register refresh into an in-memory/complete sink table
     * `queryName` (tests; production swaps the sink for the warehouse
     * register table — the plan upstream of the sink is unchanged).
@@ -41,13 +62,9 @@ object SketchRefresh {
   def start(
       docs: DataFrame,
       queryName: String,
-      trigger: Option[Trigger] = None): StreamingQuery = {
-    val w = registers(docs).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-    Patterns.withTrigger(w, trigger).start()
-  }
+      trigger: Option[Trigger] = None,
+      checkpoint: Option[String] = None): StreamingQuery =
+    startComplete(registers(docs), queryName, trigger, checkpoint)
 
   /** Count-Min counter table (r, b, c) from a batch OR streaming
     * documents frame — counters are a SUM-monoid (vs the registers'
@@ -64,13 +81,9 @@ object SketchRefresh {
   def startCms(
       docs: DataFrame,
       queryName: String,
-      trigger: Option[Trigger] = None): StreamingQuery = {
-    val w = cmsCounters(docs).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-    Patterns.withTrigger(w, trigger).start()
-  }
+      trigger: Option[Trigger] = None,
+      checkpoint: Option[String] = None): StreamingQuery =
+    startComplete(cmsCounters(docs), queryName, trigger, checkpoint)
 
   /** Misra–Gries candidate summary — `(cand: array<long>, total)` —
     * from a batch OR streaming documents frame: the heavy-hitter leg
@@ -111,11 +124,7 @@ object SketchRefresh {
       docs: DataFrame,
       queryName: String,
       k: Int = graft.functions.TextAnalysis.HeavyHitterK,
-      trigger: Option[Trigger] = None): StreamingQuery = {
-    val w = mgSummary(docs, k).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-    Patterns.withTrigger(w, trigger).start()
-  }
+      trigger: Option[Trigger] = None,
+      checkpoint: Option[String] = None): StreamingQuery =
+    startComplete(mgSummary(docs, k), queryName, trigger, checkpoint)
 }

@@ -80,6 +80,34 @@ class SketchRefreshSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("HLL register state survives a query restart: post-recovery registers equal the batch fold over ALL rows") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ckpt = TestSpark.tmpDir("sketch-ckpt")
+    val b1 = Seq(
+      (1L, "fast scan merge sort table window key value", "en", "web", 44L),
+      (2L, "query plan join filter group agg", "en", "books", 33L))
+    val b2 = Seq(
+      (3L, "stream batch spark row column vector", "en", "web", 37L))
+    val q1 = SketchRefresh.start(docs, "hll_restart_test", checkpoint = Some(ckpt))
+    input.addData(b1)
+    q1.processAllAvailable()
+    q1.stop() // crash/redeploy — registers live in the checkpointed state
+    val q2 = SketchRefresh.start(docs, "hll_restart_test", checkpoint = Some(ckpt))
+    try {
+      input.addData(b2)
+      q2.processAllAvailable()
+      val streamed = spark.table("hll_restart_test").as[(String, Long, Int)]
+        .collect().toSet
+      val batch = SketchRefresh.registers(
+        (b1 ++ b2).toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .as[(String, Long, Int)].collect().toSet
+      assert(streamed === batch,
+        "recovered registers must equal the batch fold over pre- AND post-restart rows")
+    } finally q2.stop()
+  }
+
   test("streamed MG summary equals batch in the ≤k-distinct regime with an exact total") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String, String, String, Long)]
