@@ -468,10 +468,6 @@ object TextAnalysis {
     // rows after the map-side partial max)
     val regs = hllRegisterTriples(docs)
       .groupBy("source", "j").agg(max("rho").as("m"))
-    val agg = regs.groupBy("source").agg(
-      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")) +
-        (lit(HllRegisters.toLong) - count(lit(1))) * lit(1L << 53)).as("s_scaled"),
-      (lit(HllRegisters.toLong) - count(lit(1))).as("v_zero"))
     // the exact eval branch pays its n-gram-grain distinct ONCE at
     // per-source label (half the doubled stream); the union row's
     // exact count re-distincts the already-vocabulary-sized frame
@@ -481,7 +477,25 @@ object TextAnalysis {
       .union(dng.select("ng").distinct()
         .agg(count(lit(1)).as("exact_distinct"))
         .select(lit("__all__").as("source"), col("exact_distinct")))
-    agg.join(exact, "source")
+    hllEstimate(regs, Seq("source")).join(exact, "source")
+      .select(col("source"), col("v_zero"), col("s_scaled"),
+        col("exact_distinct"), col("est_hll"),
+        expr("abs(est_hll - exact_distinct) * 1000000 div exact_distinct")
+          .as("err_ppm"))
+  }
+
+  /** The αm²·2⁵³/S estimator with the standard linear-counting regime
+    * switch (below 5m/2), over a register frame `(keys…, j, m)` — one
+    * derivation shared by [[hllNgrams]] and [[hllOverlap]] so the
+    * regime boundary and the float discipline cannot drift between the
+    * per-source and the pair-merged sketches. Output keeps `v_zero` /
+    * `s_scaled` (exact integers) next to `est_hll`.
+    */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*).agg(
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")) +
+        (lit(HllRegisters.toLong) - count(lit(1))) * lit(1L << 53)).as("s_scaled"),
+      (lit(HllRegisters.toLong) - count(lit(1))).as("v_zero"))
       .withColumn("est_raw", expr(
         """CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
           |  * 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 0) AS BIGINT)"""
@@ -492,10 +506,69 @@ object TextAnalysis {
       .withColumn("est_hll",
         when(col("v_zero") > 0 && col("est_raw") <= 640, col("est_lc"))
           .otherwise(col("est_raw")))
-      .select(col("source"), col("v_zero"), col("s_scaled"),
-        col("exact_distinct"), col("est_hll"),
-        expr("abs(est_hll - exact_distinct) * 1000000 div exact_distinct")
-          .as("err_ppm"))
+
+  /** Pairwise cross-source vocabulary overlap by HLL inclusion-
+    * exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union
+    * sketch costs NOTHING beyond the per-source register tables —
+    * registers are a max-monoid, so merging two sources is a
+    * per-register `max` (Flajolet et al., AofA 2007 §4). This is the
+    * data-card cross-contamination matrix (which sources share
+    * vocabulary, and how much) at the only shape that survives 100 TB:
+    * all pair work runs on the S×256 register table (S = source
+    * count), never on the corpus.
+    *
+    * The `exact_overlap` column is the EVAL HARNESS — it pays the
+    * vocabulary-grain self-join the sketch exists to avoid; production
+    * ships the register table and the estimate only. `overlap_est` is
+    * clamped at 0 because inclusion-exclusion on two ±6.5%-σ
+    * estimates can go negative when the true overlap is small.
+    *
+    * Determinism: per-source and pair-merged registers are exact
+    * integers off the shared md5 derivation ([[hllTriplesFromNgrams]]);
+    * the three estimates run the shared [[hllEstimate]] float
+    * discipline; the inclusion-exclusion itself is BIGINT arithmetic.
+    */
+  def hllOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // the exact eval branch forces the n-gram distinct anyway, so the
+    // registers derive from the SAME distinct frame (max over a set
+    // equals max over the multiset — one shared subtree, one scan)
+    val dng = ngramsOf(docs).distinct()
+    val regs = hllTriplesFromNgrams(dng)
+      .groupBy("source", "j").agg(max("rho").as("m"))
+    val est = hllEstimate(regs, Seq("source")).select("source", "est_hll")
+    val srcs = dng.select("source").distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
+    // pair-merged registers: each pair pulls both sources' register
+    // rows (two broadcast equi-joins on the tiny pair grid) and folds
+    // them by per-register max — the mergeability law in plan form
+    val unionRegs = pairs
+      .join(regs, col("source") === col("src_a"))
+      .select("src_a", "src_b", "j", "m")
+      .unionByName(pairs
+        .join(regs, col("source") === col("src_b"))
+        .select("src_a", "src_b", "j", "m"))
+      .groupBy("src_a", "src_b", "j").agg(max("m").as("m"))
+    val estU = hllEstimate(unionRegs, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("est_hll").as("est_union"))
+    val exact = dng.as("a")
+      .join(dng.as("b"),
+        col("a.ng") === col("b.ng") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    pairs
+      .join(est.select(col("source").as("src_a"), col("est_hll").as("est_a")),
+        "src_a")
+      .join(est.select(col("source").as("src_b"), col("est_hll").as("est_b")),
+        "src_b")
+      .join(estU, Seq("src_a", "src_b"))
+      .join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("overlap_est"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
   }
 
   /** Count-Min geometry for [[countMin]]: depth 4 independent hash
@@ -2097,6 +2170,88 @@ object TextAnalysis {
                   CAST(abs(est_hll - exact_distinct) * 1000000 // exact_distinct
                     AS BIGINT) AS err_ppm
            FROM pick""",
+      "stats_hll_overlap" ->
+        """WITH tok AS (
+             SELECT source, string_split(text, ' ') AS ws FROM documents
+             WHERE len(string_split(text, ' ')) >= 3),
+           ng0 AS (
+             SELECT source,
+                    unnest([array_to_string(ws[i:i+2], ' ')
+                            for i in range(1, len(ws) - 1)]) AS ng
+             FROM tok),
+           dng AS (SELECT DISTINCT source, ng FROM ng0),
+           h AS (SELECT source, ('0x' || substr(md5(ng), 1, 15))::BIGINT AS h
+                 FROM dng),
+           reg AS (
+             SELECT source, h % 256 AS j,
+                    max(CASE WHEN h // 256 = 0 THEN 53
+                             ELSE 53 - length(bin(h // 256)) END) AS m
+             FROM h GROUP BY source, j),
+           est0 AS (
+             SELECT source,
+                    CAST(sum(CAST(1 AS BIGINT) << (53 - m))
+                         + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
+                      AS BIGINT) AS s_scaled,
+                    CAST(256 - count(*) AS BIGINT) AS v_zero
+             FROM reg GROUP BY source),
+           est AS (
+             SELECT source,
+                    CASE WHEN v_zero > 0 AND est_raw <= 640 THEN est_lc
+                         ELSE est_raw END AS est_hll
+             FROM (SELECT source, v_zero,
+                          CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                            * 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 0)
+                            AS BIGINT) AS est_raw,
+                          CASE WHEN v_zero > 0 THEN
+                            CAST(round(256.0 * round(ln(256.0 / CAST(v_zero AS DOUBLE)), 9), 0)
+                              AS BIGINT) END AS est_lc
+                   FROM est0)),
+           pairs AS (
+             SELECT a.source AS src_a, b.source AS src_b
+             FROM (SELECT DISTINCT source FROM dng) a
+             JOIN (SELECT DISTINCT source FROM dng) b ON a.source < b.source),
+           ureg AS (
+             SELECT src_a, src_b, j, max(m) AS m FROM (
+               SELECT p.src_a, p.src_b, r.j, r.m
+               FROM pairs p JOIN reg r ON r.source = p.src_a
+               UNION ALL
+               SELECT p.src_a, p.src_b, r.j, r.m
+               FROM pairs p JOIN reg r ON r.source = p.src_b)
+             GROUP BY src_a, src_b, j),
+           uest0 AS (
+             SELECT src_a, src_b,
+                    CAST(sum(CAST(1 AS BIGINT) << (53 - m))
+                         + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
+                      AS BIGINT) AS s_scaled,
+                    CAST(256 - count(*) AS BIGINT) AS v_zero
+             FROM ureg GROUP BY src_a, src_b),
+           uest AS (
+             SELECT src_a, src_b,
+                    CASE WHEN v_zero > 0 AND est_raw <= 640 THEN est_lc
+                         ELSE est_raw END AS est_union
+             FROM (SELECT src_a, src_b, v_zero,
+                          CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                            * 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 0)
+                            AS BIGINT) AS est_raw,
+                          CASE WHEN v_zero > 0 THEN
+                            CAST(round(256.0 * round(ln(256.0 / CAST(v_zero AS DOUBLE)), 9), 0)
+                              AS BIGINT) END AS est_lc
+                   FROM uest0)),
+           ex AS (
+             SELECT a.source AS src_a, b.source AS src_b,
+                    CAST(count(*) AS BIGINT) AS exact_overlap
+             FROM dng a JOIN dng b ON a.ng = b.ng AND a.source < b.source
+             GROUP BY 1, 2)
+           SELECT p.src_a, p.src_b,
+                  ea.est_hll AS est_a, eb.est_hll AS est_b, u.est_union,
+                  greatest(CAST(0 AS BIGINT),
+                    ea.est_hll + eb.est_hll - u.est_union) AS overlap_est,
+                  coalesce(ex.exact_overlap, CAST(0 AS BIGINT)) AS exact_overlap
+           FROM pairs p
+           JOIN est ea ON ea.source = p.src_a
+           JOIN est eb ON eb.source = p.src_b
+           JOIN uest u ON u.src_a = p.src_a AND u.src_b = p.src_b
+           LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b""",
       "stats_countmin" ->
         """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
            r4 AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS r),
@@ -2367,6 +2522,7 @@ object TextAnalysis {
     "text_classifier_score" -> classifierScore _,
     "vocab_coverage" -> vocabCoverage _,
     "stats_hll_ngrams" -> hllNgrams _,
+    "stats_hll_overlap" -> hllOverlap _,
     "stats_countmin" -> countMin _,
     "text_boilerplate_spans" -> boilerplateSpans _,
     "text_token_ids" -> tokenIds _,

@@ -2185,6 +2185,63 @@ class OperatorSpec extends AnyFunSuite {
     assert(exact > 1000 && est > 0 && errPpm < 300000L)
   }
 
+  test("stats_hll_overlap: plain-Scala pair-merge replica matches every row; mergeability is pointwise max") {
+    def md5_60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def estOf(regs: Map[Long, Int]): Long = {
+      val s = regs.values.map(m => 1L << (53 - m)).sum +
+        (256L - regs.size) * (1L << 53)
+      val v = 256L - regs.size
+      val estRaw = math.round(
+        (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0 / s.toDouble)
+      val estLc = if (v > 0)
+        math.round(256.0 * BigDecimal(math.log(256.0 / v.toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else 0L
+      if (v > 0 && estRaw <= 640) estLc else estRaw
+    }
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource: Map[String, Set[String]] = docs.flatMap { case (src, text) =>
+      val ws = text.split(" ", -1)
+      if (ws.length < 3) Seq.empty
+      else (0 to ws.length - 3).map(i => (src, ws.slice(i, i + 3).mkString(" ")))
+    }.groupBy(_._1).map { case (s, ps) => s -> ps.map(_._2).toSet }
+    val regsOf: Map[String, Map[Long, Int]] = bySource.map { case (src, ngs) =>
+      src -> ngs.groupBy(ng => md5_60(ng) % 256).map { case (j, grp) =>
+        j -> grp.map { ng =>
+          val w = md5_60(ng) >>> 8
+          if (w == 0) 53 else java.lang.Long.numberOfLeadingZeros(w) - 11
+        }.max
+      }
+    }
+    val expected = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      // the mergeability law the streaming/warehouse sketch relies on:
+      // union registers are the POINTWISE MAX of the two register maps
+      merged = (regsOf(a).keySet ++ regsOf(b).keySet).map(j =>
+        j -> math.max(regsOf(a).getOrElse(j, 0), regsOf(b).getOrElse(j, 0))).toMap
+      ea = estOf(regsOf(a)); eb = estOf(regsOf(b)); eu = estOf(merged)
+    } yield (a, b) -> ((ea, eb, eu, math.max(0L, ea + eb - eu),
+      (bySource(a) & bySource(b)).size.toLong))).toMap
+    val rows = SparkEntry.queries("stats_hll_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(rows.keySet === expected.keySet)
+    expected.foreach { case (k, e) => withClue(k)(assert(rows(k) === e)) }
+    // and the estimator is genuinely estimating: the fixture's overlaps
+    // are small vs the unions (the documented noisy regime for HLL
+    // inclusion-exclusion), so pin the aggregate, not per-pair error
+    val sumEst = rows.values.map(_._4).sum
+    val sumExact = rows.values.map(_._5).sum
+    assert(sumExact > 0 && sumEst > 0 &&
+      sumEst < 2 * sumExact && sumExact < 2 * sumEst)
+  }
+
   test("text_boilerplate_spans: kernel df matches a composed-expression recompute; invariants hold") {
     val rows = SparkEntry.queries("text_boilerplate_spans")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
