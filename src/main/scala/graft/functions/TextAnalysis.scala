@@ -468,14 +468,15 @@ object TextAnalysis {
     // rows after the map-side partial max)
     val regs = hllRegisterTriples(docs)
       .groupBy("source", "j").agg(max("rho").as("m"))
-    // the exact eval branch pays its n-gram-grain distinct ONCE at
-    // per-source label (half the doubled stream); the union row's
-    // exact count re-distincts the already-vocabulary-sized frame
-    val dng = ngramsOf(docs).distinct()
-    val exact = dng.groupBy("source")
-      .agg(count(lit(1)).as("exact_distinct"))
-      .union(dng.select("ng").distinct()
-        .agg(count(lit(1)).as("exact_distinct"))
+    // the exact eval branch folds each n-gram's source set in ONE
+    // ng-grain exchange (map-side partial collect_set, arrays ≤ S);
+    // per-source distincts explode off it, the __all__ row is its
+    // row count — no (source, ng)-grain distinct, no re-distinct
+    val byNg = ngramsOf(docs).groupBy("ng")
+      .agg(collect_set("source").as("srcs"))
+    val exact = byNg.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+      .union(byNg.agg(count(lit(1)).as("exact_distinct"))
         .select(lit("__all__").as("source"), col("exact_distinct")))
     hllEstimate(regs, Seq("source")).join(exact, "source")
       .select(col("source"), col("v_zero"), col("s_scaled"),
@@ -518,10 +519,18 @@ object TextAnalysis {
     * count), never on the corpus.
     *
     * The `exact_overlap` column is the EVAL HARNESS — it pays the
-    * vocabulary-grain self-join the sketch exists to avoid; production
+    * n-gram-grain exact work the sketch exists to avoid; production
     * ships the register table and the estimate only. `overlap_est` is
     * clamped at 0 because inclusion-exclusion on two ±6.5%-σ
     * estimates can go negative when the true overlap is small.
+    *
+    * The exact branch deliberately avoids the textbook self-join on
+    * `ng`: a boilerplate n-gram present in every source would fan a
+    * join out S² rows per key (skew), and the join shuffles the
+    * vocabulary twice. Instead ONE `groupBy(ng)` folds each n-gram's
+    * source set (`collect_set`, bounded by S, map-side partials), and
+    * the i<j pairs unfold INSIDE the array — per-source registers and
+    * exact pair counts both come off that single shared shuffle.
     *
     * Determinism: per-source and pair-merged registers are exact
     * integers off the shared md5 derivation ([[hllTriplesFromNgrams]]);
@@ -530,14 +539,18 @@ object TextAnalysis {
     */
   def hllOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // the exact eval branch forces the n-gram distinct anyway, so the
-    // registers derive from the SAME distinct frame (max over a set
-    // equals max over the multiset — one shared subtree, one scan)
-    val dng = ngramsOf(docs).distinct()
-    val regs = hllTriplesFromNgrams(dng)
+    // one corpus-grain exchange for the whole query: each n-gram's
+    // deduplicated source set (array ≤ S, map-side partial collect_set)
+    val byNg = ngramsOf(docs).groupBy("ng")
+      .agg(array_sort(collect_set("source")).as("srcs"))
+    // registers derive from the exploded (ng, source) pairs — the same
+    // distinct frame the old `.distinct()` produced, max over a set
+    // equals max over the multiset, so bit-identical registers
+    val regs = hllTriplesFromNgrams(
+        byNg.select(col("ng"), explode(col("srcs")).as("source")))
       .groupBy("source", "j").agg(max("rho").as("m"))
     val est = hllEstimate(regs, Seq("source")).select("source", "est_hll")
-    val srcs = dng.select("source").distinct()
+    val srcs = regs.select("source").distinct()
     val pairs = srcs.select(col("source").as("src_a"))
       .join(srcs.select(col("source").as("src_b")), col("src_a") < col("src_b"))
     // pair-merged registers: each pair pulls both sources' register
@@ -552,10 +565,16 @@ object TextAnalysis {
       .groupBy("src_a", "src_b", "j").agg(max("m").as("m"))
     val estU = hllEstimate(unionRegs, Seq("src_a", "src_b"))
       .select(col("src_a"), col("src_b"), col("est_hll").as("est_union"))
-    val exact = dng.as("a")
-      .join(dng.as("b"),
-        col("a.ng") === col("b.ng") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    // exact pair counts: unfold i<j pairs inside each n-gram's sorted
+    // source array (≤ S(S−1)/2 structs per row, no join, no skew)
+    val exact = byNg
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("srcs")) - 1),
+        i => transform(slice(col("srcs"), i + 1, size(col("srcs"))),
+          b => struct(element_at(col("srcs"), i).as("src_a"),
+            b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("exact_overlap"))
     pairs
       .join(est.select(col("source").as("src_a"), col("est_hll").as("est_a")),
