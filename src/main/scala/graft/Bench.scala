@@ -182,11 +182,14 @@ object Bench {
         "sq8_codes" -> (() => { ext.Similarity.sq8Index(spark, queryDir); () }),
         "pq_codes" -> (() => { ext.Similarity.pqIndex(spark, queryDir); () }),
         "unigram_model" -> (() => { functions.TextAnalysis.unigramModel(spark, queryDir); () }),
-        "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
+        "bigram_counts" -> (() => { functions.TextAnalysis.bigramCounts(spark, queryDir); () }),
         "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),
         "dsir_model" -> (() => { operators.Advanced.dsirModel(spark, queryDir); () }),
         "sem_cells" -> (() => { ext.Similarity.semAssigned(spark, queryDir).count(); () })),
       Seq(
+        // bigram_model is a vocabulary-sized derivation of wave-1's
+        // bigram_counts (the corpus pays its bigram pass once)
+        "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
         "knn_edges" -> (() => { ext.Similarity.knnEdges(spark, queryDir).count(); () }),
         "dup_components_0" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.0); () }),
         "dup_components_80" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.8); () })),

@@ -863,18 +863,19 @@ object TextAnalysis {
     * (t1, t2) — a total order, so the top-K set is cross-engine
     * identical.
     *
-    * Scale shape: one corpus scan folds pair counts (map-side
-    * partial, vocabulary²-bounded exchange — in practice the distinct
-    * adjacent-pair footprint); margins re-aggregate the PAIR relation
-    * (`sum(c12) group by t1/t2` — vocabulary-sized input, never a
-    * second corpus scan) exactly like [[bigramModel]]'s denominator;
-    * the two margin joins are vocabulary-sized and stats-broadcast;
-    * totals ride a 1-row broadcast; ranking is a distributed
-    * TakeOrdered, never a global sort.
+    * Scale shape: the pair counts are the shared train-once
+    * [[bigramCounts]] relation (with the warehouse attached the query
+    * never touches the corpus; cold it is one scan with map-side
+    * partial counts, a vocabulary²-bounded exchange — in practice the
+    * distinct adjacent-pair footprint); margins re-aggregate the PAIR
+    * relation (`sum(c12) group by t1/t2` — vocabulary-sized input,
+    * never a second corpus scan) exactly like [[bigramModel]]'s
+    * denominator; the two margin joins are vocabulary-sized and
+    * stats-broadcast; totals ride a 1-row broadcast; ranking is a
+    * distributed TakeOrdered, never a global sort.
     */
   def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
-    val c12 = bigrams(spark, sfDir)
-      .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    val c12 = bigramCounts(spark, sfDir)
     val c1 = c12.groupBy("t1").agg(sum(col("c12")).as("m1"))
     val c2 = c12.groupBy("t2").agg(sum(col("c12")).as("m2"))
     val totals = c12.agg(sum(col("c12")).as("n_big"))
@@ -1074,13 +1075,28 @@ object TextAnalysis {
         round(min(col("lp")), 6).as("min_logprob"))
   }
 
+  /** The corpus bigram-count relation (t1, t2, c12) — the ONE
+    * corpus-grain artifact every bigram consumer derives from: the
+    * conditional model ([[bigramModel]]) and the PMI ranking
+    * ([[pmiCollocations]]) are both vocabulary-sized re-aggregations
+    * of it, so with the warehouse attached the corpus pays its bigram
+    * pass once, ever, and each consumer starts from a bucketed
+    * vocabulary-sized scan.
+    */
+  private[graft] def bigramCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    def build = bigrams(spark, sfDir)
+      .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+    graft.IndexStore.resolve(spark, sfDir, "bigram_counts", Some("t1"))(build)
+      .getOrElse(build)
+  }
+
   /** The trained bigram model as a (t1, t2, logprob) relation; see
-    * [[unigramModel]] for the build-once warehouse lifecycle.
+    * [[unigramModel]] for the build-once warehouse lifecycle. Derives
+    * from [[bigramCounts]], so its own build is vocabulary-sized.
     */
   private[graft] def bigramModel(spark: SparkSession, sfDir: String): DataFrame = {
     def build = {
-      val c12 = bigrams(spark, sfDir)
-        .groupBy("t1", "t2").agg(count(lit(1)).as("c12"))
+      val c12 = bigramCounts(spark, sfDir)
       val c1 = c12.groupBy("t1").agg(sum(col("c12")).as("c1"))
       c12.join(c1, "t1")
         .select(col("t1"), col("t2"), round(log(col("c12") / col("c1")), 9).as("lp"))
