@@ -228,6 +228,96 @@ object Dedup {
       .select("doc_a", "doc_b", "containment")
   }
 
+  /** Jaccard floor for [[allPairsExact]] as an exact fraction 4/5 —
+    * kept rational so the threshold predicate is pure BIGINT
+    * arithmetic (`5·inter ≥ 4·union`) in both engines.
+    */
+  private[graft] val AllPairsNum = 4L
+  private[graft] val AllPairsDen = 5L
+
+  /** Exact all-pairs similarity self-join with prefix filtering
+    * (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    * WWW 2007) — EVERY document pair with shingle-set Jaccard ≥ 4/5,
+    * with a completeness GUARANTEE. This is the contract the rest of
+    * the dedup suite trades away: [[ngramJaccard]] drops shingles above
+    * a df cap (pairs whose overlap lives in boilerplate vanish) and
+    * [[minhashLsh]] is probabilistic (banding misses pairs near the
+    * threshold); legal-grade dedup (license compliance, eval-set
+    * contamination audits) needs the no-false-negative version.
+    *
+    * The filter theorem: order the universe totally (here by
+    * (df, hash) — rarest first) and give each size-s set the prefix of
+    * its first `s − ⌈t·s⌉ + 1` elements. If J(x,y) ≥ t, the smallest
+    * common element of x∩y must sit in BOTH prefixes (if it sat past
+    * x's prefix, the overlap would fit in x's last ⌈t·s⌉−1 slots,
+    * contradicting |x∩y| ≥ t·|x∪y| ≥ t·s). So the prefix-prefix
+    * equi-join loses nothing, and exact verification over the
+    * candidates reproduces brute force bit-for-bit — which is why the
+    * ORACLE is plain brute force and the plan's prefix machinery is
+    * invisible in the result.
+    *
+    * Scale shape vs the brute-force self-join it replaces:
+    *  - the inverted index holds only prefixes — ≈ (1−t)·|x|+1 rows
+    *    per doc, a 5× smaller join input at t = 4/5;
+    *  - rarest-first ordering self-mitigates the hub problem: a
+    *    boilerplate shingle enters a doc's prefix only when it is
+    *    among that doc's RAREST fifth, so corpus-wide hot keys sort
+    *    out of almost every prefix (the df-cap's job, without losing
+    *    completeness);
+    *  - the size filter `5·min(sz) ≥ 4·max(sz)` prunes cross-size
+    *    candidates inside the join condition;
+    *  - per-doc ordering is an embarrassingly parallel in-array sort
+    *    (no corpus-grain window/sort); verification joins the bounded
+    *    candidate pairs back to per-doc hash arrays and intersects
+    *    in-memory per row.
+    * All arithmetic is BIGINT (ppm output, rational threshold), so
+    * cross-engine bit-equality needs no float discipline.
+    */
+  def allPairsExact(spark: SparkSession, sfDir: String): DataFrame =
+    allPairsExactOn(explodedShingleHashes(spark, sfDir))
+
+  /** The AllPairs core over any (doc_id, sz, h) exploded set frame
+    * (one row per distinct element per doc, `sz` the doc's set size) —
+    * factored from [[allPairsExact]] so adversarial fixtures (hot
+    * boilerplate keys, tiny identical docs) can pin the prefix-filter
+    * completeness proof on the real operator.
+    */
+  private[graft] def allPairsExactOn(ex: DataFrame): DataFrame = {
+    val dfRel = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    // per-doc sets sorted rarest-first by the (df, h) total order; the
+    // sort is per-row array work after one doc-grain aggregation
+    val docSets = ex.join(dfRel, "h")
+      .groupBy("doc_id", "sz")
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("toks"))
+    val prefixes = docSets.select(col("doc_id"), col("sz"),
+      explode(slice(col("toks"), lit(1),
+        expr(s"CAST(sz - (sz * $AllPairsNum + ${AllPairsDen - 1}) DIV $AllPairsDen + 1 AS INT)")))
+        .as("p"))
+      .select(col("doc_id"), col("sz"), col("p.h").as("h"))
+    val cand = prefixes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+        col("h").as("h_r")),
+        col("h") === col("h_r") && col("doc_a") < col("doc_b") &&
+          least(col("sz_a"), col("sz_b")) * AllPairsDen >=
+            greatest(col("sz_a"), col("sz_b")) * AllPairsNum)
+      .select("doc_a", "doc_b").distinct()
+    val sets = docSets.select(col("doc_id"), col("sz"),
+      expr("transform(toks, t -> t.h)").as("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
+        col("hs").as("hs_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+        col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
+        (col("sz_a") + col("sz_b")).cast("long").as("szsum"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("szsum") - col("inter")).as("uni"))
+      .filter(col("inter") * AllPairsDen >= col("uni") * AllPairsNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        expr("inter * 1000000 div uni").as("jaccard_ppm"))
+  }
+
   /** Fingerprint document-frequency cap and minimum shared-fingerprint
     * threshold for [[winnowPairs]] — same roles as
     * [[DefaultMaxShingleDf]] / the Jaccard floor in [[ngramJaccard]].
@@ -1263,6 +1353,23 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
                 count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
+    // brute force IS the contract: prefix filtering is completeness-
+    // preserving, so the oracle needs none of the plan's machinery
+    "dedup_allpairs_exact" ->
+      s"""WITH $ShingleCte,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+                 CAST(x.sz + y.sz - inter AS BIGINT) AS uni,
+                 CAST(inter * 1000000 // (x.sz + y.sz - inter) AS BIGINT)
+                   AS jaccard_ppm
+          FROM inter
+          JOIN sizes x ON doc_a = x.doc_id
+          JOIN sizes y ON doc_b = y.doc_id
+          WHERE $AllPairsDen * inter >= $AllPairsNum * (x.sz + y.sz - inter)""",
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte,
           sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
@@ -1670,6 +1777,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
+    "dedup_allpairs_exact" -> allPairsExact _,
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "decontaminate" -> decontaminate _,
     "decontaminate_bloom" -> decontaminateBloom _,

@@ -78,6 +78,7 @@ class InvarianceSpec extends AnyFunSuite {
     "text_token_ids",       // broadcast vocab-map per-row encoding
     "stats_hll_ngrams",     // max-monoid registers + BIGINT harmonic sum
     "stats_hll_overlap",    // pair-merged registers + BIGINT inclusion-exclusion
+    "dedup_allpairs_exact", // prefix-filtered exact join, BIGINT threshold
     "text_boilerplate_spans", // hash-grain df counts + broadcast boiler set
     "sim_dim_ablation",     // prefix-cosine heap top-K vs full-dim truth
     "join_time_banded",     // banded bucket equi-join, exact residual bound

@@ -149,6 +149,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(ext.Dedup.ngramJaccard(spark, dir, maxShingleDf = 1000).count() === 191L)
   }
 
+  test("allpairs-exact: prefix-filtered join equals brute force at sf0.001") {
+    val ex = ext.Dedup.explodedShingleHashes(spark, sf)
+    val l = ex.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
+    val r = ex.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+      col("h").as("h_r"))
+    val brute = l.join(r, col("h") === col("h_r") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"), col("inter").cast("long").as("inter"),
+        (col("sz_a").cast("long") + col("sz_b") - col("inter")).as("uni"))
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    val pp = ext.Dedup.allPairsExact(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    assert(pp.nonEmpty)
+    assert(pp === brute)
+  }
+
+  test("allpairs-exact core: hot keys stay complete, threshold boundary is >=") {
+    // 10 docs sharing one corpus-hot element (everything else unique):
+    // pairwise J = 1/9, no output rows — and rarest-first ordering puts
+    // the hot key LAST in every prefix-eligible position
+    val hot = 1L
+    val star = (0 until 10).flatMap(i =>
+      (Seq(hot) ++ (1 to 4).map(k => 100L * (i + 1) + k)).map(h => (i.toLong, 5, h)))
+    // an identical pair whose overlap INCLUDES the hot key — the case a
+    // df-cap blocker drops and the prefix filter must keep (J = 1)
+    val twins = Seq(300L, 301L).flatMap(d =>
+      (Seq(hot) ++ (1 to 4).map(k => 9000L + k)).map(h => (d, 5, h)))
+    // the exact threshold boundary: inter 4, union 5 -> J = 4/5 kept
+    val edge = (1 to 4).map(k => (400L, 4, 5000L + k)) ++
+      (Seq(5005L) ++ (1 to 4).map(k => 5000L + k)).map(h => (401L, 5, h))
+    // just under: inter 4, union 6 -> J = 2/3 dropped
+    val under = (1 to 5).map(k => (500L, 5, 6000L + k)) ++
+      (Seq(6009L) ++ (1 to 4).map(k => 6000L + k)).map(h => (501L, 5, h))
+    import spark.implicits._
+    val ex = (star ++ twins ++ edge ++ under).toDF("doc_id", "sz", "h")
+    val got = ext.Dedup.allPairsExactOn(ex)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toSet
+    assert(got === Set(
+      (300L, 301L, 5L, 5L, 1000000L),
+      (400L, 401L, 4L, 5L, 800000L)))
+  }
+
   test("registerViews exposes events with the converted TIMESTAMP ts") {
     // the raw parquet layout varies by data generation (µs TIMESTAMP /
     // ns longs); the SQL view must always carry the converted column
