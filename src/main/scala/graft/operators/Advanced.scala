@@ -362,6 +362,55 @@ object Advanced {
         (col("pos") + 1).cast("long").as("sample_rank"))
   }
 
+  /** Sample size per source for [[sampleWeightedReservoir]]. */
+  private val ReservoirK = 25
+
+  /** Weighted reservoir sampling — a fixed-size weighted sample
+    * WITHOUT replacement per source (Efraimidis & Spirakis, IPL 2006:
+    * keep the K items with the largest u^(1/w); equivalently, by
+    * monotonicity of ln on (0,1], the largest ln(u)/w — the form used
+    * here so no fractional `pow` enters the plan). Inclusion
+    * probability scales with document weight (token count), which is
+    * the missing quarter of the mixture-control suite: the cap sampler
+    * is unweighted, the balance/temperature samplers adjust RATES per
+    * source but not per document, and token-budget selection is
+    * hash-ordered rather than importance-proportional. A
+    * length-weighted reservoir is how a token-budgeted recipe samples
+    * documents in proportion to the tokens they actually contribute.
+    *
+    * Deterministic and backfill-stable like every sampler here: u
+    * derives from the md5 hash of doc_id ((h+1)/2⁶⁰ ∈ (0,1], never
+    * `rand()`), ln rounds at 1e-9 before the division (the
+    * [[graft.functions.TextAnalysis.unigramLogprob]] libm discipline),
+    * and ties break on doc_id — a total order, so the sample is
+    * cross-engine identical.
+    *
+    * Skew-proof plan, same rationale as [[sampleCapPerSource]]: the
+    * per-source top-K runs as the bounded-heap [[graft.functions
+    * .TopKAgg]] with map-side partial trimming — O(partitions × K)
+    * rows per source cross the exchange no matter how skewed the
+    * source mixture — never a `row_number()` window that would ship a
+    * whole source to one reducer.
+    */
+  def sampleWeightedReservoir(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = size(split(col("text"), " ")).cast("long")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), w.as("weight"),
+        (round(log((h + 1).cast("double") /
+          lit(1152921504606846976L).cast("double")), 9) /
+          w.cast("double")).as("es_key"))
+      .groupBy("source")
+      .agg(graft.functions.TopK.topK(ReservoirK)(
+        col("doc_id"), col("es_key")).as("kept"),
+        count(lit(1)).as("n_source"))
+      .select(col("source"), col("n_source"), posexplode(col("kept")))
+      .select(col("col._1").as("doc_id"), col("source"),
+        col("col._2").as("es_key"),
+        (col("pos") + 1).cast("long").as("sample_rank"), col("n_source"))
+  }
+
   /** Source balancing — the other half of mixture control next to
     * [[sampleCapPerSource]]: downsample every source to (at most) the
     * SMALLEST source's volume, so the output mixture is uniform across
@@ -1145,6 +1194,25 @@ object Advanced {
                               doc_id ASC) AS rn
             FROM documents)
           WHERE rn <= $SourceCap""",
+    "sample_weighted_reservoir" ->
+      s"""WITH d AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+            FROM documents),
+          scored AS (
+            SELECT doc_id, source,
+                   round(ln((h + 1)::DOUBLE / 1152921504606846976::DOUBLE), 9)
+                     / w::DOUBLE AS es_key,
+                   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_source
+            FROM d),
+          r AS (
+            SELECT doc_id, source, es_key, n_source,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY es_key DESC, doc_id ASC) AS rn
+            FROM scored)
+          SELECT doc_id, source, es_key, CAST(rn AS BIGINT) AS sample_rank, n_source
+          FROM r WHERE rn <= $ReservoirK""",
     "pack_sequences" ->
       s"""SELECT doc_id, shard, n_tokens, tokens_before,
                  tokens_before // $PackBudget AS pack_id,
@@ -1401,6 +1469,7 @@ object Advanced {
     "corpus_release_card" -> releaseCard _,
     "sample_stratified" -> sampleStratified _,
     "sample_cap_source" -> sampleCapPerSource _,
+    "sample_weighted_reservoir" -> sampleWeightedReservoir _,
     "sample_balance_sources" -> sampleBalanceSources _,
     "sample_temperature" -> sampleTemperature _,
     "sample_dsir" -> sampleDsir _,

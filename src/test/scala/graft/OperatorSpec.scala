@@ -196,6 +196,48 @@ class OperatorSpec extends AnyFunSuite {
       (400L, 401L, 4L, 5L, 800000L)))
   }
 
+  test("weighted reservoir: plain-Scala ES replica matches; weights shift the sample") {
+    def md5_60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val scored = docs.map { case (id, src, text) =>
+      val w = text.split(" ", -1).length.toLong
+      val u = (md5_60(id.toString) + 1).toDouble / 1152921504606846976L.toDouble
+      val key = BigDecimal(math.log(u))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble / w.toDouble
+      (src, id, w, key)
+    }
+    val expected = scored.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy(t => (-t._4, t._2)).take(25).zipWithIndex
+        .map { case ((_, id, _, key), i) => (id, src, key, (i + 1).toLong) }
+    }.toSet
+    val got = operators.Advanced.sampleWeightedReservoir(spark, sf)
+      .select("doc_id", "source", "es_key", "sample_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+    // the weighting is doing real work — on a fixture where the
+    // reservoir genuinely subsamples (200 docs, K=25): heavy docs
+    // (100 tokens) must be overrepresented vs light docs (1 token)
+    val dir = TestSpark.tmpDir("wres")
+    import spark.implicits._
+    (0 until 200).map { i =>
+      val text = if (i % 2 == 0) Seq.fill(100)("tok").mkString(" ") else "tok"
+      (i.toLong, "s0", text)
+    }.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = operators.Advanced.sampleWeightedReservoir(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(kept.length === 25)
+    val heavy = kept.count(_ % 2 == 0)
+    assert(heavy > 18, s"heavy docs kept: $heavy of 25")
+  }
+
   test("registerViews exposes events with the converted TIMESTAMP ts") {
     // the raw parquet layout varies by data generation (µs TIMESTAMP /
     // ns longs); the SQL view must always carry the converted column
