@@ -183,6 +183,7 @@ object Bench {
         "pq_codes" -> (() => { ext.Similarity.pqIndex(spark, queryDir); () }),
         "unigram_model" -> (() => { functions.TextAnalysis.unigramModel(spark, queryDir); () }),
         "bigram_counts" -> (() => { functions.TextAnalysis.bigramCounts(spark, queryDir); () }),
+        "ngram_sources" -> (() => { functions.TextAnalysis.ngramSourceSets(spark, queryDir); () }),
         "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),
         "dsir_model" -> (() => { operators.Advanced.dsirModel(spark, queryDir); () }),
         "sem_cells" -> (() => { ext.Similarity.semAssigned(spark, queryDir).count(); () })),
@@ -191,6 +192,8 @@ object Bench {
         // bigram_counts (the corpus pays its bigram pass once)
         "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
         "knn_edges" -> (() => { ext.Similarity.knnEdges(spark, queryDir).count(); () }),
+        // sets + prefix inverted index, derived from wave-1's shingle index
+        "allpairs_index" -> (() => { ext.Dedup.allPairsIndex(spark, queryDir); () }),
         "dup_components_0" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.0); () }),
         "dup_components_80" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.8); () })),
       // wave 3: the mutual-kNN component labels contract the wave-2

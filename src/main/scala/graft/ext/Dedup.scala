@@ -273,8 +273,29 @@ object Dedup {
     * All arithmetic is BIGINT (ppm output, rational threshold), so
     * cross-engine bit-equality needs no float discipline.
     */
-  def allPairsExact(spark: SparkSession, sfDir: String): DataFrame =
-    allPairsExactOn(explodedShingleHashes(spark, sfDir))
+  def allPairsExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val (prefixes, docSets) = allPairsIndex(spark, sfDir)
+    allPairsJoin(prefixes, docSets)
+  }
+
+  /** The two halves of the AllPairs index, persisted train-once with
+    * the warehouse attached: the per-doc sorted sets (bucketed on
+    * doc_id, the verify-join key) and the prefix inverted index
+    * (bucketed on h, so the candidate self-join co-locates without an
+    * exchange) — incremental dedup then serves new docs against these
+    * tables without re-deriving the corpus order. Cold, both derive
+    * inline from the shingle index.
+    */
+  private[graft] def allPairsIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    def setsBuild = allPairsDocSets(explodedShingleHashes(spark, sfDir))
+    val docSets = graft.IndexStore
+      .resolve(spark, sfDir, "allpairs_sets", Some("doc_id"))(setsBuild)
+      .getOrElse(setsBuild)
+    val prefixes = graft.IndexStore
+      .resolve(spark, sfDir, "allpairs_prefix", Some("h"))(allPairsPrefixes(docSets))
+      .getOrElse(allPairsPrefixes(docSets))
+    (prefixes, docSets)
+  }
 
   /** The AllPairs core over any (doc_id, sz, h) exploded set frame
     * (one row per distinct element per doc, `sz` the doc's set size) —
@@ -283,17 +304,31 @@ object Dedup {
     * completeness proof on the real operator.
     */
   private[graft] def allPairsExactOn(ex: DataFrame): DataFrame = {
+    val docSets = allPairsDocSets(ex)
+    allPairsJoin(allPairsPrefixes(docSets), docSets)
+  }
+
+  /** Per-doc sets sorted rarest-first by the (df, h) total order; the
+    * sort is per-row array work after one doc-grain aggregation.
+    */
+  private def allPairsDocSets(ex: DataFrame): DataFrame = {
     val dfRel = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    // per-doc sets sorted rarest-first by the (df, h) total order; the
-    // sort is per-row array work after one doc-grain aggregation
-    val docSets = ex.join(dfRel, "h")
+    ex.join(dfRel, "h")
       .groupBy("doc_id", "sz")
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("toks"))
-    val prefixes = docSets.select(col("doc_id"), col("sz"),
+  }
+
+  /** The prefix inverted index — each doc's rarest `sz − ⌈t·sz⌉ + 1`
+    * elements, exploded to (doc_id, sz, h) rows.
+    */
+  private def allPairsPrefixes(docSets: DataFrame): DataFrame =
+    docSets.select(col("doc_id"), col("sz"),
       explode(slice(col("toks"), lit(1),
         expr(s"CAST(sz - (sz * $AllPairsNum + ${AllPairsDen - 1}) DIV $AllPairsDen + 1 AS INT)")))
         .as("p"))
       .select(col("doc_id"), col("sz"), col("p.h").as("h"))
+
+  private def allPairsJoin(prefixes: DataFrame, docSets: DataFrame): DataFrame = {
     val cand = prefixes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
       .join(prefixes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
         col("h").as("h_r")),

@@ -409,6 +409,34 @@ object TextAnalysis {
           i => concat_ws(" ", slice(ws, i + 1, lit(3))))).as("ng"))
   }
 
+  /** The trigram vocabulary with each n-gram's deduplicated source
+    * set — the train-once artifact every cross-source n-gram eval
+    * derives from ([[hllNgrams]]' exact column, [[hllOverlap]]'s
+    * registers AND exact pair counts): one corpus pass folds
+    * `collect_set(source)` per n-gram (map-side partials, arrays
+    * bounded by the source count), and with the warehouse attached the
+    * result persists bucketed on `ng` so consumers start from a
+    * vocabulary-sized scan instead of re-exploding the corpus.
+    */
+  private[graft] def ngramSourceSets(spark: SparkSession, sfDir: String): DataFrame = {
+    // the register coordinates (j, ρ) precompute at build over the
+    // DISTINCT vocabulary — consumers select (j, rho, srcs) and parquet
+    // column pruning never reads the n-gram strings back; the ng
+    // column stays for joinability/debugging. Same md5 derivation as
+    // [[hllTriplesFromNgrams]] (asserted equal in the HLL specs).
+    def build = {
+      val h = conv(substring(md5(col("ng")), 1, 15), 16, 10).cast("long")
+      val w = shiftright(h, 8)
+      ngramsOf(Tables.documents(spark, sfDir)).groupBy("ng")
+        .agg(array_sort(collect_set("source")).as("srcs"))
+        .select(col("ng"), pmod(h, lit(HllRegisters)).as("j"),
+          when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).as("rho"),
+          col("srcs"))
+    }
+    graft.IndexStore.resolve(spark, sfDir, "ngram_sources", Some("ng"))(build)
+      .getOrElse(build)
+  }
+
   /** (source, register j, rank ρ) triples for [[hllNgrams]] — factored
     * out so the batch sketch and the streaming register refresh
     * evaluate the IDENTICAL hash/rank expressions (the [[qualityScore]]
@@ -462,18 +490,22 @@ object TextAnalysis {
     * `err_ppm` is the observed estimator error the data card reports.
     */
   def hllNgrams(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    // registers go scan-direct (no distinct anywhere — max is
-    // duplicate-insensitive, and the exchange carries ≤ sources×256
-    // rows after the map-side partial max)
-    val regs = hllRegisterTriples(docs)
+    // this batch query is the EVAL HARNESS (estimate next to exact
+    // truth), so everything derives from the train-once vocabulary
+    // index [[ngramSourceSets]] — with the warehouse attached the
+    // corpus is never rescanned. The PRODUCTION register path stays
+    // scan-direct with no distinct anywhere ([[hllRegisterTriples]],
+    // exercised by the streaming refresh in `SketchRefresh`): max is
+    // duplicate-insensitive, so both derivations are bit-identical.
+    val byNg = ngramSourceSets(spark, sfDir)
+    val perSrc = byNg
+      .select(col("j"), col("rho"), explode(col("srcs")).as("source"))
       .groupBy("source", "j").agg(max("rho").as("m"))
-    // the exact eval branch folds each n-gram's source set in ONE
-    // ng-grain exchange (map-side partial collect_set, arrays ≤ S);
-    // per-source distincts explode off it, the __all__ row is its
-    // row count — no (source, ng)-grain distinct, no re-distinct
-    val byNg = ngramsOf(docs).groupBy("ng")
-      .agg(collect_set("source").as("srcs"))
+    // the __all__ union row re-maxes the per-source REGISTER TABLE —
+    // the max-monoid mergeability law, never a second corpus pass
+    val regs = perSrc.unionByName(
+      perSrc.groupBy("j").agg(max("m").as("m"))
+        .select(lit("__all__").as("source"), col("j"), col("m")))
     val exact = byNg.select(explode(col("srcs")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
       .union(byNg.agg(count(lit(1)).as("exact_distinct"))
@@ -538,16 +570,16 @@ object TextAnalysis {
     * discipline; the inclusion-exclusion itself is BIGINT arithmetic.
     */
   def hllOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    // one corpus-grain exchange for the whole query: each n-gram's
-    // deduplicated source set (array ≤ S, map-side partial collect_set)
-    val byNg = ngramsOf(docs).groupBy("ng")
-      .agg(array_sort(collect_set("source")).as("srcs"))
-    // registers derive from the exploded (ng, source) pairs — the same
-    // distinct frame the old `.distinct()` produced, max over a set
-    // equals max over the multiset, so bit-identical registers
-    val regs = hllTriplesFromNgrams(
-        byNg.select(col("ng"), explode(col("srcs")).as("source")))
+    // the shared train-once vocabulary index; cold it is ONE
+    // corpus-grain exchange for the whole query (each n-gram's
+    // deduplicated source set, array ≤ S, map-side partial collect_set)
+    val byNg = ngramSourceSets(spark, sfDir)
+    // registers derive from the index's precomputed (j, ρ) exploded
+    // per source — the same distinct frame a scan-direct derivation
+    // folds (max over a set equals max over the multiset), bit-
+    // identical registers with zero query-time hashing
+    val regs = byNg
+      .select(col("j"), col("rho"), explode(col("srcs")).as("source"))
       .groupBy("source", "j").agg(max("rho").as("m"))
     val est = hllEstimate(regs, Seq("source")).select("source", "est_hll")
     val srcs = regs.select("source").distinct()
