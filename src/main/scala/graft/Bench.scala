@@ -191,7 +191,10 @@ object Bench {
         // bigram_model is a vocabulary-sized derivation of wave-1's
         // bigram_counts (the corpus pays its bigram pass once)
         "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
-        "knn_edges" -> (() => { ext.Similarity.knnEdges(spark, queryDir).count(); () }),
+        // mutual edges are the knn lifecycle's second half — built in
+        // the same wave slot so wave-3's label contraction finds them
+        "knn_edges" -> (() => { ext.Similarity.knnEdges(spark, queryDir).count()
+                                ext.Similarity.mutualEdges(spark, queryDir).count(); () }),
         // sets + prefix inverted index, derived from wave-1's shingle index
         "allpairs_index" -> (() => { ext.Dedup.allPairsIndex(spark, queryDir); () }),
         "dup_components_0" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.0); () }),

@@ -349,18 +349,30 @@ object Similarity {
     */
   private val knnLabelCache = new graft.SessionCache[DataFrame]
 
+  private val mutualCache = new graft.SessionCache[DataFrame]
+
   /** Mutual edges via INNER reverse join on the memoized edge list —
     * the outer-join mutual MARKING of [[knnGraph]] is only needed when
     * non-mutual edges must survive into the output. Shared by the
-    * clustering index build and [[labelProp]].
+    * clustering index build, [[labelProp]] and [[triangleCensus]] —
+    * and MEMOIZED (DISK_ONLY / warehouse): a consumer that references
+    * the frame from several subtrees (the census touches it from the
+    * degree, edge-count and wedge branches) would otherwise re-run the
+    * reverse join once per subtree, because Spark plans common
+    * subexpressions independently.
     */
-  private[graft] def mutualEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = knnEdges(spark, sfDir).select("src", "dst")
-    val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
-    edges.join(rev,
-        col("src") === col("r_src") && col("dst") === col("r_dst"))
-      .select(col("src").as("u"), col("dst").as("v"))
-  }
+  private[graft] def mutualEdges(spark: SparkSession, sfDir: String): DataFrame =
+    mutualCache.getOrElseUpdate(spark, sfDir) {
+      def build = {
+        val edges = knnEdges(spark, sfDir).select("src", "dst")
+        val rev = edges.select(col("src").as("r_dst"), col("dst").as("r_src"))
+        edges.join(rev,
+            col("src") === col("r_src") && col("dst") === col("r_dst"))
+          .select(col("src").as("u"), col("dst").as("v"))
+      }
+      graft.IndexStore.resolve(spark, sfDir, "mutual_edges", Some("u"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
 
   private[graft] def knnClusterLabels(spark: SparkSession, sfDir: String): DataFrame =
     knnLabelCache.getOrElseUpdate(spark, sfDir) {
