@@ -308,6 +308,33 @@ object Dedup {
     allPairsJoin(allPairsPrefixes(docSets), docSets)
   }
 
+  /** Incremental exact all-pairs — the ARRIVING-TRANCHE form of
+    * [[allPairsExact]], completing the lifecycle the persisted
+    * [[allPairsIndex]] exists for (the [[incrementalDedup]] story with
+    * a completeness guarantee instead of a MinHash estimate): when a
+    * new tranche lands, its prefixes join against the WHOLE prefix
+    * index but the old×old side never re-pairs. "New" is the corpus's
+    * id-topmost tenth, cutoff derived from the data exactly as in
+    * [[incrementalDedup]].
+    *
+    * Completeness carries over asymmetrically for free: pairs order as
+    * doc_a < doc_b and the tranche holds the LARGEST ids, so every
+    * pair involving a new doc has its doc_b side in the tranche — one
+    * filtered right side covers new×old and new×new alike, and the
+    * prefix theorem needs nothing new (both endpoints still contribute
+    * their full prefixes). Candidate work is |tranche|·occupancy, not
+    * |corpus|·occupancy.
+    */
+  def allPairsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val (prefixes, docSets) = allPairsIndex(spark, sfDir)
+    val cut = Tables.documents(spark, sfDir)
+      .agg((max(col("doc_id")) + 1 - expr("count(1) div 10")).as("cutoff"))
+    val tranche = prefixes.crossJoin(broadcast(cut))
+      .filter(col("doc_id") >= col("cutoff"))
+      .select("doc_id", "sz", "h")
+    allPairsVerify(allPairsCandidates(prefixes, tranche), docSets)
+  }
+
   /** Per-doc sets sorted rarest-first by the (df, h) total order; the
     * sort is per-row array work after one doc-grain aggregation.
     */
@@ -328,14 +355,27 @@ object Dedup {
         .as("p"))
       .select(col("doc_id"), col("sz"), col("p.h").as("h"))
 
-  private def allPairsJoin(prefixes: DataFrame, docSets: DataFrame): DataFrame = {
-    val cand = prefixes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
+  private def allPairsJoin(prefixes: DataFrame, docSets: DataFrame): DataFrame =
+    allPairsVerify(allPairsCandidates(prefixes, prefixes), docSets)
+
+  /** Prefix-prefix candidate join; the right side may be a filtered
+    * tranche of the index (the incremental form), in which case the
+    * candidates cover exactly the pairs whose id-LARGER endpoint is in
+    * the tranche.
+    */
+  private def allPairsCandidates(left: DataFrame, right: DataFrame): DataFrame =
+    left.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"), col("h"))
+      .join(right.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
         col("h").as("h_r")),
         col("h") === col("h_r") && col("doc_a") < col("doc_b") &&
           least(col("sz_a"), col("sz_b")) * AllPairsDen >=
             greatest(col("sz_a"), col("sz_b")) * AllPairsNum)
       .select("doc_a", "doc_b").distinct()
+
+  /** Exact verification of candidate (doc_a, doc_b) pairs against the
+    * per-doc hash arrays; emits only pairs at or above the 4/5 floor.
+    */
+  private def allPairsVerify(cand: DataFrame, docSets: DataFrame): DataFrame = {
     val sets = docSets.select(col("doc_id"), col("sz"),
       expr("transform(toks, t -> t.h)").as("hs"))
     cand
@@ -1405,6 +1445,23 @@ object Dedup {
           JOIN sizes x ON doc_a = x.doc_id
           JOIN sizes y ON doc_b = y.doc_id
           WHERE $AllPairsDen * inter >= $AllPairsNum * (x.sz + y.sz - inter)""",
+    "dedup_allpairs_incremental" ->
+      s"""WITH $ShingleCte,
+          sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+          cut AS (SELECT max(doc_id) + 1 - count(*) // 10 AS cutoff FROM documents),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            WHERE b.doc_id >= (SELECT cutoff FROM cut)
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+                 CAST(x.sz + y.sz - inter AS BIGINT) AS uni,
+                 CAST(inter * 1000000 // (x.sz + y.sz - inter) AS BIGINT)
+                   AS jaccard_ppm
+          FROM inter
+          JOIN sizes x ON doc_a = x.doc_id
+          JOIN sizes y ON doc_b = y.doc_id
+          WHERE $AllPairsDen * inter >= $AllPairsNum * (x.sz + y.sz - inter)""",
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte,
           sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
@@ -1813,6 +1870,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> exact _,
     "dedup_allpairs_exact" -> allPairsExact _,
+    "dedup_allpairs_incremental" -> allPairsIncremental _,
     "dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "decontaminate" -> decontaminate _,
     "decontaminate_bloom" -> decontaminateBloom _,

@@ -169,6 +169,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(pp === brute)
   }
 
+  test("allpairs-incremental equals the full join restricted to tranche pairs") {
+    val cutoff = {
+      val r = Tables.documents(spark, sf)
+        .agg((max(col("doc_id")) + 1 - expr("count(1) div 10")).as("c")).head()
+      r.getLong(0)
+    }
+    val full = ext.Dedup.allPairsExact(spark, sf)
+      .filter(col("doc_b") >= cutoff)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    val inc = ext.Dedup.allPairsIncremental(spark, sf)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    assert(inc === full)
+  }
+
   test("allpairs-exact core: hot keys stay complete, threshold boundary is >=") {
     // 10 docs sharing one corpus-hot element (everything else unique):
     // pairwise J = 1/9, no output rows — and rarest-first ordering puts
