@@ -213,6 +213,52 @@ object EventAnalytics {
         (dev * dev > lit(4).cast(d19) * varN2).as("is_anomaly"))
   }
 
+  /** CUSUM changepoint detection over daily event volume (Page,
+    * Biometrika 1954) — the SEQUENTIAL drift detector next to the
+    * pointwise [[anomaly]] outlier test: a one-sided CUSUM accumulates
+    * small persistent deviations that never individually cross a 2σ
+    * bar, which is exactly how ingest regressions (a feed silently
+    * dropping 10%) present. Both directions run (upward and downward
+    * shift), with the data-derived allowance k = scaled mean absolute
+    * deviation and decision bar h = 4k.
+    *
+    * Exactness discipline: the recursion S_i = max(0, S_{i−1} + y_i)
+    * rewrites as S_i = P_i − min(0, min_{j≤i} P_j) over prefix sums P
+    * — two stacked windows, no recursion — and EVERY term is BIGINT:
+    * deviations scale by n_days (y = n·nd − total − k), so there is no
+    * float mean and the flags are bit-stable across engines.
+    *
+    * Scale shape: one corpus-grain aggregate to daily counts (the only
+    * exchange that sees the corpus, map-side partial); the windows run
+    * over the CALENDAR-grain table — bounded by days elapsed, not data
+    * volume, the same single-frame argument as [[anomaly]]'s stats
+    * window.
+    */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy()
+    val wRun = W.orderBy("day")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("day"), col("n"),
+        count(lit(1)).over(wAll).as("nd"), sum(col("n")).over(wAll).as("total"))
+      .withColumn("dev", col("n") * col("nd") - col("total"))
+      .withColumn("sad", sum(abs(col("dev"))).over(wAll))
+      .withColumn("k", expr("sad div nd"))
+    val scored = daily
+      .select(col("day"), col("n").as("n_events"), col("k"),
+        sum(col("dev") - col("k")).over(wRun).as("pu"),
+        sum(-col("dev") - col("k")).over(wRun).as("pd"))
+      .select(col("day"), col("n_events"), col("k"),
+        (col("pu") - least(lit(0L), min(col("pu")).over(wRun))).as("cusum_up"),
+        (col("pd") - least(lit(0L), min(col("pd")).over(wRun))).as("cusum_down"))
+    scored.select(col("day"), col("n_events"), col("cusum_up"), col("cusum_down"),
+      (col("cusum_up") > col("k") * 4 || col("cusum_down") > col("k") * 4)
+        .as("is_shift"))
+  }
+
   /** Event-type transition counts — the user-journey Markov matrix:
     * for each consecutive pair of events in a user's timeline
     * (ordered by ts, event_id), one (from_type, to_type) transition.
@@ -729,6 +775,32 @@ object EventAnalytics {
                 count(DISTINCT CASE WHEN aday = day THEN user_id END) AS dau
          FROM act JOIN days ON aday <= day AND aday > day - INTERVAL 7 DAY
          GROUP BY day""",
+    "events_changepoint" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
+           FROM events GROUP BY 1),
+         st AS (SELECT count(*) AS nd, sum(n) AS total FROM daily),
+         d AS (SELECT day, n, n * nd - total AS dev, nd FROM daily, st),
+         p AS (SELECT *, (SELECT sum(abs(dev)) FROM d) // nd AS k FROM d),
+         c AS (
+           SELECT day, n, k,
+                  sum(dev - k) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+                  sum(-dev - k) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd
+           FROM p),
+         s AS (
+           SELECT day, n, k,
+                  pu - least(0, min(pu) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_up,
+                  pd - least(0, min(pd) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_down
+           FROM c)
+         SELECT day, CAST(n AS BIGINT) AS n_events,
+                CAST(cusum_up AS BIGINT) AS cusum_up,
+                CAST(cusum_down AS BIGINT) AS cusum_down,
+                (cusum_up > k * 4 OR cusum_down > k * 4) AS is_shift
+         FROM s""",
     "stats_histogram" ->
       """SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
                 count(*) AS n_events,
@@ -775,6 +847,7 @@ object EventAnalytics {
     "stats_histogram" -> histogram _,
     "events_attribution" -> attribution _,
     "events_anomaly" -> anomaly _,
+    "events_changepoint" -> changepoint _,
     "events_markov" -> markov _,
     "events_rfm" -> rfm _,
     "events_interarrival" -> interarrival _,

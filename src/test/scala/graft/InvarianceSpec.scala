@@ -81,6 +81,7 @@ class InvarianceSpec extends AnyFunSuite {
     "dedup_allpairs_exact", // prefix-filtered exact join, BIGINT threshold
     "sample_weighted_reservoir", // bounded-heap ES keys, rounded-ln discipline
     "dedup_allpairs_incremental", // tranche-filtered prefix join, BIGINT threshold
+    "events_changepoint",   // calendar-grain windows, all-BIGINT CUSUM
     "text_boilerplate_spans", // hash-grain df counts + broadcast boiler set
     "sim_dim_ablation",     // prefix-cosine heap top-K vs full-dim truth
     "join_time_banded",     // banded bucket equi-join, exact residual bound

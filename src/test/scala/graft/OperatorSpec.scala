@@ -254,6 +254,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(heavy > 18, s"heavy docs kept: $heavy of 25")
   }
 
+  test("changepoint: windowed prefix-min rewrite equals the direct CUSUM recursion") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).sortBy(_._1.getTime)
+    val nd = daily.length.toLong
+    val total = daily.map(_._2).sum
+    val dev = daily.map { case (_, n) => n * nd - total }
+    val k = dev.map(math.abs).sum / nd
+    var (su, sd) = (0L, 0L)
+    val expected = daily.zip(dev).map { case ((day, n), d) =>
+      su = math.max(0L, su + d - k)
+      sd = math.max(0L, sd - d - k)
+      (day, n, su, sd, su > 4 * k || sd > 4 * k)
+    }.toSeq
+    val got = operators.EventAnalytics.changepoint(spark, sf)
+      .orderBy("day").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got === expected)
+  }
+
   test("registerViews exposes events with the converted TIMESTAMP ts") {
     // the raw parquet layout varies by data generation (µs TIMESTAMP /
     // ns longs); the SQL view must always carry the converted column
