@@ -234,14 +234,30 @@ object EventAnalytics {
     * volume, the same single-frame argument as [[anomaly]]'s stats
     * window.
     */
-  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame =
+    cusumOf(dailyCounts(Tables.events(spark, sfDir)))
+
+  /** The daily-volume table (day, n) from a batch OR streaming events
+    * frame — counts are a SUM-monoid keyed by day, so the streaming
+    * twin ([[graft.streaming.SketchRefresh.startDailyVolume]]) folds
+    * arriving events into bounded calendar-grain state and THIS shared
+    * derivation keeps the two lifecycles bit-identical.
+    */
+  private[graft] def dailyCounts(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The CUSUM tail of [[changepoint]] over any (day, n) daily table —
+    * factored so the streaming monitor recomputes it over the
+    * maintained table (calendar-sized work) exactly as the batch query
+    * does.
+    */
+  private[graft] def cusumOf(dailyIn: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val wAll = W.partitionBy()
     val wRun = W.orderBy("day")
       .rowsBetween(W.unboundedPreceding, W.currentRow)
-    val daily = Tables.events(spark, sfDir)
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+    val daily = dailyIn
       .select(col("day"), col("n"),
         count(lit(1)).over(wAll).as("nd"), sum(col("n")).over(wAll).as("total"))
       .withColumn("dev", col("n") * col("nd") - col("total"))

@@ -117,6 +117,28 @@ object SketchRefresh {
       .agg(graft.functions.MisraGries.mg(k)(col("h")).as("cand"),
         count(lit(1)).as("total"))
 
+  /** Daily event-volume table (day, n) from a batch OR streaming
+    * events frame — the ingest-monitor leg of the refresh suite:
+    * counts are a SUM-monoid keyed by day, so arriving events fold
+    * into calendar-bounded state (one row per day ever seen), and the
+    * CUSUM changepoint tail
+    * ([[graft.operators.EventAnalytics.cusumOf]]) recomputes over the
+    * maintained table on read — calendar-sized work, the same shape
+    * the batch `events_changepoint` query runs.
+    */
+  def dailyVolume(events: DataFrame): DataFrame =
+    graft.operators.EventAnalytics.dailyCounts(events)
+
+  /** Start the daily-volume refresh (complete mode into a memory table
+    * `queryName`) — same lifecycle as [[start]].
+    */
+  def startDailyVolume(
+      events: DataFrame,
+      queryName: String,
+      trigger: Option[Trigger] = None,
+      checkpoint: Option[String] = None): StreamingQuery =
+    startComplete(dailyVolume(events), queryName, trigger, checkpoint)
+
   /** Start the MG candidate refresh (complete mode into a memory table
     * `queryName`) — same lifecycle as [[start]].
     */

@@ -108,6 +108,34 @@ class SketchRefreshSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streamed daily volume feeds the CUSUM tail bit-identically to the batch changepoint") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "event_id")
+    val q = SketchRefresh.startDailyVolume(events, "daily_vol_test")
+    try {
+      def t(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d $h%02d:00:00")
+      // day 1: 3 events, day 2: 1, day 3: 6 (split across batches — the
+      // sum-monoid merge must combine partial day counts)
+      val b1 = Seq((t(1, 1), 1L), (t(1, 2), 2L), (t(2, 3), 3L), (t(3, 1), 4L))
+      val b2 = Seq((t(1, 9), 5L), (t(3, 2), 6L), (t(3, 3), 7L), (t(3, 4), 8L),
+        (t(3, 5), 9L), (t(3, 6), 10L))
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val maintained = spark.table("daily_vol_test")
+      val streamed = graft.operators.EventAnalytics.cusumOf(maintained)
+        .as[(java.sql.Timestamp, Long, Long, Long, Boolean)].collect().sortBy(_._1.getTime).toSeq
+      val batch = graft.operators.EventAnalytics.cusumOf(
+        graft.operators.EventAnalytics.dailyCounts(
+          (b1 ++ b2).toDF("ts", "event_id")))
+        .as[(java.sql.Timestamp, Long, Long, Long, Boolean)].collect().sortBy(_._1.getTime).toSeq
+      assert(streamed === batch)
+      assert(streamed.map(_._2) === Seq(3L, 1L, 6L))
+    } finally q.stop()
+  }
+
   test("streamed MG summary equals batch in the ≤k-distinct regime with an exact total") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String, String, String, Long)]
