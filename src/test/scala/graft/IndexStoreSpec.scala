@@ -74,6 +74,32 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(viaIndex === direct)
   }
 
+  test("round-9 artifacts (ngram_sources, bigram_counts, allpairs, mutual_edges): persisted once, results unchanged") {
+    val dir = TestSpark.tmpDir("graft-index-r9")
+    val s1 = sessionWithIndexDir(dir)
+    graft.functions.TextAnalysis.ngramSourceSets(s1, sf).count()
+    graft.functions.TextAnalysis.bigramCounts(s1, sf).count()
+    Dedup.allPairsIndex(s1, sf)._1.count()
+    Similarity.mutualEdges(s1, sf).count()
+    val s2 = sessionWithIndexDir(dir)
+    // the resolved vocabulary table is a scan, not a rebuild
+    val vocabPlan = graft.functions.TextAnalysis.ngramSourceSets(s2, sf)
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("FileScan parquet"), s"\n$vocabPlan")
+    assert(!vocabPlan.contains("ObjectHashAggregate"), s"rebuild detected:\n$vocabPlan")
+    // every consumer answers identically through the persisted indexes
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(graft.functions.TextAnalysis.hllOverlap(s2, sf)) ===
+      rows(graft.functions.TextAnalysis.hllOverlap(root, sf)))
+    assert(rows(graft.functions.TextAnalysis.pmiCollocations(s2, sf)) ===
+      rows(graft.functions.TextAnalysis.pmiCollocations(root, sf)))
+    assert(rows(Dedup.allPairsExact(s2, sf)) ===
+      rows(Dedup.allPairsExact(root, sf)))
+    assert(rows(Similarity.triangleCensus(s2, sf)) ===
+      rows(Similarity.triangleCensus(root, sf)))
+  }
+
   test("IVF index: quantizer + inverted file persist; search results unchanged") {
     val dir = TestSpark.tmpDir("graft-index-ivf")
     val s1 = sessionWithIndexDir(dir)
