@@ -1108,6 +1108,41 @@ object Dedup {
       .select(col("v").as("doc_id"), col("comp").as("component"),
         (col("v") === col("comp")).as("is_keeper"))
 
+  /** Warm-start component resolution — the tranche-lifecycle form of
+    * [[dupComponents]]: when a new tranche lands, production does NOT
+    * re-iterate the contraction fixpoint over the whole candidate
+    * graph; it contracts (prior label FOREST ∪ tranche edges). The
+    * prior labels encode all old×old connectivity as depth-1 stars
+    * (v → comp), so the warm graph has the same components and the
+    * same min-id canonical labels as a full recompute — which is why
+    * the ORACLE is the full recursive fixpoint — while the contraction
+    * restarts from already-flattened state and converges in no more
+    * rounds than the cold run (pinned), typically O(1) of them.
+    *
+    * Here the prior state derives inline from the old×old pairs (the
+    * benchmark corpus is static; production reads the persisted
+    * release-(n−1) label index), and tranche edges are the pairs whose
+    * id-larger endpoint is new — the [[allPairsIncremental]] /
+    * [[incrementalDedup]] cut, so every pair involving a new doc
+    * arrives through them.
+    */
+  def componentsWarmStart(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.8).select("doc_a", "doc_b")
+    val cut = Tables.documents(spark, sfDir)
+      .agg((max(col("doc_id")) + 1 - expr("count(1) div 10")).as("cutoff"))
+    val withCut = pairs.crossJoin(broadcast(cut))
+    val oldPairs = withCut.filter(col("doc_b") < col("cutoff"))
+      .select("doc_a", "doc_b")
+    val newPairs = withCut.filter(col("doc_b") >= col("cutoff"))
+      .select("doc_a", "doc_b")
+    val forest = starComponents(oldPairs)._1
+      .filter(col("v") =!= col("comp"))
+      .select(col("v").as("doc_a"), col("comp").as("doc_b"))
+    starComponents(forest.unionByName(newPairs))._1
+      .select(col("v"), col("comp"))
+  }
+
   /** Near-dup cluster-size histogram — the summary line of every dedup
     * report (how much of the corpus sits in duplicate mass, and in
     * what shape: a few giant boilerplate clusters vs many pairs): for
@@ -1734,6 +1769,11 @@ object Dedup {
           SELECT sz AS cluster_size, count(*) AS n_clusters,
                  CAST(sum(sz) AS BIGINT) AS n_docs
           FROM sizes GROUP BY sz""",
+    // the full fixpoint IS the warm-start contract: same components,
+    // same min-id labels
+    "dedup_components_warm" ->
+      s"""WITH RECURSIVE $ShingleCte, $Comp08Ctes
+          SELECT v, comp FROM comps""",
     "dedup_quality_calibration" -> {
       val stopList = graft.functions.TextAnalysis.markerList(
         graft.functions.TextAnalysis.Stopwords)
@@ -1882,6 +1922,7 @@ object Dedup {
     "dedup_incremental" -> incrementalDedup _,
     "dedup_components" -> components _,
     "dedup_cluster_stats" -> clusterStats _,
+    "dedup_components_warm" -> componentsWarmStart _,
     "sample_dedup_weight" -> softDedupWeights _,
     "dedup_graph_rank" -> graphRank _,
     "dedup_lsh_sweep" -> lshSweep _,

@@ -185,6 +185,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(inc === full)
   }
 
+  test("warm-start components: equals cold labels in no more rounds; tranche edge merges prior clusters") {
+    import spark.implicits._
+    // two prior clusters {1,2,3} and {10,11}; tranche doc 100 bridges
+    // them — the warm contraction over (forest ∪ new) must merge to
+    // one min-id component
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val newPairs = Seq((3L, 100L), (11L, 100L)).toDF("doc_a", "doc_b")
+    val forest = ext.Dedup.starComponents(oldPairs)._1
+      .filter(col("v") =!= col("comp"))
+      .select(col("v").as("doc_a"), col("comp").as("doc_b"))
+    val warm = ext.Dedup.starComponents(forest.unionByName(newPairs))._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(warm === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      100L -> 1L))
+    // real data: warm labels equal cold labels, in no more rounds
+    val pairs = ext.Dedup.minhashLsh(spark, sf)
+      .filter(col("est_jaccard") >= 0.8).select("doc_a", "doc_b")
+    val (coldLabels, coldRounds) = ext.Dedup.starComponents(pairs)
+    val warmQ = ext.Dedup.componentsWarmStart(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cold = coldLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(warmQ === cold)
+    val cut = Tables.documents(spark, sf)
+      .agg((max(col("doc_id")) + 1 - expr("count(1) div 10")).as("c"))
+      .head().getLong(0)
+    val f2 = ext.Dedup.starComponents(
+      pairs.filter(col("doc_b") < cut))._1
+      .filter(col("v") =!= col("comp"))
+      .select(col("v").as("doc_a"), col("comp").as("doc_b"))
+    val (_, warmRounds) = ext.Dedup.starComponents(
+      f2.unionByName(pairs.filter(col("doc_b") >= cut)))
+    assert(warmRounds <= coldRounds)
+  }
+
   test("allpairs-exact core: hot keys stay complete, threshold boundary is >=") {
     // 10 docs sharing one corpus-hot element (everything else unique):
     // pairwise J = 1/9, no output rows — and rarest-first ordering puts
