@@ -275,6 +275,57 @@ object EventAnalytics {
         .as("is_shift"))
   }
 
+  /** Per-user bot-likelihood profile — the behavioral complement of
+    * the corpus-side quality filters: crawlers and replay scripts show
+    * (a) machine-regular inter-arrival times (squared coefficient of
+    * variation CV² = Var(g)/E(g)² far below a human's bursty ≈1) and
+    * (b) degenerate type loops (high self-transition share). Both
+    * metrics emit as raw integer ppm next to a policy flag, the
+    * [[graft.functions.TextAnalysis.quality]] emit-don't-decide rule.
+    *
+    * Exactness discipline (the [[Relational.statsAbTest]] sufficient-
+    * statistics rule): CV² in ppm is the pure integer expression
+    * `(k·Σg² − (Σg)²)·10⁶ div (Σg)²` over decimal(38,0) gap sums —
+    * microsecond gaps square to ~10²⁶, far past BIGINT but exact in
+    * decimal38/HUGEINT on both engines — so no float variance ever
+    * exists. Self-loop share is a pure count ratio.
+    *
+    * Scale shape: ONE exchange hashed on user_id serves the lag
+    * window (the [[markov]] discipline), then everything is a per-user
+    * aggregate — map-side partial, user-grain output. Single-event
+    * users carry no gap and drop (documented: no inter-arrival
+    * evidence either way).
+    */
+  def botScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val d38 = "decimal(38,0)"
+    val seq = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        (col("us") - lag(col("us"), 1).over(w)).as("g"))
+      .filter(col("prev_type").isNotNull)
+    seq.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(when(col("event_type") === col("prev_type"), 1L).otherwise(0L))
+          .as("n_selfloops"),
+        sum(col("g").cast(d38)).as("m1"),
+        sum(col("g").cast(d38) * col("g").cast(d38)).as("m2"))
+      .filter(col("m1") > 0)
+      .select(col("user_id"), col("n_gaps"),
+        expr("CAST(n_selfloops * 1000000 div n_gaps AS BIGINT)")
+          .as("selfloop_ppm"),
+        expr("""CAST((CAST(n_gaps AS decimal(38,0)) * m2 - m1 * m1) * 1000000
+               |  div (m1 * m1) AS BIGINT)""".stripMargin).as("cv2_ppm"))
+      .select(col("user_id"), col("n_gaps"), col("selfloop_ppm"), col("cv2_ppm"),
+        (col("n_gaps") >= 10 &&
+          (col("cv2_ppm") < 250000 || col("selfloop_ppm") > 500000))
+          .as("is_bot_suspect"))
+  }
+
   /** Event-type transition counts — the user-journey Markov matrix:
     * for each consecutive pair of events in a user's timeline
     * (ordered by ts, event_id), one (from_type, to_type) transition.
@@ -791,6 +842,32 @@ object EventAnalytics {
                 count(DISTINCT CASE WHEN aday = day THEN user_id END) AS dau
          FROM act JOIN days ON aday <= day AND aday > day - INTERVAL 7 DAY
          GROUP BY day""",
+    "events_bot_score" ->
+      """WITH seq AS (
+           SELECT user_id, event_type,
+                  lag(event_type) OVER w AS prev_type,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS g
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+         agg AS (
+           SELECT user_id,
+                  CAST(count(*) AS BIGINT) AS n_gaps,
+                  CAST(sum(CASE WHEN event_type = prev_type THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_selfloops,
+                  CAST(sum(g) AS HUGEINT) AS m1,
+                  sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS m2
+           FROM seq WHERE prev_type IS NOT NULL
+           GROUP BY user_id),
+         m AS (
+           SELECT user_id, n_gaps,
+                  CAST(n_selfloops * 1000000 // n_gaps AS BIGINT) AS selfloop_ppm,
+                  CAST((n_gaps * m2 - m1 * m1) * 1000000 // (m1 * m1) AS BIGINT)
+                    AS cv2_ppm
+           FROM agg WHERE m1 > 0)
+         SELECT user_id, n_gaps, selfloop_ppm, cv2_ppm,
+                (n_gaps >= 10 AND (cv2_ppm < 250000 OR selfloop_ppm > 500000))
+                  AS is_bot_suspect
+         FROM m""",
     "events_changepoint" ->
       """WITH daily AS (
            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n
@@ -864,6 +941,7 @@ object EventAnalytics {
     "events_attribution" -> attribution _,
     "events_anomaly" -> anomaly _,
     "events_changepoint" -> changepoint _,
+    "events_bot_score" -> botScore _,
     "events_markov" -> markov _,
     "events_rfm" -> rfm _,
     "events_interarrival" -> interarrival _,

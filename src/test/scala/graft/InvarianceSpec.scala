@@ -83,6 +83,7 @@ class InvarianceSpec extends AnyFunSuite {
     "dedup_allpairs_incremental", // tranche-filtered prefix join, BIGINT threshold
     "events_changepoint",   // calendar-grain windows, all-BIGINT CUSUM
     "dedup_components_warm", // forest ∪ tranche contraction, min-id canonical
+    "events_bot_score",     // decimal38 sufficient stats, integer ppm
     "text_boilerplate_spans", // hash-grain df counts + broadcast boiler set
     "sim_dim_ablation",     // prefix-cosine heap top-K vs full-dim truth
     "join_time_banded",     // banded bucket equi-join, exact residual bound

@@ -185,6 +185,47 @@ class OperatorSpec extends AnyFunSuite {
     assert(inc === full)
   }
 
+  test("allpairs prefix index holds ~a fifth of the full inverted index") {
+    // the scale claim behind prefix filtering at t = 4/5: the join
+    // input is s − ⌈4s/5⌉ + 1 ≈ s/5 + 1 rows per doc, never the full
+    // set; 0.35 bounds it with slack for the +1 on small docs
+    val ex = ext.Dedup.explodedShingleHashes(spark, sf)
+    val full = ex.count()
+    val nDocs = ex.select("doc_id").distinct().count()
+    val (prefixes, _) = ext.Dedup.allPairsIndex(spark, sf)
+    val pre = prefixes.count()
+    assert(pre < (full * 0.35).toLong + nDocs, s"prefix rows $pre vs full $full")
+    assert(pre >= nDocs) // every non-empty doc contributes >= 1 prefix row
+  }
+
+  test("bot score: metronome bot flagged, bursty human not; CV2 matches a BigInt replica") {
+    val dir = TestSpark.tmpDir("botscore")
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s)
+    // user 1: metronome — 12 events exactly 1 s apart, one type
+    val bot = (0 until 12).map(i => (ts(i * 1000L), i.toLong, 1L, "click", 1.0, "{}"))
+    // user 2: bursty human — growing gaps, alternating types
+    val gaps = Seq(0L, 100L, 5000L, 200L, 30000L, 900L, 120000L, 1500L, 600000L,
+      2500L, 1800000L)
+    val humanTs = gaps.scanLeft(0L)(_ + _).tail
+    val human = humanTs.zipWithIndex.map { case (t, i) =>
+      (ts(t), 100L + i, 2L, if (i % 2 == 0) "click" else "view", 1.0, "{}")
+    }
+    (bot ++ human).toDF("ts", "event_id", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = operators.EventAnalytics.botScore(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(rows(1L) === ((11L, 1000000L, 0L, true)))
+    val (hGaps, hSelf, hCv2, hFlag) = rows(2L)
+    assert(hGaps === 10L && hSelf === 0L && !hFlag)
+    // replica: cv2_ppm = (k*sum(g^2) - sum(g)^2) * 1e6 / sum(g)^2 in BigInt
+    val g = humanTs.sliding(2).map { case Seq(a, b) => BigInt((b - a) * 1000L) }.toSeq
+    val (m1, m2) = (g.sum, g.map(x => x * x).sum)
+    assert(BigInt(hCv2) === (BigInt(g.size) * m2 - m1 * m1) * 1000000 / (m1 * m1))
+    assert(hCv2 > 250000L)
+  }
+
   test("warm-start components: equals cold labels in no more rounds; tranche edge merges prior clusters") {
     import spark.implicits._
     // two prior clusters {1,2,3} and {10,11}; tranche doc 100 bridges
