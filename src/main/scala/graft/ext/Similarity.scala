@@ -244,6 +244,74 @@ object Similarity {
     * hash-sampled query set at 100 TB — the corpus side stays one
     * scan regardless.
     */
+  /** Centers selected by [[kcenterCoreset]]. */
+  private[graft] val KCenters = 8
+
+  /** Greedy k-center coreset selection (Gonzalez, TCS 1985; the
+    * diversity-sampling shape of Sener & Savarese, ICLR 2018) — pick
+    * [[KCenters]] maximally-spread vectors: seed with the min id, then
+    * repeatedly add the vector whose best cosine to the selected set
+    * is SMALLEST. The classic data-efficient-training primitive: the
+    * coreset covers the embedding space with k representatives, and
+    * the per-step cover score (how close the farthest remaining point
+    * already is) is the diminishing-returns curve a data-budget
+    * decision reads.
+    *
+    * Determinism: cosines come from the shared codegen kernel (the
+    * same doubles the oracle's sequential list fold computes — the
+    * [[bruteforceTopK]] assumption), the per-candidate max is rounded
+    * at 1e-9 BEFORE the argmin, and ties break on vec_id — a total
+    * order, so the selected set is cross-engine and
+    * partitioning-identical.
+    *
+    * Scale shape: k−1 rounds, each ONE corpus scan against a ≤k-row
+    * broadcast of the selected vectors, argmin via TakeOrdered(1) —
+    * the driver holds exactly k rows ever (the greedy's sequential
+    * dependency is irreducible; what matters is that each round is a
+    * full-parallel scan and nothing corpus-sized ever collects).
+    * Recomputing max-to-selected per round costs k²n/2 cosines total;
+    * at k=8 that is cheaper and simpler than maintaining running-max
+    * state across rounds.
+    */
+  def kcenterCoreset(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // k−1 rounds re-scan the corpus: read it through the memoized
+    // bucketed frame so each round is a cache/warehouse scan, not a
+    // fresh parquet decode
+    val emb = bucketedEmb(spark, sfDir).select("vec_id", "embedding")
+    val seed = emb.agg(min(col("vec_id"))).head().getLong(0)
+    var selected = Vector[(Long, Long, java.lang.Double)]((1L, seed, null))
+    for (t <- 2 to KCenters) {
+      val ids = selected.map(_._2)
+      val selDf = emb.filter(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("sid"), col("embedding").as("s_emb"))
+      val pick = emb.filter(!col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(selDf))
+        .select(col("vec_id"),
+          GraftFunctions.cosineSim(col("embedding"), col("s_emb")).as("cs"))
+        .groupBy("vec_id").agg(round(max(col("cs")), 9).as("mc"))
+        .orderBy(col("mc").asc, col("vec_id").asc).limit(1)
+        .head()
+      selected :+= ((t.toLong, pick.getLong(0),
+        java.lang.Double.valueOf(pick.getDouble(1))))
+    }
+    val rows = selected.map { case (r, v, mc) =>
+      org.apache.spark.sql.Row(r, v,
+        if (mc == null) null
+        else java.lang.Double.valueOf(BigDecimal(mc.doubleValue())
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("center_rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cover_score",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
+
   def dimAblation(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)
@@ -1534,6 +1602,40 @@ object Similarity {
           * sqrt(list_sum([CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
                  for i in range(len(c.embedding))])))"""
 
+  /** The greedy selection unrolled to [[KCenters]]−1 CTE steps — the
+    * oracle form of an inherently sequential algorithm (DuckDB has no
+    * driver loop; the step count is a compile-time constant, so
+    * unrolling IS the faithful translation).
+    */
+  private lazy val KcenterSql: String = {
+    val cosES = CosExpr
+      .replace("q.embedding", "e.embedding")
+      .replace("c.embedding", "s.embedding")
+    // MATERIALIZED is load-bearing: sel_t is referenced three times by
+    // step t+1, so inlined CTEs re-evaluate the expensive cosine scans
+    // exponentially in the step count
+    val steps = (2 to KCenters).map { t =>
+      s"""m$t AS MATERIALIZED (
+            SELECT e.vec_id, round(max($cosES), 9) AS mc
+            FROM embeddings e, embeddings s
+            WHERE s.vec_id IN (SELECT vec_id FROM sel${t - 1})
+              AND e.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+            GROUP BY e.vec_id),
+          pick$t AS MATERIALIZED (
+            SELECT CAST($t AS BIGINT) AS center_rank, vec_id, mc
+            FROM m$t ORDER BY mc ASC, vec_id ASC LIMIT 1),
+          sel$t AS MATERIALIZED (
+            SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pick$t)"""
+    }.mkString(",\n")
+    s"""WITH sel1 AS MATERIALIZED (
+          SELECT CAST(1 AS BIGINT) AS center_rank, min(vec_id) AS vec_id,
+                 CAST(NULL AS DOUBLE) AS mc
+          FROM embeddings),
+        $steps
+        SELECT center_rank, vec_id, round(mc, 6) AS cover_score
+        FROM sel$KCenters"""
+  }
+
   /** PQ layout: [[PqSubspaces]] sub-vectors of [[PqSubDim]] dims each,
     * [[PqCentroids]] codewords per subspace → 8 bytes per vector at
     * dim 64 (a 32× compression over f32), the standard
@@ -1895,6 +1997,7 @@ object Similarity {
            FROM embeddings e JOIN cen cv USING (label))
          SELECT label, count(*) AS n_vectors, CAST(sum(s_e6) AS BIGINT) AS sum_cos_e6
          FROM scored GROUP BY label""",
+    "emb_kcenter_coreset" -> KcenterSql,
     "sim_topk_bruteforce" ->
       s"""WITH scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2427,6 +2530,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> bruteforceTopK _,
+    "emb_kcenter_coreset" -> kcenterCoreset _,
     "sim_dim_ablation" -> dimAblation _,
     "sim_ann_lsh" -> annLshTopK _,
     "sim_ann_multiprobe" -> ((s: SparkSession, d: String) => annLshMultiProbe(s, d)),

@@ -226,6 +226,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(hCv2 > 250000L)
   }
 
+  test("k-center coreset: cover scores are monotone; second center is the true farthest point") {
+    val rows = ext.Similarity.kcenterCoreset(spark, sf)
+      .orderBy("center_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.length === 8)
+    assert(rows.map(_._2).distinct.length === 8)
+    assert(rows.head._3.isEmpty) // the seed has no cover score
+    // classic k-center monotonicity: every remaining vector's best-cos
+    // only grows as centers are added, so the picked minima ascend
+    val scores = rows.tail.map(_._3.get)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a <= b }, scores.toSeq)
+    // center 2 recomputed directly: the vector least similar to the seed
+    import graft.functions.expressions.GraftFunctions
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val seedEmb = emb.filter(col("vec_id") === rows.head._2)
+      .select(col("embedding").as("s_emb"))
+    val expect2 = emb.filter(col("vec_id") =!= rows.head._2)
+      .crossJoin(broadcast(seedEmb))
+      .select(col("vec_id"),
+        round(GraftFunctions.cosineSim(col("embedding"), col("s_emb")), 9).as("mc"))
+      .orderBy(col("mc").asc, col("vec_id").asc).limit(1).head()
+    assert(rows(1)._2 === expect2.getLong(0))
+  }
+
   test("warm-start components: equals cold labels in no more rounds; tranche edge merges prior clusters") {
     import spark.implicits._
     // two prior clusters {1,2,3} and {10,11}; tranche doc 100 bridges
