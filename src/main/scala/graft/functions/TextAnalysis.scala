@@ -524,7 +524,7 @@ object TextAnalysis {
     * per-source and the pair-merged sketches. Output keeps `v_zero` /
     * `s_scaled` (exact integers) next to `est_hll`.
     */
-  private def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame =
+  private[graft] def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame =
     regs.groupBy(keys.map(col): _*).agg(
       (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")) +
         (lit(HllRegisters.toLong) - count(lit(1))) * lit(1L << 53)).as("s_scaled"),

@@ -326,6 +326,72 @@ object EventAnalytics {
           .as("is_bot_suspect"))
   }
 
+  /** HLL distinct-user cube — approximate `count(DISTINCT user_id)` at
+    * every granularity of (event_type, day) from ONE register table:
+    * the finest (type, day) registers are built in a single corpus
+    * pass, and each rollup — per type, per day, grand total — is a
+    * per-register max over the finer relation (the max-monoid
+    * mergeability law as an OLAP rollup). This is how approximate
+    * distinct counts actually deploy at 100 TB: the warehouse stores
+    * cell-grain sketches once, and every report granularity derives
+    * from them without touching the corpus again — where an exact
+    * `GROUP BY CUBE ... count(DISTINCT ...)` expands the corpus once
+    * per grouping set.
+    *
+    * Shares [[graft.functions.TextAnalysis.hllEstimate]] (the
+    * register→estimate float discipline) and the md5 hash/rank
+    * derivation, so the sketch is cross-engine bit-exact. The
+    * `exact_distinct` column is the EVAL HARNESS — it pays the exact
+    * distinct the sketch avoids; rollup sentinels are '__all__' /
+    * NULL-day so every join below runs on non-null keys within its
+    * own granularity.
+    */
+  def hllCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextAnalysis.hllEstimate
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = shiftright(h, 8)
+    // one corpus pass → (type, day, j, ρ) → finest register table
+    val cellRegs = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        pmod(h, lit(256)).as("j"),
+        when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).as("rho"))
+      .groupBy("event_type", "day", "j").agg(max("rho").as("m"))
+    val typeRegs = cellRegs.groupBy("event_type", "j").agg(max("m").as("m"))
+    val dayRegs = cellRegs.groupBy("day", "j").agg(max("m").as("m"))
+    val allRegs = cellRegs.groupBy("j").agg(max("m").as("m"))
+    // exact branch: one corpus-grain distinct at the finest triple,
+    // re-distincted on the already-reduced frames for the rollups
+    val triples = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("user_id"))
+      .distinct()
+    val exCell = triples.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("exact_distinct"))
+    val exType = triples.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("exact_distinct"))
+    val exDay = triples.select("day", "user_id").distinct()
+      .groupBy("day").agg(count(lit(1)).as("exact_distinct"))
+    val exAll = triples.select("user_id").distinct()
+      .agg(count(lit(1)).as("exact_distinct"))
+    def out(est: DataFrame, exact: DataFrame, keys: Seq[String],
+        typeCol: org.apache.spark.sql.Column,
+        dayCol: org.apache.spark.sql.Column): DataFrame = {
+      val joined = if (keys.isEmpty) est.crossJoin(broadcast(exact)) else est.join(exact, keys)
+      joined.select(typeCol.as("event_type"), dayCol.as("day"),
+        col("est_hll"), col("exact_distinct"))
+    }
+    val nullDay = lit(null).cast("timestamp")
+    out(hllEstimate(cellRegs, Seq("event_type", "day")), exCell,
+        Seq("event_type", "day"), col("event_type"), col("day"))
+      .unionByName(out(hllEstimate(typeRegs, Seq("event_type")), exType,
+        Seq("event_type"), col("event_type"), nullDay))
+      .unionByName(out(hllEstimate(dayRegs, Seq("day")), exDay,
+        Seq("day"), lit("__all__"), col("day")))
+      .unionByName(out(hllEstimate(allRegs, Seq.empty), exAll,
+        Seq.empty, lit("__all__"), nullDay))
+  }
+
   /** Event-type transition counts — the user-journey Markov matrix:
     * for each consecutive pair of events in a user's timeline
     * (ordered by ts, event_id), one (from_type, to_type) transition.
@@ -646,6 +712,69 @@ object EventAnalytics {
         countDistinct(col("c_user")).as("n_ctx_users"))
   }
 
+  /** Register→estimate SQL for one granularity of [[hllCube]] — the
+    * shared αm²·2⁵³/S + linear-counting discipline over a register
+    * CTE `src` with the given key columns.
+    */
+  private def hllCubeEstSql(src: String, keys: Seq[String]): String = {
+    val sel = if (keys.isEmpty) "" else keys.mkString(", ") + ","
+    val grp = if (keys.isEmpty) "" else "GROUP BY " + keys.mkString(", ")
+    s"""(SELECT $sel
+           CASE WHEN v_zero > 0 AND est_raw <= 640 THEN est_lc
+                ELSE est_raw END AS est_hll
+         FROM (SELECT $sel v_zero,
+                 CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                   * 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 0)
+                   AS BIGINT) AS est_raw,
+                 CASE WHEN v_zero > 0 THEN
+                   CAST(round(256.0 * round(ln(256.0 / CAST(v_zero AS DOUBLE)), 9), 0)
+                     AS BIGINT) END AS est_lc
+               FROM (SELECT $sel
+                       CAST(sum(CAST(1 AS BIGINT) << (53 - m))
+                            + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
+                         AS BIGINT) AS s_scaled,
+                       CAST(256 - count(*) AS BIGINT) AS v_zero
+                     FROM $src $grp)))"""
+  }
+
+  private lazy val HllCubeSql: String =
+    s"""WITH hh AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 user_id,
+                 ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events),
+        r0 AS (
+          SELECT event_type, day, h % 256 AS j,
+                 max(CASE WHEN h // 256 = 0 THEN 53
+                          ELSE 53 - length(bin(h // 256)) END) AS m
+          FROM hh GROUP BY 1, 2, 3),
+        rt AS (SELECT event_type, j, max(m) AS m FROM r0 GROUP BY 1, 2),
+        rd AS (SELECT day, j, max(m) AS m FROM r0 GROUP BY 1, 2),
+        ra AS (SELECT j, max(m) AS m FROM r0 GROUP BY 1),
+        tr AS (SELECT DISTINCT event_type, day, user_id FROM hh),
+        exc AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS exact_distinct
+                FROM tr GROUP BY 1, 2),
+        ext_ AS (SELECT event_type,
+                        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+                 FROM tr GROUP BY 1),
+        exd AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+                FROM tr GROUP BY 1),
+        exa AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+                FROM tr)
+        SELECT c.event_type, c.day, e.est_hll, c.exact_distinct
+        FROM exc c JOIN ${hllCubeEstSql("r0", Seq("event_type", "day"))} e
+          USING (event_type, day)
+        UNION ALL
+        SELECT t.event_type, CAST(NULL AS TIMESTAMP), e.est_hll, t.exact_distinct
+        FROM ext_ t JOIN ${hllCubeEstSql("rt", Seq("event_type"))} e
+          USING (event_type)
+        UNION ALL
+        SELECT '__all__', d.day, e.est_hll, d.exact_distinct
+        FROM exd d JOIN ${hllCubeEstSql("rd", Seq("day"))} e USING (day)
+        UNION ALL
+        SELECT '__all__', CAST(NULL AS TIMESTAMP), e.est_hll, a.exact_distinct
+        FROM exa a, ${hllCubeEstSql("ra", Seq.empty)} e"""
+
   val oracleSql: Map[String, String] = Map(
     "join_time_banded" ->
       """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS p_us
@@ -842,6 +971,7 @@ object EventAnalytics {
                 count(DISTINCT CASE WHEN aday = day THEN user_id END) AS dau
          FROM act JOIN days ON aday <= day AND aday > day - INTERVAL 7 DAY
          GROUP BY day""",
+    "events_hll_cube" -> HllCubeSql,
     "events_bot_score" ->
       """WITH seq AS (
            SELECT user_id, event_type,
@@ -942,6 +1072,7 @@ object EventAnalytics {
     "events_anomaly" -> anomaly _,
     "events_changepoint" -> changepoint _,
     "events_bot_score" -> botScore _,
+    "events_hll_cube" -> hllCube _,
     "events_markov" -> markov _,
     "events_rfm" -> rfm _,
     "events_interarrival" -> interarrival _,

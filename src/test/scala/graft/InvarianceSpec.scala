@@ -85,6 +85,7 @@ class InvarianceSpec extends AnyFunSuite {
     "dedup_components_warm", // forest ∪ tranche contraction, min-id canonical
     "events_bot_score",     // decimal38 sufficient stats, integer ppm
     "emb_kcenter_coreset",  // rounded-max argmin per round, vec_id ties
+    "events_hll_cube",      // max-monoid rollups + BIGINT harmonic sums
     "text_boilerplate_spans", // hash-grain df counts + broadcast boiler set
     "sim_dim_ablation",     // prefix-cosine heap top-K vs full-dim truth
     "join_time_banded",     // banded bucket equi-join, exact residual bound

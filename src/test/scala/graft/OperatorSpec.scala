@@ -226,6 +226,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(hCv2 > 250000L)
   }
 
+  test("hll cube: rollup registers equal direct derivation; estimates track exact counts") {
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = shiftright(h, 8)
+    // mergeability on the real data: per-type registers re-maxed from
+    // the (type, day) cells must equal a direct per-type derivation
+    val base = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        pmod(h, lit(256)).as("j"),
+        when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).as("rho"))
+    val viaCells = base.groupBy("event_type", "day", "j").agg(max("rho").as("m"))
+      .groupBy("event_type", "j").agg(max("m").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val direct = base.groupBy("event_type", "j").agg(max("rho").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(viaCells === direct)
+    val rows = operators.EventAnalytics.hllCube(spark, sf).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getTimestamp(1)),
+        r.getLong(2), r.getLong(3)))
+    // all four granularities present, and the grand-total row is there
+    assert(rows.exists { case (t, d, _, _) => t.contains("__all__") && d.isEmpty })
+    assert(rows.count { case (t, d, _, _) => t.exists(_ != "__all__") && d.isEmpty } >= 2)
+    // estimates track exact counts (sigma ~ 6.5% at 256 registers;
+    // 40% is a generous determinism-safe bound for cells over 100)
+    rows.filter(_._4 > 100).foreach { case (t, d, est, exact) =>
+      assert(math.abs(est - exact) <= exact * 2 / 5, s"($t,$d): est=$est exact=$exact")
+    }
+  }
+
   test("k-center coreset: cover scores are monotone; second center is the true farthest point") {
     val rows = ext.Similarity.kcenterCoreset(spark, sf)
       .orderBy("center_rank").collect()
