@@ -346,17 +346,26 @@ object EventAnalytics {
     * NULL-day so every join below runs on non-null keys within its
     * own granularity.
     */
-  def hllCube(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.TextAnalysis.hllEstimate
+  /** The finest-grain (event_type, day, j, m) user registers from a
+    * batch OR streaming events frame — the shared derivation that
+    * keeps [[hllCube]] and the streaming cell-register refresh
+    * ([[graft.streaming.SketchRefresh.startUserCube]]) bit-identical.
+    */
+  private[graft] def userCellRegisters(events: DataFrame): DataFrame = {
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
     val w = shiftright(h, 8)
-    // one corpus pass → (type, day, j, ρ) → finest register table
-    val cellRegs = Tables.events(spark, sfDir)
+    events
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
         pmod(h, lit(256)).as("j"),
         when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).as("rho"))
       .groupBy("event_type", "day", "j").agg(max("rho").as("m"))
+  }
+
+  def hllCube(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextAnalysis.hllEstimate
+    // one corpus pass → (type, day, j, ρ) → finest register table
+    val cellRegs = userCellRegisters(Tables.events(spark, sfDir))
     val typeRegs = cellRegs.groupBy("event_type", "j").agg(max("m").as("m"))
     val dayRegs = cellRegs.groupBy("day", "j").agg(max("m").as("m"))
     val allRegs = cellRegs.groupBy("j").agg(max("m").as("m"))

@@ -139,6 +139,27 @@ object SketchRefresh {
       checkpoint: Option[String] = None): StreamingQuery =
     startComplete(dailyVolume(events), queryName, trigger, checkpoint)
 
+  /** Finest-grain (event_type, day, j, m) user registers from a batch
+    * OR streaming events frame — the cell-sketch leg of the refresh
+    * suite: arriving events fold into max-monoid register state
+    * bounded at types × days × 256 cells, and every report
+    * granularity (per type, per day, total) derives from the
+    * maintained table by per-register max exactly as the batch
+    * `events_hll_cube` rolls up — the sketch-cube lifecycle live.
+    */
+  def userCellRegisters(events: DataFrame): DataFrame =
+    graft.operators.EventAnalytics.userCellRegisters(events)
+
+  /** Start the user-cube register refresh (complete mode into a memory
+    * table `queryName`) — same lifecycle as [[start]].
+    */
+  def startUserCube(
+      events: DataFrame,
+      queryName: String,
+      trigger: Option[Trigger] = None,
+      checkpoint: Option[String] = None): StreamingQuery =
+    startComplete(userCellRegisters(events), queryName, trigger, checkpoint)
+
   /** Start the MG candidate refresh (complete mode into a memory table
     * `queryName`) — same lifecycle as [[start]].
     */

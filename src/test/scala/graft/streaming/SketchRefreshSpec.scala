@@ -136,6 +136,39 @@ class SketchRefreshSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed user-cube cell registers equal batch; rollup from the maintained table is valid") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Long, String)]
+    val events = input.toDF().toDF("ts", "event_id", "user_id", "event_type")
+    val q = SketchRefresh.startUserCube(events, "user_cube_test")
+    try {
+      def t(day: Int) = java.sql.Timestamp.valueOf(f"2026-02-$day%02d 09:00:00")
+      val b1 = Seq((t(1), 1L, 7L, "click"), (t(1), 2L, 8L, "click"),
+        (t(2), 3L, 7L, "view"))
+      val b2 = Seq((t(1), 4L, 9L, "click"), (t(2), 5L, 7L, "click"))
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("user_cube_test")
+        .as[(String, java.sql.Timestamp, Long, Int)].collect().toSet
+      val batch = SketchRefresh.userCellRegisters(
+        (b1 ++ b2).toDF("ts", "event_id", "user_id", "event_type"))
+        .as[(String, java.sql.Timestamp, Long, Int)].collect().toSet
+      assert(streamed === batch)
+      // the rollup the batch cube runs works off the MAINTAINED table:
+      // per-type registers = per-register max over its cells
+      val rolled = spark.table("user_cube_test")
+        .groupBy("event_type", "j")
+        .agg(org.apache.spark.sql.functions.max("m").as("m"))
+        .as[(String, Long, Int)].collect().toSet
+      val direct = graft.operators.EventAnalytics.userCellRegisters(
+        (b1 ++ b2).toDF("ts", "event_id", "user_id", "event_type"))
+        .groupBy("event_type", "j")
+        .agg(org.apache.spark.sql.functions.max("m").as("m"))
+        .as[(String, Long, Int)].collect().toSet
+      assert(rolled === direct)
+    } finally q.stop()
+  }
+
   test("streamed MG summary equals batch in the ≤k-distinct regime with an exact total") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(Long, String, String, String, Long)]
