@@ -198,6 +198,7 @@ object Bench {
         // sets + prefix inverted index, derived from wave-1's shingle index
         "allpairs_index" -> (() => { ext.Dedup.allPairsIndex(spark, queryDir); () }),
         "dup_components_0" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.0); () }),
+        "dup_components_prior" -> (() => { ext.Dedup.priorComponents(spark, queryDir).count(); () }),
         "dup_components_80" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.8); () })),
       // wave 3: the mutual-kNN component labels contract the wave-2
       // edge list (the dup_components lifecycle on the embedding side)
