@@ -362,19 +362,41 @@ object EventAnalytics {
       .groupBy("event_type", "day", "j").agg(max("rho").as("m"))
   }
 
+  private val userTripleCache = new graft.SessionCache[DataFrame]
+
+  /** The distinct (event_type, day, user_id) frame — five subtrees of
+    * [[hllCube]] consume it (registers + four exact granularities),
+    * and Spark plans common subexpressions independently, so without
+    * memoization the corpus-grain distinct would run once per subtree.
+    * Sub-corpus-sized but grows with users × cells ⇒ DISK_ONLY under
+    * the storage-level rule.
+    */
+  private def userTriples(spark: SparkSession, sfDir: String): DataFrame =
+    userTripleCache.getOrElseUpdate(spark, sfDir) {
+      Tables.events(spark, sfDir)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("user_id"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+
   def hllCube(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextAnalysis.hllEstimate
-    // one corpus pass → (type, day, j, ρ) → finest register table
-    val cellRegs = userCellRegisters(Tables.events(spark, sfDir))
+    val triples = userTriples(spark, sfDir)
+    // registers derive from the SAME distinct frame the exact branch
+    // pays for (max over a set equals max over the multiset — bit-
+    // identical to the scan-direct streaming derivation, pinned by the
+    // oracle and the SketchRefreshSpec rollup check)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = shiftright(h, 8)
+    val cellRegs = triples
+      .select(col("event_type"), col("day"), pmod(h, lit(256)).as("j"),
+        when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).as("rho"))
+      .groupBy("event_type", "day", "j").agg(max("rho").as("m"))
     val typeRegs = cellRegs.groupBy("event_type", "j").agg(max("m").as("m"))
     val dayRegs = cellRegs.groupBy("day", "j").agg(max("m").as("m"))
     val allRegs = cellRegs.groupBy("j").agg(max("m").as("m"))
-    // exact branch: one corpus-grain distinct at the finest triple,
-    // re-distincted on the already-reduced frames for the rollups
-    val triples = Tables.events(spark, sfDir)
-      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
-        col("user_id"))
-      .distinct()
     val exCell = triples.groupBy("event_type", "day")
       .agg(count(lit(1)).as("exact_distinct"))
     val exType = triples.select("event_type", "user_id").distinct()
