@@ -286,11 +286,20 @@ object Dedup {
     * tables without re-deriving the corpus order. Cold, both derive
     * inline from the shingle index.
     */
+  private val allPairsSetsCache = new graft.SessionCache[DataFrame]
+
   private[graft] def allPairsIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    def setsBuild = allPairsDocSets(explodedShingleHashes(spark, sfDir))
-    val docSets = graft.IndexStore
-      .resolve(spark, sfDir, "allpairs_sets", Some("doc_id"))(setsBuild)
-      .getOrElse(setsBuild)
+    // cold (no warehouse) the sets frame memoizes DISK_ONLY: four
+    // subtrees of the join reference it (both prefix sides, both
+    // verify sides) and Spark plans common subexpressions
+    // independently — without this the collect_list aggregation runs
+    // once per subtree
+    val docSets = allPairsSetsCache.getOrElseUpdate(spark, sfDir) {
+      def build = allPairsDocSets(explodedShingleHashes(spark, sfDir))
+      graft.IndexStore
+        .resolve(spark, sfDir, "allpairs_sets", Some("doc_id"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
     val prefixes = graft.IndexStore
       .resolve(spark, sfDir, "allpairs_prefix", Some("h"))(allPairsPrefixes(docSets))
       .getOrElse(allPairsPrefixes(docSets))
