@@ -1134,6 +1134,52 @@ object Relational {
     * corpus-grain exchange, map-side partials); the cumsum window and
     * the rank fold run over distinct cent values per type.
     */
+  /** Benjamini–Hochberg FDR control over the per-type A/B tests
+    * (Benjamini & Hochberg, JRSS-B 1995) — the multiple-testing step a
+    * metrics platform runs when every event type ships its own
+    * experiment readout: naive per-test thresholds inflate false
+    * positives with the test count; BH's step-up rule (reject the
+    * largest k with p₍ᵢ₎ ≤ i·α/m, and everything ranked below it)
+    * controls the expected false-discovery proportion at α = 1/4.
+    *
+    * p-values are the DISTRIBUTION-FREE Chebyshev bound
+    * p = min(1, 1/t²) over [[statsAbTest]]'s Welch t — deliberately:
+    * a normal CDF would drag an erf into both engines (a libm surface
+    * with no exactness discipline), while 1/t² is one IEEE division on
+    * the already-1e-6-rounded t, conservative by construction, and BH
+    * remains valid under any valid p-values. The step-up comparison
+    * runs as `p·α⁻¹·m ≤ i` with α⁻¹ = 4 exact.
+    *
+    * Scale shape: everything after [[statsAbTest]]'s sufficient-
+    * statistics aggregation is window work over the |event types|-row
+    * frame — bounded by the type vocabulary, never the corpus.
+    */
+  def fdrBh(spark: SparkSession, sfDir: String): DataFrame =
+    bhStepUp(statsAbTest(spark, sfDir)
+      .select(col("event_type"), col("t_welch"),
+        round(least(lit(1.0), lit(1.0) / (col("t_welch") * col("t_welch"))), 9)
+          .as("p_cheb")))
+
+  /** The BH step-up rule over any (event_type, t_welch, p_cheb) frame
+    * — factored so fixtures can pin the rule's defining behavior: a
+    * rank that FAILS its own threshold is still rejected when a larger
+    * rank passes (step-up, not step-down).
+    */
+  private[graft] def bhStepUp(scored: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy()
+    val wRank = W.orderBy(col("p_cheb").asc, col("event_type").asc)
+    scored
+      .select(col("event_type"), col("t_welch"), col("p_cheb"),
+        row_number().over(wRank).as("rnk"), count(lit(1)).over(wAll).as("m"))
+      .withColumn("kk", coalesce(
+        max(when(col("p_cheb") * 4.0 * col("m") <= col("rnk").cast("double"),
+          col("rnk"))).over(wAll), lit(0)))
+      .select(col("event_type"), col("t_welch"), col("p_cheb"),
+        col("rnk").cast("long").as("bh_rank"),
+        (col("rnk") <= col("kk")).as("is_rejected"))
+  }
+
   def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val w = org.apache.spark.sql.expressions.Window
@@ -1534,6 +1580,37 @@ object Relational {
       .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"))
   }
+
+  /** The A/B-test oracle factored into CTEs + select so the BH-FDR
+    * oracle can stack on the identical per-type statistics.
+    */
+  private val AbTestCtes =
+    """arms AS (
+         SELECT event_type,
+                TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS arm,
+                count(*) AS n,
+                sum(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT)) AS s,
+                sum(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT)
+                    * CAST(round(value*100) AS BIGINT)) AS ss
+         FROM events
+         WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+         GROUP BY 1, 2),
+       a AS (SELECT event_type, n AS n_a, s AS s_a, ss AS ss_a FROM arms WHERE arm = 0),
+       b AS (SELECT event_type, n AS n_b, s AS s_b, ss AS ss_b FROM arms WHERE arm = 1)"""
+
+  private val AbTestSelect =
+    """SELECT a.event_type, n_a, n_b,
+              round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 6) AS mean_a,
+              round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0, 6) AS mean_b,
+              round(
+                (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0
+                 - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0) /
+                sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                        / (CAST(n_a AS DOUBLE) - 1.0) / 10000.0) / CAST(n_a AS DOUBLE)
+                    + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                        / (CAST(n_b AS DOUBLE) - 1.0) / 10000.0) / CAST(n_b AS DOUBLE)), 6)
+                AS t_welch
+       FROM a JOIN b USING (event_type)"""
 
   val oracleSql: Map[String, String] = Map(
     "stats_bootstrap" -> {
@@ -1972,31 +2049,26 @@ object Relational {
                 CAST(s.max_count * 1000 // s.n_rows AS BIGINT) AS top_share_pm
          FROM per p, s
          GROUP BY s.n_keys, s.n_rows, s.max_count""",
-    "stats_ab_test" ->
-      """WITH arms AS (
-           SELECT event_type,
-                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 AS arm,
-                  count(*) AS n,
-                  sum(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT)) AS s,
-                  sum(CAST(CAST(round(value*100) AS BIGINT) AS HUGEINT)
-                      * CAST(round(value*100) AS BIGINT)) AS ss
-           FROM events
-           WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
-           GROUP BY 1, 2),
-         a AS (SELECT event_type, n AS n_a, s AS s_a, ss AS ss_a FROM arms WHERE arm = 0),
-         b AS (SELECT event_type, n AS n_b, s AS s_b, ss AS ss_b FROM arms WHERE arm = 1)
-         SELECT a.event_type, n_a, n_b,
-                round(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0, 6) AS mean_a,
-                round(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0, 6) AS mean_b,
-                round(
-                  (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0
-                   - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0) /
-                  sqrt(((CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-                          / (CAST(n_a AS DOUBLE) - 1.0) / 10000.0) / CAST(n_a AS DOUBLE)
-                      + ((CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-                          / (CAST(n_b AS DOUBLE) - 1.0) / 10000.0) / CAST(n_b AS DOUBLE)), 6)
-                  AS t_welch
-         FROM a JOIN b USING (event_type)""",
+    "stats_ab_test" -> s"WITH $AbTestCtes $AbTestSelect",
+    "stats_fdr_bh" ->
+      s"""WITH $AbTestCtes,
+          ab AS ($AbTestSelect),
+          p AS (
+            SELECT event_type, t_welch,
+                   round(least(1.0, 1.0 / (t_welch * t_welch)), 9) AS p_cheb
+            FROM ab),
+          r AS (
+            SELECT event_type, t_welch, p_cheb,
+                   row_number() OVER (ORDER BY p_cheb ASC, event_type ASC) AS rnk,
+                   count(*) OVER () AS m
+            FROM p),
+          k AS (
+            SELECT coalesce(max(CASE WHEN p_cheb * 4.0 * m <= CAST(rnk AS DOUBLE)
+                                     THEN rnk END), 0) AS kk
+            FROM r)
+          SELECT event_type, t_welch, p_cheb, CAST(rnk AS BIGINT) AS bh_rank,
+                 (rnk <= (SELECT kk FROM k)) AS is_rejected
+          FROM r""",
     "q1_pricing_summary" ->
       """WITH c AS (
            SELECT l_returnflag, l_linestatus,
@@ -2257,6 +2329,7 @@ object Relational {
     "stats_quantile_sketch" -> quantileSketch _,
     "stats_quantile_binned" -> statsQuantileBinned _,
     "stats_ab_test" -> statsAbTest _,
+    "stats_fdr_bh" -> fdrBh _,
     "stats_key_skew" -> keySkew _,
     "stats_ks_test" -> ksTest _,
     "stats_chi2" -> chi2Test _,

@@ -86,6 +86,7 @@ class InvarianceSpec extends AnyFunSuite {
     "events_bot_score",     // decimal38 sufficient stats, integer ppm
     "emb_kcenter_coreset",  // rounded-max argmin per round, vec_id ties
     "events_hll_cube",      // max-monoid rollups + BIGINT harmonic sums
+    "stats_fdr_bh",         // type-frame windows over rounded Chebyshev p
     "text_boilerplate_spans", // hash-grain df counts + broadcast boiler set
     "sim_dim_ablation",     // prefix-cosine heap top-K vs full-dim truth
     "join_time_banded",     // banded bucket equi-join, exact residual bound

@@ -226,6 +226,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(hCv2 > 250000L)
   }
 
+  test("BH step-up: a failing middle rank is rejected when a larger rank passes") {
+    import spark.implicits._
+    // alpha = 1/4, m = 5: condition is p*20 <= rank. Rank 2 (p=0.12 ->
+    // 2.4 > 2) FAILS its own threshold but rank 3 (p=0.14 -> 2.8 <= 3)
+    // passes, so k = 3 and ranks 1..3 are ALL rejected — the step-up
+    // behavior a step-down/per-test rule would get wrong.
+    val scored = Seq(
+      ("a", 5.0, 0.04), ("b", 2.9, 0.12), ("c", 2.7, 0.14),
+      ("d", 1.1, 0.90), ("e", 1.0, 0.95)
+    ).toDF("event_type", "t_welch", "p_cheb")
+    val got = operators.Relational.bhStepUp(scored)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got === Map(
+      "a" -> ((1L, true)), "b" -> ((2L, true)), "c" -> ((3L, true)),
+      "d" -> ((4L, false)), "e" -> ((5L, false))))
+    // and with nothing passing, nothing is rejected (k = 0 guard)
+    val none = Seq(("a", 1.0, 0.9), ("b", 1.0, 0.95))
+      .toDF("event_type", "t_welch", "p_cheb")
+    assert(operators.Relational.bhStepUp(none)
+      .collect().forall(!_.getBoolean(4)))
+  }
+
   test("hll cube: rollup registers equal direct derivation; estimates track exact counts") {
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
