@@ -14,9 +14,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     keeper aggregate and the landed-hash anti-join never carry the
   *     binary column (the [[graft.ext.Multimodal]] scale discipline,
   *     streamed);
-  *  2. the winning ids re-attach to their payloads through a BROADCAST
-  *     of the keeper set, so the batch's payload rows stay
-  *     partition-local end to end;
+  *  2. the winning ids re-attach to their payloads through an
+  *     equi-join on (payload_md5, doc_id) whose strategy is left to
+  *     stats/AQE — NO broadcast hint: on the normal trigger path the
+  *     keeper set is micro-batch-sized and AQE broadcasts it anyway,
+  *     but on a backfill/restart batch (earliest-offset replay of a
+  *     large topic) it is corpus-sized and a forced broadcast would
+  *     OOM the driver;
   *  3. landed state is a checksum-only parquet index (16-byte rows per
   *     landed payload, not the media itself) read back per batch — the
   *     cross-batch memory of the gate, the same filter-as-data shape
@@ -50,18 +54,28 @@ object MediaIngest {
         .select("payload_md5")
   }
 
+  /** The batch's dedup decision as (keepers, fresh) frames, factored
+    * out so the plan shape is directly pinnable: the keeper re-attach
+    * join MUST carry no broadcast hint (see class doc point 2).
+    */
+  private[streaming] def batchPlan(batch: DataFrame, landed: DataFrame): (DataFrame, DataFrame) = {
+    val hashed = batch.select(col("doc_id"), col("payload"),
+      md5(col("payload")).as("payload_md5"))
+    val keepers = hashed.select("doc_id", "payload_md5")
+      .join(landed, Seq("payload_md5"), "left_anti")
+      .groupBy("payload_md5").agg(min(col("doc_id")).as("doc_id"))
+    val fresh = hashed.join(keepers, Seq("payload_md5", "doc_id"))
+    (keepers, fresh)
+  }
+
   /** One micro-batch of the gate, factored so the crash-replay path
     * (same batchId re-entering after the writes but before the
     * checkpoint commit) is directly testable.
     */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long, outDir: String): Unit = {
     val spark = batch.sparkSession
-    val hashed = batch.select(col("doc_id"), col("payload"),
-      md5(col("payload")).as("payload_md5"))
-    val keepers = hashed.select("doc_id", "payload_md5")
-      .join(landedHashes(spark, outDir, batchId), Seq("payload_md5"), "left_anti")
-      .groupBy("payload_md5").agg(min(col("doc_id")).as("doc_id"))
-    val fresh = hashed.join(broadcast(keepers), Seq("payload_md5", "doc_id"))
+    val (keepers, fresh) =
+      batchPlan(batch, landedHashes(spark, outDir, batchId))
     fresh.select("doc_id", "payload_md5", "payload")
       .write.mode("overwrite").parquet(s"$outDir/data/batch_id=$batchId")
     keepers.select("payload_md5")

@@ -88,4 +88,19 @@ class MediaIngestSpec extends AnyFunSuite {
       .select("payload_md5").distinct().count()
     assert(hashes === 2L)
   }
+
+  test("keeper re-attach join carries no broadcast hint — stats/AQE decide") {
+    // The keeper set is micro-batch-sized on the trigger path but
+    // corpus-sized on a backfill/earliest-offset replay batch; a
+    // hardcoded broadcast hint would OOM the driver there. Mirror of
+    // the q10/q14 no-hint pin in PlanShapeSpec.
+    val imgA = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val batch = Seq(1L -> imgA).toDF("doc_id", "payload")
+    val landed = Seq.empty[String].toDF("payload_md5")
+    val (keepers, fresh) = MediaIngest.batchPlan(batch, landed)
+    for (df <- Seq(keepers, fresh)) {
+      val logical = df.queryExecution.analyzed.toString
+      assert(!logical.contains("ResolvedHint"), s"\n$logical")
+    }
+  }
 }
