@@ -344,6 +344,24 @@ object Dedup {
     allPairsVerify(allPairsCandidates(prefixes, tranche), docSets)
   }
 
+  /** The ARRIVING-TRANCHE core of [[allPairsIncremental]] over any
+    * (doc_id, sz, h) exploded set frame — factored (like
+    * [[allPairsExactOn]]) so the release-lifecycle composition can be
+    * pinned on fixtures: only pairs whose id-larger endpoint is
+    * ≥ `cutoff` come out, and (old-corpus [[allPairsExactOn]]) ∪ (this
+    * over the full frame) must equal full-corpus [[allPairsExactOn]]
+    * EXACTLY — the prefix theorem's completeness survives the
+    * asymmetric join because both endpoints still contribute their
+    * full prefixes, and verification is order-independent.
+    */
+  private[graft] def allPairsIncrementalOn(ex: DataFrame, cutoff: Long): DataFrame = {
+    val docSets = allPairsDocSets(ex)
+    val prefixes = allPairsPrefixes(docSets)
+    allPairsVerify(
+      allPairsCandidates(prefixes, prefixes.filter(col("doc_id") >= cutoff)),
+      docSets)
+  }
+
   /** Per-doc sets sorted rarest-first by the (df, h) total order; the
     * sort is per-row array work after one doc-grain aggregation.
     */

@@ -223,27 +223,6 @@ object Similarity {
     */
   private val AblationDims = Seq(4L, 8L, 16L, 64L)
 
-  /** Embedding-dimension ablation — recall@10 of truncated-prefix
-    * cosine against full-dimension exact top-10 (the Matryoshka /
-    * adaptive-retrieval eval, Kusupati et al., NeurIPS 2022): serving
-    * a prefix of the embedding cuts memory and bandwidth linearly,
-    * and this table is the evidence for how much recall each
-    * truncation pays. d = [[Dim]] is the self-check row (recall ≡ 1).
-    *
-    * Determinism: prefix cosine folds the SAME leading elements in the
-    * same order as the full-dim kernel, so both engines compute
-    *  identical doubles; ranking ties break on neighbor_id. Recall
-    * ships as exact integer counts + ppm.
-    *
-    * Scale shape: identical to [[bruteforceTopK]] — broadcast query
-    * set, ONE corpus scan with the sweep exploded inline (work ×
-    * |sweep|, no extra scan), heap-trimmed per-(d, query) top-K so the
-    * exchange carries O(partitions × K × |sweep| × |Q|) rows; the
-    * recall join runs on K-row frames. The eval is brute-force BY
-    * DESIGN (it measures the truncation, not an index) and runs on a
-    * hash-sampled query set at 100 TB — the corpus side stays one
-    * scan regardless.
-    */
   /** Centers selected by [[kcenterCoreset]]. */
   private[graft] val KCenters = 8
 
@@ -264,37 +243,58 @@ object Similarity {
     * order, so the selected set is cross-engine and
     * partitioning-identical.
     *
-    * Scale shape: k−1 rounds, each ONE corpus scan against a ≤k-row
-    * broadcast of the selected vectors, argmin via TakeOrdered(1) —
-    * the driver holds exactly k rows ever (the greedy's sequential
-    * dependency is irreducible; what matters is that each round is a
-    * full-parallel scan and nothing corpus-sized ever collects).
-    * Recomputing max-to-selected per round costs k²n/2 cosines total;
-    * at k=8 that is cheaper and simpler than maintaining running-max
-    * state across rounds.
+    * Scale shape: k−1 rounds, each ONE scan of a persisted running
+    * state frame (vec_id, embedding, max_cos_to_selected) against a
+    * broadcast of ONLY the single newest center, argmin via
+    * TakeOrdered(1) — the driver holds exactly k rows ever (the
+    * greedy's sequential dependency is irreducible; what matters is
+    * that each round is a full-parallel scan and nothing corpus-sized
+    * ever collects). The running max makes total kernel work kn
+    * cosines instead of the naive per-round rescan's k²n/2: round t
+    * folds ONE new cosine into the persisted max via `greatest()`.
+    * max is associative, so rounding the running max at pick time is
+    * bit-identical to rounding a from-scratch `max(cs)` — the selected
+    * set cannot differ from the naive form's.
     */
   def kcenterCoreset(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    // k−1 rounds re-scan the corpus: read it through the memoized
-    // bucketed frame so each round is a cache/warehouse scan, not a
-    // fresh parquet decode
+    // the corpus enters through the memoized bucketed frame so the
+    // initial state build is a cache/warehouse scan, not a fresh
+    // parquet decode
     val emb = bucketedEmb(spark, sfDir).select("vec_id", "embedding")
     val seed = emb.agg(min(col("vec_id"))).head().getLong(0)
     var selected = Vector[(Long, Long, java.lang.Double)]((1L, seed, null))
+    var state: DataFrame = null // (vec_id, embedding, mc) — unrounded running max
+    var newestId = seed
     for (t <- 2 to KCenters) {
-      val ids = selected.map(_._2)
-      val selDf = emb.filter(col("vec_id").isin(ids: _*))
-        .select(col("vec_id").as("sid"), col("embedding").as("s_emb"))
-      val pick = emb.filter(!col("vec_id").isin(ids: _*))
-        .crossJoin(broadcast(selDf))
-        .select(col("vec_id"),
-          GraftFunctions.cosineSim(col("embedding"), col("s_emb")).as("cs"))
-        .groupBy("vec_id").agg(round(max(col("cs")), 9).as("mc"))
+      val newest = emb.filter(col("vec_id") === newestId)
+        .select(col("embedding").as("c_emb"))
+      val next = (if (state == null)
+        emb.filter(col("vec_id") =!= newestId)
+          .crossJoin(broadcast(newest))
+          .select(col("vec_id"), col("embedding"),
+            GraftFunctions.cosineSim(col("embedding"), col("c_emb")).as("mc"))
+      else
+        state.filter(col("vec_id") =!= newestId)
+          .crossJoin(broadcast(newest))
+          .select(col("vec_id"), col("embedding"),
+            greatest(col("mc"),
+              GraftFunctions.cosineSim(col("embedding"), col("c_emb")))
+              .as("mc"))
+      ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pick = next
+        .select(col("vec_id"), round(col("mc"), 9).as("mc"))
         .orderBy(col("mc").asc, col("vec_id").asc).limit(1)
         .head()
-      selected :+= ((t.toLong, pick.getLong(0),
+      // the TakeOrdered fully materialized `next`'s cache; the prior
+      // round's state is now dead weight
+      if (state != null) state.unpersist(blocking = false)
+      state = next
+      newestId = pick.getLong(0)
+      selected :+= ((t.toLong, newestId,
         java.lang.Double.valueOf(pick.getDouble(1))))
     }
+    if (state != null) state.unpersist(blocking = false)
     val rows = selected.map { case (r, v, mc) =>
       org.apache.spark.sql.Row(r, v,
         if (mc == null) null
@@ -312,6 +312,27 @@ object Similarity {
           org.apache.spark.sql.types.DoubleType, nullable = true))))
   }
 
+  /** Embedding-dimension ablation — recall@10 of truncated-prefix
+    * cosine against full-dimension exact top-10 (the Matryoshka /
+    * adaptive-retrieval eval, Kusupati et al., NeurIPS 2022): serving
+    * a prefix of the embedding cuts memory and bandwidth linearly,
+    * and this table is the evidence for how much recall each
+    * truncation pays. d = [[Dim]] is the self-check row (recall ≡ 1).
+    *
+    * Determinism: prefix cosine folds the SAME leading elements in the
+    * same order as the full-dim kernel, so both engines compute
+    * identical doubles; ranking ties break on neighbor_id. Recall
+    * ships as exact integer counts + ppm.
+    *
+    * Scale shape: identical to [[bruteforceTopK]] — broadcast query
+    * set, ONE corpus scan with the sweep exploded inline (work ×
+    * |sweep|, no extra scan), heap-trimmed per-(d, query) top-K so the
+    * exchange carries O(partitions × K × |sweep| × |Q|) rows; the
+    * recall join runs on K-row frames. The eval is brute-force BY
+    * DESIGN (it measures the truncation, not an index) and runs on a
+    * hash-sampled query set at 100 TB — the corpus side stays one
+    * scan regardless.
+    */
   def dimAblation(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     val emb = Tables.embeddings(spark, sfDir)

@@ -24,4 +24,44 @@ object SqlFragments {
                   ELSE [] END) AS s
          FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)),
        ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh)"""
+
+  /** Register fold for the shared 256-register, 53-bit-rank HLL
+    * discipline: collapse register rows (keys…, j, m) of relation
+    * `src` into one (keys…, s_scaled, v_zero) row per key group, where
+    * s_scaled = Σ 2^(53−m) over present registers plus 2^53 per absent
+    * register (the harmonic-sum denominator scaled to an exact
+    * integer) and v_zero counts absent registers.
+    */
+  def hllRegisterFoldSql(src: String, keys: Seq[String]): String = {
+    val sel = if (keys.isEmpty) "" else keys.mkString(", ") + ","
+    val grp = if (keys.isEmpty) "" else "GROUP BY " + keys.mkString(", ")
+    s"""(SELECT $sel
+           CAST(sum(CAST(1 AS BIGINT) << (53 - m))
+                + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
+             AS BIGINT) AS s_scaled,
+           CAST(256 - count(*) AS BIGINT) AS v_zero
+         FROM $src $grp)"""
+  }
+
+  /** The αm²·2⁵³/S estimator with the small-range linear-counting
+    * switch (Flajolet et al., AofA 2007) over a (keys…, s_scaled,
+    * v_zero) relation `src` — THE register→estimate float discipline
+    * both engines share; hoisted here so its four oracle consumers
+    * (stats_hll_ngrams, stats_hll_overlap's per-source and union
+    * estimates, events_hll_cube) cannot drift apart.
+    */
+  def hllEstSql(src: String, keys: Seq[String], alias: String = "est_hll"): String = {
+    val sel = if (keys.isEmpty) "" else keys.mkString(", ") + ","
+    s"""(SELECT $sel
+           CASE WHEN v_zero > 0 AND est_raw <= 640 THEN est_lc
+                ELSE est_raw END AS $alias
+         FROM (SELECT $sel v_zero,
+                 CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                   * 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 0)
+                   AS BIGINT) AS est_raw,
+                 CASE WHEN v_zero > 0 THEN
+                   CAST(round(256.0 * round(ln(256.0 / CAST(v_zero AS DOUBLE)), 9), 0)
+                     AS BIGINT) END AS est_lc
+               FROM $src))"""
+  }
 }

@@ -83,6 +83,11 @@ object TextAnalysis {
     */
   private val ClassifierWeightMod = 2001L
 
+  /** Logistic temperature for [[classifierScore]], in the same
+    * per-mille units as the token weights.
+    */
+  private val ClassifierTemp = 250.0
+
   /** Linear text-classifier scoring — the quality/domain-classifier
     * inference pass of corpus filtering (the fastText-style model
     * production pipelines run between heuristic gates and training):
@@ -120,7 +125,7 @@ object TextAnalysis {
       .withColumn("mean_milli", expr("w_sum div n_tokens"))
       .withColumn("score",
         round(lit(1.0) / (lit(1.0) +
-          exp((lit(mid) - col("mean_milli")).cast("double") / 250.0)), 6))
+          exp((lit(mid) - col("mean_milli")).cast("double") / ClassifierTemp)), 6))
       .withColumn("keep", col("mean_milli") >= mid)
   }
 
@@ -2164,16 +2169,16 @@ object TextAnalysis {
                    string_agg(CAST(id AS VARCHAR), ',' ORDER BY i) AS ids_csv
             FROM ids GROUP BY doc_id""",
       "text_classifier_score" ->
-        """WITH s AS (
+        s"""WITH s AS (
              SELECT doc_id,
                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                    CAST(list_sum([('0x' || substr(md5(t), 1, 15))::BIGINT % 2001
+                    CAST(list_sum([('0x' || substr(md5(t), 1, 15))::BIGINT % $ClassifierWeightMod
                                    for t in string_split(text, ' ')]) AS BIGINT) AS w_sum
              FROM documents)
            SELECT doc_id, n_tokens, w_sum,
                   CAST(w_sum // n_tokens AS BIGINT) AS mean_milli,
-                  round(1.0 / (1.0 + exp((1000 - w_sum // n_tokens) / 250.0)), 6) AS score,
-                  (w_sum // n_tokens) >= 1000 AS keep
+                  round(1.0 / (1.0 + exp((${ClassifierWeightMod / 2} - w_sum // n_tokens) / $ClassifierTemp)), 6) AS score,
+                  (w_sum // n_tokens) >= ${ClassifierWeightMod / 2} AS keep
            FROM s""",
       "vocab_coverage" ->
         """WITH tok AS (
@@ -2193,7 +2198,7 @@ object TextAnalysis {
                     AS BIGINT) AS coverage_ppm
            FROM ranked, ks, tot GROUP BY k, corpus_tf""",
       "stats_hll_ngrams" ->
-        """WITH tok AS (
+        s"""WITH tok AS (
              SELECT source, string_split(text, ' ') AS ws FROM documents
              WHERE len(string_split(text, ' ')) >= 3),
            ng0 AS (
@@ -2210,35 +2215,17 @@ object TextAnalysis {
                     max(CASE WHEN h // 256 = 0 THEN 53
                              ELSE 53 - length(bin(h // 256)) END) AS m
              FROM h GROUP BY source, j),
-           agg AS (
-             SELECT source,
-                    CAST(sum(CAST(1 AS BIGINT) << (53 - m))
-                         + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
-                      AS BIGINT) AS s_scaled,
-                    CAST(256 - count(*) AS BIGINT) AS v_zero
-             FROM reg GROUP BY source),
+           agg AS (SELECT * FROM ${SqlFragments.hllRegisterFoldSql("reg", Seq("source"))}),
            ex AS (SELECT source, CAST(count(DISTINCT ng) AS BIGINT)
-                    AS exact_distinct FROM ng GROUP BY source),
-           est AS (
-             SELECT source, v_zero, s_scaled, exact_distinct,
-                    CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-                      * 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 0)
-                      AS BIGINT) AS est_raw,
-                    CASE WHEN v_zero > 0 THEN
-                      CAST(round(256.0 * round(ln(256.0 / CAST(v_zero AS DOUBLE)), 9), 0)
-                        AS BIGINT) END AS est_lc
-             FROM agg JOIN ex USING (source)),
-           pick AS (
-             SELECT source, v_zero, s_scaled, exact_distinct,
-                    CASE WHEN v_zero > 0 AND est_raw <= 640 THEN est_lc
-                         ELSE est_raw END AS est_hll
-             FROM est)
+                    AS exact_distinct FROM ng GROUP BY source)
            SELECT source, v_zero, s_scaled, exact_distinct, est_hll,
                   CAST(abs(est_hll - exact_distinct) * 1000000 // exact_distinct
                     AS BIGINT) AS err_ppm
-           FROM pick""",
+           FROM agg
+           JOIN ex USING (source)
+           JOIN ${SqlFragments.hllEstSql("agg", Seq("source"))} e USING (source)""",
       "stats_hll_overlap" ->
-        """WITH tok AS (
+        s"""WITH tok AS (
              SELECT source, string_split(text, ' ') AS ws FROM documents
              WHERE len(string_split(text, ' ')) >= 3),
            ng0 AS (
@@ -2254,25 +2241,10 @@ object TextAnalysis {
                     max(CASE WHEN h // 256 = 0 THEN 53
                              ELSE 53 - length(bin(h // 256)) END) AS m
              FROM h GROUP BY source, j),
-           est0 AS (
-             SELECT source,
-                    CAST(sum(CAST(1 AS BIGINT) << (53 - m))
-                         + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
-                      AS BIGINT) AS s_scaled,
-                    CAST(256 - count(*) AS BIGINT) AS v_zero
-             FROM reg GROUP BY source),
            est AS (
-             SELECT source,
-                    CASE WHEN v_zero > 0 AND est_raw <= 640 THEN est_lc
-                         ELSE est_raw END AS est_hll
-             FROM (SELECT source, v_zero,
-                          CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-                            * 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 0)
-                            AS BIGINT) AS est_raw,
-                          CASE WHEN v_zero > 0 THEN
-                            CAST(round(256.0 * round(ln(256.0 / CAST(v_zero AS DOUBLE)), 9), 0)
-                              AS BIGINT) END AS est_lc
-                   FROM est0)),
+             SELECT * FROM ${SqlFragments.hllEstSql(
+               SqlFragments.hllRegisterFoldSql("reg", Seq("source")),
+               Seq("source"))}),
            pairs AS (
              SELECT a.source AS src_a, b.source AS src_b
              FROM (SELECT DISTINCT source FROM dng) a
@@ -2285,25 +2257,10 @@ object TextAnalysis {
                SELECT p.src_a, p.src_b, r.j, r.m
                FROM pairs p JOIN reg r ON r.source = p.src_b)
              GROUP BY src_a, src_b, j),
-           uest0 AS (
-             SELECT src_a, src_b,
-                    CAST(sum(CAST(1 AS BIGINT) << (53 - m))
-                         + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
-                      AS BIGINT) AS s_scaled,
-                    CAST(256 - count(*) AS BIGINT) AS v_zero
-             FROM ureg GROUP BY src_a, src_b),
            uest AS (
-             SELECT src_a, src_b,
-                    CASE WHEN v_zero > 0 AND est_raw <= 640 THEN est_lc
-                         ELSE est_raw END AS est_union
-             FROM (SELECT src_a, src_b, v_zero,
-                          CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-                            * 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 0)
-                            AS BIGINT) AS est_raw,
-                          CASE WHEN v_zero > 0 THEN
-                            CAST(round(256.0 * round(ln(256.0 / CAST(v_zero AS DOUBLE)), 9), 0)
-                              AS BIGINT) END AS est_lc
-                   FROM uest0)),
+             SELECT * FROM ${SqlFragments.hllEstSql(
+               SqlFragments.hllRegisterFoldSql("ureg", Seq("src_a", "src_b")),
+               Seq("src_a", "src_b"), "est_union")}),
            ex AS (
              SELECT a.source AS src_a, b.source AS src_b,
                     CAST(count(*) AS BIGINT) AS exact_overlap

@@ -743,30 +743,13 @@ object EventAnalytics {
         countDistinct(col("c_user")).as("n_ctx_users"))
   }
 
-  /** Register→estimate SQL for one granularity of [[hllCube]] — the
-    * shared αm²·2⁵³/S + linear-counting discipline over a register
-    * CTE `src` with the given key columns.
+  /** Register→estimate SQL for one granularity of [[hllCube]] —
+    * delegates to the shared fold + estimator fragments so the float
+    * discipline stays single-sourced across every HLL oracle.
     */
-  private def hllCubeEstSql(src: String, keys: Seq[String]): String = {
-    val sel = if (keys.isEmpty) "" else keys.mkString(", ") + ","
-    val grp = if (keys.isEmpty) "" else "GROUP BY " + keys.mkString(", ")
-    s"""(SELECT $sel
-           CASE WHEN v_zero > 0 AND est_raw <= 640 THEN est_lc
-                ELSE est_raw END AS est_hll
-         FROM (SELECT $sel v_zero,
-                 CAST(round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
-                   * 9007199254740992.0 / CAST(s_scaled AS DOUBLE), 0)
-                   AS BIGINT) AS est_raw,
-                 CASE WHEN v_zero > 0 THEN
-                   CAST(round(256.0 * round(ln(256.0 / CAST(v_zero AS DOUBLE)), 9), 0)
-                     AS BIGINT) END AS est_lc
-               FROM (SELECT $sel
-                       CAST(sum(CAST(1 AS BIGINT) << (53 - m))
-                            + (256 - count(*)) * (CAST(1 AS BIGINT) << 53)
-                         AS BIGINT) AS s_scaled,
-                       CAST(256 - count(*) AS BIGINT) AS v_zero
-                     FROM $src $grp)))"""
-  }
+  private def hllCubeEstSql(src: String, keys: Seq[String]): String =
+    graft.functions.SqlFragments.hllEstSql(
+      graft.functions.SqlFragments.hllRegisterFoldSql(src, keys), keys)
 
   private lazy val HllCubeSql: String =
     s"""WITH hh AS (

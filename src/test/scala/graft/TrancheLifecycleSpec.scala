@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Dedup
+
+/** The production tranche lifecycle, chained end to end on fixtures:
+  *
+  *   release N (old corpus) → persistable artifacts (exact pairs +
+  *   component label forest) → tranche N+1 lands → INCREMENTAL exact
+  *   pairs (new×old and new×new only) → WARM-START components over
+  *   (label forest ∪ new pairs) → refreshed per-source release card
+  *
+  * pinned stage-by-stage equal to a cold full recompute. This is the
+  * composition all the incremental machinery exists for: each piece
+  * (`allPairsIncremental`, `componentsWarmStart`, the release card) is
+  * oracle-checked separately; this spec pins that CHAINED they
+  * reconstruct exactly the state a from-scratch release build produces
+  * — old×old work is never re-paired and the contraction restarts from
+  * flattened state, yet nothing observable differs.
+  *
+  * Fixture topology (cutoff = 100; old ids < 100, tranche ≥ 100):
+  *   - {1, 2}        identical old docs          → old×old pair
+  *   - {3, 100}      J = 9/11 across the cut     → tranche pair
+  *   - {4, 5, 103}   chain: (4,5) old, (5,103) tranche; (4,103) is
+  *                   BELOW threshold — the component merges old and
+  *                   new docs only through the chain, so warm-start
+  *                   must stitch a tranche edge onto a prior cluster
+  *   - {101, 102}    identical tranche docs      → new×new pair
+  *   - 6 (old), 104 (new): singletons, appear in no pair frame
+  */
+class TrancheLifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Cutoff = 100L
+
+  /** doc_id → distinct shingle-hash set. */
+  private val sets: Seq[(Long, Seq[Long])] = {
+    val a = (1L to 5L).map(10000L + _)
+    val b = (1L to 10L).map(20000L + _)
+    val d = (1L to 10L).map(30000L + _)
+    Seq(
+      1L -> a,
+      2L -> a,
+      3L -> b,
+      4L -> d,
+      5L -> (d.take(9) :+ 31001L),
+      6L -> (1L to 6L).map(40000L + _),
+      100L -> (b.take(9) :+ 21001L),
+      101L -> (1L to 4L).map(50000L + _),
+      102L -> (1L to 4L).map(50000L + _),
+      103L -> (d.take(9) ++ Seq(31001L, 31002L)),
+      104L -> (1L to 7L).map(60000L + _))
+  }
+
+  private def exOf(docIds: Long => Boolean): DataFrame =
+    sets.filter(s => docIds(s._1))
+      .flatMap { case (d, hs) => hs.map(h => (d, hs.size, h)) }
+      .toDF("doc_id", "sz", "h")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def labelSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("v", "comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** The release card's doc-grain core over the fixture corpus: per
+    * source, docs in and docs kept (keeper = not a non-root label).
+    */
+  private def card(labels: DataFrame): Set[(String, Long, Long)] = {
+    val docs = sets.map { case (d, _) =>
+      (d, if (d % 2 == 0) "web" else "books")
+    }.toDF("doc_id", "source")
+    val losers = labels.filter(col("v") =!= col("comp"))
+      .select(col("v").as("doc_id"), lit(true).as("is_loser"))
+    docs.join(losers, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_in"),
+        count(when(col("is_loser").isNull, 1)).as("docs_kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("release N → incremental pairs → warm components → card == cold full recompute") {
+    val exFull = exOf(_ => true)
+    val exOld = exOf(_ < Cutoff)
+
+    // ---- cold full recompute: the ground truth the lifecycle must hit
+    val pairsCold = Dedup.allPairsExactOn(exFull)
+    val (labelsCold, coldRounds) =
+      Dedup.starComponents(pairsCold.select(
+        col("doc_a").as("src"), col("doc_b").as("dst")))
+
+    // ---- release N: old-corpus pairs + persisted label state
+    val pairsOld = Dedup.allPairsExactOn(exOld)
+    assert(pairSet(pairsOld) === Set((1L, 2L), (4L, 5L)))
+    val (priorLabels, _) = Dedup.starComponents(pairsOld.select(
+      col("doc_a").as("src"), col("doc_b").as("dst")))
+
+    // ---- tranche N+1 lands: incremental pairs touch only id-larger-
+    // endpoint-new pairs, and the decomposition is EXACT (the prefix
+    // filter's completeness guarantee, composed across the cut)
+    val pairsNew = Dedup.allPairsIncrementalOn(exFull, Cutoff)
+    assert(pairSet(pairsNew) === Set((3L, 100L), (5L, 103L), (101L, 102L)))
+    assert(pairSet(pairsNew).forall(_._2 >= Cutoff))
+    assert(pairSet(pairsOld) ++ pairSet(pairsNew) === pairSet(pairsCold))
+
+    // ---- warm-start components: prior label FOREST ∪ tranche edges
+    val forest = priorLabels.filter(col("v") =!= col("comp"))
+      .select(col("v").as("src"), col("comp").as("dst"))
+    val (labelsWarm, warmRounds) = Dedup.starComponents(
+      forest.unionByName(pairsNew.select(
+        col("doc_a").as("src"), col("doc_b").as("dst"))))
+    assert(labelSet(labelsWarm) === labelSet(labelsCold))
+    assert(warmRounds <= coldRounds,
+      s"warm took $warmRounds rounds vs cold $coldRounds")
+    // the chain component really does span the cut with min-id label
+    assert(labelSet(labelsWarm).filter(_._2 == 4L).map(_._1) ===
+      Set(4L, 5L, 103L))
+
+    // ---- refreshed release card equals the cold card, and the
+    // keeper arithmetic is the expected one: losers are {2, 100,
+    // 5, 103, 102}; singletons 6 and 104 stay kept
+    val cardWarm = card(labelsWarm)
+    assert(cardWarm === card(labelsCold))
+    assert(cardWarm === Set(
+      ("web", 6L, 3L),    // in: 2,4,6,100,102,104 — kept: 4,6,104
+      ("books", 5L, 3L))) // in: 1,3,5,101,103    — kept: 1,3,101
+  }
+}
