@@ -397,30 +397,34 @@ object EventAnalytics {
     val typeRegs = cellRegs.groupBy("event_type", "j").agg(max("m").as("m"))
     val dayRegs = cellRegs.groupBy("day", "j").agg(max("m").as("m"))
     val allRegs = cellRegs.groupBy("j").agg(max("m").as("m"))
-    val exCell = triples.groupBy("event_type", "day")
-      .agg(count(lit(1)).as("exact_distinct"))
-    val exType = triples.select("event_type", "user_id").distinct()
-      .groupBy("event_type").agg(count(lit(1)).as("exact_distinct"))
-    val exDay = triples.select("day", "user_id").distinct()
-      .groupBy("day").agg(count(lit(1)).as("exact_distinct"))
-    val exAll = triples.select("user_id").distinct()
-      .agg(count(lit(1)).as("exact_distinct"))
-    def out(est: DataFrame, exact: DataFrame, keys: Seq[String],
-        typeCol: org.apache.spark.sql.Column,
-        dayCol: org.apache.spark.sql.Column): DataFrame = {
-      val joined = if (keys.isEmpty) est.crossJoin(broadcast(exact)) else est.join(exact, keys)
-      joined.select(typeCol.as("event_type"), dayCol.as("day"),
-        col("est_hll"), col("exact_distinct"))
-    }
+    // the four exact granularities fold into ONE grouping-sets pass:
+    // cube(event_type, day) over the distinct-triple frame with a
+    // count-distinct agg is exactly {(t,d),(t),(d),()} — one expand +
+    // two exchanges where four separate distinct/agg chains paid four,
+    // and identical values (at cell grain count distinct over the
+    // distinct triples ≡ count(*)). Neither key column is nullable in
+    // the data, so cube NULLs mark granularity unambiguously.
+    val ex = triples.cube("event_type", "day")
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    // estimates stay per-granularity register folds (register frames
+    // are ≤ |keys|×256 rows), unioned under the same NULL granularity
+    // marking so ONE null-safe equi-join attaches them to the exact
+    // side — est is tiny, so the join broadcasts
     val nullDay = lit(null).cast("timestamp")
-    out(hllEstimate(cellRegs, Seq("event_type", "day")), exCell,
-        Seq("event_type", "day"), col("event_type"), col("day"))
-      .unionByName(out(hllEstimate(typeRegs, Seq("event_type")), exType,
-        Seq("event_type"), col("event_type"), nullDay))
-      .unionByName(out(hllEstimate(dayRegs, Seq("day")), exDay,
-        Seq("day"), lit("__all__"), col("day")))
-      .unionByName(out(hllEstimate(allRegs, Seq.empty), exAll,
-        Seq.empty, lit("__all__"), nullDay))
+    val nullType = lit(null).cast("string")
+    val est = hllEstimate(cellRegs, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("est_hll"))
+      .unionByName(hllEstimate(typeRegs, Seq("event_type"))
+        .select(col("event_type"), nullDay.as("day"), col("est_hll")))
+      .unionByName(hllEstimate(dayRegs, Seq("day"))
+        .select(nullType.as("event_type"), col("day"), col("est_hll")))
+      .unionByName(hllEstimate(allRegs, Seq.empty)
+        .select(nullType.as("event_type"), nullDay.as("day"), col("est_hll")))
+      .withColumnRenamed("event_type", "et_k").withColumnRenamed("day", "day_k")
+    ex.join(est,
+        col("event_type") <=> col("et_k") && col("day") <=> col("day_k"))
+      .select(coalesce(col("event_type"), lit("__all__")).as("event_type"),
+        col("day"), col("est_hll"), col("exact_distinct"))
   }
 
   /** Event-type transition counts — the user-journey Markov matrix:
