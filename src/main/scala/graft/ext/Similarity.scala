@@ -779,6 +779,50 @@ object Similarity {
         (coalesce(col("n_nearer"), lit(0L)) === 0).as("keep"))
   }
 
+  /** Lexical × semantic near-dup AGREEMENT census — the audit that
+    * justifies running SemDeDup at all: of every pair flagged by
+    * either detector, how many does each see? `semantic_only` is the
+    * paraphrase mass MinHash structurally cannot catch (same content,
+    * different words — no shared shingles), `lexical_only` is
+    * boilerplate whose embeddings diverge (template pages with
+    * different payloads), `both` is the overlap a budget-constrained
+    * pipeline could serve with one detector. Semantic pairs are
+    * [[semDedup]]'s policy verbatim (within-cold-cell cosine ≥ 0.3 on
+    * the first-k quantizer); lexical pairs are [[graft.ext.Dedup
+    * .minhashLsh]] confirmed at est ≥ 0.8 — both memoized train-once
+    * artifacts, so the census itself adds only bounded-pair-frame
+    * work.
+    *
+    * Scale shape: the semantic pair join exchanges on the cell key of
+    * the persisted assignment (occupancy-bounded by [[semCellCap]]),
+    * the lexical side rides the banded candidate index, and the
+    * full-outer agreement join runs on two pair-grain frames that are
+    * linear in corpus size by construction — nothing here is ever
+    * all-pairs. Output is ≤ 3 rows.
+    */
+  def lexSemAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val assigned = semAssigned(spark, sfDir)
+    val cap = semCellCap(Tables.embeddings(spark, sfDir).count())
+    val occ = assigned.groupBy("cell").agg(count(lit(1)).as("occ"))
+    val cold = assigned.join(occ.filter(col("occ") <= cap).select("cell"), "cell")
+    val sem = cold.select(col("vec_id").as("doc_a"),
+        col("embedding").as("emb_a"), col("cell"))
+      .join(cold.select(col("vec_id").as("doc_b"),
+          col("embedding").as("emb_b"), col("cell").as("cell_b")),
+        col("cell") === col("cell_b") && col("doc_a") < col("doc_b"))
+      .filter(GraftFunctions.cosineSim(col("emb_a"), col("emb_b")) >= 0.3)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("is_sem"))
+    val lex = graft.ext.Dedup.minhashLsh(spark, sfDir)
+      .filter(col("est_jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("is_lex"))
+    sem.join(lex, Seq("doc_a", "doc_b"), "full_outer")
+      .select(when(col("is_sem").isNotNull && col("is_lex").isNotNull, "both")
+        .when(col("is_sem").isNotNull, "semantic_only")
+        .otherwise("lexical_only").as("agreement"))
+      .groupBy("agreement").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** LSH-bucketed approximate top-3: candidates share the query's
     * 8-bit hyperplane sign bucket; exact cosine re-rank within the
     * bucket. Recall < 1 by construction — the tradeoff the scale path
@@ -1615,6 +1659,43 @@ object Similarity {
             GROUP BY vec_id)"""
 
   /** Oracle fragment: per-vector double-precision cosine pieces. */
+  /** Shared oracle fragment: the SemDeDup assignment chain — first-k
+    * seed quantizer, per-vector argmax cell, hot-cell cap, and the
+    * under-cap (`cold`) membership — the SQL mirror of [[semAssigned]]
+    * + [[semCellCap]]. Used by the `semdedup` oracle and the
+    * lexical×semantic agreement census.
+    */
+  private val SemColdCtes =
+    s"""k AS (
+          SELECT greatest(8, count(*) // $TargetOccupancy) AS k FROM embeddings),
+        seeds AS (
+          SELECT vec_id AS cell, embedding AS cw FROM embeddings, k
+          WHERE vec_id < k.k),
+        ascore AS (
+          SELECT e.vec_id, s.cell,
+                 list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(s.cw[i+1] AS DOUBLE)
+                           for i in range(len(e.embedding))])
+                 / (sqrt(list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)
+                           for i in range(len(e.embedding))]))
+                    * sqrt(list_sum([CAST(s.cw[i+1] AS DOUBLE) * CAST(s.cw[i+1] AS DOUBLE)
+                           for i in range(len(s.cw))]))) AS cscore
+          FROM embeddings e, seeds s),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cscore DESC, cell ASC) AS rn
+            FROM ascore) WHERE rn = 1),
+        cap AS (
+          SELECT greatest($TargetOccupancy,
+                   (8 * (SELECT count(*) FROM embeddings)) // k.k) AS cap
+          FROM k),
+        cold AS (
+          SELECT a.vec_id, a.cell FROM assigned a
+          JOIN (SELECT cell, count(*) AS occ FROM assigned GROUP BY cell) o
+            USING (cell), cap
+          WHERE o.occ <= cap.cap)"""
+
   private val CosExpr =
     """list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
                  for i in range(len(q.embedding))])
@@ -2070,35 +2151,7 @@ object Similarity {
                 FROM scored)
           WHERE rn <= 5""",
     "semdedup" ->
-      s"""WITH k AS (
-            SELECT greatest(8, count(*) // $TargetOccupancy) AS k FROM embeddings),
-          seeds AS (
-            SELECT vec_id AS cell, embedding AS cw FROM embeddings, k
-            WHERE vec_id < k.k),
-          ascore AS (
-            SELECT e.vec_id, s.cell,
-                   list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(s.cw[i+1] AS DOUBLE)
-                             for i in range(len(e.embedding))])
-                   / (sqrt(list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)
-                             for i in range(len(e.embedding))]))
-                      * sqrt(list_sum([CAST(s.cw[i+1] AS DOUBLE) * CAST(s.cw[i+1] AS DOUBLE)
-                             for i in range(len(s.cw))]))) AS cscore
-            FROM embeddings e, seeds s),
-          assigned AS (
-            SELECT vec_id, cell FROM (
-              SELECT vec_id, cell,
-                     row_number() OVER (PARTITION BY vec_id
-                                        ORDER BY cscore DESC, cell ASC) AS rn
-              FROM ascore) WHERE rn = 1),
-          cap AS (
-            SELECT greatest($TargetOccupancy,
-                     (8 * (SELECT count(*) FROM embeddings)) // k.k) AS cap
-            FROM k),
-          cold AS (
-            SELECT a.vec_id, a.cell FROM assigned a
-            JOIN (SELECT cell, count(*) AS occ FROM assigned GROUP BY cell) o
-              USING (cell), cap
-            WHERE o.occ <= cap.cap),
+      s"""WITH $SemColdCtes,
           nearer AS (
             SELECT b.vec_id AS vec_b, count(*) AS n_nearer
             FROM cold a JOIN cold b
@@ -2111,6 +2164,27 @@ object Similarity {
                  CAST(coalesce(n.n_nearer, 0) AS BIGINT) AS n_nearer_dups,
                  coalesce(n.n_nearer, 0) = 0 AS keep
           FROM assigned a LEFT JOIN nearer n ON n.vec_b = a.vec_id""",
+    "sim_lexsem_agreement" ->
+      s"""WITH RECURSIVE ${graft.functions.SqlFragments.ShingleCte},
+          ${graft.ext.Dedup.Comp08Ctes},
+          $SemColdCtes,
+          sem_pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM cold a JOIN cold b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN embeddings q ON q.vec_id = a.vec_id
+            JOIN embeddings c ON c.vec_id = b.vec_id
+            WHERE $CosExpr >= 0.3)
+          SELECT agreement, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM (
+            SELECT CASE
+                     WHEN s.doc_a IS NOT NULL AND l.doc_a IS NOT NULL THEN 'both'
+                     WHEN s.doc_a IS NOT NULL THEN 'semantic_only'
+                     ELSE 'lexical_only' END AS agreement
+            FROM sem_pairs s
+            FULL OUTER JOIN candf l
+              ON s.doc_a = l.doc_a AND s.doc_b = l.doc_b)
+          GROUP BY agreement""",
     "sim_topk_mips" ->
       s"""WITH scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2579,6 +2653,7 @@ object Similarity {
     "emb_cluster_knn" -> knnClusters _,
     "sim_hard_negatives" -> hardNegatives _,
     "semdedup" -> semDedup _,
+    "sim_lexsem_agreement" -> lexSemAgreement _,
     "sim_recall_eval" -> recallEval _,
   )
 }

@@ -155,6 +155,47 @@ object Retrieval {
       .limit(10)
   }
 
+  /** Ranking-quality evaluation of the BM25 list — MRR@10 and NDCG@10
+    * against a deterministic relevance oracle: a document's graded
+    * relevance is its matched-term count (1..|Q|), "fully relevant" =
+    * matches ALL query terms. Retrieval stacks are tuned from exactly
+    * this table (swap in judged qrels at deployment; the dataflow is
+    * identical because relevance is a per-doc column either way).
+    *
+    * Float discipline: the DCG discount is the natural-log form
+    * (NDCG is invariant to the discount base up to the per-term
+    * rounding), `ln(rank+1)` is rounded at 1e-9 immediately, and each
+    * position's gain is floored to integer micro-points BEFORE the
+    * sum — the [[bm25Scores]] rule, so both engines sum identical
+    * integers. MRR and NDCG ship as ppm integers.
+    *
+    * Scale shape: both rank lists are distributed TakeOrdered trims to
+    * 10 rows before any window touches them; everything downstream is
+    * constant-size. The corpus cost is [[bm25Scores]]'s linear scan,
+    * shared with the serving query.
+    */
+  def rankEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scores = bm25Scores(spark, sfDir)
+    val sysW = Window.orderBy(col("score_e6").desc, col("doc_id").asc)
+    val sys = scores.orderBy(col("score_e6").desc, col("doc_id").asc).limit(10)
+      .withColumn("rank", row_number().over(sysW).cast("long"))
+    val idealW = Window.orderBy(col("n_terms").desc, col("doc_id").asc)
+    val ideal = scores.orderBy(col("n_terms").desc, col("doc_id").asc).limit(10)
+      .withColumn("rank", row_number().over(idealW).cast("long"))
+    def gainE6 = floor(col("n_terms") * lit(1e6)
+      / round(log(col("rank") + lit(1)), 9) + lit(0.5)).cast("long")
+    val dcg = sys.agg(sum(gainE6).as("dcg_e6"),
+      coalesce(min(when(col("n_terms") === QueryTerms.size, col("rank"))),
+        lit(0L)).as("first_rel3"))
+    val idcg = ideal.agg(sum(gainE6).as("idcg_e6"))
+    dcg.crossJoin(idcg).select(
+      when(col("first_rel3") > 0, expr("1000000 div first_rel3"))
+        .otherwise(lit(0L)).as("mrr_ppm"),
+      col("dcg_e6"), col("idcg_e6"),
+      expr("dcg_e6 * 1000000 div idcg_e6").as("ndcg_ppm"))
+  }
+
   val oracleSql: Map[String, String] = {
     val termValues = QueryTerms.map(t => s"('$t')").mkString(", ")
     val tfCte =
@@ -217,11 +258,40 @@ object Retrieval {
                       + coalesce(floor(1e6 / ($RrfK + cos_rank)), 0)
                      AS BIGINT) AS rrf_e6
             FROM bm FULL OUTER JOIN dense USING (doc_id)
-            ORDER BY rrf_e6 DESC, doc_id ASC LIMIT 10""")
+            ORDER BY rrf_e6 DESC, doc_id ASC LIMIT 10""",
+      "retrieval_rank_eval" ->
+        s"""WITH $tfCte,
+            sys AS (
+              SELECT doc_id, n_terms,
+                     CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id ASC)
+                       AS BIGINT) AS rank
+              FROM scored QUALIFY rank <= 10),
+            ideal AS (
+              SELECT doc_id, n_terms,
+                     CAST(row_number() OVER (ORDER BY n_terms DESC, doc_id ASC)
+                       AS BIGINT) AS rank
+              FROM scored QUALIFY rank <= 10),
+            sysagg AS (
+              SELECT CAST(sum(CAST(floor(n_terms * 1e6 / round(ln(rank + 1), 9) + 0.5)
+                       AS BIGINT)) AS BIGINT) AS dcg_e6,
+                     coalesce(min(CASE WHEN n_terms = ${QueryTerms.size}
+                                       THEN rank END), 0) AS first_rel3
+              FROM sys),
+            idealagg AS (
+              SELECT CAST(sum(CAST(floor(n_terms * 1e6 / round(ln(rank + 1), 9) + 0.5)
+                       AS BIGINT)) AS BIGINT) AS idcg_e6
+              FROM ideal)
+            SELECT CASE WHEN first_rel3 > 0
+                        THEN CAST(1000000 // first_rel3 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS mrr_ppm,
+                   dcg_e6, idcg_e6,
+                   CAST(dcg_e6 * 1000000 // idcg_e6 AS BIGINT) AS ndcg_ppm
+            FROM sysagg, idealagg""")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> bm25TopK _,
     "retrieval_rrf" -> hybridRrf _,
+    "retrieval_rank_eval" -> rankEval _,
   )
 }

@@ -19,6 +19,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("rank eval: DCG never exceeds the ideal, ratios are valid ppm") {
+    val r = graft.functions.Retrieval.rankEval(spark, sf).collect().head
+    val (mrr, dcg, idcg, ndcg) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(idcg > 0)
+    assert(dcg <= idcg, "the ideal ordering is optimal for its own gains")
+    assert(ndcg === dcg * 1000000L / idcg)
+    assert(ndcg >= 0 && ndcg <= 1000000L)
+    // MRR@10 is 0 (no fully-relevant doc in top-10) or 1e6/rank,
+    // rank in 1..10
+    assert(mrr == 0L || (1 to 10).map(1000000L / _).contains(mrr))
+  }
+
+  test("lexsem agreement: categories partition the union of both pair sets") {
+    val cats = graft.ext.Similarity.lexSemAgreement(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cats.keySet.subsetOf(Set("both", "semantic_only", "lexical_only")))
+    val nSem = cats.getOrElse("both", 0L) + cats.getOrElse("semantic_only", 0L)
+    val nLex = cats.getOrElse("both", 0L) + cats.getOrElse("lexical_only", 0L)
+    // each side reproduces its own detector's pair count exactly
+    val semDirect = graft.ext.Similarity.semDedup(spark, sf)
+      .agg(sum(col("n_nearer_dups"))).head().getLong(0)
+    val lexDirect = graft.ext.Dedup.minhashLsh(spark, sf)
+      .filter(col("est_jaccard") >= 0.8).count()
+    assert(nSem === semDirect)
+    assert(nLex === lexDirect)
+  }
+
   test("every declared query executes at sf0.001 and every oracle key exists") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
