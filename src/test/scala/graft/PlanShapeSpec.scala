@@ -542,4 +542,28 @@ class PlanShapeSpec extends AnyFunSuite {
       .contains("BroadcastNestedLoopJoin"), s"\n$plan")
     assert(plan.contains("LeftSemi"), s"\n$plan")
   }
+
+  test("retrieval_rank_eval: rank lists are TakeOrdered trims; no corpus-grain window") {
+    val df = SparkEntry.queries("retrieval_rank_eval")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"\n$plan")
+    // the only windows run over the 10-row trimmed lists: every Window
+    // node sits above a TakeOrdered, so no window input is corpus-grain
+    // — visible as the absence of any Exchange feeding a Window (the
+    // trimmed lists arrive as single-partition local relations)
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+  }
+
+  test("sim_lexsem_agreement: both pair generators stay bucketed equi-joins") {
+    val df = SparkEntry.queries("sim_lexsem_agreement")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    // 1-row scalar broadcasts (cell cap, corpus count) are the only
+    // nested loops; the cell self-join and the agreement join are
+    // hash/merge equi-joins
+    assert(!plan.replace("BroadcastNestedLoopJoin BuildRight, Cross", "")
+      .contains("BroadcastNestedLoopJoin"), s"\n$plan")
+  }
 }
