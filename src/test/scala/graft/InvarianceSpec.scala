@@ -96,6 +96,8 @@ class InvarianceSpec extends AnyFunSuite {
     "vocab_coverage",       // TakeOrdered trim + tiny-frame k-sweep
     "text_pmi_collocations", // vocab-sized margin joins + rounded-ln rank
     "sim_triangle_census",  // degree-oriented wedge semi-join census
+    "retrieval_rank_eval",  // TakeOrdered-trimmed lists + integer gains
+    "sim_lexsem_agreement", // full-outer pair-key join of memoized pair frames
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
