@@ -281,7 +281,7 @@ object Similarity {
             greatest(col("mc"),
               GraftFunctions.cosineSim(col("embedding"), col("c_emb")))
               .as("mc"))
-      ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) // corpus-sized ⇒ the storage-level rule
       val pick = next
         .select(col("vec_id"), round(col("mc"), 9).as("mc"))
         .orderBy(col("mc").asc, col("vec_id").asc).limit(1)
