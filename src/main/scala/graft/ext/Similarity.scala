@@ -762,18 +762,30 @@ object Similarity {
     * self-join exchange on the SAME cell key; rows in over-cap cells
     * skip pair generation and keep their documents.
     */
-  private[graft] def semDedupFrom(assigned: DataFrame, cap: Long): DataFrame = {
+  /** The within-cold-cell cosine-duplicate PAIRS (doc_a < doc_b) under
+    * an explicit hot-cell cap — THE semantic near-dup policy in one
+    * place, consumed by [[semDedupFrom]]'s keep resolution and by
+    * [[lexSemAgreement]]'s census so the two cannot drift (the census
+    * documents itself as "semDedup's policy verbatim"; this helper is
+    * what makes that structural, not aspirational).
+    */
+  private[graft] def semPairsFrom(assigned: DataFrame, cap: Long): DataFrame = {
     val occ = assigned.groupBy("cell").agg(count(lit(1)).as("occ"))
     val cold = assigned.join(occ.filter(col("occ") <= cap).select("cell"), "cell")
-    val nearer = cold.select(col("vec_id").as("vec_b"),
-        col("embedding").as("emb_b"), col("cell"))
-      .join(cold.select(col("vec_id").as("vec_a"),
-          col("embedding").as("emb_a"), col("cell").as("cell_a")),
-        col("cell") === col("cell_a") && col("vec_a") < col("vec_b"))
+    cold.select(col("vec_id").as("doc_a"),
+        col("embedding").as("emb_a"), col("cell"))
+      .join(cold.select(col("vec_id").as("doc_b"),
+          col("embedding").as("emb_b"), col("cell").as("cell_b")),
+        col("cell") === col("cell_b") && col("doc_a") < col("doc_b"))
       .filter(GraftFunctions.cosineSim(col("emb_a"), col("emb_b")) >= 0.3)
-      .groupBy("vec_b").agg(count(lit(1)).as("n_nearer"))
+      .select(col("doc_a"), col("doc_b"))
+  }
+
+  private[graft] def semDedupFrom(assigned: DataFrame, cap: Long): DataFrame = {
+    val nearer = semPairsFrom(assigned, cap)
+      .groupBy(col("doc_b").as("vec_id")).agg(count(lit(1)).as("n_nearer"))
     assigned.select(col("vec_id"), col("cell"))
-      .join(nearer.withColumnRenamed("vec_b", "vec_id"), Seq("vec_id"), "left_outer")
+      .join(nearer, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_nearer"), lit(0L)).as("n_nearer_dups"),
         (coalesce(col("n_nearer"), lit(0L)) === 0).as("keep"))
@@ -804,14 +816,7 @@ object Similarity {
     GraftFunctions.register(spark)
     val assigned = semAssigned(spark, sfDir)
     val cap = semCellCap(Tables.embeddings(spark, sfDir).count())
-    val occ = assigned.groupBy("cell").agg(count(lit(1)).as("occ"))
-    val cold = assigned.join(occ.filter(col("occ") <= cap).select("cell"), "cell")
-    val sem = cold.select(col("vec_id").as("doc_a"),
-        col("embedding").as("emb_a"), col("cell"))
-      .join(cold.select(col("vec_id").as("doc_b"),
-          col("embedding").as("emb_b"), col("cell").as("cell_b")),
-        col("cell") === col("cell_b") && col("doc_a") < col("doc_b"))
-      .filter(GraftFunctions.cosineSim(col("emb_a"), col("emb_b")) >= 0.3)
+    val sem = semPairsFrom(assigned, cap)
       .select(col("doc_a"), col("doc_b"), lit(true).as("is_sem"))
     val lex = graft.ext.Dedup.minhashLsh(spark, sfDir)
       .filter(col("est_jaccard") >= 0.8)
@@ -1658,7 +1663,6 @@ object Similarity {
               FROM embeddings e, planes pl)
             GROUP BY vec_id)"""
 
-  /** Oracle fragment: per-vector double-precision cosine pieces. */
   /** Shared oracle fragment: the SemDeDup assignment chain — first-k
     * seed quantizer, per-vector argmax cell, hot-cell cap, and the
     * under-cap (`cold`) membership — the SQL mirror of [[semAssigned]]
@@ -1696,6 +1700,7 @@ object Similarity {
             USING (cell), cap
           WHERE o.occ <= cap.cap)"""
 
+  /** Oracle fragment: per-vector double-precision cosine pieces. */
   private val CosExpr =
     """list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
                  for i in range(len(q.embedding))])

@@ -56,8 +56,22 @@ object Retrieval {
     * (libm vs java Math.log agree at that grain) and each term
     * contribution is floored to integer micro-points BEFORE the
     * per-doc sum — integer addition, immune to summation order.
+    *
+    * Memoized per (session, dir) and persisted DISK_ONLY (doc-grain ⇒
+    * the storage-level rule): three consumers reference this frame —
+    * [[bm25TopK]], [[hybridRrf]], and BOTH rank lists of [[rankEval]]
+    * — and Spark plans common subexpressions independently, so
+    * without memoization each subtree would re-pay the corpus scan.
     */
-  private def bm25Scores(spark: SparkSession, sfDir: String): DataFrame = {
+  private val bm25ScoresCache = new graft.SessionCache[DataFrame]
+
+  private def bm25Scores(spark: SparkSession, sfDir: String): DataFrame =
+    bm25ScoresCache.getOrElseUpdate(spark, sfDir) {
+      bm25ScoresBuild(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+
+  private def bm25ScoresBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     def tfOf(t: String): Column = {
       val ws = words(col("text"))

@@ -342,9 +342,10 @@ object EventAnalytics {
     * register→estimate float discipline) and the md5 hash/rank
     * derivation, so the sketch is cross-engine bit-exact. The
     * `exact_distinct` column is the EVAL HARNESS — it pays the exact
-    * distinct the sketch avoids; rollup sentinels are '__all__' /
-    * NULL-day so every join below runs on non-null keys within its
-    * own granularity.
+    * distinct the sketch avoids. Granularity is marked by cube NULLs
+    * on BOTH sides and the est↔exact join is NULL-SAFE (`<=>`) on the
+    * marked keys — an `===` join would silently drop every rollup row;
+    * the '__all__' sentinel is applied only in the final projection.
     */
   /** The finest-grain (event_type, day, j, m) user registers from a
     * batch OR streaming events frame — the shared derivation that

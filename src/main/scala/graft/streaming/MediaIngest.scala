@@ -20,7 +20,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     keeper set is micro-batch-sized and AQE broadcasts it anyway,
   *     but on a backfill/restart batch (earliest-offset replay of a
   *     large topic) it is corpus-sized and a forced broadcast would
-  *     OOM the driver;
+  *     OOM the driver. When the keeper side cannot broadcast
+  *     (backfill, or a deployment with AQE disabled and no usable
+  *     stats), the re-attach degrades to ONE bounded shuffle of the
+  *     batch's payload rows — deliberately the scale-safe direction
+  *     of the trade: an exchange spills to disk, an over-large driver
+  *     broadcast does not;
   *  3. landed state is a checksum-only parquet index (16-byte rows per
   *     landed payload, not the media itself) read back per batch — the
   *     cross-batch memory of the gate, the same filter-as-data shape
