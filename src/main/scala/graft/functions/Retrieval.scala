@@ -65,7 +65,7 @@ object Retrieval {
     */
   private val bm25ScoresCache = new graft.SessionCache[DataFrame]
 
-  private def bm25Scores(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def bm25Scores(spark: SparkSession, sfDir: String): DataFrame =
     bm25ScoresCache.getOrElseUpdate(spark, sfDir) {
       bm25ScoresBuild(spark, sfDir)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
