@@ -41,6 +41,27 @@ object Retrieval {
 
   private def words(c: Column): Column = split(c, " ")
 
+  /** Occurrences of term `t` in the document's whitespace tokens. */
+  private def termTf(t: String): Column =
+    size(filter(words(col("text")), w => w === lit(t))).cast("long")
+
+  /** BM25 corpus statistics — ONE row: document count, total token
+    * mass, and each query term's document frequency. Every column is a
+    * sum-monoid over arriving documents (count / integer sum /
+    * conditional count), which is what makes the streaming refresh
+    * twin ([[graft.streaming.SketchRefresh.startBm25Stats]]) maintain
+    * the identical row live without re-scanning the landed corpus.
+    */
+  private[graft] def corpusStats(docs: DataFrame): DataFrame = {
+    val aggs =
+      count(lit(1)).as("n_docs") +:
+        sum(size(words(col("text")))).cast("double").as("sum_dl") +:
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          count_if(termTf(t) > 0).as(s"df_$i")
+        }
+    docs.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-document BM25 scores — TWO corpus scans and ZERO wide
     * exchanges, because the term set is fixed at plan time: scan 1 is
     * one global aggregate producing (n_docs, sum_dl) AND every term's
@@ -73,17 +94,7 @@ object Retrieval {
 
   private def bm25ScoresBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    def tfOf(t: String): Column = {
-      val ws = words(col("text"))
-      size(filter(ws, w => w === lit(t))).cast("long")
-    }
-    val statAggs =
-      count(lit(1)).as("n_docs") +:
-        sum(size(words(col("text")))).cast("double").as("sum_dl") +:
-        QueryTerms.zipWithIndex.map { case (t, i) =>
-          count_if(tfOf(t) > 0).as(s"df_$i")
-        }
-    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val stats = corpusStats(docs)
     val idfE9 = QueryTerms.indices.map { i =>
       floor(log(lit(1.0)
           + (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5)))
@@ -91,7 +102,7 @@ object Retrieval {
     }
     val docCols =
       col("doc_id") +: size(words(col("text"))).cast("long").as("dl") +:
-        QueryTerms.zipWithIndex.map { case (t, i) => tfOf(t).as(s"tf_$i") }
+        QueryTerms.zipWithIndex.map { case (t, i) => termTf(t).as(s"tf_$i") }
     val scored = docs.select(docCols: _*)
       .crossJoin(broadcast(stats.select(
         col("n_docs") +: col("sum_dl") +: idfE9: _*)))

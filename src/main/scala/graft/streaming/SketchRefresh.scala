@@ -160,6 +160,27 @@ object SketchRefresh {
       checkpoint: Option[String] = None): StreamingQuery =
     startComplete(userCellRegisters(events), queryName, trigger, checkpoint)
 
+  /** BM25 corpus statistics — the retrieval-serving leg of the
+    * refresh suite: (n_docs, Σ doc_len, per-term df) are ALL
+    * sum-monoids over arriving documents, so the maintained ONE-row
+    * state equals the batch aggregate over everything ever seen and
+    * the scoring projection (`retrieval_bm25`'s broadcast stats row)
+    * serves fresh-corpus scores without re-scanning the landed corpus.
+    * State is bounded at one row regardless of corpus size.
+    */
+  def bm25Stats(docs: DataFrame): DataFrame =
+    graft.functions.Retrieval.corpusStats(docs)
+
+  /** Start the BM25-stats refresh (complete mode into a memory table
+    * `queryName`) — same lifecycle as [[start]].
+    */
+  def startBm25Stats(
+      docs: DataFrame,
+      queryName: String,
+      trigger: Option[Trigger] = None,
+      checkpoint: Option[String] = None): StreamingQuery =
+    startComplete(bm25Stats(docs), queryName, trigger, checkpoint)
+
   /** Start the MG candidate refresh (complete mode into a memory table
     * `queryName`) — same lifecycle as [[start]].
     */

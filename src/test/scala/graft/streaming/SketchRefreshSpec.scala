@@ -108,6 +108,44 @@ class SketchRefreshSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streamed BM25 corpus stats equal the batch aggregate, across batches and a restart") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ckpt = TestSpark.tmpDir("bm25-stats-ckpt")
+    // terms spark/join/window appear across batches so every df column
+    // genuinely accumulates
+    val b1 = Seq(
+      (1L, "spark join window scan merge", "en", "web", 29L),
+      (2L, "filter group agg plan", "en", "web", 22L))
+    val b2 = Seq(
+      (3L, "spark window vector row", "en", "books", 23L),
+      (4L, "join join join", "en", "books", 14L))
+    def batchStats(rows: Seq[(Long, String, String, String, Long)]) =
+      SketchRefresh.bm25Stats(rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .as[(Long, Double, Long, Long, Long)].collect().head
+    def streamedStats() = spark.table("bm25_stats_test")
+      .as[(Long, Double, Long, Long, Long)].collect().head
+    val q1 = SketchRefresh.startBm25Stats(docs, "bm25_stats_test",
+      checkpoint = Some(ckpt))
+    input.addData(b1)
+    q1.processAllAvailable()
+    assert(streamedStats() === batchStats(b1))
+    q1.stop() // crash/redeploy — the 1-row state lives in the checkpoint
+    val q2 = SketchRefresh.startBm25Stats(docs, "bm25_stats_test",
+      checkpoint = Some(ckpt))
+    try {
+      input.addData(b2)
+      q2.processAllAvailable()
+      val s = streamedStats()
+      assert(s === batchStats(b1 ++ b2),
+        "recovered stats must equal the batch fold over pre- AND post-restart docs")
+      // hand-check the monoid columns: 4 docs, 16 tokens, df(spark)=2,
+      // df(join)=2, df(window)=2
+      assert(s === ((4L, 16.0, 2L, 2L, 2L)))
+    } finally q2.stop()
+  }
+
   test("streamed daily volume feeds the CUSUM tail bit-identically to the batch changepoint") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
