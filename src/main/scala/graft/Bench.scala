@@ -187,6 +187,7 @@ object Bench {
         "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),
         "dsir_model" -> (() => { operators.Advanced.dsirModel(spark, queryDir); () }),
         "bm25_scores" -> (() => { functions.Retrieval.bm25Scores(spark, queryDir).count(); () }),
+        "user_triples" -> (() => { operators.EventAnalytics.userTriples(spark, queryDir).count(); () }),
         "sem_cells" -> (() => { ext.Similarity.semAssigned(spark, queryDir).count(); () })),
       Seq(
         // bigram_model is a vocabulary-sized derivation of wave-1's

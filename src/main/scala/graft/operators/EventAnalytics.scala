@@ -372,7 +372,7 @@ object EventAnalytics {
     * Sub-corpus-sized but grows with users × cells ⇒ DISK_ONLY under
     * the storage-level rule.
     */
-  private def userTriples(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def userTriples(spark: SparkSession, sfDir: String): DataFrame =
     userTripleCache.getOrElseUpdate(spark, sfDir) {
       Tables.events(spark, sfDir)
         .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
