@@ -255,7 +255,31 @@ object Similarity {
     * max is associative, so rounding the running max at pick time is
     * bit-identical to rounding a from-scratch `max(cs)` — the selected
     * set cannot differ from the naive form's.
+    *
+    * Each round's state is an EAGER DISK_ONLY localCheckpoint, not a
+    * plain persist: a persisted round-t frame still chains its RDD
+    * lineage (and its logical plan) through every unpersisted
+    * predecessor back to the corpus scan, so recovery of one lost
+    * block late in the greedy recomputes a t-deep chain and Catalyst
+    * re-analyzes a growing tree each round. The checkpoint cuts both —
+    * downstream rounds start from a leaf. The predecessor's blocks are
+    * released explicitly (checkpointed RDDs sit outside the cache
+    * manager, so `unpersist` on the Dataset would be a no-op).
     */
+  /** Release the blocks of a localCheckpointed frame. Checkpointed
+    * RDDs live outside the SQL cache manager, so `Dataset.unpersist`
+    * cannot free them and the ContextCleaner only reclaims them at
+    * some later GC — too lazy for an iterative loop holding one
+    * corpus-sized state per round. The checkpointed RDD is the leaf
+    * of the frame's analyzed plan (a LogicalRDD).
+    */
+  private def checkpointRelease(chk: DataFrame): () => Unit = {
+    val rdds = chk.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    () => rdds.foreach(_.unpersist(blocking = false))
+  }
+
   def kcenterCoreset(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     // the corpus enters through the memoized bucketed frame so the
@@ -265,6 +289,7 @@ object Similarity {
     val seed = emb.agg(min(col("vec_id"))).head().getLong(0)
     var selected = Vector[(Long, Long, java.lang.Double)]((1L, seed, null))
     var state: DataFrame = null // (vec_id, embedding, mc) — unrounded running max
+    var freeState: () => Unit = () => ()
     var newestId = seed
     for (t <- 2 to KCenters) {
       val newest = emb.filter(col("vec_id") === newestId)
@@ -281,20 +306,22 @@ object Similarity {
             greatest(col("mc"),
               GraftFunctions.cosineSim(col("embedding"), col("c_emb")))
               .as("mc"))
-      ).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) // corpus-sized ⇒ the storage-level rule
+      ).localCheckpoint(true, // corpus-sized ⇒ the storage-level rule
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val pick = next
         .select(col("vec_id"), round(col("mc"), 9).as("mc"))
         .orderBy(col("mc").asc, col("vec_id").asc).limit(1)
         .head()
-      // the TakeOrdered fully materialized `next`'s cache; the prior
-      // round's state is now dead weight
-      if (state != null) state.unpersist(blocking = false)
+      // the eager checkpoint materialized `next`; the prior round's
+      // state is now dead weight — release its checkpoint blocks
+      freeState()
+      freeState = checkpointRelease(next)
       state = next
       newestId = pick.getLong(0)
       selected :+= ((t.toLong, newestId,
         java.lang.Double.valueOf(pick.getDouble(1))))
     }
-    if (state != null) state.unpersist(blocking = false)
+    freeState()
     val rows = selected.map { case (r, v, mc) =>
       org.apache.spark.sql.Row(r, v,
         if (mc == null) null

@@ -210,15 +210,19 @@ object Retrieval {
       .withColumn("rank", row_number().over(idealW).cast("long"))
     def gainE6 = floor(col("n_terms") * lit(1e6)
       / round(log(col("rank") + lit(1)), 9) + lit(0.5)).cast("long")
-    val dcg = sys.agg(sum(gainE6).as("dcg_e6"),
+    // coalesce to 0 so a corpus matching NO query term (empty score
+    // relation → NULL aggregates) still honours the integer-ppm
+    // contract: dcg/idcg/ndcg all 0, never NULL
+    val dcg = sys.agg(coalesce(sum(gainE6), lit(0L)).as("dcg_e6"),
       coalesce(min(when(col("n_terms") === QueryTerms.size, col("rank"))),
         lit(0L)).as("first_rel3"))
-    val idcg = ideal.agg(sum(gainE6).as("idcg_e6"))
+    val idcg = ideal.agg(coalesce(sum(gainE6), lit(0L)).as("idcg_e6"))
     dcg.crossJoin(idcg).select(
       when(col("first_rel3") > 0, expr("1000000 div first_rel3"))
         .otherwise(lit(0L)).as("mrr_ppm"),
       col("dcg_e6"), col("idcg_e6"),
-      expr("dcg_e6 * 1000000 div idcg_e6").as("ndcg_ppm"))
+      when(col("idcg_e6") > 0, expr("dcg_e6 * 1000000 div idcg_e6"))
+        .otherwise(lit(0L)).as("ndcg_ppm"))
   }
 
   val oracleSql: Map[String, String] = {
@@ -297,20 +301,22 @@ object Retrieval {
                        AS BIGINT) AS rank
               FROM scored QUALIFY rank <= 10),
             sysagg AS (
-              SELECT CAST(sum(CAST(floor(n_terms * 1e6 / round(ln(rank + 1), 9) + 0.5)
-                       AS BIGINT)) AS BIGINT) AS dcg_e6,
+              SELECT coalesce(CAST(sum(CAST(floor(n_terms * 1e6 / round(ln(rank + 1), 9) + 0.5)
+                       AS BIGINT)) AS BIGINT), 0) AS dcg_e6,
                      coalesce(min(CASE WHEN n_terms = ${QueryTerms.size}
                                        THEN rank END), 0) AS first_rel3
               FROM sys),
             idealagg AS (
-              SELECT CAST(sum(CAST(floor(n_terms * 1e6 / round(ln(rank + 1), 9) + 0.5)
-                       AS BIGINT)) AS BIGINT) AS idcg_e6
+              SELECT coalesce(CAST(sum(CAST(floor(n_terms * 1e6 / round(ln(rank + 1), 9) + 0.5)
+                       AS BIGINT)) AS BIGINT), 0) AS idcg_e6
               FROM ideal)
             SELECT CASE WHEN first_rel3 > 0
                         THEN CAST(1000000 // first_rel3 AS BIGINT)
                         ELSE CAST(0 AS BIGINT) END AS mrr_ppm,
                    dcg_e6, idcg_e6,
-                   CAST(dcg_e6 * 1000000 // idcg_e6 AS BIGINT) AS ndcg_ppm
+                   CASE WHEN idcg_e6 > 0
+                        THEN CAST(dcg_e6 * 1000000 // idcg_e6 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS ndcg_ppm
             FROM sysagg, idealagg""")
   }
 

@@ -10,10 +10,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * BYTES kept out of every exchange:
   *
   *  1. per micro-batch, checksums are computed in a projection and the
-  *     dedup decision runs on (doc_id, payload_md5) rows ONLY — the
-  *     keeper aggregate and the landed-hash anti-join never carry the
-  *     binary column (the [[graft.ext.Multimodal]] scale discipline,
-  *     streamed);
+  *     dedup DECISION (keeper aggregate + landed-hash anti-join) runs
+  *     on (doc_id, payload_md5) rows ONLY — those two operators never
+  *     carry the binary column (the [[graft.ext.Multimodal]] scale
+  *     discipline, streamed). The payload itself crosses an exchange
+  *     at most once, in the re-attach join of point 2, and only when
+  *     the keeper side does not broadcast — and that exchange is
+  *     per-batch bounded by the source trigger size (maxOffsets /
+  *     maxFiles per trigger), which is the actual safety argument:
+  *     no plan here ever shuffles more payload bytes than one
+  *     trigger admits;
   *  2. the winning ids re-attach to their payloads through an
   *     equi-join on (payload_md5, doc_id) whose strategy is left to
   *     stats/AQE — NO broadcast hint: on the normal trigger path the

@@ -549,10 +549,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     // the stats scan folds only the text column; the scoring scan
     // carries (doc_id, text) — neither ever reads lang/source/n_chars
-    assert(plan.contains("ReadSchema: struct<text:string>")
-      || plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"\n$plan")
+    assert(plan.contains("ReadSchema: struct<text:string>"), s"\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), s"\n$plan")
     assert(!plan.contains("n_chars"), s"\n$plan")
     assert(!plan.contains("source:string"), s"\n$plan")
+    assert(!plan.contains("lang"), s"\n$plan")
   }
 
   test("retrieval_rank_eval: rank lists are TakeOrdered trims; no corpus-grain window") {
