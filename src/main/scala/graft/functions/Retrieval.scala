@@ -21,12 +21,34 @@ import graft.Tables
   */
 object Retrieval {
 
-  /** Fixed keyword query for the declared BM25/RRF queries — a
-    * constant so the DuckDB oracle can embed the same literals. Real
-    * deployments parameterize this; the plan shape (per-row projection
-    * over a broadcast term set) is unchanged.
+  /** Fixed keyword query for the declared single-query BM25/RRF
+    * queries — a constant so the DuckDB oracle can embed the same
+    * literals. The plan shape (per-row projection over a broadcast
+    * term set) is the fastest form when the query IS fixed; the
+    * parameterized path is the `*Multi` family below.
     */
   private[graft] val QueryTerms: Seq[String] = Seq("spark", "join", "window")
+
+  /** Fixture query BATCH for the multi-query retrieval family — the
+    * (query_id, term) relation a real RAG / dedup-audit layer serves
+    * from. query_id doubles as the query's embedding vec_id on the
+    * dense side (the corpus convention: doc_id ≡ vec_id). The declared
+    * queries bind this fixture; [[bm25ScoredMulti]] itself takes ANY
+    * (query_id, term) frame.
+    */
+  private[graft] val QuerySet: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "join", "window"),
+    2L -> Seq("hash", "filter", "scan"),
+    3L -> Seq("sort", "group"),
+    4L -> Seq("query", "fast", "slow", "batch"),
+  )
+
+  /** The fixture [[QuerySet]] as its (query_id, term) relation. */
+  private[graft] def queryTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    QuerySet.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+  }
 
   /** BM25 free parameters (the standard Okapi defaults). */
   private[graft] val K1 = 1.2
@@ -225,8 +247,191 @@ object Retrieval {
         .otherwise(lit(0L)).as("ndcg_ppm"))
   }
 
+  /** Results kept per query by [[bm25MultiTopK]] / [[hybridRrfMulti]]. */
+  private[graft] val MultiTopK = 10
+
+  /** Multi-query BM25 scores for an arbitrary (query_id, term) query
+    * table — the parameterized counterpart of [[bm25Scores]], scoring
+    * a BATCH of queries in one corpus pass. Dataflow (the inverted-
+    * posting shape):
+    *
+    *  1. tokens explode from the document scan and are immediately
+    *     trimmed by a broadcast semi-join against the queries' DISTINCT
+    *     term vocabulary — map-only, nothing corpus-token-grain ever
+    *     shuffles;
+    *  2. ONE exchange at (doc_id, term) grain builds the postings
+    *     (tf counts), with map-side partial aggregation trimming it to
+    *     per-task distinct (doc, matched-term) partials;
+    *  3. document frequencies group the postings by term (query-vocab-
+    *     bounded) and join the 1-row corpus stats — idf is a broadcast
+    *     relation of |vocab| rows (the quantizer-as-data discipline);
+    *  4. per-(query, doc) contributions attach idf and the query table
+    *     through broadcast joins on term, and the only other exchange
+    *     aggregates them at (query_id, doc_id) grain.
+    *
+    * That is the 100 TB shape: corpus cost is one scan + one postings
+    * exchange REGARDLESS of how many queries ride the batch; per-query
+    * cost scales with matched postings only. Determinism is the
+    * [[bm25Scores]] rule verbatim: idf floored at 1e-9 off the ln,
+    * every contribution floored to integer micro-points BEFORE the
+    * per-(query, doc) sum.
+    *
+    * The query table must be broadcast-sized (thousands of queries ×
+    * terms — it is the SMALL side by contract; a corpus-sized query
+    * set is a different operator: a similarity self-join).
+    */
+  private[graft] def bm25ScoredMulti(docs: DataFrame, queries: DataFrame): DataFrame = {
+    val terms = queries.select("term").distinct()
+    val toks = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("dl"),
+      explode(words(col("text"))).as("term"))
+    // persisted because TWO branches consume it (df/idf and scoring)
+    // and Spark plans common subtrees independently — without this the
+    // corpus explode runs twice. Matched-postings grain (query-vocab
+    // tokens only), far below corpus size; owned by the caller's
+    // lifecycle (the declared queries reach it through the memoized
+    // [[multiScores]], so it lives exactly as long as that cache).
+    val postings = toks.join(broadcast(terms), Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(words(col("text")))).cast("double").as("sum_dl"))
+    val idf = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        floor(log(lit(1.0)
+            + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * lit(1e9) + lit(0.5)).cast("long").as("idf_e9"),
+        col("n_docs"), col("sum_dl"))
+    postings.join(broadcast(idf), Seq("term"))
+      .join(broadcast(queries), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        floor(col("idf_e9") / lit(1e9) * (col("tf") * lit(K1 + 1))
+            / (col("tf") + lit(K1) * (lit(1 - B)
+              + lit(B) * col("dl") / (col("sum_dl") / col("n_docs"))))
+          * lit(1e6) + lit(0.5)).cast("long").as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).as("score_e6"), count(lit(1)).as("n_terms"))
+  }
+
+  /** Memoized fixture-batch scores — two declared consumers
+    * ([[bm25MultiTopK]], [[hybridRrfMulti]]) share the corpus pass
+    * (the [[bm25Scores]] memoization rationale; (query, doc) grain ⇒
+    * DISK_ONLY per the storage-level rule).
+    */
+  private val multiScoresCache = new graft.SessionCache[DataFrame]
+
+  private[graft] def multiScores(spark: SparkSession, sfDir: String): DataFrame =
+    multiScoresCache.getOrElseUpdate(spark, sfDir) {
+      bm25ScoredMulti(Tables.documents(spark, sfDir), queryTable(spark))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+
+  /** Per-query BM25 top-[[MultiTopK]] over the fixture query batch.
+    * The per-query cut runs through [[TopK.topK]] (bounded-heap
+    * partial aggregation), NOT a `Window.partitionBy(query_id)`: a
+    * window ships EVERY matched (query, doc) score to its query's
+    * reducer; the heap trims to K rows per query per map task before
+    * the exchange. (n_terms rides the heap packed into the id's low 3
+    * bits — doc_id order, and so the (score desc, id asc) tie-break,
+    * is preserved because the packing is monotone in doc_id.)
+    */
+  def bm25MultiTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    multiScores(spark, sfDir)
+      .select(col("query_id"),
+        (col("doc_id") * 8 + col("n_terms")).as("packed"),
+        col("score_e6").cast("double").as("s"))
+      .groupBy("query_id")
+      .agg(TopK.topK(MultiTopK)(col("packed"), col("s")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        expr("col._1 div 8").as("doc_id"),
+        col("col._2").cast("long").as("score_e6"),
+        (col("col._1") % 8).as("n_terms"))
+  }
+
+  /** Per-query reciprocal-rank fusion over the fixture batch — the
+    * multi-query [[hybridRrf]]: each query fuses its BM25 list with a
+    * dense cosine list against ITS OWN query vector (vec_id =
+    * query_id; the query's own row is excluded from both lists, as in
+    * the single-query form). Both sides trim to [[RrfDepth]] per query
+    * through the bounded-heap aggregator before the fusion join, so
+    * fusion and the final per-query window run over ≤ |queries| ×
+    * 2·[[RrfDepth]] rows — constant-size however big the corpus.
+    */
+  def hybridRrfMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val bm = multiScores(spark, sfDir)
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id")
+      .agg(TopK.topK(RrfDepth)(col("doc_id"), col("score_e6").cast("double"))
+        .as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), col("col._1").as("doc_id"),
+        (col("pos") + 1).cast("long").as("bm25_rank"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.join(
+        broadcast(queryTable(spark).select("query_id").distinct()),
+        col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("embedding").as("q_emb"))
+    val dense = emb.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.functions.expressions.GraftFunctions
+          .cosineSim(col("embedding"), col("q_emb")), 6).as("cscore"))
+      .groupBy("query_id")
+      .agg(TopK.topK(RrfDepth)(col("vec_id"), col("cscore")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(col("query_id"), col("col._1").as("doc_id"),
+        (col("pos") + 1).cast("long").as("cos_rank"))
+    val fused = bm.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        (coalesce(floor(lit(1e6) / (lit(RrfK) + col("bm25_rank"))), lit(0L))
+          + coalesce(floor(lit(1e6) / (lit(RrfK) + col("cos_rank"))), lit(0L)))
+          .cast("long").as("rrf_e6"))
+    // the window's input is the bounded fused frame (≤ 2·RrfDepth rows
+    // per query), never the corpus — the post-trim window rule
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_e6").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= MultiTopK)
+  }
+
   val oracleSql: Map[String, String] = {
     val termValues = QueryTerms.map(t => s"('$t')").mkString(", ")
+    val qValues = QuerySet.flatMap { case (q, ts) =>
+      ts.map(t => s"(CAST($q AS BIGINT), '$t')")
+    }.mkString(", ")
+    val qIds = QuerySet.map(_._1).mkString(", ")
+    val multiCte =
+      s"""q(query_id, term) AS (VALUES $qValues),
+          md AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          mtoks AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                           unnest(ws) AS term
+                    FROM md),
+          mpost AS (
+            SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+            FROM mtoks JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+            GROUP BY doc_id, dl, term),
+          mg AS (SELECT count(*) AS n_docs,
+                        CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS sum_dl
+                 FROM documents),
+          midf AS (
+            SELECT term,
+                   CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e9 + 0.5)
+                     AS BIGINT) AS idf_e9, n_docs, sum_dl
+            FROM (SELECT term, count(*) AS df FROM mpost GROUP BY term), mg),
+          mcontrib AS (
+            SELECT q.query_id, p.doc_id,
+                   CAST(floor(idf_e9 / 1e9 * (tf * ${K1 + 1})
+                          / (tf + $K1 * (${1 - B} + $B * dl / (sum_dl / n_docs)))
+                        * 1e6 + 0.5) AS BIGINT) AS c
+            FROM mpost p JOIN midf USING (term) JOIN q USING (term)),
+          mscored AS (
+            SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_e6,
+                   count(*) AS n_terms
+            FROM mcontrib GROUP BY query_id, doc_id)"""
     val tfCte =
       s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           tf AS (
@@ -317,12 +522,65 @@ object Retrieval {
                    CASE WHEN idcg_e6 > 0
                         THEN CAST(dcg_e6 * 1000000 // idcg_e6 AS BIGINT)
                         ELSE CAST(0 AS BIGINT) END AS ndcg_ppm
-            FROM sysagg, idealagg""")
+            FROM sysagg, idealagg""",
+      "retrieval_bm25_multi" ->
+        s"""WITH $multiCte
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score_e6,
+                   n_terms
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC)
+                    AS rank
+                  FROM mscored)
+            WHERE rank <= $MultiTopK""",
+      "retrieval_rrf_multi" ->
+        s"""WITH $multiCte,
+            mbm AS (
+              SELECT query_id, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY score_e6 DESC, doc_id ASC)
+                       AS BIGINT) AS bm25_rank
+              FROM mscored WHERE doc_id != query_id
+              QUALIFY bm25_rank <= $RrfDepth),
+            mqv AS (SELECT vec_id AS query_id, embedding
+                    FROM embeddings WHERE vec_id IN ($qIds)),
+            mdense AS (
+              SELECT query_id, vec_id AS doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cscore DESC, vec_id ASC)
+                       AS BIGINT) AS cos_rank
+              FROM (
+                SELECT q.query_id, c.vec_id,
+                       round(list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+                                 for i in range(len(q.embedding))])
+                         / (sqrt(list_sum([CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE)
+                                 for i in range(len(q.embedding))]))
+                            * sqrt(list_sum([CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)
+                                 for i in range(len(c.embedding))]))), 6) AS cscore
+                FROM embeddings c, mqv q WHERE c.vec_id != q.query_id)
+              QUALIFY cos_rank <= $RrfDepth),
+            mfused AS (
+              SELECT coalesce(b.query_id, d.query_id) AS query_id,
+                     coalesce(b.doc_id, d.doc_id) AS doc_id,
+                     b.bm25_rank, d.cos_rank,
+                     CAST(coalesce(floor(1e6 / ($RrfK + b.bm25_rank)), 0)
+                        + coalesce(floor(1e6 / ($RrfK + d.cos_rank)), 0)
+                       AS BIGINT) AS rrf_e6
+              FROM mbm b FULL OUTER JOIN mdense d
+                ON b.query_id = d.query_id AND b.doc_id = d.doc_id)
+            SELECT query_id, doc_id, bm25_rank, cos_rank, rrf_e6,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id ASC)
+                    AS rank
+                  FROM mfused)
+            WHERE rank <= $MultiTopK""")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieval_bm25" -> bm25TopK _,
     "retrieval_rrf" -> hybridRrf _,
     "retrieval_rank_eval" -> rankEval _,
+    "retrieval_bm25_multi" -> bm25MultiTopK _,
+    "retrieval_rrf_multi" -> hybridRrfMulti _,
   )
 }

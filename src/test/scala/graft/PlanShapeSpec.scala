@@ -556,6 +556,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("lang"), s"\n$plan")
   }
 
+  test("retrieval_bm25_multi: heap-trimmed per-query cut, broadcast attach joins, no rank window") {
+    val df = SparkEntry.queries("retrieval_bm25_multi")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // per-query top-K runs through the bounded-heap aggregator (map-
+    // side partial trim), never a Window.partitionBy(query_id) that
+    // would funnel every matched (query, doc) score through a reducer
+    assert(!plan.contains("Window"), s"\n$plan")
+    assert(plan.contains("partial_topkagg"), s"\n$plan")
+    // vocabulary trim, idf, and the query table attach as broadcasts;
+    // nothing big ever sort-merges
+    assert(plan.contains("BroadcastHashJoin"), s"\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"\n$plan")
+    // the postings frame materializes ONCE for its two consumers
+    // (df/idf and scoring) — both branches read the cache
+    assert(plan.contains("InMemoryTableScan"), s"\n$plan")
+  }
+
+  test("retrieval_rrf_multi: both rank lists heap-trim before fusion; window input is bounded") {
+    val df = SparkEntry.queries("retrieval_rrf_multi")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // BM25 and dense sides both cut to RrfDepth per query via the
+    // heap aggregator BEFORE the fusion join
+    assert(plan.contains("partial_topkagg"), s"\n$plan")
+    // dense scoring joins the broadcast query-vector set (non-equi
+    // exclusion ⇒ BNLJ with the 4-row build side)
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), s"\n$plan")
+    // the final per-query rank window sits above the bounded fused
+    // frame AND rank-limit pushdown trims it before its exchange
+    assert(plan.contains("WindowGroupLimit"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+  }
+
   test("retrieval_rank_eval: rank lists are TakeOrdered trims; no corpus-grain window") {
     val df = SparkEntry.queries("retrieval_rank_eval")(spark, sf)
     df.collect()
