@@ -182,6 +182,7 @@ object Bench {
         "sq8_codes" -> (() => { ext.Similarity.sq8Index(spark, queryDir); () }),
         "pq_codes" -> (() => { ext.Similarity.pqIndex(spark, queryDir); () }),
         "unigram_model" -> (() => { functions.TextAnalysis.unigramModel(spark, queryDir); () }),
+        "bpe_vocab" -> (() => { functions.TextAnalysis.bpeVocab(spark, queryDir).count(); () }),
         "bigram_counts" -> (() => { functions.TextAnalysis.bigramCounts(spark, queryDir); () }),
         "ngram_sources" -> (() => { functions.TextAnalysis.ngramSourceSets(spark, queryDir); () }),
         "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),

@@ -691,7 +691,7 @@ object Dedup {
       .select("doc_id", "n_shingles", "n_contaminated")
   }
 
-  private val NumHashes = 16
+  private[graft] val NumHashes = 16
   private val NumBands = 4 // 4 rows per band
 
   /** MinHash signatures + LSH banding: 16 min-hashes per doc (min over
@@ -1479,10 +1479,14 @@ object Dedup {
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
            ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       candk AS (
+         SELECT doc_a, doc_b,
+                len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS k
+         FROM cand
+         JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id),
        candf AS (
-         SELECT doc_a, doc_b FROM cand
-         JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id
-         WHERE CAST(len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS DOUBLE) / 16 >= 0.8),
+         SELECT doc_a, doc_b FROM candk
+         WHERE CAST(k AS DOUBLE) / 16 >= 0.8),
        edges AS (SELECT doc_a AS src, doc_b AS dst FROM candf
                  UNION ALL
                  SELECT doc_b AS src, doc_a AS dst FROM candf),

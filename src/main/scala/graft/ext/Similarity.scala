@@ -259,27 +259,21 @@ object Similarity {
     * Each round's state is an EAGER DISK_ONLY localCheckpoint, not a
     * plain persist: a persisted round-t frame still chains its RDD
     * lineage (and its logical plan) through every unpersisted
-    * predecessor back to the corpus scan, so recovery of one lost
-    * block late in the greedy recomputes a t-deep chain and Catalyst
-    * re-analyzes a growing tree each round. The checkpoint cuts both —
-    * downstream rounds start from a leaf. The predecessor's blocks are
-    * released explicitly (checkpointed RDDs sit outside the cache
-    * manager, so `unpersist` on the Dataset would be a no-op).
+    * predecessor back to the corpus scan, so Catalyst re-analyzes a
+    * growing tree each round and the scheduler carries a t-deep DAG.
+    * The checkpoint cuts both — downstream rounds start from a leaf.
+    * The trade-off is honest: localCheckpoint TRUNCATES lineage, so a
+    * lost or evicted DISK_ONLY block is no longer recomputable — the
+    * whole greedy fails instead of recovering (and the Spark docs
+    * warn the executor-local blocks die with dynamic-allocation
+    * executor loss). Acceptable single-node and for short bounded
+    * loops; a long-lived cluster run that must survive executor churn
+    * would swap in reliable `checkpoint()` to a replicated store at
+    * the cost of a write per round. The predecessor's blocks are
+    * released explicitly via [[graft.Lineage.checkpointRelease]]
+    * (checkpointed RDDs sit outside the cache manager, so `unpersist`
+    * on the Dataset would be a no-op).
     */
-  /** Release the blocks of a localCheckpointed frame. Checkpointed
-    * RDDs live outside the SQL cache manager, so `Dataset.unpersist`
-    * cannot free them and the ContextCleaner only reclaims them at
-    * some later GC — too lazy for an iterative loop holding one
-    * corpus-sized state per round. The checkpointed RDD is the leaf
-    * of the frame's analyzed plan (a LogicalRDD).
-    */
-  private def checkpointRelease(chk: DataFrame): () => Unit = {
-    val rdds = chk.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }
-    () => rdds.foreach(_.unpersist(blocking = false))
-  }
-
   def kcenterCoreset(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     // the corpus enters through the memoized bucketed frame so the
@@ -315,7 +309,7 @@ object Similarity {
       // the eager checkpoint materialized `next`; the prior round's
       // state is now dead weight — release its checkpoint blocks
       freeState()
-      freeState = checkpointRelease(next)
+      freeState = graft.Lineage.checkpointRelease(next)
       state = next
       newestId = pick.getLong(0)
       selected :+= ((t.toLong, newestId,
@@ -853,6 +847,56 @@ object Similarity {
         .when(col("is_sem").isNotNull, "semantic_only")
         .otherwise("lexical_only").as("agreement"))
       .groupBy("agreement").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Lexical thresholds swept by [[lexSemCalibration]], as integer
+    * percent so both engines compare exact integers
+    * (k·100 ≥ NumHashes·th — the [[graft.ext.Dedup.lshSweep]]
+    * confirm-rule discipline, never a float ratio).
+    */
+  private[graft] val LexSemThresholds: Seq[Long] = Seq(50L, 60L, 70L, 80L, 90L)
+
+  /** The [[lexSemAgreement]] census as a THRESHOLD-SWEEP calibration
+    * curve — the table that answers "where should the MinHash confirm
+    * threshold sit relative to the semantic detector?": one row per
+    * (threshold, agreement class). As the lexical threshold rises,
+    * `both` mass migrates into `semantic_only` and `lexical_only`
+    * shrinks — the crossover is the calibration point a
+    * budget-constrained pipeline reads off this table.
+    *
+    * Scale shape (the [[graft.ext.Dedup.lshSweep]] one-pass sweep
+    * discipline): the semantic pair frame and the lexical candidate
+    * frame are built ONCE each (both memoized train-once artifacts),
+    * ONE full-outer join aligns them, and the 5-threshold sweep
+    * explodes inline on the joined pair-grain frame — work is
+    * |pairs| × |sweep|, never a per-threshold re-join. The lexical
+    * side keeps the raw minhash agreement count k (est·NumHashes is
+    * exact: k/16·16 round-trips in a double), so every threshold
+    * decision is integer arithmetic.
+    */
+  def lexSemCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val assigned = semAssigned(spark, sfDir)
+    val cap = semCellCap(Tables.embeddings(spark, sfDir).count())
+    val sem = semPairsFrom(assigned, cap)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("is_sem"))
+    val lex = graft.ext.Dedup.minhashLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"),
+        (col("est_jaccard") * graft.ext.Dedup.NumHashes).cast("long").as("k"))
+    sem.join(lex, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("is_sem"), col("k"),
+        explode(typedlit(LexSemThresholds)).as("th_pct"))
+      .select(col("th_pct"),
+        when(col("is_sem").isNotNull && col("k").isNotNull
+            && col("k") * 100 >= col("th_pct") * graft.ext.Dedup.NumHashes,
+          lit("both"))
+          .when(col("is_sem").isNotNull, lit("semantic_only"))
+          .when(col("k").isNotNull
+            && col("k") * 100 >= col("th_pct") * graft.ext.Dedup.NumHashes,
+            lit("lexical_only"))
+          .otherwise(lit(null)).as("agreement"))
+      .filter(col("agreement").isNotNull)
+      .groupBy("th_pct", "agreement").agg(count(lit(1)).as("n_pairs"))
   }
 
   /** LSH-bucketed approximate top-3: candidates share the query's
@@ -2217,6 +2261,38 @@ object Similarity {
             FULL OUTER JOIN candf l
               ON s.doc_a = l.doc_a AND s.doc_b = l.doc_b)
           GROUP BY agreement""",
+    // the agreement census swept over lexical thresholds: candk keeps
+    // the raw minhash agreement count so each threshold decision is
+    // k*100 >= 16*th — integer-exact in both engines
+    "sim_lexsem_calibration" ->
+      s"""WITH RECURSIVE ${graft.functions.SqlFragments.ShingleCte},
+          ${graft.ext.Dedup.Comp08Ctes},
+          $SemColdCtes,
+          sem_pairs AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM cold a JOIN cold b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN embeddings q ON q.vec_id = a.vec_id
+            JOIN embeddings c ON c.vec_id = b.vec_id
+            WHERE $CosExpr >= 0.3),
+          th(th_pct) AS (VALUES (50), (60), (70), (80), (90))
+          SELECT CAST(th_pct AS BIGINT) AS th_pct, agreement,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM (
+            SELECT t.th_pct,
+              CASE
+                WHEN s.doc_a IS NOT NULL AND l.doc_a IS NOT NULL
+                     AND l.k * 100 >= 16 * t.th_pct THEN 'both'
+                WHEN s.doc_a IS NOT NULL THEN 'semantic_only'
+                WHEN l.doc_a IS NOT NULL
+                     AND l.k * 100 >= 16 * t.th_pct THEN 'lexical_only'
+                END AS agreement
+            FROM (sem_pairs s
+                  FULL OUTER JOIN candk l
+                    ON s.doc_a = l.doc_a AND s.doc_b = l.doc_b)
+            CROSS JOIN th t)
+          WHERE agreement IS NOT NULL
+          GROUP BY 1, 2""",
     "sim_topk_mips" ->
       s"""WITH scored AS (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -2686,6 +2762,7 @@ object Similarity {
     "sim_hard_negatives" -> hardNegatives _,
     "semdedup" -> semDedup _,
     "sim_lexsem_agreement" -> lexSemAgreement _,
+    "sim_lexsem_calibration" -> lexSemCalibration _,
     "sim_recall_eval" -> recallEval _,
   )
 }

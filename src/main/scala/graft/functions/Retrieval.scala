@@ -280,7 +280,8 @@ object Retrieval {
     * terms — it is the SMALL side by contract; a corpus-sized query
     * set is a different operator: a similarity self-join).
     */
-  private[graft] def bm25ScoredMulti(docs: DataFrame, queries: DataFrame): DataFrame = {
+  private[graft] def bm25ScoredMulti(
+      docs: DataFrame, queries: DataFrame): (DataFrame, DataFrame) = {
     val terms = queries.select("term").distinct()
     val toks = docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("dl"),
@@ -288,9 +289,11 @@ object Retrieval {
     // persisted because TWO branches consume it (df/idf and scoring)
     // and Spark plans common subtrees independently — without this the
     // corpus explode runs twice. Matched-postings grain (query-vocab
-    // tokens only), far below corpus size; owned by the caller's
-    // lifecycle (the declared queries reach it through the memoized
-    // [[multiScores]], so it lives exactly as long as that cache).
+    // tokens only), far below corpus size. RETURNED alongside the
+    // scores so the caller genuinely owns the unpersist — an internal
+    // persist with no handle would leak one DISK_ONLY cache per ad-hoc
+    // invocation (the declared queries reach it through the memoized
+    // [[multiScores]], whose session cache is the lifecycle owner).
     val postings = toks.join(broadcast(terms), Seq("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -304,7 +307,7 @@ object Retrieval {
             + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
           * lit(1e9) + lit(0.5)).cast("long").as("idf_e9"),
         col("n_docs"), col("sum_dl"))
-    postings.join(broadcast(idf), Seq("term"))
+    val scores = postings.join(broadcast(idf), Seq("term"))
       .join(broadcast(queries), Seq("term"))
       .select(col("query_id"), col("doc_id"),
         floor(col("idf_e9") / lit(1e9) * (col("tf") * lit(K1 + 1))
@@ -313,6 +316,7 @@ object Retrieval {
           * lit(1e6) + lit(0.5)).cast("long").as("c"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("c")).as("score_e6"), count(lit(1)).as("n_terms"))
+    (scores, postings)
   }
 
   /** Memoized fixture-batch scores — two declared consumers
@@ -324,31 +328,59 @@ object Retrieval {
 
   private[graft] def multiScores(spark: SparkSession, sfDir: String): DataFrame =
     multiScoresCache.getOrElseUpdate(spark, sfDir) {
-      bm25ScoredMulti(Tables.documents(spark, sfDir), queryTable(spark))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // the session cache is the lifecycle owner of BOTH frames: the
+      // scored cache it hands out and the postings persist riding
+      // inside it (blocks die with the session context either way)
+      val (scores, _) =
+        bm25ScoredMulti(Tables.documents(spark, sfDir), queryTable(spark))
+      scores.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
+
+  /** Widest query in [[QuerySet]] — bounds the n_terms a scored row
+    * can carry, which sizes the packed-id base below.
+    */
+  private[graft] val MaxQueryTerms: Int = QuerySet.map(_._2.size).max
 
   /** Per-query BM25 top-[[MultiTopK]] over the fixture query batch.
     * The per-query cut runs through [[TopK.topK]] (bounded-heap
     * partial aggregation), NOT a `Window.partitionBy(query_id)`: a
     * window ships EVERY matched (query, doc) score to its query's
     * reducer; the heap trims to K rows per query per map task before
-    * the exchange. (n_terms rides the heap packed into the id's low 3
-    * bits — doc_id order, and so the (score desc, id asc) tie-break,
-    * is preserved because the packing is monotone in doc_id.)
+    * the exchange. n_terms rides the heap packed into the id's low
+    * bits via [[topKPacked]], base-derived from [[MaxQueryTerms]] so
+    * a wider future [[QuerySet]] widens the packing instead of
+    * silently corrupting doc_id/n_terms and the tie-break.
     */
-  def bm25MultiTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    multiScores(spark, sfDir)
+  def bm25MultiTopK(spark: SparkSession, sfDir: String): DataFrame =
+    topKPacked(multiScores(spark, sfDir), MultiTopK, MaxQueryTerms)
+
+  /** The packed-id heap cut over any (query_id, doc_id, score_e6,
+    * n_terms) frame: pack (doc_id, n_terms) into one long id so the
+    * bounded heap carries both, unpack on the way out. The base is
+    * the next power of two ABOVE maxTerms, so n_terms (≤ maxTerms by
+    * the scorer's construction: a (query, doc) row counts at most the
+    * query's own terms) always fits the low bits and the packing is
+    * monotone in doc_id — the (score desc, id asc) tie-break is
+    * preserved. Guarded loudly rather than documented quietly.
+    */
+  private[graft] def topKPacked(
+      scores: DataFrame, k: Int, maxTerms: Int): DataFrame = {
+    require(maxTerms >= 1 && maxTerms < (1L << 31),
+      s"maxTerms out of packable range: $maxTerms")
+    val base = java.lang.Long.highestOneBit(maxTerms.toLong) * 2
+    require(base > maxTerms,
+      s"packing base $base cannot carry n_terms up to $maxTerms")
+    scores
       .select(col("query_id"),
-        (col("doc_id") * 8 + col("n_terms")).as("packed"),
+        (col("doc_id") * base + col("n_terms")).as("packed"),
         col("score_e6").cast("double").as("s"))
       .groupBy("query_id")
-      .agg(TopK.topK(MultiTopK)(col("packed"), col("s")).as("hits"))
+      .agg(TopK.topK(k)(col("packed"), col("s")).as("hits"))
       .select(col("query_id"), posexplode(col("hits")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        expr("col._1 div 8").as("doc_id"),
+        expr(s"col._1 div ${base}L").as("doc_id"),
         col("col._2").cast("long").as("score_e6"),
-        (col("col._1") % 8).as("n_terms"))
+        (col("col._1") % base).as("n_terms"))
   }
 
   /** Per-query reciprocal-rank fusion over the fixture batch — the

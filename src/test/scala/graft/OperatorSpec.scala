@@ -877,6 +877,108 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(("ab", 6L), ("ba", 3L), ("xy", 1L)))
   }
 
+  test("bpeMergeFold: left-to-right non-overlap on runs, multi-symbol symbols stay atomic") {
+    import spark.implicits._
+    val sep = graft.functions.TextAnalysis.BpeSep
+    def fold(packed: String, s1: String, s2: String): String =
+      Seq(packed).toDF("syms")
+        .select(graft.functions.TextAnalysis.bpeMergeFold(col("syms"), s1, s2))
+        .collect().head.getString(0)
+    // run of three: merge (a,a) left-to-right → [aa, a], NOT [a, aa]
+    assert(fold(Seq("a", "a", "a").mkString(sep), "a", "a") ===
+      Seq("aa", "a").mkString(sep))
+    // the merged symbol cannot re-match s1 within the same pass
+    assert(fold(Seq("a", "a", "a", "a").mkString(sep), "a", "a") ===
+      Seq("aa", "aa").mkString(sep))
+    // a multi-char symbol is atomic: (a,a) must not fire inside "ba"
+    assert(fold(Seq("ba", "a").mkString(sep), "a", "a") ===
+      Seq("ba", "a").mkString(sep))
+    // multi-symbol merge partner: (m, er) → mer
+    assert(fold(Seq("m", "er", "g", "er").mkString(sep), "m", "er") ===
+      Seq("mer", "g", "er").mkString(sep))
+    // asymmetric (a, aa): merging consumes BOTH symbols, and the
+    // result "aaa" no longer matches s1="a" for the next element
+    assert(fold(Seq("a", "aa", "aa").mkString(sep), "a", "aa") ===
+      Seq("aaa", "aa").mkString(sep))
+  }
+
+  test("text_bpe_vocab: the merge LOOP learns hand-computed merges and stops when exhausted") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("bpevocabfix")
+    // n_w: aaab=2, ccd=1. Hand-run of the loop (count desc, s1 asc,
+    // s2 asc tie-break):
+    //  1 (a,a)→aa    4    [a a a b]×2 has TWO (a,a) instances each
+    //  2 (a,b)→ab    2    ties (aa,a) at 2; s1 "a" < "aa"
+    //  3 (aa,ab)→aaab 2   multi-symbol pair — struct identity, not concat
+    //  4 (c,c)→cc    1
+    //  5 (cc,d)→ccd  1    then NO pairs remain → loop exhausts at 5/10
+    Seq((1L, "aaab ccd"), (2L, "aaab"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.functions.TextAnalysis.bpeVocab(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 2L),
+      (3L, "aa", "ab", "aaab", 2L),
+      (4L, "c", "c", "cc", 1L),
+      (5L, "cc", "d", "ccd", 1L)))
+  }
+
+  test("text_bpe_encode: learned merges compress the corpus; per-source integer ppm") {
+    import spark.implicits._
+    val dir = TestSpark.tmpDir("bpeencodefix")
+    // training trace: (a,b) counts 2 (both words), every other pair 1,
+    // and ties break s1-asc — so the greedy walks the long word's
+    // PREFIX: (a,b), (ab,c), (abc,d), … (abcdefghij,k). That spends
+    // all 10 merges with (k,l) still unlearned: the 12-char word
+    // encodes to 2 symbols, "ab" to 1
+    Seq((1L, "abcdefghijkl", "web"), (2L, "ab", "books"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.functions.TextAnalysis.bpeEncode(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("books", 1L, 1L, 1000000L),
+      ("web", 1L, 2L, 2000000L)))
+  }
+
+  test("topKPacked: an 8-term query round-trips doc_id/n_terms (the base-8 packing would corrupt)") {
+    import spark.implicits._
+    // n_terms = 8 needs base 16: under the old fixed base 8 the packed
+    // id would bleed into doc_id and flip the tie-break
+    val scores = Seq(
+      (1L, 10L, 500L, 8L), (1L, 11L, 500L, 3L), (1L, 12L, 900L, 8L),
+      (2L, 7L, 100L, 1L))
+      .toDF("query_id", "doc_id", "score_e6", "n_terms")
+    val got = graft.functions.Retrieval.topKPacked(scores, 3, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 12L, 900L, 8L),  // top score
+      (1L, 2L, 10L, 500L, 8L),  // tie: smaller doc_id ranks first
+      (1L, 3L, 11L, 500L, 3L),
+      (2L, 1L, 7L, 100L, 1L)))
+    // out-of-range maxTerms fails loudly instead of corrupting output
+    intercept[IllegalArgumentException] {
+      graft.functions.Retrieval.topKPacked(scores, 3, 0)
+    }
+  }
+
+  test("checkpointRelease refuses a frame with no LogicalRDD leaf (plan-shape drift guard)") {
+    import spark.implicits._
+    val plain = Seq(1, 2, 3).toDF("x") // never localCheckpointed
+    intercept[IllegalArgumentException] {
+      graft.Lineage.checkpointRelease(plain)
+    }
+    // and the real thing both releases and is idempotent
+    val chk = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    val free = graft.Lineage.checkpointRelease(chk)
+    free(); free()
+  }
+
   test("every query self-registers its kernels: analyzable after the registry is wiped") {
     // a library consumer calls ONE query function on a fresh session;
     // any query that leans on a sibling having registered the native

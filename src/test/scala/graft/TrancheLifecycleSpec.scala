@@ -130,4 +130,56 @@ class TrancheLifecycleSpec extends AnyFunSuite {
       ("web", 6L, 3L),    // in: 2,4,6,100,102,104 — kept: 4,6,104
       ("books", 5L, 3L))) // in: 1,3,5,101,103    — kept: 1,3,101
   }
+
+  test("streaming twin: foreachBatch tranche chain + crash replay == batch ground truth") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{TrancheLifecycle, VersionedStore}
+    implicit val ctx = spark.sqlContext
+
+    // ground truth: the cold full recompute's non-root label forest
+    val pairsCold = Dedup.allPairsExactOn(exOf(_ => true))
+    val (labelsCold, _) = Dedup.starComponents(pairsCold.select(
+      col("doc_a").as("src"), col("doc_b").as("dst")))
+    val forestCold = labelSet(labelsCold.filter(col("v") =!= col("comp")))
+
+    def rowsOf(p: Long => Boolean): Seq[(Long, Int, Long)] =
+      sets.filter(s => p(s._1))
+        .flatMap { case (d, hs) => hs.map(h => (d, hs.size, h)) }
+
+    val input = MemoryStream[(Long, Int, Long)]
+    val corpusLog = TestSpark.tmpDir("tranche-stream-log") + "/log"
+    val store = new VersionedStore(spark, TestSpark.tmpDir("tranche-stream-labels"))
+    val q = TrancheLifecycle.start(
+      input.toDF().toDF("doc_id", "sz", "h"), corpusLog, store,
+      TestSpark.tmpDir("tranche-stream-ckpt"))
+    try {
+      // tranche 1 = release N's corpus; tranche 2 = the landing tranche
+      input.addData(rowsOf(_ < Cutoff)); q.processAllAvailable()
+      input.addData(rowsOf(_ >= Cutoff)); q.processAllAvailable()
+    } finally q.stop()
+
+    // committed forest == cold ground truth; card == the batch card
+    assert(labelSet(store.read().get) === forestCold)
+    val docs = sets.map { case (d, _) =>
+      (d, if (d % 2 == 0) "web" else "books")
+    }.toDF("doc_id", "source")
+    val cardStream = TrancheLifecycle.releaseCard(docs, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cardStream === Set(("web", 6L, 3L), ("books", 5L, 3L)))
+
+    // crash-recovery: replay the LAST batch through the same fold (the
+    // PatternsSpec retry idiom — a crash between the corpus-log write
+    // and the forest commit makes Spark re-deliver batch 1): the
+    // partition rewrites identical rows, the forest re-commits the
+    // identical version — nothing observable moves
+    val logRows = spark.read.parquet(corpusLog).count()
+    val verBefore = store.currentVersion
+    TrancheLifecycle.processTranche(corpusLog, store)(
+      rowsOf(_ >= Cutoff).toDF("doc_id", "sz", "h"), 1L)
+    assert(spark.read.parquet(corpusLog).count() === logRows)
+    assert(labelSet(store.read().get) === forestCold)
+    assert(store.currentVersion === verBefore)
+    assert(cardStream === TrancheLifecycle.releaseCard(docs, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
+  }
 }
