@@ -24,16 +24,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.warehouse.dir", s"$warehouse/catalog")
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE's per-stage re-optimization costs ~40-80 ms of driver
-      // latency per exchange — measured ~1.5-2 s across this 42-query
-      // suite — while every join decision at bench scale is already
-      // made statically by the 64m threshold below. Cluster
-      // deployments keep AQE on (it's the Spark default, and the
-      // hint-free joins in this library rely on it for the SMJ→BHJ
-      // decision at real scale); the bench session trades it for
-      // latency, overridable via SPARK_GRAFT_AQE=true.
+      // AQE ON — the Spark default and what every cluster deployment
+      // runs (the hint-free joins in this library rely on it for the
+      // SMJ→BHJ decision at real scale). Early rounds ran the bench
+      // AQE-off because per-stage re-optimization measured ~1.5-2 s of
+      // driver latency across the then-42-query suite; the round-12
+      // back-to-back pair on the 219-query surface reversed that:
+      // AQE-on 71.9 s vs AQE-off 76.9 s steady-state (median per-query
+      // ratio 0.996 — noise — with the many-small-exchange HLL queries
+      // winning outright from partition coalescing, events_hll_cube
+      // −1.2 s). See BENCH_r12_aqeon/off.json. Overridable for A/B via
+      // SPARK_GRAFT_AQE=false.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // Size-based broadcast pinning for the bench scale: every table
       // except lineitem is ≪64 MB at sf0.1, so the planner broadcasts
