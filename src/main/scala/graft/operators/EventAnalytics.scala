@@ -391,13 +391,24 @@ object EventAnalytics {
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
     val w = shiftright(h, 8)
-    val cellRegs = triples
+    // all four granularities' registers in ONE grouping-sets pass
+    // (the exact side's cube() rationale applied to the estimate
+    // side): max(rho) is the register fold at every granularity
+    // directly — max over a set ≡ max over its sub-maxes — so the
+    // Expand+partial-max replaces four separate aggregates that each
+    // re-derived the (type, day, j) registers from the triples cache.
+    // NULL keys mark granularity exactly as the exact side's cube
+    // (neither key column is nullable in the data).
+    val regsAll = triples
       .select(col("event_type"), col("day"), pmod(h, lit(256)).as("j"),
         when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).as("rho"))
-      .groupBy("event_type", "day", "j").agg(max("rho").as("m"))
-    val typeRegs = cellRegs.groupBy("event_type", "j").agg(max("m").as("m"))
-    val dayRegs = cellRegs.groupBy("day", "j").agg(max("m").as("m"))
-    val allRegs = cellRegs.groupBy("j").agg(max("m").as("m"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("day"), col("j")),
+          Seq(col("event_type"), col("j")),
+          Seq(col("day"), col("j")),
+          Seq(col("j"))),
+        col("event_type"), col("day"), col("j"))
+      .agg(max("rho").as("m"))
     // the four exact granularities fold into ONE grouping-sets pass:
     // cube(event_type, day) over the distinct-triple frame with a
     // count-distinct agg is exactly {(t,d),(t),(d),()} — one expand +
@@ -407,20 +418,14 @@ object EventAnalytics {
     // the data, so cube NULLs mark granularity unambiguously.
     val ex = triples.cube("event_type", "day")
       .agg(count_distinct(col("user_id")).as("exact_distinct"))
-    // estimates stay per-granularity register folds (register frames
-    // are ≤ |keys|×256 rows), unioned under the same NULL granularity
-    // marking so ONE null-safe equi-join attaches them to the exact
-    // side — est is tiny, so the join broadcasts
-    val nullDay = lit(null).cast("timestamp")
-    val nullType = lit(null).cast("string")
-    val est = hllEstimate(cellRegs, Seq("event_type", "day"))
+    // ONE estimator fold serves every granularity: the combined
+    // register frame's NULL-marked keys group each granularity
+    // separately (a (type, NULL) group can never collide with a
+    // (type, day) group), so the four hllEstimate calls + three
+    // unions collapse into one ≤ (|cells|+|types|+|days|+1)×256-row
+    // aggregate. est is tiny, so the exact-side join broadcasts.
+    val est = hllEstimate(regsAll, Seq("event_type", "day"))
       .select(col("event_type"), col("day"), col("est_hll"))
-      .unionByName(hllEstimate(typeRegs, Seq("event_type"))
-        .select(col("event_type"), nullDay.as("day"), col("est_hll")))
-      .unionByName(hllEstimate(dayRegs, Seq("day"))
-        .select(nullType.as("event_type"), col("day"), col("est_hll")))
-      .unionByName(hllEstimate(allRegs, Seq.empty)
-        .select(nullType.as("event_type"), nullDay.as("day"), col("est_hll")))
       .withColumnRenamed("event_type", "et_k").withColumnRenamed("day", "day_k")
     ex.join(est,
         col("event_type") <=> col("et_k") && col("day") <=> col("day_k"))
