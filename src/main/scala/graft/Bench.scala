@@ -197,6 +197,9 @@ object Bench {
         // bigram_model is a vocabulary-sized derivation of wave-1's
         // bigram_counts (the corpus pays its bigram pass once)
         "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
+        // the frozen tokenizer's serving table, derived from wave-1's
+        // bpe_vocab merges (vocabulary-grain fold chain)
+        "bpe_word_tokens" -> (() => { functions.TextAnalysis.bpeWordTokens(spark, queryDir).count(); () }),
         // mutual edges are the knn lifecycle's second half — built in
         // the same wave slot so wave-3's label contraction finds them
         "knn_edges" -> (() => { ext.Similarity.knnEdges(spark, queryDir).count()

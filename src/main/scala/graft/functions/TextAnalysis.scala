@@ -899,28 +899,48 @@ object TextAnalysis {
     * word join afterwards, so no word is re-encoded once per source.
     */
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val merges = bpeVocab(spark, sfDir)
-      .orderBy(col("step")).collect()
-      .map(r => (r.getString(1), r.getString(2)))
     val sourceWords = Tables.documents(spark, sfDir)
       .select(col("source"), explode(words(col("text"))).as("t"))
       .filter(length(col("t")) >= 1)
       .groupBy("source", "t").agg(count(lit(1)).as("n_w"))
-    val vocab0 = sourceWords.select("t").distinct()
-      .withColumn("syms", array_join(
-        expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
-        BpeSep))
-    val encoded = merges.foldLeft(vocab0) { case (df, (s1, s2)) =>
-      df.withColumn("syms", bpeMergeFold(col("syms"), s1, s2))
-    }
     sourceWords
-      .join(encoded.select(col("t"),
-        size(split(col("syms"), BpeSep)).cast("long").as("n_syms")), "t")
+      .join(bpeWordTokens(spark, sfDir), "t")
       .groupBy("source")
       .agg(sum(col("n_w")).as("ws_tokens"),
         sum(col("n_w") * col("n_syms")).as("bpe_tokens"))
       .select(col("source"), col("ws_tokens"), col("bpe_tokens"),
         expr("bpe_tokens * 1000000 div ws_tokens").as("tokens_per_word_ppm"))
+  }
+
+  /** The encoded (word → BPE token count) relation under the learned
+    * merges — the tokenizer's serving table, a train-once
+    * [[graft.IndexStore]] artifact like the vocab itself (a real
+    * deployment encodes with a FROZEN tokenizer for months; deriving
+    * it per query would re-pay the fold chain every pass). Bucketed
+    * on the word so the per-source count join is exchange-free on
+    * the index side.
+    */
+  private[graft] def bpeWordTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    def build = {
+      val merges = bpeVocab(spark, sfDir)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2)))
+      val vocab0 = Tables.documents(spark, sfDir)
+        .select(explode(words(col("text"))).as("t"))
+        .filter(length(col("t")) >= 1).distinct()
+        .withColumn("syms", array_join(
+          expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
+          BpeSep))
+      val encoded = merges.foldLeft(vocab0) { case (df, (s1, s2)) =>
+        // merge folds stack as PROJECTIONS — no exchange between
+        // them, one vocabulary-grain pass however many merges
+        df.withColumn("syms", bpeMergeFold(col("syms"), s1, s2))
+      }
+      encoded.select(col("t"),
+        size(split(col("syms"), BpeSep)).cast("long").as("n_syms"))
+    }
+    graft.IndexStore.resolve(spark, sfDir, "bpe_word_tokens", Some("t"))(build)
+      .getOrElse(build)
   }
 
   /** The unrolled BPE training chain as DuckDB CTEs — shared by the

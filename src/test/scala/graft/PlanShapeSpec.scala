@@ -574,6 +574,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("InMemoryTableScan"), s"\n$plan")
   }
 
+  test("text_bpe_encode: merge folds stack as projections; documents scan pruned to (source, text)") {
+    val df = SparkEntry.queries("text_bpe_encode")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the encode is aggregation + join work only — no window, no
+    // cartesian, and the 10 merge folds never introduce an exchange
+    // between themselves (they ride inside projections)
+    assert(!plan.contains("Window"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    // the corpus scan reads only what the query folds
+    assert(plan.contains("ReadSchema: struct<source:string,text:string>")
+      || plan.contains("ReadSchema: struct<text:string"), s"\n$plan")
+    assert(!plan.contains("n_chars"), s"\n$plan")
+    assert(!plan.contains("lang"), s"\n$plan")
+  }
+
+  test("sim_lexsem_calibration: ONE full-outer pair join serves the whole threshold sweep") {
+    val df = SparkEntry.queries("sim_lexsem_calibration")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the sweep explodes inline on the joined pair frame (Generate),
+    // never re-joins per threshold: exactly one FullOuter in the FINAL
+    // plan (AQE's toString echoes the initial plan below the final
+    // one — counting the whole string would double every operator)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val fullOuters = "FullOuter".r.findAllIn(finalPlan).size
+    assert(fullOuters === 1, s"expected 1 FullOuter, got $fullOuters\n$plan")
+    assert(plan.contains("Generate explode"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+  }
+
   test("retrieval_rrf_multi: both rank lists heap-trim before fusion; window input is bounded") {
     val df = SparkEntry.queries("retrieval_rrf_multi")(spark, sf)
     df.collect()
