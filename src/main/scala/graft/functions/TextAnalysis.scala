@@ -990,15 +990,30 @@ object TextAnalysis {
         ${(1 to BpeVocabMerges).map(stepCtes).mkString(",\n")}"""
   }
 
-  private def bpeVocabBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
-    // initial state: one row per DISTINCT word — symbols = its chars.
-    // (sequence(1, 0) would DESCEND on an empty token, the bpeStep
-    // guard; a token is never empty after the length filter.)
-    var state = Tables.documents(spark, sfDir)
-      .select(explode(words(col("text"))).as("t"))
+  /** The distinct-word frequency relation (t, n_w) — the BPE
+    * trainer's ONE corpus-grain input, factored so the batch build
+    * and the streaming refresh ([[graft.streaming.VocabRefresh]])
+    * fold the IDENTICAL derivation (the `qualityScore` no-drift
+    * discipline). (The empty-token filter doubles as the
+    * `sequence(1, 0)`-descends guard in the trainer.)
+    */
+  private[graft] def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(words(col("text"))).as("t"))
       .filter(length(col("t")) >= 1)
       .groupBy("t").agg(count(lit(1)).as("n_w"))
+
+  private def bpeVocabBuild(spark: SparkSession, sfDir: String): DataFrame =
+    bpeVocabFromWf(spark, wordFreq(Tables.documents(spark, sfDir)))
+
+  /** The training loop over ANY (t, n_w) word-frequency relation —
+    * exposed so the streaming-maintained table
+    * ([[graft.streaming.VocabRefresh]]) trains through the exact
+    * code path the batch build uses.
+    */
+  private[graft] def bpeVocabFromWf(spark: SparkSession, wf: DataFrame): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // initial state: one row per DISTINCT word — symbols = its chars
+    var state = wf
       .select(array_join(
           expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
           BpeSep).as("syms"),
