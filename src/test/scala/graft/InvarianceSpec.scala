@@ -98,6 +98,9 @@ class InvarianceSpec extends AnyFunSuite {
     "sim_triangle_census",  // degree-oriented wedge semi-join census
     "retrieval_rank_eval",  // TakeOrdered-trimmed lists + integer gains
     "sim_lexsem_agreement", // full-outer pair-key join of memoized pair frames
+    "retrieval_bm25_multi", // packed-id heap cut over one postings exchange
+    "text_bpe_encode",      // frozen-merge fold + vocab join, integer ppm
+    "sim_lexsem_calibration", // inline threshold sweep over one full-outer join
     "bonus_topk")           // TakeOrderedAndProject
 
   private def resultSet(name: String): Set[String] = {
@@ -116,6 +119,27 @@ class InvarianceSpec extends AnyFunSuite {
         withClue(q)(assert(a === b))
         withClue(q)(assert(a.nonEmpty))
       }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("bpe trainer: identical learned vocabulary under different shuffle partition counts") {
+    // through bpeVocabFromWf, NOT the declared text_bpe_vocab query —
+    // that one is session-cached (train-once), so a list entry above
+    // would compare a cached frame to itself and prove nothing. The
+    // invariance claim is per-round: the (count desc, s1, s2) argmax
+    // is a total order, so no partitioning can flip a merge
+    val wf = graft.functions.TextAnalysis.wordFreq(
+      Tables.documents(spark, sf))
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val a = graft.functions.TextAnalysis.bpeVocabFromWf(spark, wf)
+        .collect().map(_.toString).toSet
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val b = graft.functions.TextAnalysis.bpeVocabFromWf(spark, wf)
+        .collect().map(_.toString).toSet
+      assert(a === b)
+      assert(a.nonEmpty)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 }
