@@ -206,6 +206,9 @@ object Bench {
                                 ext.Similarity.mutualEdges(spark, queryDir).count(); () }),
         // sets + prefix inverted index, derived from wave-1's shingle index
         "allpairs_index" -> (() => { ext.Dedup.allPairsIndex(spark, queryDir); () }),
+        // the confirmed LSH pair frame, derived from wave-1's minhash
+        // signatures — ten consumers share it (memoized DISK_ONLY)
+        "lsh_pairs" -> (() => { ext.Dedup.minhashLsh(spark, queryDir).count(); () }),
         "dup_components_0" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.0); () }),
         "dup_components_prior" -> (() => { ext.Dedup.priorComponents(spark, queryDir).count(); () }),
         "dup_components_80" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.8); () })),

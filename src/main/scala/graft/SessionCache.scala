@@ -15,8 +15,23 @@ import org.apache.spark.sql.SparkSession
   * so eviction here only needs to release the references.
   */
 private[graft] final class SessionCache[V] {
+
+  /** Memoizing holder: TrieMap.getOrElseUpdate may evaluate the
+    * insertion value more than once under contention, so the map
+    * stores an UNEVALUATED lazy holder — racing first callers insert
+    * competing holders, exactly one wins the key, and everyone then
+    * forces the WINNER's `lazy val` (which the JVM evaluates exactly
+    * once, losers' holders are discarded unevaluated). Without this,
+    * two concurrent index builders first-touching the same artifact
+    * (the Bench wave pattern) could run one side-effecting build —
+    * persist or saveAsTable — twice.
+    */
+  private final class Lazy(thunk: () => V) {
+    lazy val value: V = thunk()
+  }
+
   private val entries =
-    scala.collection.concurrent.TrieMap.empty[(String, String), (SparkSession, V)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), (SparkSession, Lazy)]
 
   /** `sessionUUID` lives on the classic implementation in Spark 4's
     * split API and is `private[sql]` at the Scala level (public in
@@ -33,7 +48,8 @@ private[graft] final class SessionCache[V] {
 
   def getOrElseUpdate(spark: SparkSession, tag: String)(build: => V): V = {
     entries.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
-    entries.getOrElseUpdate((uuid(spark), tag), (spark, build))._2
+    entries.getOrElseUpdate((uuid(spark), tag),
+      (spark, new Lazy(() => build)))._2.value
   }
 
   /** Test hook: number of live entries. */

@@ -744,7 +744,26 @@ object Dedup {
     size(filter(zip_with(a, b, (p, q) => p === q), x => x))
       .cast("double") / NumHashes
 
-  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  private val lshPairsCache = new graft.SessionCache[DataFrame]
+
+  /** Memoized per (session, dir) and persisted DISK_ONLY (pair grain —
+    * banding keeps it linear in corpus size, but it is still
+    * sub-corpus-SIZED, not bounded ⇒ the storage-level rule): TEN
+    * consumers reference this frame (the confirm census, components at
+    * both thresholds, soft-dedup weights, the lexsem agreement +
+    * calibration pair, recall eval, cluster stats, the release
+    * pipeline's loser set, split leakage), and Spark plans common
+    * subexpressions independently — without memoization each one
+    * re-pays the band self-join + estimate fold per query
+    * (the [[graft.functions.Retrieval.bm25Scores]] rationale).
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    lshPairsCache.getOrElseUpdate(spark, sfDir) {
+      minhashLshBuild(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+
+  private def minhashLshBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = minhashSignatures(spark, sfDir)
     val bands = bandsOf(sig)
     val cand = bands.toDF("doc_a", "b", "bsig")

@@ -824,6 +824,11 @@ object TextAnalysis {
   /** Merge steps learned by [[bpeVocab]]. */
   private[graft] val BpeVocabMerges = 10
 
+  /** Lineage-truncation cadence of the training loop — see the
+    * checkpoint comment in [[bpeVocabFromWf]].
+    */
+  private[graft] val BpeCheckpointEvery = 4
+
   /** Symbol separator inside [[bpeVocab]]'s packed symbol-string
     * state — U+001F (unit separator), which cannot occur inside a
     * whitespace token of the corpus (and is asserted absent by the
@@ -1041,12 +1046,22 @@ object TextAnalysis {
       else {
         val (s1, s2) = (top(0).getString(0), top(0).getString(1))
         learned += ((step.toLong, s1, s2, top(0).getLong(2)))
-        val next = state
+        val merged = state
           .select(bpeMergeFold(col("syms"), s1, s2).as("syms"), col("n_w"))
-          .localCheckpoint(true, disk)
-        free()
-        free = graft.Lineage.checkpointRelease(next)
-        state = next
+        // checkpoint every [[BpeCheckpointEvery]]-th merge, not every
+        // merge: between checkpoints the lineage grows by PURE
+        // PROJECTIONS only (the fold), so plan depth stays ≤ the
+        // cadence and each round's pair count re-runs at most
+        // cadence−1 vocabulary-grain map folds — strictly cheaper
+        // locally (an eager checkpoint is a full job: 10 merges cost
+        // 21 jobs at cadence 1, 13 at cadence 4) and still bounded at
+        // scale (folds are map-only; a disk write per round is not)
+        if (step % BpeCheckpointEvery == 0) {
+          val next = merged.localCheckpoint(true, disk)
+          free()
+          free = graft.Lineage.checkpointRelease(next)
+          state = next
+        } else state = merged
       }
     }
     free()
