@@ -1050,6 +1050,17 @@ object Dedup {
     // blocks are SparkContext-level, so persisted rounds are shared.
     val owner = edgesIn.sparkSession
     val iter = owner.newSession()
+    // AQE OFF for the iteration (clone-scoped — the caller's session
+    // keeps its default): every contraction round already gets its
+    // shuffle width from the EXACT edge count below, which is the
+    // decision AQE would re-derive from runtime stats at ~40-80 ms of
+    // per-exchange driver latency — paid on every exchange of every
+    // round of an iterative fixpoint. The round-12 AQE A/B measured
+    // the star-CC queries as the only per-query regressions under the
+    // AQE-on default (dedup_components_warm +0.92 s) for exactly this
+    // reason; nothing else AQE offers (skew split, BHJ conversion)
+    // applies to the tiny canonical-edge frames inside the loop.
+    iter.conf.set("spark.sql.adaptive.enabled", "false")
     val maxParts = owner.sessionState.conf.numShufflePartitions.toLong
     def roundParts(edgeCount: Long): Int =
       math.max(1L, math.min(maxParts,
