@@ -829,16 +829,58 @@ object Dedup {
     * (bucketing `documents` on doc_id co-locates them for free, the
     * [[editDistConfirm]] note).
     */
-  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
-    val splits = graft.functions.TextAnalysis.trainTestSplit(spark, sfDir)
-      .select(col("doc_id"), col("split"))
+  /** Cross-split near-dup pairs for ANY (doc_id, split) assignment —
+    * factored so the doc-hash split's audit ([[splitLeakage]]) and the
+    * component-aware split's ZERO-leak law (DedupGraphSpec) run the
+    * identical census.
+    */
+  private[graft] def leakagePairsOn(
+      spark: SparkSession, sfDir: String, splits: DataFrame): DataFrame = {
+    val s = splits.select(col("doc_id"), col("split"))
     minhashLsh(spark, sfDir)
       .filter(col("est_jaccard") >= 0.8)
-      .join(splits.toDF("doc_a", "split_a"), "doc_a")
-      .join(splits.toDF("doc_b", "split_b"), "doc_b")
+      .join(s.toDF("doc_a", "split_a"), "doc_a")
+      .join(s.toDF("doc_b", "split_b"), "doc_b")
       .filter(col("split_a") =!= col("split_b"))
       .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
         col("est_jaccard"))
+  }
+
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame =
+    leakagePairsOn(spark, sfDir,
+      graft.functions.TextAnalysis.trainTestSplit(spark, sfDir))
+
+  /** Cluster-aware train/valid/test split — the LEAK-FREE counterpart
+    * of the doc-hash split that [[splitLeakage]] audits: every
+    * near-dup component (confirmed est ≥ 0.8, [[dupComponents]]'s
+    * min-id labels) is assigned ATOMICALLY by hashing its canonical
+    * root id, so two near-duplicate documents can never straddle a
+    * split boundary — by construction, not by audit (the zero-leak
+    * law is still pinned through the [[leakagePairsOn]] census in
+    * DedupGraphSpec). Singletons are their own component (label
+    * coalesces to doc_id), so their assignment matches the doc-hash
+    * recipe's marginal shape; cluster-size skew shifts the 80/10/10
+    * proportions only by the duplicated mass — the price every
+    * leakage-safe split pays.
+    *
+    * Scale shape: the labels are the memoized/persisted train-once
+    * component index (bucketed on v), so the split is one
+    * broadcast-or-bucketed left join + a per-row hash projection —
+    * no pair-grain work at assignment time.
+    */
+  def splitByComponent(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = dupComponents(spark, sfDir, 0.8)
+      .select(col("v").as("doc_id"), col("comp"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+      .withColumn("hash_mod",
+        conv(substring(md5(col("comp").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100)
+      .select(col("doc_id"), col("comp"), col("hash_mod"),
+        when(col("hash_mod") < 80, "train")
+          .when(col("hash_mod") < 90, "valid")
+          .otherwise("test").as("split"))
   }
 
   /** Swept est-Jaccard thresholds for [[recallEval]], in permille.
@@ -1824,6 +1866,22 @@ object Dedup {
           FROM candj c JOIN splits sa ON sa.doc_id = c.doc_a
                        JOIN splits sb ON sb.doc_id = c.doc_b
           WHERE c.est_jaccard >= 0.8 AND sa.split != sb.split""",
+    // the leak-free split: comps (min-id labels at est >= 0.8, the
+    // recursive fixpoint) hashed at COMPONENT grain, singletons
+    // coalescing to their own doc_id — the same md5 recipe as
+    // split_train_test, applied to the canonical root
+    "split_by_component" ->
+      s"""WITH RECURSIVE $ShingleCte, $Comp08Ctes,
+          keyed AS (
+            SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+            FROM documents d LEFT JOIN comps c ON c.v = d.doc_id)
+          SELECT doc_id, comp, hash_mod,
+                 CASE WHEN hash_mod < 80 THEN 'train'
+                      WHEN hash_mod < 90 THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM (SELECT doc_id, comp,
+                       ('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15))::BIGINT % 100 AS hash_mod
+                FROM keyed)""",
     "dedup_components" ->
       s"""WITH RECURSIVE $ShingleCte,
           mh AS (
@@ -2016,5 +2074,6 @@ object Dedup {
     "dedup_winnow_pairs" -> winnowPairs _,
     "dedup_source_overlap" -> sourceOverlap _,
     "split_leakage" -> splitLeakage _,
+    "split_by_component" -> splitByComponent _,
   )
 }

@@ -130,4 +130,19 @@ class DedupGraphSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.size - before
     assert(leaked <= 2, s"$leaked new persistent RDDs remain registered")
   }
+
+  test("split_by_component: zero cross-split near-dup pairs BY CONSTRUCTION") {
+    val sf = "/root/testdata/sf0.001"
+    val split = Dedup.splitByComponent(spark, sf)
+    // the identical census that audits the doc-hash split: a component
+    // can never straddle a boundary, so the leak table is EMPTY
+    assert(Dedup.leakagePairsOn(spark, sf, split).count() === 0L)
+    // ...and that zero is meaningful: the doc-hash split genuinely
+    // leaks on the same corpus (7 pairs at sf0.001)
+    assert(Dedup.splitLeakage(spark, sf).count() > 0L)
+    // non-degenerate assignment: every split populated, every doc split
+    assert(split.select("split").distinct().count() === 3L)
+    assert(split.count() ===
+      graft.Tables.documents(spark, sf).count())
+  }
 }
