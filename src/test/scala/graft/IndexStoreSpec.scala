@@ -117,4 +117,45 @@ class IndexStoreSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaIndex === direct)
   }
+
+  test("bpe vocab + word tokens: trained once, second session serves scan-only") {
+    val dir = TestSpark.tmpDir("graft-index-bpe")
+    val s1 = sessionWithIndexDir(dir)
+    val trained = graft.functions.TextAnalysis.bpeVocab(s1, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(trained.nonEmpty)
+    graft.functions.TextAnalysis.bpeWordTokens(s1, sf).count()
+    // a NEW session must resolve BOTH artifacts from the catalog — a
+    // FileScan, never a re-run of the 10-round training loop (which
+    // would show up as aggregates/exchanges in the plan)
+    val s2 = sessionWithIndexDir(dir)
+    val vocab2 = graft.functions.TextAnalysis.bpeVocab(s2, sf)
+    val plan = vocab2.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet"), s"\n$plan")
+    assert(!plan.contains("HashAggregate"), s"retrain detected:\n$plan")
+    assert(vocab2.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet === trained)
+    val wt2 = graft.functions.TextAnalysis.bpeWordTokens(s2, sf)
+    val wtPlan = wt2.queryExecution.executedPlan.toString
+    assert(wtPlan.contains("FileScan parquet"), s"\n$wtPlan")
+    assert(!wtPlan.contains("HashAggregate"), s"re-encode detected:\n$wtPlan")
+    // and the downstream compression stats through the persisted
+    // tables equal the memoized-session path
+    val viaIndex = graft.functions.TextAnalysis.bpeEncode(s2, sf).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSet
+    val direct = graft.functions.TextAnalysis.bpeEncode(root, sf).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(viaIndex === direct)
+  }
+
+  test("bpe trainer's first merge == the one-step bpeStep ranking's top pair") {
+    // cross-law: at step 1 every symbol is a single char, so the loop's
+    // argmax must be exactly the standalone distributed merge-counting
+    // step's (count desc, pair asc) winner
+    val top = graft.functions.TextAnalysis.bpeStep(root, sf).collect().head
+    val first = graft.functions.TextAnalysis.bpeVocab(root, sf)
+      .orderBy(org.apache.spark.sql.functions.col("step")).collect().head
+    assert(first.getString(1) + first.getString(2) === top.getString(0))
+    assert(first.getLong(4) === top.getLong(1))
+  }
 }
