@@ -30,7 +30,7 @@ object Bench {
       // AQE-off because per-stage re-optimization measured ~1.5-2 s of
       // driver latency across the then-42-query suite; the round-12
       // back-to-back pair on the 219-query surface reversed that:
-      // AQE-on 71.9 s vs AQE-off 76.9 s steady-state (median per-query
+      // AQE-on 95.4 s vs AQE-off 97.9 s steady-state (median per-query
       // ratio 0.996 — noise — with the many-small-exchange HLL queries
       // winning outright from partition coalescing, events_hll_cube
       // −1.2 s). See BENCH_r12_aqeon/off.json. Overridable for A/B via
