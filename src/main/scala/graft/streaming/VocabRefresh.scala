@@ -39,6 +39,10 @@ object VocabRefresh {
     */
   def processBatch(store: VersionedStore)(
       docs: DataFrame, batchId: Long): Unit = {
+    // an empty micro-batch (idle trigger) commits nothing — the next
+    // real batch bases on the latest pointer, so version-id gaps are
+    // harmless (the [[TrancheLifecycle.processTranche]] symmetry)
+    if (docs.isEmpty) return
     val delta = graft.functions.TextAnalysis.wordFreq(docs)
     store.transact(batchId) {
       case None => delta

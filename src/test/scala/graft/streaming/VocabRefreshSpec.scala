@@ -47,6 +47,12 @@ class VocabRefreshSpec extends AnyFunSuite {
     VocabRefresh.processBatch(store)(b2.toDF("text"), 1L)
     assert(wfSet(store.read().get) === before)
 
+    // an empty micro-batch (idle trigger) commits no new version
+    val verBefore = store.currentVersion
+    VocabRefresh.processBatch(store)(Seq.empty[String].toDF("text"), 2L)
+    assert(store.currentVersion === verBefore)
+    assert(wfSet(store.read().get) === before)
+
     // trainer parity: the vocabulary trained from the maintained
     // table is the vocabulary trained from the corpus scan — the
     // stream twin plugs into the exact batch training path
