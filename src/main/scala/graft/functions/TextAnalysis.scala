@@ -983,7 +983,15 @@ object TextAnalysis {
                       THEN acc || x
                       ELSE acc || $sep || x END) AS syms,
                   w.n_w
-           FROM wf${k - 1} w CROSS JOIN b$k b)"""
+           FROM wf${k - 1} w CROSS JOIN b$k b
+           UNION ALL
+           -- pair-exhaustion guard: when b$k is empty (every word
+           -- fully merged before step $k) the cross join would empty
+           -- the word table and zero out the encode oracle, while the
+           -- Spark trainer's `exhausted` path stops and encodes
+           -- correctly — fall back to wf${k - 1} unchanged instead
+           SELECT syms, n_w FROM wf${k - 1}
+           WHERE NOT EXISTS (SELECT 1 FROM b$k))"""
     s"""wf0 AS MATERIALIZED (
           SELECT array_to_string(
                    [substr(t, i, 1) for i in range(1, len(t) + 1)],

@@ -76,12 +76,18 @@ final class VersionedStore(spark: SparkSession, root: String, keepVersions: Int 
   /** Read-transform-commit: `f` maps the base snapshot to the next
     * table state, which becomes version `version` atomically.
     *
-    * The base is the latest committed version STRICTLY BEFORE
-    * `version` (None on first commit) — not simply the pointer. On a
+    * The base is the LARGEST RETAINED version strictly below
+    * `version` (None if none) — never the pointer itself. On a
     * streaming retry of batch n after a successful commit of n, the
-    * pointer already names v_n; basing on v_{n-1} makes the retry
-    * recompute the same v_n instead of double-applying the delta
-    * (and avoids lazily reading the directory being overwritten).
+    * pointer already names v_n; basing strictly below n makes the
+    * retry recompute the same v_n instead of double-applying the
+    * delta. Version ids may have gaps (callers that skip empty
+    * micro-batches commit nothing for those batch ids), so "strictly
+    * below" is resolved against the retained directory list, not
+    * `version - 1` — a replay of batch n after a skipped batch n-1
+    * must base on v_{n-2}, NEVER on v_n (which would double-count a
+    * sum-monoid merge). Capped at the pointer so a partially-written
+    * directory from a crash mid-commit is never chosen as a base.
     */
   def transact(version: Long)(f: Option[DataFrame] => DataFrame): Unit = {
     val next = f(baseSnapshot(version))
@@ -92,11 +98,8 @@ final class VersionedStore(spark: SparkSession, root: String, keepVersions: Int 
 
   private def baseSnapshot(version: Long): Option[DataFrame] =
     currentVersion.flatMap { c =>
-      val b = math.min(c, version - 1)
-      if (b < 0) None
-      else if (Files.exists(rootPath.resolve(s"v$b")))
-        Some(spark.read.parquet(s"$root/v$b"))
-      else Some(spark.read.parquet(s"$root/v$c"))
+      versions.filter(v => v < version && v <= c).lastOption
+        .map(v => spark.read.parquet(s"$root/v$v"))
     }
 
   private def commitPointer(version: Long): Unit = {

@@ -62,5 +62,17 @@ class VocabRefreshSpec extends AnyFunSuite {
       graft.functions.TextAnalysis.bpeVocabFromWf(spark, batchWf))
     assert(fromStream === fromBatch)
     assert(fromStream.nonEmpty)
+
+    // the gap-replay hazard: empty batch 2 left a version-id gap, so
+    // a crash-replay of the NEXT real batch (3) finds no v2 — the
+    // base must be the largest retained version strictly below 3
+    // (v1), never the already-committed v3, or the sum-monoid merge
+    // double-counts every word in batch 3
+    val b3 = Seq("aaab zz")
+    VocabRefresh.processBatch(store)(b3.toDF("text"), 3L)
+    val afterB3 = wfSet(store.read().get)
+    assert(afterB3 === Set(("aaab", 4L), ("ccd", 3L), ("xy", 1L), ("zz", 1L)))
+    VocabRefresh.processBatch(store)(b3.toDF("text"), 3L) // crash replay
+    assert(wfSet(store.read().get) === afterB3)
   }
 }
