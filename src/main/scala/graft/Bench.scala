@@ -213,9 +213,13 @@ object Bench {
         "dup_components_prior" -> (() => { ext.Dedup.priorComponents(spark, queryDir).count(); () }),
         "dup_components_80" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.8); () })),
       // wave 3: the mutual-kNN component labels contract the wave-2
-      // edge list (the dup_components lifecycle on the embedding side)
+      // edge list (the dup_components lifecycle on the embedding side);
+      // the per-tranche churn forests replay the warm-start ladder off
+      // wave-2's memoized lsh_pairs frame (same-key SessionCache race
+      // rule keeps them out of wave 2)
       Seq(
-        "knn_cluster_labels" -> (() => { ext.Similarity.knnClusterLabels(spark, queryDir); () })))
+        "knn_cluster_labels" -> (() => { ext.Similarity.knnClusterLabels(spark, queryDir); () }),
+        "churn_forests" -> (() => { ext.Dedup.splitChurnForests(spark, queryDir).foreach(_.count()); () })))
     // SPARK_GRAFT_INDEX_PAR caps concurrent builders per wave (dev
     // profiling: PAR=1 gives uncontended per-builder seconds; the
     // in-wave walls below include scheduler/codegen contention)

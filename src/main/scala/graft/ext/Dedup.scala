@@ -868,19 +868,138 @@ object Dedup {
     * broadcast-or-bucketed left join + a per-row hash projection —
     * no pair-grain work at assignment time.
     */
+  /** The split-hash recipe shared by [[splitByComponent]] and the
+    * tranche-churn audit: md5 of the key's decimal string, first 60
+    * bits, mod 100 — the same per-key band arithmetic as the doc-hash
+    * split, applied at whatever grain the key column carries.
+    */
+  private[graft] def splitHashMod(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+
+  /** hash_mod → split band, the 80/10/10 recipe. */
+  private[graft] def splitBand(hashMod: Column): Column =
+    when(hashMod < 80, "train")
+      .when(hashMod < 90, "valid")
+      .otherwise("test")
+
   def splitByComponent(spark: SparkSession, sfDir: String): DataFrame = {
     val labels = dupComponents(spark, sfDir, 0.8)
       .select(col("v").as("doc_id"), col("comp"))
     Tables.documents(spark, sfDir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
-      .withColumn("hash_mod",
-        conv(substring(md5(col("comp").cast("string")), 1, 15), 16, 10)
-          .cast("long") % 100)
+      .withColumn("hash_mod", splitHashMod(col("comp")))
       .select(col("doc_id"), col("comp"), col("hash_mod"),
-        when(col("hash_mod") < 80, "train")
-          .when(col("hash_mod") < 90, "valid")
-          .otherwise("test").as("split"))
+        splitBand(col("hash_mod")).as("split"))
+  }
+
+  /** Tranche count for [[splitAssignmentChurn]] — prefixes at
+    * quartile doc_id cutoffs, the smallest ladder that exercises a
+    * cold start plus three warm-start merges.
+    */
+  private[graft] val SplitChurnTranches = 4
+
+  private val churnForestCache = new graft.SessionCache[Seq[DataFrame]]
+
+  /** The per-tranche component label forests behind
+    * [[splitAssignmentChurn]] — tranche t's labels contract (tranche
+    * t−1's forest ∪ the pairs whose id-larger endpoint landed in
+    * tranche t), the [[componentsWarmStart]] /
+    * [[graft.streaming.TrancheLifecycle]] lifecycle replayed across
+    * the whole ladder. Persisted train-once per tranche
+    * ([[graft.IndexStore]], bucketed on v) exactly like
+    * [[priorComponents]]: in production each forest IS release-t's
+    * persisted label index, and the churn audit is a read-side join
+    * over artifacts that already exist — never a fixpoint at query
+    * time.
+    */
+  private[graft] def splitChurnForests(
+      spark: SparkSession, sfDir: String): Seq[DataFrame] =
+    churnForestCache.getOrElseUpdate(spark, sfDir) {
+      val pairs = minhashLsh(spark, sfDir)
+        .filter(col("est_jaccard") >= 0.8).select("doc_a", "doc_b")
+      val nDf = broadcast(Tables.documents(spark, sfDir)
+        .agg((max(col("doc_id")) + lit(1L)).as("n_docs")))
+      var prior: Option[DataFrame] = None
+      (1 to SplitChurnTranches).map { t =>
+        // the FINAL tranche's prefix is the whole corpus, so its
+        // forest IS the already-persisted full-corpus label index
+        // (warm chain ≡ cold full fixpoint, the componentsWarmStart
+        // law) — reuse it instead of contracting a fourth time
+        val forest =
+          if (t == SplitChurnTranches) dupComponents(spark, sfDir, 0.8)
+          else {
+            def build = {
+              val newPairs = pairs.crossJoin(nDf)
+                .filter(col("doc_b") >= expr(
+                    s"n_docs * ${t - 1} div $SplitChurnTranches")
+                  && col("doc_b") < expr(s"n_docs * $t div $SplitChurnTranches"))
+                .select("doc_a", "doc_b")
+              val edges = prior match {
+                case Some(f) => f.filter(col("v") =!= col("comp"))
+                  .select(col("v").as("doc_a"), col("comp").as("doc_b"))
+                  .unionByName(newPairs)
+                case None => newPairs
+              }
+              starComponents(edges)._1
+            }
+            graft.IndexStore
+              .resolve(spark, sfDir, s"split_churn_forest_$t", Some("v"))(build)
+              .getOrElse(
+                build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+          }
+        prior = Some(forest)
+        forest
+      }
+    }
+
+  /** Split-assignment churn across tranches — the stability audit on
+    * top of [[splitByComponent]]: cluster-atomic assignment is
+    * leak-free at every point in time, but when a tranche's edges
+    * MERGE two prior components the canonical min-id root (and with it
+    * the whole absorbed component's train/valid/test band) can flip.
+    * For each tranche t ≥ 2 this censuses the docs already present at
+    * t−1 whose component root changed and whose split band actually
+    * flipped — the re-shuffle cost a pretraining data platform must
+    * budget when it re-releases splits per tranche (flipped docs
+    * invalidate any loss/eval attribution pinned to the old split).
+    *
+    * Tranches are doc_id quartile prefixes (ingest order — the
+    * [[graft.streaming.TrancheLifecycle]] monotone-id contract), and
+    * the labels are the persisted per-tranche forests
+    * ([[splitChurnForests]]), so the steady-state query is three
+    * key-grain joins over train-once artifacts. The leak-free-at-
+    * every-tranche invariant is pinned in TrancheLifecycleSpec (both
+    * endpoints of a confirmed pair share a component, hence a band,
+    * at every t); the ORACLE recomputes every prefix fixpoint cold.
+    */
+  def splitAssignmentChurn(spark: SparkSession, sfDir: String): DataFrame = {
+    val forests = splitChurnForests(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val nDf = broadcast(Tables.documents(spark, sfDir)
+      .agg((max(col("doc_id")) + lit(1L)).as("n_docs")))
+    def assign(t: Int): DataFrame =
+      docs.crossJoin(nDf)
+        .filter(col("doc_id") < expr(s"n_docs * $t div $SplitChurnTranches"))
+        .select(col("doc_id"))
+        .join(forests(t - 1).select(col("v").as("doc_id"), col("comp")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("hash_mod", splitHashMod(col("comp")))
+    (2 to SplitChurnTranches).map { t =>
+      assign(t)
+        .join(assign(t - 1).select(col("doc_id"),
+          col("comp").as("comp_prev"), col("hash_mod").as("hm_prev")),
+          "doc_id")
+        .agg(count(lit(1)).as("docs_prev"),
+          count_if(col("comp") =!= col("comp_prev")).as("comp_changed"),
+          count_if(splitBand(col("hash_mod")) =!= splitBand(col("hm_prev")))
+            .as("split_changed"))
+        .select(lit(t.toLong).as("tranche"), col("docs_prev"),
+          col("comp_changed"), col("split_changed"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Swept est-Jaccard thresholds for [[recallEval]], in permille.
@@ -1534,12 +1653,13 @@ object Dedup {
     */
   private[graft] val ShingleCte = graft.functions.SqlFragments.ShingleCte
 
-  /** Shared oracle fragment: MinHash-LSH candidates confirmed at
-    * est-Jaccard ≥ 0.8, resolved to connected components with their
-    * sizes — the SQL mirror of [[dupComponents]](0.8). Requires
-    * [[ShingleCte]] ahead of it under WITH RECURSIVE.
+  /** Shared oracle fragment: MinHash-LSH candidate pairs CONFIRMED at
+    * est-Jaccard ≥ 0.8 (`candf`), without component resolution —
+    * factored from [[Comp08Ctes]] for oracles that need the confirmed
+    * pair set under a different fixpoint (the per-tranche reach of
+    * `split_assignment_churn`). Requires [[ShingleCte]] ahead of it.
     */
-  private[graft] val Comp08Ctes =
+  private[graft] val Lsh08PairCtes =
     """mh AS (
          SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
          FROM ex, range(16) t(i) GROUP BY doc_id, i),
@@ -1558,7 +1678,15 @@ object Dedup {
          JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id),
        candf AS (
          SELECT doc_a, doc_b FROM candk
-         WHERE CAST(k AS DOUBLE) / 16 >= 0.8),
+         WHERE CAST(k AS DOUBLE) / 16 >= 0.8)"""
+
+  /** Shared oracle fragment: MinHash-LSH candidates confirmed at
+    * est-Jaccard ≥ 0.8, resolved to connected components with their
+    * sizes — the SQL mirror of [[dupComponents]](0.8). Requires
+    * [[ShingleCte]] ahead of it under WITH RECURSIVE.
+    */
+  private[graft] val Comp08Ctes =
+    s"""$Lsh08PairCtes,
        edges AS (SELECT doc_a AS src, doc_b AS dst FROM candf
                  UNION ALL
                  SELECT doc_b AS src, doc_a AS dst FROM candf),
@@ -1882,6 +2010,50 @@ object Dedup {
           FROM (SELECT doc_id, comp,
                        ('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15))::BIGINT % 100 AS hash_mod
                 FROM keyed)""",
+    // every prefix fixpoint recomputed COLD (reach carries the tranche
+    // dimension; edges restrict to both-endpoints-below-cutoff), while
+    // the engine replays the warm-start forest ladder — same labels,
+    // the componentsWarmStart contract per tranche
+    "split_assignment_churn" ->
+      s"""WITH RECURSIVE $ShingleCte, $Lsh08PairCtes,
+          nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+          cut AS (SELECT t, (SELECT n FROM nn) * t // $SplitChurnTranches AS cutoff
+                  FROM range(1, ${SplitChurnTranches + 1}) r(t)),
+          tedges AS (
+            SELECT c.t, e.src, e.dst
+            FROM cut c, (SELECT doc_a AS src, doc_b AS dst FROM candf
+                         UNION ALL
+                         SELECT doc_b AS src, doc_a AS dst FROM candf) e
+            WHERE greatest(e.src, e.dst) < c.cutoff),
+          tverts AS (SELECT DISTINCT t, src AS v FROM tedges),
+          reach(t, v, r) AS (
+            SELECT t, v, v FROM tverts
+            UNION
+            SELECT reach.t, reach.v, e.dst FROM reach
+            JOIN tedges e ON e.t = reach.t AND e.src = reach.r),
+          tcomps AS (SELECT t, v, min(r) AS comp FROM reach GROUP BY t, v),
+          assign AS (
+            SELECT c.t, d.doc_id, coalesce(tc.comp, d.doc_id) AS comp
+            FROM documents d JOIN cut c ON d.doc_id < c.cutoff
+            LEFT JOIN tcomps tc ON tc.t = c.t AND tc.v = d.doc_id),
+          sbands AS (
+            SELECT t, doc_id, comp,
+                   CASE WHEN hm < 80 THEN 'train'
+                        WHEN hm < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (SELECT t, doc_id, comp,
+                         ('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 15))::BIGINT
+                           % 100 AS hm
+                  FROM assign))
+          SELECT CAST(cur.t AS BIGINT) AS tranche,
+                 CAST(count(*) AS BIGINT) AS docs_prev,
+                 CAST(count(*) FILTER (WHERE cur.comp != prev.comp) AS BIGINT)
+                   AS comp_changed,
+                 CAST(count(*) FILTER (WHERE cur.split != prev.split) AS BIGINT)
+                   AS split_changed
+          FROM sbands cur JOIN sbands prev
+            ON prev.t = cur.t - 1 AND prev.doc_id = cur.doc_id
+          GROUP BY 1""",
     "dedup_components" ->
       s"""WITH RECURSIVE $ShingleCte,
           mh AS (
@@ -2075,5 +2247,6 @@ object Dedup {
     "dedup_source_overlap" -> sourceOverlap _,
     "split_leakage" -> splitLeakage _,
     "split_by_component" -> splitByComponent _,
+    "split_assignment_churn" -> splitAssignmentChurn _,
   )
 }

@@ -857,6 +857,47 @@ object TextAnalysis {
         concat(acc, x)).otherwise(concat(acc, lit(BpeSep), x)))
   }
 
+  /** Max merges folded as stacked projections before the encoder
+    * re-materializes the symbol table: each [[bpeMergeFold]] is one
+    * nested `aggregate()` expression, so an unbounded stack blows
+    * Catalyst plan size (and codegen) at tokenizer-realistic merge
+    * counts — 16 keeps the 10-merge oracle regime on the identical
+    * single-chunk plan while bounding depth at any N.
+    */
+  private[graft] val BpeEncodeChunk = 16
+
+  /** Fold a learned merge list into a symbol-string column, plan-depth
+    * bounded: merges apply in training order as stacked projections
+    * within a chunk of ≤ [[BpeEncodeChunk]], and the frame is
+    * re-materialized (eager DISK_ONLY localCheckpoint, predecessor
+    * blocks released) between chunks — so a 32k-merge tokenizer
+    * encodes in 32k/16 bounded-size map-only jobs instead of one
+    * unplannable expression tree. ≤ [[BpeEncodeChunk]] merges never
+    * checkpoint, keeping the oracle-regime plan byte-identical to the
+    * pre-chunking encoder. The last chunk's checkpoint (if any)
+    * backs the returned frame and stays pinned — callers persist the
+    * result as a train-once artifact anyway ([[bpeWordTokens]]).
+    */
+  private[graft] def bpeEncodeSyms(
+      vocab0: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val chunks = merges.grouped(BpeEncodeChunk).toSeq
+    var state = vocab0
+    var free: () => Unit = () => ()
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val folded = chunk.foldLeft(state) { case (df, (s1, s2)) =>
+        df.withColumn("syms", bpeMergeFold(col("syms"), s1, s2))
+      }
+      if (i < chunks.size - 1) {
+        val next = folded.localCheckpoint(true, disk) // eager: safe to free prior
+        free()
+        free = graft.Lineage.checkpointRelease(next)
+        state = next
+      } else state = folded
+    }
+    state
+  }
+
   private val bpeVocabCache = new graft.SessionCache[DataFrame]
 
   /** The full BPE TRAINING LOOP — [[bpeStep]] iterated to a merge
@@ -936,11 +977,10 @@ object TextAnalysis {
         .withColumn("syms", array_join(
           expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
           BpeSep))
-      val encoded = merges.foldLeft(vocab0) { case (df, (s1, s2)) =>
-        // merge folds stack as PROJECTIONS — no exchange between
-        // them, one vocabulary-grain pass however many merges
-        df.withColumn("syms", bpeMergeFold(col("syms"), s1, s2))
-      }
+      // merge folds stack as PROJECTIONS within a chunk (no exchange
+      // between them); past BpeEncodeChunk merges the fold
+      // re-materializes — bounded plan depth at any merge count
+      val encoded = bpeEncodeSyms(vocab0, merges.toSeq)
       encoded.select(col("t"),
         size(split(col("syms"), BpeSep)).cast("long").as("n_syms"))
     }
@@ -1022,21 +1062,58 @@ object TextAnalysis {
     * exposed so the streaming-maintained table
     * ([[graft.streaming.VocabRefresh]]) trains through the exact
     * code path the batch build uses.
+    *
+    * `merges` defaults to the oracle regime ([[BpeVocabMerges]]) but
+    * the loop is bounded-resource at ANY count: plan depth never
+    * exceeds [[BpeCheckpointEvery]] (between checkpoints the lineage
+    * grows by pure projections), driver state is one collected argmax
+    * row per round plus the merge list, and per-round work is
+    * vocabulary-grain. BpeLawsSpec pins trainer ≡ reference at
+    * N = 120; a production 32k-merge run differs only in round count.
     */
-  private[graft] def bpeVocabFromWf(spark: SparkSession, wf: DataFrame): DataFrame = {
+  /** Vocabulary rows per shuffle partition for the trainer's cloned
+    * iteration session — rows are short symbol strings that explode
+    * into ~|word| pair structs, so 64k rows keeps a round partition
+    * well inside executor memory while collapsing the tiny-vocab case
+    * to single-task rounds.
+    */
+  private val VocabRowsPerPartition = 1L << 16
+
+  private[graft] def bpeVocabFromWf(
+      spark: SparkSession, wf: DataFrame,
+      merges: Int = BpeVocabMerges): DataFrame = {
     val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
     // initial state: one row per DISTINCT word — symbols = its chars
-    var state = wf
+    val state0 = wf
       .select(array_join(
           expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
           BpeSep).as("syms"),
         col("n_w"))
       .localCheckpoint(true, disk)
-    var free = graft.Lineage.checkpointRelease(state)
+    // The whole loop is VOCABULARY-grain, but it inherits the caller
+    // session's shuffle width — 32 reduce tasks per round over a
+    // 31-row state is pure scheduling latency, paid once per merge
+    // (the builder's measured cost is fixed job overhead, flat from
+    // sf0.001 to sf0.1). So: the starComponents discipline — a CLONED
+    // session whose shuffle width comes from the EXACT row count of
+    // the just-materialized state (the count is a cheap action on a
+    // checkpointed frame), AQE off because that sizing is the only
+    // decision AQE would re-derive, at per-exchange driver latency.
+    // At production vocab sizes the width scales back up with the
+    // count; the caller's session is never touched.
+    val iter = spark.newSession()
+    iter.conf.set("spark.sql.adaptive.enabled", "false")
+    val vocabRows = state0.count()
+    val maxParts = spark.sessionState.conf.numShufflePartitions.toLong
+    val parts = math.max(1L, math.min(maxParts,
+      vocabRows / VocabRowsPerPartition + 1)).toInt
+    iter.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    var state = iter.createDataFrame(state0.rdd, state0.schema).coalesce(parts)
+    var free = graft.Lineage.checkpointRelease(state0)
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, Long)]
     var exhausted = false
-    for (step <- 1 to BpeVocabMerges if !exhausted) {
+    for (step <- 1 to merges if !exhausted) {
       val a = split(col("syms"), BpeSep)
       // adjacent pairs as (s1, s2) STRUCTS, not concatenated strings:
       // after round 1 symbols are multi-char, and ("ab","c") must not

@@ -86,4 +86,49 @@ class BpeLawsSpec extends AnyFunSuite {
       assert(got === want, s"case $case_: corpus $wf0 diverged")
     }
   }
+
+  /** Production merge counts: the 10-merge oracle regime folds every
+    * merge as one stacked projection, which blows Catalyst plan size
+    * at tokenizer-realistic N. Past [[TextAnalysis.BpeEncodeChunk]]
+    * merges the encoder re-materializes the word→symbols table per
+    * chunk instead, so plan depth stays ≤ the chunk size no matter
+    * how many merges — this law pins trainer AND chunked encoder
+    * against the plain-Scala reference at N ≥ 100.
+    */
+  test("trainer + chunked encoder == reference at N=120 merges") {
+    val rnd = new scala.util.Random(13L)
+    val letters = "abcdefgh"
+    val words = (1 to 240).map(_ =>
+      (1 to 3 + rnd.nextInt(8)).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    ).distinct
+    val wf0 = words.map(w => w -> (1L + rnd.nextInt(5))).toMap
+    val wfDf = wf0.toSeq.toDF("t", "n_w")
+    val merges = 120
+    val want = refTrain(wf0, merges)
+    assert(want.size >= 100, s"fixture exhausted at ${want.size} merges")
+
+    val got = graft.functions.TextAnalysis.bpeVocabFromWf(spark, wfDf, merges)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toList.sortBy(_._1)
+    assert(got === want)
+
+    // chunked encode under the learned merges == the reference fold —
+    // and the chunking really engaged (>= 2 chunks at this N)
+    val mergeList = want.map(t => (t._2, t._3))
+    assert(mergeList.size > graft.functions.TextAnalysis.BpeEncodeChunk)
+    val vocab0 = words.toDF("t").select(col("t"),
+      org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.expr(
+          "transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
+        sep).as("syms"))
+    val gotEnc = graft.functions.TextAnalysis.bpeEncodeSyms(vocab0, mergeList)
+      .collect().map(r => r.getString(0) -> r.getString(1).split(sep, -1).toList)
+      .toMap
+    val wantEnc = words.map { w =>
+      w -> mergeList.foldLeft(w.toList.map(_.toString)) {
+        case (syms, (s1, s2)) => refMerge(syms, s1, s2)
+      }
+    }.toMap
+    assert(gotEnc === wantEnc)
+  }
 }

@@ -182,4 +182,83 @@ class TrancheLifecycleSpec extends AnyFunSuite {
     assert(cardStream === TrancheLifecycle.releaseCard(docs, store).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet)
   }
+
+  /** Split stability across tranches: a tranche whose edges MERGE two
+    * prior components flips the canonical root — and with it the
+    * cluster-hash split assignment — of every doc in the absorbed
+    * component. The law pinned here: (a) after every tranche the
+    * assignment is still leak-free (no confirmed pair straddles
+    * splits — by construction, both endpoints share a component), and
+    * (b) the churn census is EXACTLY the absorbed-component mass, with
+    * split flips exactly where the root hash crosses a band boundary.
+    *
+    * Fixture: two 2-doc components over disjoint-ish 21-element sets
+    * A and B (J(A,B) = 9/33, far below 4/5), bridged by a tranche of
+    * five chain docs stepping A→B in 2-element swaps (adjacent
+    * J = 19/23 ≥ 4/5, non-adjacent 17/25 < 4/5) — the merge arrives
+    * only through the chain, the warm-start stitch case.
+    */
+  test("tranche merge churn: absorbed component flips assignment, split stays leak-free") {
+    import graft.streaming.{TrancheLifecycle, VersionedStore}
+
+    val setA: Seq[Long] = (1L to 21L).map(70000L + _)
+    val tailB: Seq[Long] = (1L to 12L).map(71000L + _)
+    val setB: Seq[Long] = setA.take(9) ++ tailB
+    // chain step k: drop the last 2k of A's tail-12, take the first
+    // 2k of B's tail-12 (k=1..5); step 6 IS setB (doc 21's set)
+    def chain(k: Int): Seq[Long] =
+      setA.take(9) ++ setA.drop(9).dropRight(2 * k) ++ tailB.take(2 * k)
+    val churnSets: Seq[(Long, Seq[Long])] =
+      Seq(10L -> setA, 11L -> setA, 20L -> setB, 21L -> setB) ++
+        (1 to 5).map(k => (99L + k) -> chain(k))
+    def rowsOf(p: Long => Boolean): Seq[(Long, Int, Long)] =
+      churnSets.filter(s => p(s._1))
+        .flatMap { case (d, hs) => hs.map(h => (d, hs.size, h)) }
+
+    val corpusLog = TestSpark.tmpDir("churn-log") + "/log"
+    val store = new VersionedStore(spark, TestSpark.tmpDir("churn-labels"))
+    TrancheLifecycle.processTranche(corpusLog, store)(
+      rowsOf(_ < 100L).toDF("doc_id", "sz", "h"), 0L)
+    val docsOf: Long => Seq[Long] = cut => churnSets.map(_._1).filter(_ < cut)
+    def assignment(docIds: Seq[Long]): Map[Long, (Long, Long)] = {
+      val forest = labelSet(store.read().get).toMap
+      val comps = docIds.map(d => d -> forest.getOrElse(d, d))
+      val mods = comps.toDF("doc_id", "comp")
+        .withColumn("hash_mod", Dedup.splitHashMod(col("comp")))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      mods.toMap
+    }
+    def band(hm: Long): String =
+      if (hm < 80) "train" else if (hm < 90) "valid" else "test"
+
+    // tranche 1: two separate components {10,11} and {20,21}
+    val a1 = assignment(docsOf(100L))
+    assert(a1.view.mapValues(_._1).toMap ===
+      Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+
+    // tranche 2 lands the bridge chain
+    TrancheLifecycle.processTranche(corpusLog, store)(
+      rowsOf(_ >= 100L).toDF("doc_id", "sz", "h"), 1L)
+    val a2 = assignment(churnSets.map(_._1))
+    // everything collapsed to the min-id root 10
+    assert(a2.view.mapValues(_._1).toMap.values.toSet === Set(10L))
+
+    // (a) leak-free after the merge: every confirmed pair among the
+    // landed docs shares a split — recomputed from the exact pair path
+    val pairs = Dedup.allPairsExactOn(rowsOf(_ => true).toDF("doc_id", "sz", "h"))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (x, y) =>
+      assert(band(a2(x)._2) === band(a2(y)._2), s"pair ($x,$y) straddles splits")
+    }
+
+    // (b) churn census == the absorbed-component mass: exactly
+    // {20, 21} changed comp (20 → 10); their split flips iff the root
+    // hash bands differ
+    val changedComp = a1.keys.filter(d => a1(d)._1 != a2(d)._1).toSet
+    assert(changedComp === Set(20L, 21L))
+    val expectFlip = band(a1(20L)._2) != band(a2(20L)._2)
+    val changedSplit = a1.keys.filter(d => band(a1(d)._2) != band(a2(d)._2)).toSet
+    assert(changedSplit === (if (expectFlip) Set(20L, 21L) else Set.empty[Long]))
+  }
 }

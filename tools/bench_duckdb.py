@@ -3,6 +3,13 @@
 the shipped Scala library never touches Python/DuckDB).
 
 Usage: python3 tools/bench_duckdb.py <sfDir> <oracle_sql.json> [runs]
+         [--only=q1,q2] [--timeout=SECONDS]
+
+--only narrows to named queries; --timeout interrupts a statement after N
+seconds (the query records the elapsed time at interrupt as a CENSORED
+lower bound, flagged in a "censored" list) — both for the scaling audit,
+where a superlinear recursive CTE at a 10x scale factor must not own the
+whole wall-clock budget.
 
 Runs each oracle statement `runs` times (default 2, min-of-N per the
 measurement discipline in BASELINE.md: DuckDB's recursive-CTE queries
@@ -14,9 +21,13 @@ import sys, os, json, time
 import duckdb
 
 def main():
-    sf_dir = sys.argv[1]
-    oracle_path = sys.argv[2]
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--"))
+    sf_dir = args[0]
+    oracle_path = args[1]
+    runs = int(args[2]) if len(args) > 2 else 2
+    only = set(opts["only"].split(",")) if "only" in opts else None
+    timeout = float(opts["timeout"]) if "timeout" in opts else None
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in ["region","nation","customer","supplier","part","orders",
@@ -25,20 +36,38 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(oracle_path))
-    names = sorted(oracle)
+    names = sorted(n for n in oracle if only is None or n in only)
     best = {n: float("inf") for n in names}
+    censored = set()
     # round-robin interleaved passes (same shape as graft.Bench) so host
     # drift within the run hits all queries evenly, not the tail
+    import threading
     for _ in range(runs):
         for n in names:
+            if n in censored:
+                continue  # already hit the timeout once; don't re-pay it
+            timer = None
+            hit = []
+            if timeout is not None:
+                timer = threading.Timer(timeout,
+                                        lambda: (hit.append(1), con.interrupt()))
+                timer.start()
             t0 = time.perf_counter()
-            con.execute(oracle[n]).fetchall()
+            try:
+                con.execute(oracle[n]).fetchall()
+            except duckdb.InterruptException:
+                censored.add(n)
+                print(f"[censored] {n}: >= {timeout}s", file=sys.stderr)
+            finally:
+                if timer is not None:
+                    timer.cancel()
             best[n] = min(best[n], time.perf_counter() - t0)
     total = sum(best.values())
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(json.dumps({
         "metric": "duckdb_total_sec", "value": round(total, 3),
         "unit": "sec", "runs": runs,
+        "censored": sorted(censored),
         "queries": {n: round(best[n], 4) for n in names}, "sf": sf}))
 
 if __name__ == "__main__":

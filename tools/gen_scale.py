@@ -55,10 +55,10 @@ def replicate_offset(name, out_dir, factor, offsets):
 
 
 def gen_documents(out_dir, factor, rng):
-    vocab = np.array(
-        "spark data query table scan filter group agg join sort hash merge "
-        "stream batch window row column value key order part line customer "
-        "vector fast slow big small a the".split())
+    vocab = np.array(  # the exact 31-word vocab observed at sf0.1
+        "a agg batch big column customer data dup fast filter group hash "
+        "join key line merge order part query row scan slow small sort "
+        "spark stream table the value vector window".split())
     assert len(vocab) == 31
     n = 5000 * factor
     langs = np.array(["en", "zh", "es", "fr", "de"])
