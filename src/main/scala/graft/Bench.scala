@@ -190,6 +190,7 @@ object Bench {
         "ngram_sources" -> (() => { functions.TextAnalysis.ngramSourceSets(spark, queryDir); () }),
         "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),
         "dsir_model" -> (() => { operators.Advanced.dsirModel(spark, queryDir); () }),
+        "classifier_model" -> (() => { functions.TextAnalysis.classifierModel(spark, queryDir).count(); () }),
         "bm25_scores" -> (() => { functions.Retrieval.bm25Scores(spark, queryDir).count(); () }),
         "user_triples" -> (() => { operators.EventAnalytics.userTriples(spark, queryDir).count(); () }),
         "sem_cells" -> (() => { ext.Similarity.semAssigned(spark, queryDir).count(); () })),

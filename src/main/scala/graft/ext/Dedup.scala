@@ -975,31 +975,38 @@ object Dedup {
     * at every t); the ORACLE recomputes every prefix fixpoint cold.
     */
   def splitAssignmentChurn(spark: SparkSession, sfDir: String): DataFrame = {
-    val forests = splitChurnForests(spark, sfDir)
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    import org.apache.spark.sql.expressions.Window
+    val labels = splitChurnForests(spark, sfDir).zipWithIndex.map {
+      case (f, i) =>
+        f.select(lit(i + 1).as("t"), col("v").as("doc_id"), col("comp"))
+    }.reduce(_.unionByName(_))
     val nDf = broadcast(Tables.documents(spark, sfDir)
       .agg((max(col("doc_id")) + lit(1L)).as("n_docs")))
-    def assign(t: Int): DataFrame =
-      docs.crossJoin(nDf)
-        .filter(col("doc_id") < expr(s"n_docs * $t div $SplitChurnTranches"))
-        .select(col("doc_id"))
-        .join(forests(t - 1).select(col("v").as("doc_id"), col("comp")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("comp"))
-        .withColumn("hash_mod", splitHashMod(col("comp")))
-    (2 to SplitChurnTranches).map { t =>
-      assign(t)
-        .join(assign(t - 1).select(col("doc_id"),
-          col("comp").as("comp_prev"), col("hash_mod").as("hm_prev")),
-          "doc_id")
-        .agg(count(lit(1)).as("docs_prev"),
-          count_if(col("comp") =!= col("comp_prev")).as("comp_changed"),
-          count_if(splitBand(col("hash_mod")) =!= splitBand(col("hm_prev")))
-            .as("split_changed"))
-        .select(lit(t.toLong).as("tranche"), col("docs_prev"),
-          col("comp_changed"), col("split_changed"))
-    }.reduce(_.unionByName(_))
+    // ONE doc-grain pass: each doc carries a row per tranche from its
+    // landing tranche (smallest t with doc_id < n·t/T) onward, the
+    // tagged forests attach by a single (t, doc_id) join, and the
+    // t−1 comparison is a lag window on the SAME doc_id key — one
+    // exchange serves join, window, and nothing else, where the naive
+    // per-tranche form pays 2(T−1) joins and T−1 aggregates
+    val assign = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .crossJoin(nDf)
+      .select(col("doc_id"), explode(sequence(
+        expr(s"CAST(doc_id * $SplitChurnTranches div n_docs AS INT) + 1"),
+        lit(SplitChurnTranches))).as("t"))
+      .join(labels, Seq("t", "doc_id"), "left")
+      .select(col("t"), col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"))
+      .withColumn("hash_mod", splitHashMod(col("comp")))
+    val w = Window.partitionBy("doc_id").orderBy("t")
+    assign
+      .withColumn("comp_prev", lag(col("comp"), 1).over(w))
+      .withColumn("hm_prev", lag(col("hash_mod"), 1).over(w))
+      .filter(col("comp_prev").isNotNull) // the doc's landing tranche
+      .groupBy(col("t").cast("long").as("tranche"))
+      .agg(count(lit(1)).as("docs_prev"),
+        count_if(col("comp") =!= col("comp_prev")).as("comp_changed"),
+        count_if(splitBand(col("hash_mod")) =!= splitBand(col("hm_prev")))
+          .as("split_changed"))
   }
 
   /** Swept est-Jaccard thresholds for [[recallEval]], in permille.

@@ -129,6 +129,193 @@ object TextAnalysis {
       .withColumn("keep", col("mean_milli") >= mid)
   }
 
+  /** Feature-hash bucket count for the trainable classifier — 64
+    * buckets keeps the model broadcast-trivial while leaving the
+    * 31-word synthetic vocabulary nearly collision-free; production
+    * swaps in 2^18+ buckets, same dataflow.
+    */
+  private[graft] val ClassifierBuckets = 64L
+
+  /** Gradient passes for [[classifierModel]] — the train-accuracy
+    * census rises monotonically ~0.72 → ~0.85 across the sf ladder at
+    * this budget (measured round 13; past it the gain per pass
+    * flattens).
+    */
+  private[graft] val ClassifierPasses = 8
+
+  /** Step denominator: learning rate = 1 / (ClassifierLrDen · N_docs).
+    * 4000 sits a factor ~2 inside the measured divergence edge of the
+    * centered design matrix across the sf ladder (1000 rings, 2000 is
+    * marginal).
+    */
+  private[graft] val ClassifierLrDen = 4000L
+
+  /** Fixed-point scale of the regression target (ppb). */
+  private[graft] val ClassifierYScale = 1000000000L
+
+  /** Offset for exact cross-engine floor division of a possibly-
+    * NEGATIVE gradient: Spark's `div` truncates toward zero, DuckDB's
+    * `//` floors — they disagree exactly on negatives (the
+    * [[ClassifierWeightMod]] hazard class). `(g + 2⁶⁰) div d − 2⁶⁰ div
+    * d` keeps the dividend nonnegative (trunc ≡ floor) and equals
+    * floor(g/d) whenever d divides 2⁶⁰-shifts consistently — both
+    * engines compute the identical value. Headroom: |g| ≤ N·yScale·10³
+    * must stay below 2⁶⁰, bounding this fixed-point at ~10⁶ docs; a
+    * larger corpus drops yScale by the same factor (or samples the
+    * gradient pass), same dataflow.
+    */
+  private[graft] val ClassifierShift = 1L << 60
+
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** (doc_id, f, xc): DENSE centered per-mille token rates — the
+    * feature side of the trainable classifier. Raw counts hash into
+    * [[ClassifierBuckets]] buckets (hashing trick, Weinberger
+    * ICML'09), normalize to integer per-mille rates (x·1000 div n —
+    * nonnegative, so trunc ≡ floor cross-engine), then CENTER by the
+    * corpus-mean rate per bucket. Centering is load-bearing: the raw
+    * rate matrix is dominated by its common mode (every doc's bucket
+    * profile is nearly the corpus profile), which makes plain batch
+    * updates ring corpus-wide — measured, not theorized (round 13:
+    * the uncentered trainer oscillates between the all-keep and
+    * all-drop classifiers at every tested step size). One row per
+    * (doc × occupied bucket), so the frame is 64×corpus at most.
+    */
+  private[graft] def centeredRates(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+    val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rates = tok
+      .groupBy(col("doc_id"), (hash60(col("tok")) % ClassifierBuckets).as("f"))
+      .agg(count(lit(1)).as("x"))
+      .join(nt, "doc_id")
+      .select(col("doc_id"), col("f"), expr("x * 1000 div n").as("xr"))
+    val nDf = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val rf = rates.groupBy("f").agg(sum(col("xr")).as("s"))
+      .crossJoin(nDf).select(col("f"), expr("s div n_docs").as("r"))
+    docs.select(col("doc_id")).crossJoin(broadcast(rf))
+      .join(rates, Seq("doc_id", "f"), "left")
+      .select(col("doc_id"), col("f"),
+        (coalesce(col("xr"), lit(0L)) - col("r")).as("xc"))
+  }
+
+  /** (doc_id, y): the TEACHER label — [[classifierScore]]'s integer
+    * keep gate (mean hashed token weight ≥ midpoint), derived by the
+    * identical multiset sum (exploded-group form of the array fold, so
+    * the integer mean is bit-equal).
+    */
+  private[graft] def docTeacher(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(hash60(col("tok")) % ClassifierWeightMod).as("w_sum"))
+      .select(col("doc_id"),
+        (expr("w_sum div n_tokens") >= ClassifierWeightMod / 2)
+          .cast("long").as("y"))
+
+  /** Exact-integer batch gradient descent on the least-squares
+    * (linear-probability) objective Σ (w·x̃ − ỹ)² over any DENSE
+    * centered feature frame (doc_id, f, xc) + teacher (doc_id, y):
+    * per pass, err = w·x̃ − (y·10⁹ − ȳ·10⁹), gradient folds to one
+    * ≤[[ClassifierBuckets]]-row frame, and the update divides by
+    * ([[ClassifierLrDen]]·N) through the [[ClassifierShift]] trick so
+    * every intermediate is an exact integer in BOTH engines. Unlike a
+    * thresholded (perceptron) batch update, the convex quadratic with
+    * a step inside 2/λ_max descends monotonically — no corpus-wide
+    * prediction flip-flop (measured; see [[centeredRates]]).
+    *
+    * Scale shape per pass: one bucket-grain broadcast join + one
+    * doc-grain aggregate + one bucket-grain aggregate; driver state is
+    * the collected weight vector (model-as-data, the quantizer rule).
+    * Inputs checkpoint once (DISK_ONLY), so passes never re-derive
+    * the corpus. Exposed for the fixture law in OperatorSpec.
+    */
+  private[graft] def lsGradientTrain(
+      spark: SparkSession, denseIn: DataFrame, teachIn: DataFrame,
+      passes: Int = ClassifierPasses): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val dense = denseIn.localCheckpoint(true, disk)
+    val teach = teachIn.localCheckpoint(true, disk)
+    val freeF = graft.Lineage.checkpointRelease(dense)
+    val freeT = graft.Lineage.checkpointRelease(teach)
+    import spark.implicits._
+    val agg = teach.agg(count(lit(1)), sum(col("y"))).first()
+    val nDocs = agg.getLong(0)
+    val ybar = agg.getLong(1) * ClassifierYScale / nDocs // nonneg: / is floor
+    val den = ClassifierLrDen * nDocs
+    def sdiv(g: Long): Long = // exact cross-engine floor(g / den)
+      (g + ClassifierShift) / den - ClassifierShift / den
+    val buckets = dense.select("f").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val w = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (k <- 1 to passes) {
+      val wDf = broadcast(buckets.toSeq.map(f => (f, w(f))).toDF("f", "w"))
+      val err = dense.join(wDf, "f")
+        .groupBy("doc_id").agg(sum(col("w") * col("xc")).as("dot"))
+        .join(teach, "doc_id")
+        .select(col("doc_id"),
+          (col("dot") - (col("y") * ClassifierYScale - ybar)).as("err"))
+      val grad = dense.join(err, "doc_id")
+        .groupBy("f").agg(sum(col("err") * col("xc")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      buckets.foreach(f => w(f) -= sdiv(grad.getOrElse(f, 0L)))
+      out ++= buckets.map(f => (k.toLong, f, w(f)))
+    }
+    freeF(); freeT()
+    out.toSeq.toDF("pass", "f", "w")
+  }
+
+  private val classifierModelCache = new graft.SessionCache[DataFrame]
+
+  /** The TRAINED classifier — per-pass weight vectors from
+    * distilling [[classifierScore]]'s gate into a hashed-bucket
+    * linear model with [[perceptronTrain]]. This is the filter-train
+    * half of the corpus-gating loop (train a cheap model on labels
+    * from an expensive gate, then serve the model): persisted
+    * train-once like every model artifact ([[graft.IndexStore]]),
+    * 3×64 rows, broadcastable anywhere.
+    */
+  private[graft] def classifierModel(spark: SparkSession, sfDir: String): DataFrame =
+    classifierModelCache.getOrElseUpdate(spark, sfDir) {
+      def build = {
+        val docs = Tables.documents(spark, sfDir)
+        lsGradientTrain(spark, centeredRates(docs), docTeacher(docs))
+      }
+      graft.IndexStore.resolve(spark, sfDir, "classifier_model")(build)
+        .getOrElse(build)
+    }
+
+  /** Training-curve census of the distilled classifier — per pass,
+    * the corpus-wide confusion summary of the trained weights against
+    * the teacher gate (the metric a filter-train pipeline watches
+    * before promoting a model to the gating slot). Decision: predict
+    * keep when w·x̃ ≥ ½·10⁹ − ȳ·10⁹ (the centered-target midpoint).
+    * One bucket-grain broadcast join + doc-grain aggregate per
+    * execution; the model itself is the persisted [[classifierModel]]
+    * artifact.
+    */
+  def classifierTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val teach = docTeacher(docs)
+    val thrDf = broadcast(teach
+      .agg((lit(ClassifierYScale / 2) -
+        expr(s"sum(y) * $ClassifierYScale div count(1)")).as("thr")))
+    centeredRates(docs)
+      .join(broadcast(classifierModel(spark, sfDir)), "f")
+      .groupBy(col("doc_id"), col("pass"))
+      .agg(sum(col("w") * col("xc")).as("dot"))
+      .join(teach, "doc_id")
+      .crossJoin(thrDf)
+      .groupBy(col("pass"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("y") === 1).as("n_true_keep"),
+        count_if(col("dot") >= col("thr")).as("n_pred_keep"),
+        count_if((col("dot") >= col("thr")) === (col("y") === 1))
+          .as("n_correct"))
+      .withColumn("accuracy_ppm", expr("n_correct * 1000000 div n_docs"))
+  }
+
   /** Token counting two ways: whitespace split and a BPE-ish regex
     * tokenizer (letter runs), plus distinct-token count.
     */
@@ -2554,6 +2741,85 @@ object TextAnalysis {
                   round(1.0 / (1.0 + exp((${ClassifierWeightMod / 2} - w_sum // n_tokens) / $ClassifierTemp)), 6) AS score,
                   (w_sum // n_tokens) >= ${ClassifierWeightMod / 2} AS keep
            FROM s""",
+      // the full least-squares gradient-descent training chain
+      // unrolled as CTEs (the BPE recursion-unroll trick): per pass,
+      // dot -> centered-target error -> bucket-grain gradient ->
+      // shifted-floor-division update — exact integer arithmetic end
+      // to end (the 2^60 shift makes Spark div ≡ DuckDB // on the
+      // possibly-negative gradient), then the same per-pass eval
+      // census the Spark side reports from its persisted model
+      "text_classifier_train" -> {
+        val den = s"($ClassifierLrDen * (SELECT nd FROM nn))"
+        def passCtes(k: Int) =
+          s"""dot$k AS MATERIALIZED (
+                SELECT dn.doc_id, sum(w.w * dn.xc) AS dot
+                FROM dense dn JOIN w${k - 1} w USING (f) GROUP BY 1),
+              err$k AS MATERIALIZED (
+                SELECT t.doc_id,
+                       d.dot - (t.y * $ClassifierYScale
+                                - (SELECT ybar FROM yb)) AS err
+                FROM teach t JOIN dot$k d USING (doc_id)),
+              w$k AS MATERIALIZED (
+                SELECT w.f,
+                       w.w - ((coalesce(g.g, 0) + $ClassifierShift) // $den
+                              - $ClassifierShift // $den) AS w
+                FROM w${k - 1} w LEFT JOIN (
+                  SELECT dn.f, CAST(sum(e.err * dn.xc) AS BIGINT) AS g
+                  FROM dense dn JOIN err$k e USING (doc_id) GROUP BY 1) g
+                USING (f))"""
+        val model = (1 to ClassifierPasses)
+          .map(k => s"SELECT CAST($k AS BIGINT) AS pass, f, w FROM w$k")
+          .mkString(" UNION ALL ")
+        s"""WITH tok AS MATERIALIZED (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY 1),
+            rates AS MATERIALIZED (
+              SELECT x.doc_id, x.f, x.x * 1000 // nt.n AS xr
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                             % $ClassifierBuckets AS f,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM tok GROUP BY 1, 2) x JOIN nt USING (doc_id)),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS nd
+                   FROM (SELECT DISTINCT doc_id FROM tok)),
+            rf AS (SELECT f, CAST(sum(xr) // (SELECT nd FROM nn) AS BIGINT) AS r
+                   FROM rates GROUP BY f),
+            dense AS MATERIALIZED (
+              SELECT d.doc_id, rf.f, coalesce(ra.xr, 0) - rf.r AS xc
+              FROM (SELECT DISTINCT doc_id FROM tok) d
+              CROSS JOIN rf
+              LEFT JOIN rates ra ON ra.doc_id = d.doc_id AND ra.f = rf.f),
+            teach AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(CASE WHEN sum(('0x' || substr(md5(tok), 1, 15))::BIGINT
+                                        % $ClassifierWeightMod) // count(*)
+                               >= ${ClassifierWeightMod / 2}
+                          THEN 1 ELSE 0 END AS BIGINT) AS y
+              FROM tok GROUP BY doc_id),
+            yb AS (SELECT CAST(sum(y) * $ClassifierYScale // count(*) AS BIGINT)
+                     AS ybar FROM teach),
+            w0 AS (SELECT f, CAST(0 AS BIGINT) AS w FROM rf),
+            ${(1 to ClassifierPasses).map(passCtes).mkString(",\n")},
+            model AS ($model),
+            scored AS (
+              SELECT m.pass, dn.doc_id, sum(m.w * dn.xc) AS dot
+              FROM dense dn JOIN model m USING (f) GROUP BY 1, 2)
+          SELECT pass,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_true_keep,
+                 CAST(count(*) FILTER (WHERE dot >= ${ClassifierYScale / 2}
+                        - (SELECT ybar FROM yb)) AS BIGINT) AS n_pred_keep,
+                 CAST(count(*) FILTER (WHERE (dot >= ${ClassifierYScale / 2}
+                        - (SELECT ybar FROM yb)) = (y = 1)) AS BIGINT)
+                   AS n_correct,
+                 CAST(count(*) FILTER (WHERE (dot >= ${ClassifierYScale / 2}
+                        - (SELECT ybar FROM yb)) = (y = 1)) * 1000000
+                      // count(*) AS BIGINT) AS accuracy_ppm
+          FROM scored JOIN teach USING (doc_id)
+          GROUP BY pass"""
+      },
       "vocab_coverage" ->
         """WITH tok AS (
              SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -2918,6 +3184,7 @@ object TextAnalysis {
     "text_quality" -> quality _,
     "text_token_count" -> tokenCount _,
     "text_classifier_score" -> classifierScore _,
+    "text_classifier_train" -> classifierTrain _,
     "vocab_coverage" -> vocabCoverage _,
     "stats_hll_ngrams" -> hllNgrams _,
     "stats_hll_overlap" -> hllOverlap _,

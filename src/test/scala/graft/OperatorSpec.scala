@@ -2777,4 +2777,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows(100L) === ((4L, 4L))) // clicks 1,3,5,6 by users 2,4,6,1
     assert(rows(200L) === ((0L, 0L)))
   }
+
+  test("LS-gradient trainer == plain-Scala integer reference, pass by pass") {
+    import graft.functions.TextAnalysis.{ClassifierLrDen, ClassifierShift, ClassifierYScale}
+    // 6 docs over 3 buckets of DENSE centered rates (rows sum to ~0
+    // per bucket, as centeredRates guarantees); teacher correlates
+    // with bucket 2 — the reference runs the identical fixed-point ops
+    val fx: Seq[(Long, Map[Long, Long])] = Seq(
+      1L -> Map(0L -> 40L, 1L -> -10L, 2L -> -30L),
+      2L -> Map(0L -> 25L, 1L -> 5L, 2L -> -30L),
+      3L -> Map(0L -> -30L, 1L -> 10L, 2L -> 20L),
+      4L -> Map(0L -> -20L, 1L -> -15L, 2L -> 35L),
+      5L -> Map(0L -> 15L, 1L -> 20L, 2L -> -35L),
+      6L -> Map(0L -> -30L, 1L -> -10L, 2L -> 40L))
+    val ys = Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 0L, 6L -> 1L)
+    val dense = fx.flatMap { case (d, xs) => xs.map { case (f, x) => (d, f, x) } }
+      .toDF("doc_id", "f", "xc")
+    val teach = ys.toSeq.toDF("doc_id", "y")
+    val passes = 5
+    val got = graft.functions.TextAnalysis
+      .lsGradientTrain(spark, dense, teach, passes)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val n = fx.size.toLong
+    val ybar = ys.values.sum * ClassifierYScale / n
+    val den = ClassifierLrDen * n
+    def sdiv(g: Long) = (g + ClassifierShift) / den - ClassifierShift / den
+    val w = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (k <- 1 to passes) {
+      val grad = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((d, xs) <- fx) {
+        val dot = xs.map { case (f, x) => w(f) * x }.sum
+        val err = dot - (ys(d) * ClassifierYScale - ybar)
+        xs.foreach { case (f, x) => grad(f) += err * x }
+      }
+      for (f <- 0L to 2L) w(f) -= sdiv(grad(f))
+      for (f <- 0L to 2L)
+        assert(got((k.toLong, f)) === w(f), s"pass $k bucket $f diverged")
+    }
+    // the quadratic descends: the final weights classify every fixture
+    // doc right at the centered-target midpoint
+    val thr = ClassifierYScale / 2 - ybar
+    val correct = fx.count { case (d, xs) =>
+      (xs.map { case (f, x) => w(f) * x }.sum >= thr) == (ys(d) == 1L)
+    }
+    assert(correct === fx.size)
+  }
 }
