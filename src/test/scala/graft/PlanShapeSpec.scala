@@ -644,4 +644,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.replace("BroadcastNestedLoopJoin BuildRight, Cross", "")
       .contains("BroadcastNestedLoopJoin"), s"\n$plan")
   }
+
+  test("split_assignment_churn: the churn census is one doc-grain pass — no per-tranche re-join fan-out") {
+    val df = SparkEntry.queries("split_assignment_churn")(spark, sf)
+    df.collect() // materializes the churn forests so the plan is the steady one
+    val plan = df.queryExecution.executedPlan.toString
+    // the tagged-forest attach and the t-1 comparison ride ONE window
+    // over doc_id (lag), never a self-join of assignments per tranche
+    assert(plan.contains("Window"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+    // exactly one SortMergeJoin/ShuffledHashJoin key is possible: the
+    // (t, doc_id) label attach; everything else broadcasts (forests
+    // are cluster-sized, n_docs is scalar)
+    val shuffleJoins = "SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size
+    assert(shuffleJoins <= 1, s"expected <=1 shuffle join, got $shuffleJoins\n$plan")
+  }
+
+  test("text_classifier_train: model broadcasts; the corpus never sorts globally") {
+    val df = SparkEntry.queries("text_classifier_train")(spark, sf)
+    df.collect() // materializes the train-once model artifact
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+  }
 }
