@@ -266,6 +266,31 @@ object TextAnalysis {
     out.toSeq.toDF("pass", "f", "w")
   }
 
+  private val classifierFeatsCache = new graft.SessionCache[DataFrame]
+  private val classifierTeachCache = new graft.SessionCache[DataFrame]
+
+  /** The featurized corpus ([[centeredRates]]) persisted train-once:
+    * trainer AND per-pass eval read the same frozen feature table
+    * (bucketed on doc_id, the eval-join key) instead of re-featurizing
+    * the corpus per query — the standard serving-cache of any frozen
+    * eval corpus, and the same artifact discipline as the LM/BPE
+    * models.
+    */
+  private[graft] def classifierFeats(spark: SparkSession, sfDir: String): DataFrame =
+    classifierFeatsCache.getOrElseUpdate(spark, sfDir) {
+      def build = centeredRates(Tables.documents(spark, sfDir))
+      graft.IndexStore.resolve(spark, sfDir, "classifier_feats", Some("doc_id"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
+
+  /** [[docTeacher]] persisted train-once next to [[classifierFeats]]. */
+  private[graft] def classifierTeach(spark: SparkSession, sfDir: String): DataFrame =
+    classifierTeachCache.getOrElseUpdate(spark, sfDir) {
+      def build = docTeacher(Tables.documents(spark, sfDir))
+      graft.IndexStore.resolve(spark, sfDir, "classifier_teach", Some("doc_id"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
+
   private val classifierModelCache = new graft.SessionCache[DataFrame]
 
   /** The TRAINED classifier — per-pass weight vectors from
@@ -278,10 +303,8 @@ object TextAnalysis {
     */
   private[graft] def classifierModel(spark: SparkSession, sfDir: String): DataFrame =
     classifierModelCache.getOrElseUpdate(spark, sfDir) {
-      def build = {
-        val docs = Tables.documents(spark, sfDir)
-        lsGradientTrain(spark, centeredRates(docs), docTeacher(docs))
-      }
+      def build = lsGradientTrain(spark,
+        classifierFeats(spark, sfDir), classifierTeach(spark, sfDir))
       graft.IndexStore.resolve(spark, sfDir, "classifier_model")(build)
         .getOrElse(build)
     }
@@ -296,12 +319,11 @@ object TextAnalysis {
     * artifact.
     */
   def classifierTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val teach = docTeacher(docs)
+    val teach = classifierTeach(spark, sfDir)
     val thrDf = broadcast(teach
       .agg((lit(ClassifierYScale / 2) -
         expr(s"sum(y) * $ClassifierYScale div count(1)")).as("thr")))
-    centeredRates(docs)
+    classifierFeats(spark, sfDir)
       .join(broadcast(classifierModel(spark, sfDir)), "f")
       .groupBy(col("doc_id"), col("pass"))
       .agg(sum(col("w") * col("xc")).as("dot"))
