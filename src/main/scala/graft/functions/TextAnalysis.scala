@@ -183,17 +183,41 @@ object TextAnalysis {
     * (doc × occupied bucket), so the frame is 64×corpus at most.
     */
   private[graft] def centeredRates(docs: DataFrame): DataFrame = {
+    val rates = docRates(docs)
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val sums = rates.groupBy("f").agg(sum(col("xr")).as("s"))
+    centerRates(docs.select(col("doc_id")), rates, sums, nDf)
+  }
+
+  /** (doc_id, f, xr) raw per-mille bucket rates — the PRE-centering
+    * half of [[centeredRates]], factored so the streaming twin
+    * ([[graft.streaming.FeatureRefresh]]) lands the IDENTICAL
+    * derivation per micro-batch (the `wordFreq` no-drift discipline);
+    * per-bucket rate SUMS over it are a sum-monoid, which is what
+    * makes the centering statistics streaming-maintainable.
+    */
+  private[graft] def docRates(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
     val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val rates = tok
+    tok
       .groupBy(col("doc_id"), (hash60(col("tok")) % ClassifierBuckets).as("f"))
       .agg(count(lit(1)).as("x"))
       .join(nt, "doc_id")
       .select(col("doc_id"), col("f"), expr("x * 1000 div n").as("xr"))
-    val nDf = broadcast(docs.agg(count(lit(1)).as("n_docs")))
-    val rf = rates.groupBy("f").agg(sum(col("xr")).as("s"))
-      .crossJoin(nDf).select(col("f"), expr("s div n_docs").as("r"))
-    docs.select(col("doc_id")).crossJoin(broadcast(rf))
+  }
+
+  /** Dense centering step over pre-derived parts: doc ids × the
+    * per-bucket mean (from rate SUMS `(f, s)` and the doc count),
+    * left-joined with the raw rates. Shared by the batch featurizer
+    * and the streaming-state trainer so "train from the maintained
+    * state" is definitionally the batch computation.
+    */
+  private[graft] def centerRates(
+      docIds: DataFrame, rates: DataFrame,
+      sums: DataFrame, nDf: DataFrame): DataFrame = {
+    val rf = sums.crossJoin(broadcast(nDf))
+      .select(col("f"), expr("s div n_docs").as("r"))
+    docIds.crossJoin(broadcast(rf))
       .join(rates, Seq("doc_id", "f"), "left")
       .select(col("doc_id"), col("f"),
         (coalesce(col("xr"), lit(0L)) - col("r")).as("xc"))
