@@ -220,7 +220,12 @@ object Bench {
       // rule keeps them out of wave 2)
       Seq(
         "knn_cluster_labels" -> (() => { ext.Similarity.knnClusterLabels(spark, queryDir); () }),
-        "churn_forests" -> (() => { ext.Dedup.splitChurnForests(spark, queryDir).foreach(_.count()); () })))
+        "churn_forests" -> (() => { ext.Dedup.splitChurnForests(spark, queryDir).foreach(_.count()); () }),
+        // holdout model + frozen-centering features depend on the
+        // split labels (wave-2 dup_components_80 via splitByComponent)
+        "classifier_holdout" -> (() => {
+          functions.TextAnalysis.holdoutModel(spark, queryDir).count()
+          functions.TextAnalysis.holdoutFeats(spark, queryDir).count(); () })))
     // SPARK_GRAFT_INDEX_PAR caps concurrent builders per wave (dev
     // profiling: PAR=1 gives uncontended per-builder seconds; the
     // in-wave walls below include scheduler/codegen contention)

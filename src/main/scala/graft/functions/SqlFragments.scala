@@ -64,4 +64,49 @@ object SqlFragments {
                      AS BIGINT) END AS est_lc
                FROM $src))"""
   }
+  /** Shared oracle fragment: MinHash-LSH candidate pairs CONFIRMED at
+    * est-Jaccard ≥ 0.8 (`candf`), without component resolution —
+    * factored from [[Comp08Ctes]] for oracles that need the confirmed
+    * pair set under a different fixpoint (the per-tranche reach of
+    * `split_assignment_churn`). Requires [[ShingleCte]] ahead of it.
+    */
+  val Lsh08PairCtes =
+    """mh AS (
+         SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
+         FROM ex, range(16) t(i) GROUP BY doc_id, i),
+       sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, b, md5(array_to_string(mhs[4*b+1:4*b+4], '|')) AS bsig
+         FROM sig, range(4) t(b)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       candk AS (
+         SELECT doc_a, doc_b,
+                len(list_filter(range(16), i -> x.mhs[i+1] = y.mhs[i+1])) AS k
+         FROM cand
+         JOIN sig x ON doc_a = x.doc_id JOIN sig y ON doc_b = y.doc_id),
+       candf AS (
+         SELECT doc_a, doc_b FROM candk
+         WHERE CAST(k AS DOUBLE) / 16 >= 0.8)"""
+
+  /** Shared oracle fragment: MinHash-LSH candidates confirmed at
+    * est-Jaccard ≥ 0.8, resolved to connected components with their
+    * sizes — the SQL mirror of [[dupComponents]](0.8). Requires
+    * [[ShingleCte]] ahead of it under WITH RECURSIVE.
+    */
+  val Comp08Ctes =
+    s"""$Lsh08PairCtes,
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM candf
+                 UNION ALL
+                 SELECT doc_b AS src, doc_a AS dst FROM candf),
+       verts AS (SELECT DISTINCT src AS v FROM edges),
+       reach(v, r) AS (
+         SELECT v, v FROM verts
+         UNION
+         SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+       comps AS (SELECT v, min(r) AS comp FROM reach GROUP BY v),
+       sizes AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)"""
+
 }

@@ -362,6 +362,89 @@ object TextAnalysis {
       .withColumn("accuracy_ppm", expr("n_correct * 1000000 div n_docs"))
   }
 
+  private val holdoutModelCache = new graft.SessionCache[DataFrame]
+  private val holdoutFeatsCache = new graft.SessionCache[DataFrame]
+
+  /** The holdout-disciplined model: trained on the LEAK-FREE train
+    * split ONLY ([[graft.ext.Dedup.splitByComponent]] — near-dup
+    * clusters never straddle the boundary, so valid/test accuracy is
+    * a real generalization read, not a near-duplicate echo), with the
+    * centering statistics derived from the train split only (no
+    * peeking: the serving transform is frozen with the model).
+    */
+  private[graft] def holdoutModel(spark: SparkSession, sfDir: String): DataFrame =
+    holdoutModelCache.getOrElseUpdate(spark, sfDir) {
+      def build = {
+        val trainDocs = Tables.documents(spark, sfDir).join(
+          graft.ext.Dedup.splitByComponent(spark, sfDir)
+            .filter(col("split") === "train").select("doc_id"),
+          "doc_id")
+        lsGradientTrain(spark, centeredRates(trainDocs), docTeacher(trainDocs))
+      }
+      graft.IndexStore.resolve(spark, sfDir, "classifier_holdout")(build)
+        .getOrElse(build)
+    }
+
+  /** The WHOLE corpus featurized under the train split's frozen
+    * centering (the serving-time transform: eval docs use the
+    * training statistics; buckets unseen in training contribute
+    * nothing) — persisted train-once next to the holdout model.
+    */
+  private[graft] def holdoutFeats(spark: SparkSession, sfDir: String): DataFrame =
+    holdoutFeatsCache.getOrElseUpdate(spark, sfDir) {
+      def build = {
+        val docs = Tables.documents(spark, sfDir)
+        val trainDocs = docs.join(
+          graft.ext.Dedup.splitByComponent(spark, sfDir)
+            .filter(col("split") === "train").select("doc_id"),
+          "doc_id")
+        val trainRates = docRates(trainDocs)
+        centerRates(docs.select(col("doc_id")), docRates(docs),
+          trainRates.groupBy("f").agg(sum(col("xr")).as("s")),
+          trainDocs.agg(count(lit(1)).as("n_docs")))
+      }
+      graft.IndexStore.resolve(spark, sfDir, "classifier_holdout_feats",
+          Some("doc_id"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
+
+  /** Generalization census of the distilled gate under the holdout
+    * discipline — per split (train/valid/test), the confusion summary
+    * of the train-split-only model's FINAL pass against the teacher:
+    * the number every filter-train pipeline actually ships on (train
+    * accuracy alone cannot distinguish memorizing near-duplicates
+    * from learning the gate — which is precisely why the split must
+    * be the cluster-atomic one). Steady-state: one scan of the frozen
+    * feature table + broadcast model join + doc-grain census.
+    */
+  def classifierHoldout(spark: SparkSession, sfDir: String): DataFrame = {
+    // the persisted ALL-docs teacher restricted to the train split IS
+    // the train teacher (pure per-doc labels) — no per-query re-derive
+    val teach = classifierTeach(spark, sfDir)
+    val trainTeach = teach.join(
+      graft.ext.Dedup.splitByComponent(spark, sfDir)
+        .filter(col("split") === "train").select("doc_id"), "doc_id")
+    val thrDf = broadcast(trainTeach
+      .agg((lit(ClassifierYScale / 2) -
+        expr(s"sum(y) * $ClassifierYScale div count(1)")).as("thr")))
+    val model = broadcast(holdoutModel(spark, sfDir)
+      .filter(col("pass") === ClassifierPasses).select("f", "w"))
+    holdoutFeats(spark, sfDir)
+      .join(model, "f")
+      .groupBy("doc_id").agg(sum(col("w") * col("xc")).as("dot"))
+      .join(teach, "doc_id")
+      .join(graft.ext.Dedup.splitByComponent(spark, sfDir)
+        .select("doc_id", "split"), "doc_id")
+      .crossJoin(thrDf)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("y") === 1).as("n_true_keep"),
+        count_if(col("dot") >= col("thr")).as("n_pred_keep"),
+        count_if((col("dot") >= col("thr")) === (col("y") === 1))
+          .as("n_correct"))
+      .withColumn("accuracy_ppm", expr("n_correct * 1000000 div n_docs"))
+  }
+
   /** Token counting two ways: whitespace split and a BPE-ish regex
     * tokenizer (letter runs), plus distinct-token count.
     */
@@ -2866,6 +2949,95 @@ object TextAnalysis {
           FROM scored JOIN teach USING (doc_id)
           GROUP BY pass"""
       },
+      // holdout discipline: the SAME GD chain, but every training CTE
+      // (rates, centering, teacher, label mean) restricted to the
+      // cluster-atomic train split (Comp08Ctes -> hsplit), and the
+      // eval side re-featurizing ALL docs under the train centering
+      "text_classifier_holdout" -> {
+        val den = s"($ClassifierLrDen * (SELECT nd FROM nn))"
+        def passCtes(k: Int) =
+          s"""dot$k AS MATERIALIZED (
+                SELECT dn.doc_id, sum(w.w * dn.xc) AS dot
+                FROM dense dn JOIN w${k - 1} w USING (f) GROUP BY 1),
+              err$k AS MATERIALIZED (
+                SELECT t.doc_id,
+                       d.dot - (t.y * $ClassifierYScale
+                                - (SELECT ybar FROM yb)) AS err
+                FROM teach t JOIN dot$k d USING (doc_id)),
+              w$k AS MATERIALIZED (
+                SELECT w.f,
+                       w.w - ((coalesce(g.g, 0) + $ClassifierShift) // $den
+                              - $ClassifierShift // $den) AS w
+                FROM w${k - 1} w LEFT JOIN (
+                  SELECT dn.f, CAST(sum(e.err * dn.xc) AS BIGINT) AS g
+                  FROM dense dn JOIN err$k e USING (doc_id) GROUP BY 1) g
+                USING (f))"""
+        s"""WITH RECURSIVE ${SqlFragments.ShingleCte},
+            ${SqlFragments.Comp08Ctes},
+            hsplit AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN hm < 80 THEN 'train'
+                          WHEN hm < 90 THEN 'valid'
+                          ELSE 'test' END AS split
+              FROM (SELECT d.doc_id,
+                           ('0x' || substr(md5(CAST(coalesce(c.comp, d.doc_id)
+                             AS VARCHAR)), 1, 15))::BIGINT % 100 AS hm
+                    FROM documents d LEFT JOIN comps c ON c.v = d.doc_id)),
+            tdoc AS (SELECT doc_id FROM hsplit WHERE split = 'train'),
+            tok AS MATERIALIZED (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY 1),
+            arates AS MATERIALIZED (
+              SELECT x.doc_id, x.f, x.x * 1000 // nt.n AS xr
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                             % $ClassifierBuckets AS f,
+                           CAST(count(*) AS BIGINT) AS x
+                    FROM tok GROUP BY 1, 2) x JOIN nt USING (doc_id)),
+            rates AS (SELECT r.* FROM arates r JOIN tdoc USING (doc_id)),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM tdoc),
+            rf AS (SELECT f, CAST(sum(xr) // (SELECT nd FROM nn) AS BIGINT) AS r
+                   FROM rates GROUP BY f),
+            dense AS MATERIALIZED (
+              SELECT d.doc_id, rf.f, coalesce(ra.xr, 0) - rf.r AS xc
+              FROM tdoc d CROSS JOIN rf
+              LEFT JOIN rates ra ON ra.doc_id = d.doc_id AND ra.f = rf.f),
+            ateach AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(CASE WHEN sum(('0x' || substr(md5(tok), 1, 15))::BIGINT
+                                        % $ClassifierWeightMod) // count(*)
+                               >= ${ClassifierWeightMod / 2}
+                          THEN 1 ELSE 0 END AS BIGINT) AS y
+              FROM tok GROUP BY doc_id),
+            teach AS (SELECT t.* FROM ateach t JOIN tdoc USING (doc_id)),
+            yb AS (SELECT CAST(sum(y) * $ClassifierYScale // count(*) AS BIGINT)
+                     AS ybar FROM teach),
+            w0 AS (SELECT f, CAST(0 AS BIGINT) AS w FROM rf),
+            ${(1 to ClassifierPasses).map(passCtes).mkString(",\n")},
+            adense AS MATERIALIZED (
+              SELECT d.doc_id, rf.f, coalesce(ra.xr, 0) - rf.r AS xc
+              FROM (SELECT DISTINCT doc_id FROM tok) d
+              CROSS JOIN rf
+              LEFT JOIN arates ra ON ra.doc_id = d.doc_id AND ra.f = rf.f),
+            scored AS (
+              SELECT dn.doc_id, sum(m.w * dn.xc) AS dot
+              FROM adense dn JOIN w$ClassifierPasses m USING (f) GROUP BY 1)
+          SELECT split,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_true_keep,
+                 CAST(count(*) FILTER (WHERE dot >= ${ClassifierYScale / 2}
+                        - (SELECT ybar FROM yb)) AS BIGINT) AS n_pred_keep,
+                 CAST(count(*) FILTER (WHERE (dot >= ${ClassifierYScale / 2}
+                        - (SELECT ybar FROM yb)) = (y = 1)) AS BIGINT)
+                   AS n_correct,
+                 CAST(count(*) FILTER (WHERE (dot >= ${ClassifierYScale / 2}
+                        - (SELECT ybar FROM yb)) = (y = 1)) * 1000000
+                      // count(*) AS BIGINT) AS accuracy_ppm
+          FROM scored JOIN ateach USING (doc_id) JOIN hsplit USING (doc_id)
+          GROUP BY split"""
+      },
       "vocab_coverage" ->
         """WITH tok AS (
              SELECT unnest(string_split(text, ' ')) AS token FROM documents),
@@ -3231,6 +3403,7 @@ object TextAnalysis {
     "text_token_count" -> tokenCount _,
     "text_classifier_score" -> classifierScore _,
     "text_classifier_train" -> classifierTrain _,
+    "text_classifier_holdout" -> classifierHoldout _,
     "vocab_coverage" -> vocabCoverage _,
     "stats_hll_ngrams" -> hllNgrams _,
     "stats_hll_overlap" -> hllOverlap _,
