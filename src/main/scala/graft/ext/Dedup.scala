@@ -983,15 +983,21 @@ object Dedup {
     val nDf = broadcast(Tables.documents(spark, sfDir)
       .agg((max(col("doc_id")) + lit(1L)).as("n_docs")))
     // ONE doc-grain pass: each doc carries a row per tranche from its
-    // landing tranche (smallest t with doc_id < n·t/T) onward, the
-    // tagged forests attach by a single (t, doc_id) join, and the
-    // t−1 comparison is a lag window on the SAME doc_id key — one
-    // exchange serves join, window, and nothing else, where the naive
-    // per-tranche form pays 2(T−1) joins and T−1 aggregates
+    // landing tranche onward, the tagged forests attach by a single
+    // (t, doc_id) join, and the t−1 comparison is a lag window on the
+    // SAME doc_id key — one exchange serves join, window, and nothing
+    // else, where the naive per-tranche form pays 2(T−1) joins and
+    // T−1 aggregates. The landing tranche is the smallest t with
+    // doc_id < n·t div T — the SAME floored cutoff the forest ladder
+    // and the oracle use (d.doc_id < n*t // T); solved for t that is
+    // ceil(T·(doc_id+1)/n), NOT floor(doc_id·T/n)+1, which differs
+    // exactly when n·t is not divisible by T (the boundary doc would
+    // land one tranche early engine-side only)
     val assign = Tables.documents(spark, sfDir).select(col("doc_id"))
       .crossJoin(nDf)
       .select(col("doc_id"), explode(sequence(
-        expr(s"CAST(doc_id * $SplitChurnTranches div n_docs AS INT) + 1"),
+        expr(s"CAST(($SplitChurnTranches * (doc_id + 1) + n_docs - 1)" +
+          " div n_docs AS INT)"),
         lit(SplitChurnTranches))).as("t"))
       .join(labels, Seq("t", "doc_id"), "left")
       .select(col("t"), col("doc_id"),

@@ -153,16 +153,21 @@ object TextAnalysis {
   /** Fixed-point scale of the regression target (ppb). */
   private[graft] val ClassifierYScale = 1000000000L
 
-  /** Offset for exact cross-engine floor division of a possibly-
-    * NEGATIVE gradient: Spark's `div` truncates toward zero, DuckDB's
-    * `//` floors — they disagree exactly on negatives (the
-    * [[ClassifierWeightMod]] hazard class). `(g + 2⁶⁰) div d − 2⁶⁰ div
-    * d` keeps the dividend nonnegative (trunc ≡ floor) and equals
-    * floor(g/d) whenever d divides 2⁶⁰-shifts consistently — both
-    * engines compute the identical value. Headroom: |g| ≤ N·yScale·10³
-    * must stay below 2⁶⁰, bounding this fixed-point at ~10⁶ docs; a
-    * larger corpus drops yScale by the same factor (or samples the
-    * gradient pass), same dataflow.
+  /** Offset for exact cross-engine division of a possibly-NEGATIVE
+    * gradient: Spark's `div` truncates toward zero, DuckDB's `//`
+    * floors — they disagree exactly on negatives (the
+    * [[ClassifierWeightMod]] hazard class). `(g + 2⁶⁰) div d − 2⁶⁰
+    * div d` keeps the dividend nonnegative (trunc ≡ floor), so both
+    * engines compute the IDENTICAL value. That value is
+    * floor((g + 2⁶⁰ mod d) / d) — a consistently-biased floor within
+    * one quantum above floor(g/d), NOT floor(g/d) itself (d = 4000·N
+    * never divides 2⁶⁰: the factor 5³ survives). The bias is the same
+    * constant on every weight update in both engines, so cross-engine
+    * parity and the GD dynamics are unaffected; only the exact-floor
+    * reading would be wrong. Headroom: |g| ≤ N·yScale·10³ must stay
+    * below 2⁶⁰, bounding this fixed-point at ~10⁶ docs; a larger
+    * corpus drops yScale by the same factor (or samples the gradient
+    * pass), same dataflow.
     */
   private[graft] val ClassifierShift = 1L << 60
 
@@ -2574,6 +2579,77 @@ object TextAnalysis {
           - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
           4).as("flesch"))
   }
+
+  /** The full-corpus least-squares GD training chain unrolled as
+    * oracle CTEs (the BPE recursion-unroll trick) — tok → rates →
+    * centering → teacher → per-pass dot/err/weight updates w1..wN,
+    * exact integer arithmetic end to end (the 2^60 shift makes Spark
+    * `div` ≡ DuckDB `//` on the possibly-negative gradient). Factored
+    * so `text_classifier_train`, the gate-disagreement census, and
+    * the model-gated release pipeline (`corpus_prep_gated`) all
+    * interpolate the IDENTICAL chain — one definition, no drift.
+    * Terminal CTEs available to consumers: `dense` (centered
+    * features), `teach` (labels), `yb` (ybar), `w$ClassifierPasses`
+    * (the final-pass model).
+    */
+  private[graft] lazy val ClassifierChainCtes: String = {
+    val den = s"($ClassifierLrDen * (SELECT nd FROM nn))"
+    def passCtes(k: Int) =
+      s"""dot$k AS MATERIALIZED (
+            SELECT dn.doc_id, sum(w.w * dn.xc) AS dot
+            FROM dense dn JOIN w${k - 1} w USING (f) GROUP BY 1),
+          err$k AS MATERIALIZED (
+            SELECT t.doc_id,
+                   d.dot - (t.y * $ClassifierYScale
+                            - (SELECT ybar FROM yb)) AS err
+            FROM teach t JOIN dot$k d USING (doc_id)),
+          w$k AS MATERIALIZED (
+            SELECT w.f,
+                   w.w - ((coalesce(g.g, 0) + $ClassifierShift) // $den
+                          - $ClassifierShift // $den) AS w
+            FROM w${k - 1} w LEFT JOIN (
+              SELECT dn.f, CAST(sum(e.err * dn.xc) AS BIGINT) AS g
+              FROM dense dn JOIN err$k e USING (doc_id) GROUP BY 1) g
+            USING (f))"""
+    s"""tok AS MATERIALIZED (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM tok GROUP BY 1),
+        rates AS MATERIALIZED (
+          SELECT x.doc_id, x.f, x.x * 1000 // nt.n AS xr
+          FROM (SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                         % $ClassifierBuckets AS f,
+                       CAST(count(*) AS BIGINT) AS x
+                FROM tok GROUP BY 1, 2) x JOIN nt USING (doc_id)),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS nd
+               FROM (SELECT DISTINCT doc_id FROM tok)),
+        rf AS (SELECT f, CAST(sum(xr) // (SELECT nd FROM nn) AS BIGINT) AS r
+               FROM rates GROUP BY f),
+        dense AS MATERIALIZED (
+          SELECT d.doc_id, rf.f, coalesce(ra.xr, 0) - rf.r AS xc
+          FROM (SELECT DISTINCT doc_id FROM tok) d
+          CROSS JOIN rf
+          LEFT JOIN rates ra ON ra.doc_id = d.doc_id AND ra.f = rf.f),
+        teach AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(CASE WHEN sum(('0x' || substr(md5(tok), 1, 15))::BIGINT
+                                    % $ClassifierWeightMod) // count(*)
+                           >= ${ClassifierWeightMod / 2}
+                      THEN 1 ELSE 0 END AS BIGINT) AS y
+          FROM tok GROUP BY doc_id),
+        yb AS (SELECT CAST(sum(y) * $ClassifierYScale // count(*) AS BIGINT)
+                 AS ybar FROM teach),
+        w0 AS (SELECT f, CAST(0 AS BIGINT) AS w FROM rf),
+        ${(1 to ClassifierPasses).map(passCtes).mkString(",\n")}"""
+  }
+
+  /** The serving-gate threshold as oracle SQL (centered-target
+    * midpoint), shared by every consumer of [[ClassifierChainCtes]].
+    */
+  private[graft] lazy val ClassifierThrSql: String =
+    s"${ClassifierYScale / 2} - (SELECT ybar FROM yb)"
 
   val oracleSql: Map[String, String] = {
     val stopList = markerList(Stopwords)

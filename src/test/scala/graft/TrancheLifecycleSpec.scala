@@ -261,4 +261,30 @@ class TrancheLifecycleSpec extends AnyFunSuite {
     val changedSplit = a1.keys.filter(d => band(a1(d)._2) != band(a2(d)._2)).toSet
     assert(changedSplit === (if (expectFlip) Set(20L, 21L) else Set.empty[Long]))
   }
+
+  /** Landing-tranche ≡ forest-cutoff consistency on a corpus size NOT
+    * divisible by the tranche count. The forests (and the DuckDB
+    * oracle) bound tranche t at the FLOORED cutoff n·t div T; the
+    * churn census must place each doc's landing tranche by the same
+    * rule — smallest t with doc_id < n·t div T, i.e.
+    * t = ceil(T·(doc_id+1)/n). The old floor(doc_id·T/n)+1 form agreed
+    * only when n·t divided evenly: at n = 50, T = 4 the t=1 cutoff is
+    * 50·1 div 4 = 12, so doc 12 belongs to tranche 2 — floor form put
+    * it in tranche 1, inflating docs_prev(2) to 13. All driver corpora
+    * (500/5000 docs) are multiples of 4, so only this fixture sees it.
+    */
+  test("split_assignment_churn landing tranche uses the floored forest cutoffs (n=50 ∤ 4)") {
+    val dir = TestSpark.tmpDir("churn-odd")
+    // 50 docs, all texts pairwise disjoint so no confirmed pairs —
+    // every comp is the doc itself and the census reduces to the pure
+    // tranche-membership count
+    (0L until 50L).map(i =>
+        (i, (0 until 8).map(j => s"tok_${i}_$j").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.splitAssignmentChurn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs_prev(t) = #docs landed by t−1 = 50·(t−1) div 4
+    assert(got === Map(2L -> 12L, 3L -> 25L, 4L -> 37L))
+  }
 }

@@ -53,14 +53,28 @@ def main():
                                         lambda: (hit.append(1), con.interrupt()))
                 timer.start()
             t0 = time.perf_counter()
+            interrupted = False
             try:
                 con.execute(oracle[n]).fetchall()
             except duckdb.InterruptException:
+                interrupted = True
                 censored.add(n)
                 print(f"[censored] {n}: >= {timeout}s", file=sys.stderr)
             finally:
                 if timer is not None:
                     timer.cancel()
+                    if hit and not interrupted:
+                        # the timer fired in the race window AFTER
+                        # fetchall() completed but BEFORE cancel(): a
+                        # stale interrupt is pending on the connection
+                        # and would abort the NEXT statement (which
+                        # would then be wrongly censored with a
+                        # near-zero time). Drain it on a trivial
+                        # statement before moving on.
+                        try:
+                            con.execute("SELECT 1").fetchall()
+                        except duckdb.InterruptException:
+                            pass
             best[n] = min(best[n], time.perf_counter() - t0)
     total = sum(best.values())
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
