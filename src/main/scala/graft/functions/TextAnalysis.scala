@@ -367,6 +367,45 @@ object TextAnalysis {
       .withColumn("accuracy_ppm", expr("n_correct * 1000000 div n_docs"))
   }
 
+  /** (doc_id, dot, model_keep): the SERVING-side gate decision — every
+    * document scored by the broadcast FINAL-pass distilled model over
+    * the frozen feature table and thresholded at the centered-target
+    * midpoint. This is the production half of the filter-train loop:
+    * the cheap linear model standing in the gating slot where the
+    * expensive rule ensemble (the teacher) used to run. Steady-state
+    * cost: one scan of the persisted features + a ≤64-row broadcast
+    * join + a doc-grain aggregate — nothing re-featurizes, nothing
+    * re-trains.
+    */
+  private[graft] def modelGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val thrDf = broadcast(classifierTeach(spark, sfDir)
+      .agg((lit(ClassifierYScale / 2) -
+        expr(s"sum(y) * $ClassifierYScale div count(1)")).as("thr")))
+    val model = broadcast(classifierModel(spark, sfDir)
+      .filter(col("pass") === ClassifierPasses).select("f", "w"))
+    classifierFeats(spark, sfDir)
+      .join(model, "f")
+      .groupBy("doc_id").agg(sum(col("w") * col("xc")).as("dot"))
+      .crossJoin(thrDf)
+      .select(col("doc_id"), col("dot"),
+        (col("dot") >= col("thr")).as("model_keep"))
+  }
+
+  /** The rule-vs-model disagreement census — kept/dropped × rule/model
+    * 2×2 over the whole corpus: the distilled gate's door decision
+    * ([[modelGate]]) against the expensive teacher rule it replaces.
+    * This is the number a filter-train pipeline watches before (and
+    * while) serving the cheap model in the gating slot: the
+    * off-diagonal cells are exactly the documents whose release fate
+    * changes when the model takes over. Doc-grain join of two
+    * persisted artifacts + a 4-row aggregate.
+    */
+  def gateDisagreement(spark: SparkSession, sfDir: String): DataFrame =
+    modelGate(spark, sfDir)
+      .join(classifierTeach(spark, sfDir), "doc_id")
+      .groupBy((col("y") === 1).as("rule_keep"), col("model_keep"))
+      .agg(count(lit(1)).as("n_docs"))
+
   private val holdoutModelCache = new graft.SessionCache[DataFrame]
   private val holdoutFeatsCache = new graft.SessionCache[DataFrame]
 
@@ -2954,59 +2993,10 @@ object TextAnalysis {
       // possibly-negative gradient), then the same per-pass eval
       // census the Spark side reports from its persisted model
       "text_classifier_train" -> {
-        val den = s"($ClassifierLrDen * (SELECT nd FROM nn))"
-        def passCtes(k: Int) =
-          s"""dot$k AS MATERIALIZED (
-                SELECT dn.doc_id, sum(w.w * dn.xc) AS dot
-                FROM dense dn JOIN w${k - 1} w USING (f) GROUP BY 1),
-              err$k AS MATERIALIZED (
-                SELECT t.doc_id,
-                       d.dot - (t.y * $ClassifierYScale
-                                - (SELECT ybar FROM yb)) AS err
-                FROM teach t JOIN dot$k d USING (doc_id)),
-              w$k AS MATERIALIZED (
-                SELECT w.f,
-                       w.w - ((coalesce(g.g, 0) + $ClassifierShift) // $den
-                              - $ClassifierShift // $den) AS w
-                FROM w${k - 1} w LEFT JOIN (
-                  SELECT dn.f, CAST(sum(e.err * dn.xc) AS BIGINT) AS g
-                  FROM dense dn JOIN err$k e USING (doc_id) GROUP BY 1) g
-                USING (f))"""
         val model = (1 to ClassifierPasses)
           .map(k => s"SELECT CAST($k AS BIGINT) AS pass, f, w FROM w$k")
           .mkString(" UNION ALL ")
-        s"""WITH tok AS MATERIALIZED (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents),
-            nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-                   FROM tok GROUP BY 1),
-            rates AS MATERIALIZED (
-              SELECT x.doc_id, x.f, x.x * 1000 // nt.n AS xr
-              FROM (SELECT doc_id,
-                           ('0x' || substr(md5(tok), 1, 15))::BIGINT
-                             % $ClassifierBuckets AS f,
-                           CAST(count(*) AS BIGINT) AS x
-                    FROM tok GROUP BY 1, 2) x JOIN nt USING (doc_id)),
-            nn AS (SELECT CAST(count(*) AS BIGINT) AS nd
-                   FROM (SELECT DISTINCT doc_id FROM tok)),
-            rf AS (SELECT f, CAST(sum(xr) // (SELECT nd FROM nn) AS BIGINT) AS r
-                   FROM rates GROUP BY f),
-            dense AS MATERIALIZED (
-              SELECT d.doc_id, rf.f, coalesce(ra.xr, 0) - rf.r AS xc
-              FROM (SELECT DISTINCT doc_id FROM tok) d
-              CROSS JOIN rf
-              LEFT JOIN rates ra ON ra.doc_id = d.doc_id AND ra.f = rf.f),
-            teach AS MATERIALIZED (
-              SELECT doc_id,
-                     CAST(CASE WHEN sum(('0x' || substr(md5(tok), 1, 15))::BIGINT
-                                        % $ClassifierWeightMod) // count(*)
-                               >= ${ClassifierWeightMod / 2}
-                          THEN 1 ELSE 0 END AS BIGINT) AS y
-              FROM tok GROUP BY doc_id),
-            yb AS (SELECT CAST(sum(y) * $ClassifierYScale // count(*) AS BIGINT)
-                     AS ybar FROM teach),
-            w0 AS (SELECT f, CAST(0 AS BIGINT) AS w FROM rf),
-            ${(1 to ClassifierPasses).map(passCtes).mkString(",\n")},
+        s"""WITH $ClassifierChainCtes,
             model AS ($model),
             scored AS (
               SELECT m.pass, dn.doc_id, sum(m.w * dn.xc) AS dot
@@ -3014,17 +3004,32 @@ object TextAnalysis {
           SELECT pass,
                  CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_true_keep,
-                 CAST(count(*) FILTER (WHERE dot >= ${ClassifierYScale / 2}
-                        - (SELECT ybar FROM yb)) AS BIGINT) AS n_pred_keep,
-                 CAST(count(*) FILTER (WHERE (dot >= ${ClassifierYScale / 2}
-                        - (SELECT ybar FROM yb)) = (y = 1)) AS BIGINT)
+                 CAST(count(*) FILTER (WHERE dot >= $ClassifierThrSql)
+                      AS BIGINT) AS n_pred_keep,
+                 CAST(count(*) FILTER (WHERE (dot >= $ClassifierThrSql)
+                        = (y = 1)) AS BIGINT)
                    AS n_correct,
-                 CAST(count(*) FILTER (WHERE (dot >= ${ClassifierYScale / 2}
-                        - (SELECT ybar FROM yb)) = (y = 1)) * 1000000
+                 CAST(count(*) FILTER (WHERE (dot >= $ClassifierThrSql)
+                        = (y = 1)) * 1000000
                       // count(*) AS BIGINT) AS accuracy_ppm
           FROM scored JOIN teach USING (doc_id)
           GROUP BY pass"""
       },
+      // the gate-disagreement census: the distilled model's door
+      // decision (final-pass weights over the frozen features) against
+      // the expensive rule it replaces (the teacher gate), the 2×2 a
+      // filter-train pipeline watches before promoting the model into
+      // the gating slot
+      "corpus_gate_disagreement" ->
+        s"""WITH $ClassifierChainCtes,
+            gscored AS (
+              SELECT dn.doc_id, CAST(sum(m.w * dn.xc) AS BIGINT) AS dot
+              FROM dense dn JOIN w$ClassifierPasses m USING (f) GROUP BY 1)
+          SELECT (t.y = 1) AS rule_keep,
+                 (s.dot >= $ClassifierThrSql) AS model_keep,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM gscored s JOIN teach t USING (doc_id)
+          GROUP BY 1, 2""",
       // holdout discipline: the SAME GD chain, but every training CTE
       // (rates, centering, teacher, label mean) restricted to the
       // cluster-atomic train split (Comp08Ctes -> hsplit), and the
@@ -3480,6 +3485,7 @@ object TextAnalysis {
     "text_classifier_score" -> classifierScore _,
     "text_classifier_train" -> classifierTrain _,
     "text_classifier_holdout" -> classifierHoldout _,
+    "corpus_gate_disagreement" -> gateDisagreement _,
     "vocab_coverage" -> vocabCoverage _,
     "stats_hll_ngrams" -> hllNgrams _,
     "stats_hll_overlap" -> hllOverlap _,

@@ -849,6 +849,41 @@ object Advanced {
       .join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** The MODEL-GATED release pipeline — [[corpusPrepFull]] with the
+    * distilled classifier serving in the gating slot: every document
+    * is scored at the door by the broadcast final-pass model over the
+    * frozen feature table
+    * ([[graft.functions.TextAnalysis.modelGate]]) and admitted on the
+    * model's decision instead of the expensive teacher rule — the
+    * production endpoint of the filter-train loop (train a cheap model
+    * on labels from an expensive gate, then SERVE the model). The
+    * non-quality stages are unchanged: benchmark documents excluded,
+    * near-dup components resolved to one representative, contaminated
+    * docs dropped. The doc-grain `dot` ships with each kept document —
+    * the release carries its own gate score for downstream curriculum/
+    * mixing policies.
+    *
+    * Scale shape: [[corpusPrepFull]]'s composition with the quality
+    * projection swapped for a persisted-feature scan + ≤64-row
+    * broadcast join + doc-grain aggregate; the disagreement census
+    * against the rule it replaced is the standing
+    * `corpus_gate_disagreement` audit.
+    */
+  def corpusPrepGated(spark: SparkSession, sfDir: String): DataFrame = {
+    val losers = graft.ext.Dedup.dupComponents(spark, sfDir, 0.8)
+      .filter(col("v") =!= col("comp"))
+      .select(col("v").as("doc_id"))
+    val contaminated = graft.ext.Dedup.decontaminate(spark, sfDir)
+      .filter(col("n_contaminated") * ContamPerMilleNum > col("n_shingles"))
+      .select("doc_id")
+    graft.functions.TextAnalysis.modelGate(spark, sfDir)
+      .filter(col("model_keep"))
+      .select(col("doc_id"), col("dot"))
+      .filter(col("doc_id") >= graft.ext.Dedup.BenchmarkDocs)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Release audit relation — the "why was my document dropped" table
     * next to the release pipeline: EVERY corpus document with its
     * release outcome and, for dropped docs, the FIRST gate that
@@ -914,12 +949,14 @@ object Advanced {
         expr("tokens_kept * 1000 div tokens_in").as("survival_pm"))
   }
 
-  /** Shared oracle body for `corpus_prep_full` and the per-source
-    * release card built over it.
+  /** The release pipeline's non-quality gates as oracle CTEs (near-dup
+    * component losers, benchmark set, contamination) — factored from
+    * [[CorpusPrepFullSql]] so the model-gated release
+    * (`corpus_prep_gated`) interpolates the IDENTICAL stages. Requires
+    * [[graft.ext.Dedup.ShingleCte]] ahead of it.
     */
-  private lazy val CorpusPrepFullSql: String =
-    s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
-          mh AS (
+  private lazy val ReleaseGateCtes: String =
+    s"""mh AS (
             SELECT doc_id, i, min(md5(i::VARCHAR || '|' || shingle)) AS mh
             FROM ex, range(16) t(i) GROUP BY doc_id, i),
           sig AS (SELECT doc_id, list(mh ORDER BY i) AS mhs FROM mh GROUP BY doc_id),
@@ -949,7 +986,14 @@ object Advanced {
           hits AS (SELECT e.doc_id, count(*) AS n_cont
                    FROM ex e JOIN bench USING (shingle) GROUP BY e.doc_id),
           contam AS (SELECT s.doc_id FROM sh s LEFT JOIN hits h USING (doc_id)
-                     WHERE coalesce(h.n_cont, 0) * $ContamPerMilleNum > len(s.s)),
+                     WHERE coalesce(h.n_cont, 0) * $ContamPerMilleNum > len(s.s))"""
+
+  /** Shared oracle body for `corpus_prep_full` and the per-source
+    * release card built over it.
+    */
+  private lazy val CorpusPrepFullSql: String =
+    s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
+          $ReleaseGateCtes,
           q AS (
             SELECT doc_id, len(ws) AS n_tokens,
                    least(1.0, CAST(len(ws) AS DOUBLE) / 256.0) *
@@ -1262,6 +1306,25 @@ object Advanced {
           WHERE quality_score >= 0.3
             AND doc_id NOT IN (SELECT doc_id FROM losers)""",
     "corpus_prep_full" -> CorpusPrepFullSql,
+    // the model-gated release: the IDENTICAL GD chain as
+    // text_classifier_train (factored CTEs) scores every doc, the
+    // final-pass weights gate at the centered-target midpoint, and the
+    // release's non-quality stages (benchmark/losers/contamination)
+    // apply unchanged
+    "corpus_prep_gated" ->
+      s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
+          $ReleaseGateCtes,
+          ${graft.functions.TextAnalysis.ClassifierChainCtes},
+          gscored AS (
+            SELECT dn.doc_id, CAST(sum(m.w * dn.xc) AS BIGINT) AS dot
+            FROM dense dn
+            JOIN w${graft.functions.TextAnalysis.ClassifierPasses} m USING (f)
+            GROUP BY 1)
+          SELECT doc_id, dot FROM gscored
+          WHERE dot >= ${graft.functions.TextAnalysis.ClassifierThrSql}
+            AND doc_id >= ${graft.ext.Dedup.BenchmarkDocs}
+            AND doc_id NOT IN (SELECT doc_id FROM losers)
+            AND doc_id NOT IN (SELECT doc_id FROM contam)""",
     "corpus_drop_reasons" ->
       s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
           ${graft.ext.Dedup.Comp08Ctes},
@@ -1466,6 +1529,7 @@ object Advanced {
     "corpus_prep" -> corpusPrep _,
     "corpus_prep_cc" -> corpusPrepCc _,
     "corpus_prep_full" -> corpusPrepFull _,
+    "corpus_prep_gated" -> corpusPrepGated _,
     "corpus_release_card" -> releaseCard _,
     "sample_stratified" -> sampleStratified _,
     "sample_cap_source" -> sampleCapPerSource _,

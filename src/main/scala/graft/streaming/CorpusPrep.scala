@@ -36,18 +36,28 @@ object CorpusPrep {
     */
   val QualityFloor = 0.3
 
+  /** The watermark-bounded exact-dedup stage alone — factored from
+    * [[prepared]] so the model-gated twin ([[startModelGated]]) can
+    * stack the distilled-gate decision on the same dedup door without
+    * the rule gate (the batch `corpus_prep_gated` swaps the quality
+    * rule for the model; the twin must make the identical swap).
+    */
+  private def dedupStage(df: DataFrame, lateness: String): DataFrame =
+    df.withColumn("content_hash", md5(col("text")))
+      .withWatermark("ingest_ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Input: streaming frame with `doc_id`, `text`, event-time
     * `ingest_ts`. Output: kept documents with their score and content
     * hash.
     */
   def prepared(docs: DataFrame, lateness: String = "1 minute"): DataFrame =
-    docs
-      .withColumn("quality_score",
-        graft.functions.TextAnalysis.qualityScore(col("text")))
-      .filter(col("quality_score") >= QualityFloor)
-      .withColumn("content_hash", md5(col("text")))
-      .withWatermark("ingest_ts", lateness)
-      .dropDuplicatesWithinWatermark("content_hash")
+    dedupStage(
+      docs
+        .withColumn("quality_score",
+          graft.functions.TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality_score") >= QualityFloor),
+      lateness)
 
   def start(
       docs: DataFrame,
@@ -191,6 +201,65 @@ object CorpusPrep {
         .queryName(queryName)
         .outputMode("append")
         .format("memory"), trigger)
+      .start()
+
+  /** One micro-batch of the distilled-gate door ([[startModelGated]])
+    * — exposed for the spec's stream≡batch law. Featurization is the
+    * SHARED batch expression chain
+    * ([[graft.functions.TextAnalysis.docRates]] →
+    * [[graft.functions.TextAnalysis.centerRates]], the
+    * [[FeatureRefresh]] no-drift discipline) under the FROZEN
+    * artifacts: `model` (the final-pass weight vector), `sums`/`nDf`
+    * (the centering statistics frozen when the model shipped — at
+    * train time these are exactly what [[FeatureRefresh]]'s maintained
+    * state holds), and `thr` (the centered-target midpoint constant).
+    * Nothing here re-trains or re-aggregates the corpus: per batch the
+    * cost is the batch's own tokens plus a ≤64-row broadcast join.
+    */
+  def modelGatedBatch(
+      model: DataFrame, sums: DataFrame, nDf: DataFrame, thr: Long)(
+      batch: DataFrame): DataFrame = {
+    import graft.functions.TextAnalysis
+    val rates = TextAnalysis.docRates(batch.select("doc_id", "text"))
+    TextAnalysis.centerRates(batch.select("doc_id"), rates, sums, nDf)
+      .join(broadcast(model), "f")
+      .groupBy("doc_id").agg(sum(col("w") * col("xc")).as("dot"))
+      .filter(col("dot") >= thr)
+      .join(batch, "doc_id")
+  }
+
+  /** Model-gated ingest — the streaming twin of the batch
+    * `corpus_prep_gated` release: documents pass the watermark-bounded
+    * exact-dedup door, then each micro-batch is scored by the FROZEN
+    * distilled model and only model-kept docs land (append-only
+    * parquet, checkpointed). The quality rule is NOT applied — the
+    * model has taken the gating slot, exactly as in the batch gated
+    * release; the rule-vs-model disagreement census
+    * (`corpus_gate_disagreement`) is the standing audit of that
+    * handover.
+    *
+    * Scale shape: [[prepared]]'s dedup state plus a stateless scored
+    * projection per batch — the frozen artifacts are model-as-data
+    * broadcasts (≤64 rows + 2 scalars), never a corpus-grain join.
+    */
+  def startModelGated(
+      docs: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      model: DataFrame,
+      sums: DataFrame,
+      nDf: DataFrame,
+      thr: Long,
+      lateness: String = "1 minute",
+      trigger: Option[Trigger] = None): StreamingQuery =
+    Patterns.withTrigger(
+      dedupStage(docs, lateness)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          modelGatedBatch(model, sums, nDf, thr)(batch)
+            .write.mode("append").parquet(outDir)
+        }, trigger)
       .start()
 
   /** Incremental index maintenance — the REFRESH leg of the

@@ -191,4 +191,69 @@ class CorpusPrepSpec extends AnyFunSuite {
       assert(streamed === expected)
     } finally q.stop()
   }
+
+  /** The model-gated door: streaming the corpus through the FROZEN
+    * distilled gate lands exactly the docs the batch gate keeps under
+    * the same frozen artifacts (weight for weight and score for
+    * score), with exact dedup suppressing replays BEFORE they are
+    * scored. This is the stream≡batch law that closes the
+    * filter-train loop: train (batch, FeatureRefresh-maintainable
+    * stats) → freeze (model + centering + threshold) → gate at the
+    * door (this twin) ≡ gate at release (`corpus_prep_gated`).
+    */
+  test("model-gated ingest: stream keep-set equals the batch gate under the frozen model") {
+    implicit val ctx = spark.sqlContext
+    import graft.functions.TextAnalysis
+    // varied-vocab fixture so the teacher splits and the trained gate
+    // is nontrivial (neither all-keep nor all-drop)
+    def text(i: Int): String =
+      (1 to 20).map(j => s"w${(i * j) % 37}").mkString(" ")
+    val corpus = (1L to 30L).map(i => (i, text(i.toInt)))
+    val docsDf = corpus.toDF("doc_id", "text")
+
+    // freeze the artifacts exactly as a shipped gate would: centering
+    // stats (the FeatureRefresh-maintained sums + doc count), the
+    // final-pass model, and the centered-target midpoint threshold
+    val rates = TextAnalysis.docRates(docsDf)
+    val sums = rates.groupBy("f").agg(sum(col("xr")).as("s"))
+    val nDf = docsDf.agg(count(lit(1)).as("n_docs"))
+    val dense = TextAnalysis.centerRates(
+      docsDf.select("doc_id"), rates, sums, nDf)
+    val teach = TextAnalysis.docTeacher(docsDf)
+    val model = TextAnalysis.lsGradientTrain(spark, dense, teach)
+      .filter(col("pass") === TextAnalysis.ClassifierPasses).select("f", "w")
+    val ag = teach.agg(count(lit(1)).as("n"), sum(col("y")).as("sy")).first()
+    val thr = TextAnalysis.ClassifierYScale / 2 -
+      ag.getLong(1) * TextAnalysis.ClassifierYScale / ag.getLong(0)
+
+    // the batch gate under the identical frozen artifacts
+    val batchKept = dense.join(model, "f")
+      .groupBy("doc_id").agg(sum(col("w") * col("xc")).as("dot"))
+      .filter(col("dot") >= thr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batchKept.nonEmpty && batchKept.size < corpus.size,
+      s"fixture gate is trivial: ${batchKept.size}/${corpus.size} kept")
+
+    val outDir = TestSpark.tmpDir("gated-out") + "/docs"
+    val ckpt = TestSpark.tmpDir("gated-ckpt")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = CorpusPrep.startModelGated(
+      docs, outDir, ckpt, model, sums, nDf, thr)
+    try {
+      val (batch1, batch2) = corpus.splitAt(17)
+      input.addData(batch1.zipWithIndex.map { case ((i, t), k) =>
+        (i, t, ts(k + 1)) })
+      q.processAllAvailable()
+      // cross-batch exact replay of doc 1 (would pass the gate) must
+      // be suppressed by the dedup door before it is ever scored
+      input.addData((1000L, text(1), ts(40)) +:
+        batch2.zipWithIndex.map { case ((i, t), k) => (i, t, ts(20 + k)) })
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .select("doc_id", "dot").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batchKept) // ids AND scores, weight for weight
+    } finally q.stop()
+  }
 }
