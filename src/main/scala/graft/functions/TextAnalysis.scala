@@ -253,15 +253,29 @@ object TextAnalysis {
     * a step inside 2/λ_max descends monotonically — no corpus-wide
     * prediction flip-flop (measured; see [[centeredRates]]).
     *
-    * Scale shape per pass: one bucket-grain broadcast join + one
-    * doc-grain aggregate + one bucket-grain aggregate; driver state is
-    * the collected weight vector (model-as-data, the quantizer rule).
-    * Inputs checkpoint once (DISK_ONLY), so passes never re-derive
-    * the corpus. Exposed for the fixture law in OperatorSpec.
+    * Scale shape: the least-squares gradient DISTRIBUTES over the
+    * Gram matrix — grad_f = Σ_d err_d·x_{d,f} = (G·w)_f − b_f with
+    * G = Σ_d x_d·x_dᵀ (B×B) and b = Σ_d ỹ_d·x_d (B) — so the corpus
+    * is folded ONCE into G and b (a single doc-grain pass: the
+    * dense⋈teach join is co-bucketed on doc_id, then a per-partition
+    * outer-product accumulator), and every pass after that is a
+    * driver-side B×B integer mat-vec. Identical integers to the
+    * per-pass distributed form (multiplication distributes over the
+    * exact sums; the mat-vec accumulates in BigInt so association
+    * order cannot matter, and the total is inside the documented 2⁶⁰
+    * headroom). The B² accumulator bounds this path at B ≲ a few
+    * thousand buckets — far above [[ClassifierBuckets]] = 64 (32 KiB
+    * per partition); a wider model would shard the Gram fold by
+    * bucket block, same dataflow. Driver state is the B²-entry Gram +
+    * the weight vector (model-as-data, the quantizer rule). Exposed
+    * for the fixture law in OperatorSpec.
     */
   private[graft] def lsGradientTrain(
       spark: SparkSession, denseIn: DataFrame, teachIn: DataFrame,
       passes: Int = ClassifierPasses): DataFrame = {
+    // dense is read twice (occupied-bucket census + the Gram fold):
+    // checkpoint so a derived input (the holdout path) materializes
+    // once instead of re-tokenizing per read
     val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val dense = denseIn.localCheckpoint(true, disk)
     val teach = teachIn.localCheckpoint(true, disk)
@@ -276,20 +290,67 @@ object TextAnalysis {
       (g + ClassifierShift) / den - ClassifierShift / den
     val buckets = dense.select("f").distinct().collect()
       .map(_.getLong(0)).sorted
-    val w = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val nB = buckets.length
+    val bIdx = buckets.zipWithIndex.toMap
+    // ONE corpus pass: fold (doc, f, xc, ỹ) into per-partition Gram /
+    // moment accumulators, combine on the driver. Only docs present in
+    // BOTH frames contribute (inner join) — exactly the rows the
+    // per-pass err⋈grad chain summed over.
+    val partials = dense.join(teach, "doc_id")
+      .select(col("doc_id"), col("f"), col("xc"),
+        (col("y") * ClassifierYScale - ybar).as("ytil"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("f").as("_1"), col("xc").as("_2"))).as("fx"),
+        first(col("ytil")).as("ytil"))
+      .select(col("fx").as("_1"), col("ytil").as("_2"))
+      .as[(Seq[(Long, Long)], Long)]
+      .mapPartitions { it =>
+        val g = new Array[Long](nB * nB)
+        val b = new Array[Long](nB)
+        val x = new Array[Long](nB)
+        it.foreach { case (fx, ytil) =>
+          java.util.Arrays.fill(x, 0L)
+          // += not =: a duplicate (doc, f) row contributes additively
+          // in the join form, so it must here too
+          fx.foreach { case (f, xc) => x(bIdx(f)) += xc }
+          var i = 0
+          while (i < nB) {
+            val xi = x(i)
+            if (xi != 0L) {
+              b(i) += ytil * xi
+              var j = 0
+              while (j < nB) { g(i * nB + j) += xi * x(j); j += 1 }
+            }
+            i += 1
+          }
+        }
+        Iterator.single((g.toSeq, b.toSeq))
+      }.collect()
+    val gm = new Array[Long](nB * nB)
+    val bv = new Array[Long](nB)
+    partials.foreach { case (g, b) =>
+      var i = 0
+      while (i < nB * nB) { gm(i) += g(i); i += 1 }
+      i = 0
+      while (i < nB) { bv(i) += b(i); i += 1 }
+    }
+    val w = new Array[Long](nB)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (k <- 1 to passes) {
-      val wDf = broadcast(buckets.toSeq.map(f => (f, w(f))).toDF("f", "w"))
-      val err = dense.join(wDf, "f")
-        .groupBy("doc_id").agg(sum(col("w") * col("xc")).as("dot"))
-        .join(teach, "doc_id")
-        .select(col("doc_id"),
-          (col("dot") - (col("y") * ClassifierYScale - ybar)).as("err"))
-      val grad = dense.join(err, "doc_id")
-        .groupBy("f").agg(sum(col("err") * col("xc")).as("g"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      buckets.foreach(f => w(f) -= sdiv(grad.getOrElse(f, 0L)))
-      out ++= buckets.map(f => (k.toLong, f, w(f)))
+      val grad = new Array[Long](nB)
+      var i = 0
+      while (i < nB) {
+        var acc = BigInt(0)
+        var j = 0
+        while (j < nB) { acc += BigInt(gm(i * nB + j)) * w(j); j += 1 }
+        acc -= bv(i)
+        require(acc.isValidLong, s"gradient overflow at f=${buckets(i)}")
+        grad(i) = acc.toLong
+        i += 1
+      }
+      i = 0
+      while (i < nB) { w(i) -= sdiv(grad(i)); i += 1 }
+      out ++= (0 until nB).map(i => (k.toLong, buckets(i), w(i)))
     }
     freeF(); freeT()
     out.toSeq.toDF("pass", "f", "w")
@@ -419,11 +480,18 @@ object TextAnalysis {
   private[graft] def holdoutModel(spark: SparkSession, sfDir: String): DataFrame =
     holdoutModelCache.getOrElseUpdate(spark, sfDir) {
       def build = {
-        val trainDocs = Tables.documents(spark, sfDir).join(
-          graft.ext.Dedup.splitByComponent(spark, sfDir)
-            .filter(col("split") === "train").select("doc_id"),
-          "doc_id")
-        lsGradientTrain(spark, centeredRates(trainDocs), docTeacher(trainDocs))
+        // the persisted artifacts already ARE the training inputs:
+        // docRates/docTeacher are doc-grain (corpus-independent), so
+        // the all-docs frozen-centering features restricted to the
+        // train split equal centeredRates(trainDocs) row for row, and
+        // the all-docs teacher restricted is the train teacher — the
+        // builder reuses [[holdoutFeats]]/[[classifierTeach]] instead
+        // of re-deriving the train-scoped chain from the corpus
+        val trainIds = graft.ext.Dedup.splitByComponent(spark, sfDir)
+          .filter(col("split") === "train").select("doc_id")
+        lsGradientTrain(spark,
+          holdoutFeats(spark, sfDir).join(trainIds, "doc_id"),
+          classifierTeach(spark, sfDir).join(trainIds, "doc_id"))
       }
       graft.IndexStore.resolve(spark, sfDir, "classifier_holdout")(build)
         .getOrElse(build)
@@ -1502,6 +1570,113 @@ object TextAnalysis {
         // 21 jobs at cadence 1, 13 at cadence 4) and still bounded at
         // scale (folds are map-only; a disk write per round is not)
         if (step % BpeCheckpointEvery == 0) {
+          val next = merged.localCheckpoint(true, disk)
+          free()
+          free = graft.Lineage.checkpointRelease(next)
+          state = next
+        } else state = merged
+      }
+    }
+    free()
+    val rows = learned.toSeq.map { case (step, s1, s2, c) =>
+      org.apache.spark.sql.Row(step, s1, s2, s1 + s2, c)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("step", LongType, nullable = false),
+        StructField("s1", StringType, nullable = false),
+        StructField("s2", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("merge_count", LongType, nullable = false))))
+  }
+
+  /** Batched-merge BPE trainer — the PRODUCTION-scale variant of
+    * [[bpeVocabFromWf]]: per round, ONE pair-count job selects up to
+    * `batch` SYMBOL-DISJOINT top pairs (greedy by the exact trainer's
+    * (count desc, s1, s2) order, skipping any pair sharing a symbol
+    * with one already taken this round), and all of them fold in one
+    * stacked projection pass. Rounds ≈ merges/batch, so a 32k-merge
+    * tokenizer costs ~32k/batch sequential driver round-trips instead
+    * of 32k — the ceiling the exact trainer documents.
+    *
+    * FLAGGED APPROXIMATION, not the oracle path: within a round the
+    * 2nd..batch-th selections use PRE-round counts, while exact BPE
+    * recounts after every merge. Symbol-disjointness makes the folds
+    * commute (merging (a,b) cannot create, destroy, or split an
+    * occurrence of (c,d) when {a,b} ∩ {c,d} = ∅), so the folded STATE
+    * equals the exact trainer's state whenever the selected pairs
+    * would have been the next `batch` exact picks — BpeLawsSpec pins
+    * batch=1 ≡ exact on the corpus recipe and batch>1 ≡ exact on a
+    * disjoint-top fixture. Disjointness also keeps the recorded
+    * merge_counts EXACT (a disjoint merge joins two symbols in place,
+    * so it neither creates nor destroys any other disjoint pair's
+    * adjacencies); what a round CANNOT see is pairs involving its own
+    * newly-merged symbols — those become eligible next round, which is
+    * precisely where the pick sequence can diverge from exact BPE.
+    * `text_bpe_vocab` / the serving encoder stay on the exact trainer.
+    */
+  private[graft] def bpeVocabBatchedFromWf(
+      spark: SparkSession, wf: DataFrame,
+      merges: Int = BpeVocabMerges, batch: Int = 8): DataFrame = {
+    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val state0 = wf
+      .select(array_join(
+          expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
+          BpeSep).as("syms"),
+        col("n_w"))
+      .localCheckpoint(true, disk)
+    // same cloned-session shuffle-width discipline as the exact loop
+    val iter = spark.newSession()
+    iter.conf.set("spark.sql.adaptive.enabled", "false")
+    val vocabRows = state0.count()
+    val maxParts = spark.sessionState.conf.numShufflePartitions.toLong
+    val parts = math.max(1L, math.min(maxParts,
+      vocabRows / VocabRowsPerPartition + 1)).toInt
+    iter.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    var state = iter.createDataFrame(state0.rdd, state0.schema).coalesce(parts)
+    var free = graft.Lineage.checkpointRelease(state0)
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var exhausted = false
+    var round = 0
+    while (learned.size < merges && !exhausted) {
+      round += 1
+      val want = math.min(batch, merges - learned.size)
+      val a = split(col("syms"), BpeSep)
+      // over-fetch 4× candidates: greedy disjoint selection discards
+      // overlapping pairs, and a thin fetch could starve a round
+      val top = state.filter(col("syms").contains(BpeSep))
+        .select(col("n_w"), explode(transform(
+          slice(a, lit(1), size(a) - 1),
+          (x, i) => struct(x.as("s1"), element_at(a, i + lit(2)).as("s2"))))
+          .as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("n_w")).as("merge_count"))
+        .orderBy(col("merge_count").desc, col("s1").asc, col("s2").asc)
+        .limit(4 * want).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = top.iterator.map { r =>
+          (r.getString(0), r.getString(1), r.getLong(2))
+        }.filter { case (s1, s2, _) =>
+          // disjoint on the pair's symbols AND its merged string: a
+          // later pick reading (or producing) a symbol another pick
+          // produces (or reads) would make the stacked folds
+          // order-dependent
+          if (used(s1) || used(s2) || used(s1 + s2)) false
+          else { used += s1; used += s2; used += s1 + s2; true }
+        }.take(want).toSeq
+        picked.foreach { case (s1, s2, c) =>
+          learned += ((learned.size + 1L, s1, s2, c))
+        }
+        // disjoint folds commute — stack them as one projection chain
+        val merged = picked.foldLeft(state) { case (st, (s1, s2, _)) =>
+          st.select(bpeMergeFold(col("syms"), s1, s2).as("syms"), col("n_w"))
+        }
+        if (round % BpeCheckpointEvery == 0) {
           val next = merged.localCheckpoint(true, disk)
           free()
           free = graft.Lineage.checkpointRelease(next)

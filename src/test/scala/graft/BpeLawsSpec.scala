@@ -71,6 +71,40 @@ class BpeLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("batched trainer at batch=1 == exact trainer on random corpora") {
+    val rnd = new scala.util.Random(4141414L)
+    for (case_ <- 1 to 3) {
+      val words = (1 to 3 + rnd.nextInt(5)).map { _ =>
+        (1 to 1 + rnd.nextInt(5)).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
+      }.distinct
+      val wf0 = words.map(w => w -> (1L + rnd.nextInt(3))).toMap
+      val wfDf = wf0.toSeq.toDF("t", "n_w")
+      // batch=1 selects exactly the exact trainer's argmax each round
+      val got = graft.functions.TextAnalysis
+        .bpeVocabBatchedFromWf(spark, wfDf, batch = 1)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toList.sortBy(_._1)
+      val want = refTrain(wf0, graft.functions.TextAnalysis.BpeVocabMerges)
+      assert(got === want, s"case $case_: corpus $wf0 diverged")
+    }
+  }
+
+  test("batched trainer == exact trainer when the top pairs are symbol-disjoint") {
+    // four single-pair words with strictly ordered counts and fully
+    // disjoint symbols: the exact trainer picks them one per step with
+    // counts unchanged between steps (a disjoint merge preserves other
+    // pairs' adjacencies), so one batch=4 round must reproduce the
+    // exact 4-step history — steps, pairs, AND counts
+    val wf0 = Map("ab" -> 9L, "cd" -> 8L, "ef" -> 7L, "gh" -> 6L)
+    val wfDf = wf0.toSeq.toDF("t", "n_w")
+    val got = graft.functions.TextAnalysis
+      .bpeVocabBatchedFromWf(spark, wfDf, merges = 4, batch = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toList.sortBy(_._1)
+    val want = refTrain(wf0, 4)
+    assert(got === want)
+  }
+
   test("distributed trainer == reference greedy on random corpora") {
     val rnd = new scala.util.Random(8151527L)
     for (case_ <- 1 to 4) {
