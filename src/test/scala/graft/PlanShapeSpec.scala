@@ -668,4 +668,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"\n$plan")
     assert(!plan.contains("CartesianProduct"), s"\n$plan")
   }
+
+  test("corpus_prep_gated: the serving gate is a broadcast model join — no cartesian, no global sort") {
+    val df = SparkEntry.queries("corpus_prep_gated")(spark, sf)
+    df.collect() // materializes model/feats/components/bloom artifacts
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"\n$plan")
+    // the anti-joins against the tiny loser/contaminated sets may plan
+    // SMJ in the stateless spec env (same shape corpus_prep_full has
+    // carried since r9, AQE converts them given runtime stats); the
+    // pin here is the serving gate itself: broadcast model, never a
+    // cartesian over the corpus
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+  }
+
+  test("corpus_gate_disagreement: doc-grain join of two persisted artifacts + a 4-row census") {
+    val df = SparkEntry.queries("corpus_gate_disagreement")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"\n$plan")
+  }
 }
