@@ -273,14 +273,15 @@ object TextAnalysis {
   private[graft] def lsGradientTrain(
       spark: SparkSession, denseIn: DataFrame, teachIn: DataFrame,
       passes: Int = ClassifierPasses): DataFrame = {
-    // dense is read twice (occupied-bucket census + the Gram fold):
-    // checkpoint so a derived input (the holdout path) materializes
-    // once instead of re-tokenizing per read
-    val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
-    val dense = denseIn.localCheckpoint(true, disk)
-    val teach = teachIn.localCheckpoint(true, disk)
-    val freeF = graft.Lineage.checkpointRelease(dense)
-    val freeT = graft.Lineage.checkpointRelease(teach)
+    // dense is read exactly twice (occupied-bucket census + the ONE
+    // Gram fold) and teach twice (label mean + the fold's join) — and
+    // every production call site feeds storage-backed frames (the
+    // persisted classifier/holdout feature and teacher tables, or
+    // FeatureRefresh's landed parquet logs), so the re-read is a
+    // columnar scan, not a re-derivation. The per-pass loop that
+    // justified an input checkpoint (16 reads) is gone with it.
+    val dense = denseIn
+    val teach = teachIn
     import spark.implicits._
     val agg = teach.agg(count(lit(1)), sum(col("y"))).first()
     val nDocs = agg.getLong(0)
@@ -352,7 +353,6 @@ object TextAnalysis {
       while (i < nB) { w(i) -= sdiv(grad(i)); i += 1 }
       out ++= (0 until nB).map(i => (k.toLong, buckets(i), w(i)))
     }
-    freeF(); freeT()
     out.toSeq.toDF("pass", "f", "w")
   }
 
