@@ -162,84 +162,124 @@ object Bench {
     // (reported as `phase_index_build` next to the per-query seconds)
     // and keeps steady-state search comparable across rounds. Builds
     // run as concurrent jobs like the ingest above.
-    // Two dependency WAVES, concurrent jobs within each (the ingest
-    // discipline above): wave 2's builders consume wave 1's memoized
-    // frames — knn_edges reads the LSH-bucketed corpus, both
-    // dup_components thresholds read the minhash signatures — and a
-    // concurrent first call on the SAME SessionCache key would race
-    // two side-effecting saveAsTables of one table. Everything else
-    // is independent (sem_cells/ivf/sq8/pq derive their own quantizers
-    // from the raw embeddings; bloom/winnow/LM/vocab never touch the
-    // shingle index). Per-builder seconds are wall-clock WITH the
-    // wave's contention — the honest serving-latency number a shared
-    // cluster would see — while the sequential sum is what r7 reported.
+    // DEPENDENCY-AWARE pool (round 14; was three barrier waves): each
+    // builder declares its upstream builders and starts the moment
+    // they complete, so a wave's idle tail no longer gates unrelated
+    // work (bigram_model waited on classifier_model under the
+    // barriers). Safety was never the barrier's job — SessionCache's
+    // lazy-holder memoization already serializes concurrent first
+    // calls on one artifact key (exactly one side-effecting build
+    // runs; losers block on the winner) — the declared edges exist so
+    // a DEPENDENT builder's measured seconds attribute its own work,
+    // not a shared upstream build it happened to first-touch.
+    // Heavy roots are listed first (LPT order) so the pool's last
+    // slots don't start the longest builds. Per-builder seconds are
+    // wall-clock WITH pool contention — the honest serving-latency
+    // number a shared cluster would see — while the sequential sum
+    // (SPARK_GRAFT_INDEX_PAR=1) is what r7 reported.
     val tIdx0 = System.nanoTime()
     val indexWaves: Seq[Seq[(String, () => Unit)]] = Seq(
       Seq(
-        "emb_lsh_buckets" -> (() => { ext.Similarity.lshIndex(spark, queryDir); () }),
-        "ivf_index" -> (() => { ext.Similarity.ivfIndex(spark, queryDir); () }),
-        "shingle_hashes" -> (() => { ext.Dedup.explodedShingleHashes(spark, queryDir); () }),
-        "winnow_fp" -> (() => { ext.Dedup.winnowFingerprints(spark, queryDir); () }),
+        // heavy roots first (LPT): measured solo order at sf0.1
+        "classifier_model" -> (() => { functions.TextAnalysis.classifierModel(spark, queryDir).count(); () }),
         "minhash_sig" -> (() => { ext.Dedup.minhashSignatures(spark, queryDir); () }),
+        "bpe_vocab" -> (() => { functions.TextAnalysis.bpeVocab(spark, queryDir).count(); () }),
+        "dsir_model" -> (() => { operators.Advanced.dsirModel(spark, queryDir); () }),
+        "ivf_index" -> (() => { ext.Similarity.ivfIndex(spark, queryDir); () }),
+        "emb_lsh_buckets" -> (() => { ext.Similarity.lshIndex(spark, queryDir); () }),
+        "sem_cells" -> (() => { ext.Similarity.semAssigned(spark, queryDir).count(); () }),
+        "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),
+        "ngram_sources" -> (() => { functions.TextAnalysis.ngramSourceSets(spark, queryDir); () }),
+        "unigram_model" -> (() => { functions.TextAnalysis.unigramModel(spark, queryDir); () }),
+        "winnow_fp" -> (() => { ext.Dedup.winnowFingerprints(spark, queryDir); () }),
+        "bigram_counts" -> (() => { functions.TextAnalysis.bigramCounts(spark, queryDir); () }),
+        "shingle_hashes" -> (() => { ext.Dedup.explodedShingleHashes(spark, queryDir); () }),
+        "pq_codes" -> (() => { ext.Similarity.pqIndex(spark, queryDir); () }),
+        "bm25_scores" -> (() => { functions.Retrieval.bm25Scores(spark, queryDir).count(); () }),
         "bloom_bitmap" -> (() => { ext.Dedup.bloomIndex(spark, queryDir); () }),
         "sq8_codes" -> (() => { ext.Similarity.sq8Index(spark, queryDir); () }),
-        "pq_codes" -> (() => { ext.Similarity.pqIndex(spark, queryDir); () }),
-        "unigram_model" -> (() => { functions.TextAnalysis.unigramModel(spark, queryDir); () }),
-        "bpe_vocab" -> (() => { functions.TextAnalysis.bpeVocab(spark, queryDir).count(); () }),
-        "bigram_counts" -> (() => { functions.TextAnalysis.bigramCounts(spark, queryDir); () }),
-        "ngram_sources" -> (() => { functions.TextAnalysis.ngramSourceSets(spark, queryDir); () }),
-        "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),
-        "dsir_model" -> (() => { operators.Advanced.dsirModel(spark, queryDir); () }),
-        "classifier_model" -> (() => { functions.TextAnalysis.classifierModel(spark, queryDir).count(); () }),
-        "bm25_scores" -> (() => { functions.Retrieval.bm25Scores(spark, queryDir).count(); () }),
-        "user_triples" -> (() => { operators.EventAnalytics.userTriples(spark, queryDir).count(); () }),
-        "sem_cells" -> (() => { ext.Similarity.semAssigned(spark, queryDir).count(); () })),
+        "user_triples" -> (() => { operators.EventAnalytics.userTriples(spark, queryDir).count(); () })),
+      // derived builders — each declares its upstream edges in
+      // idxDeps below and starts the moment those complete
       Seq(
-        // bigram_model is a vocabulary-sized derivation of wave-1's
-        // bigram_counts (the corpus pays its bigram pass once)
+        // vocabulary-sized derivation of bigram_counts (the corpus
+        // pays its bigram pass once)
         "bigram_model" -> (() => { functions.TextAnalysis.bigramModel(spark, queryDir); () }),
-        // the frozen tokenizer's serving table, derived from wave-1's
+        // the frozen tokenizer's serving table, derived from the
         // bpe_vocab merges (vocabulary-grain fold chain)
         "bpe_word_tokens" -> (() => { functions.TextAnalysis.bpeWordTokens(spark, queryDir).count(); () }),
         // mutual edges are the knn lifecycle's second half — built in
-        // the same wave slot so wave-3's label contraction finds them
+        // the same slot so the label contraction finds them
         "knn_edges" -> (() => { ext.Similarity.knnEdges(spark, queryDir).count()
                                 ext.Similarity.mutualEdges(spark, queryDir).count(); () }),
-        // sets + prefix inverted index, derived from wave-1's shingle index
+        // sets + prefix inverted index, derived from the shingle index
         "allpairs_index" -> (() => { ext.Dedup.allPairsIndex(spark, queryDir); () }),
-        // the confirmed LSH pair frame, derived from wave-1's minhash
+        // the confirmed LSH pair frame, derived from the minhash
         // signatures — ten consumers share it (memoized DISK_ONLY)
         "lsh_pairs" -> (() => { ext.Dedup.minhashLsh(spark, queryDir).count(); () }),
         "dup_components_0" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.0); () }),
         "dup_components_prior" -> (() => { ext.Dedup.priorComponents(spark, queryDir).count(); () }),
-        "dup_components_80" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.8); () })),
-      // wave 3: the mutual-kNN component labels contract the wave-2
-      // edge list (the dup_components lifecycle on the embedding side);
-      // the per-tranche churn forests replay the warm-start ladder off
-      // wave-2's memoized lsh_pairs frame (same-key SessionCache race
-      // rule keeps them out of wave 2)
-      Seq(
+        "dup_components_80" -> (() => { ext.Dedup.dupComponents(spark, queryDir, 0.8); () }),
+        // the mutual-kNN component labels contract the knn edge list
+        // (the dup_components lifecycle on the embedding side)
         "knn_cluster_labels" -> (() => { ext.Similarity.knnClusterLabels(spark, queryDir); () }),
+        // the per-tranche churn forests replay the warm-start ladder
+        // off the memoized lsh_pairs frame and reuse the full-corpus
+        // dup_components_80 forest as the final tranche
         "churn_forests" -> (() => { ext.Dedup.splitChurnForests(spark, queryDir).foreach(_.count()); () }),
         // holdout model + frozen-centering features depend on the
-        // split labels (wave-2 dup_components_80 via splitByComponent)
+        // split labels (dup_components_80 via splitByComponent) and
+        // the persisted classifier teach table (classifier_model)
         "classifier_holdout" -> (() => {
           functions.TextAnalysis.holdoutModel(spark, queryDir).count()
           functions.TextAnalysis.holdoutFeats(spark, queryDir).count(); () })))
-    // SPARK_GRAFT_INDEX_PAR caps concurrent builders per wave (dev
-    // profiling: PAR=1 gives uncontended per-builder seconds; the
-    // in-wave walls below include scheduler/codegen contention)
+    // builder → upstream builders whose artifacts it consumes; a
+    // builder starts the instant its edges complete (no wave barrier).
+    // Edges exist for ATTRIBUTION (a dependent's seconds measure its
+    // own work, not a shared upstream it happened to first-touch);
+    // SessionCache's lazy-holder guarantees correctness regardless.
+    val idxDeps: Map[String, Seq[String]] = Map(
+      "bigram_model" -> Seq("bigram_counts"),
+      "bpe_word_tokens" -> Seq("bpe_vocab"),
+      "knn_edges" -> Seq("emb_lsh_buckets"),
+      "allpairs_index" -> Seq("shingle_hashes"),
+      "lsh_pairs" -> Seq("minhash_sig"),
+      "dup_components_0" -> Seq("lsh_pairs"),
+      "dup_components_prior" -> Seq("lsh_pairs"),
+      "dup_components_80" -> Seq("lsh_pairs"),
+      "knn_cluster_labels" -> Seq("knn_edges"),
+      "churn_forests" -> Seq("lsh_pairs", "dup_components_80"),
+      "classifier_holdout" -> Seq("dup_components_80", "classifier_model"))
+    // SPARK_GRAFT_INDEX_PAR caps concurrent builders (dev profiling:
+    // PAR=1 gives uncontended sequential per-builder seconds; the
+    // pooled walls include scheduler/codegen contention)
     val idxPool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_INDEX_PAR", "16").toInt)
     val idxEc = scala.concurrent.ExecutionContext.fromExecutor(idxPool)
-    val indexSeconds: Seq[(String, Double)] = indexWaves.flatMap { wave =>
-      Await.result(Future.traverse(wave) { case (name, build) => Future {
+    val para = scala.concurrent.ExecutionContext.parasitic
+    val builders = indexWaves.flatten
+    val doneP = builders.map { case (n, _) =>
+      n -> scala.concurrent.Promise[Unit]() }.toMap
+    val idxSecs = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val idxFutures = builders.map { case (name, build) =>
+      // the dep gate composes on the parasitic ec — waiting never
+      // holds a pool slot, so PAR=1 still makes sequential progress
+      val gate = idxDeps.getOrElse(name, Nil)
+        .map(d => doneP(d).future)
+        .foldLeft(Future.unit)((acc, d) => acc.flatMap(_ => d)(para))
+      val f = gate.flatMap { _ => Future {
         val t0 = System.nanoTime()
         build()
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] index $name: $sec%.3f s")
-        name -> sec
-      }(idxEc)}(implicitly, idxEc), Duration.Inf)
+        idxSecs.put(name, sec)
+      }(idxEc)}(para)
+      f.onComplete(r => doneP(name).tryComplete(r.map(_ => ())))(para)
+      name -> f
+    }
+    val indexSeconds: Seq[(String, Double)] = idxFutures.map { case (n, f) =>
+      Await.result(f, Duration.Inf)
+      n -> idxSecs.get(n)
     }
     idxPool.shutdown()
     val indexBuildSec = (System.nanoTime() - tIdx0) / 1e9
