@@ -930,9 +930,22 @@ object Advanced {
     * doc_id) and everything aggregates to |sources| rows; token counts
     * stay exact integers, per-mille is integer division.
     */
-  def releaseCard(spark: SparkSession, sfDir: String): DataFrame = {
-    val kept = corpusPrepFull(spark, sfDir)
-      .select(col("doc_id"), lit(1).as("kept"))
+  def releaseCard(spark: SparkSession, sfDir: String): DataFrame =
+    releaseCardOver(spark, sfDir, corpusPrepFull(spark, sfDir))
+
+  /** Per-source card of the MODEL-gated release — the data card that
+    * ships with a [[corpusPrepGated]] corpus: identical aggregation to
+    * [[releaseCard]] (one factored body, the no-drift discipline) over
+    * the distilled-gate keep set, so the handover from the rule gate
+    * to the served model is auditable per source next to the standing
+    * doc-grain disagreement census.
+    */
+  def releaseCardGated(spark: SparkSession, sfDir: String): DataFrame =
+    releaseCardOver(spark, sfDir, corpusPrepGated(spark, sfDir))
+
+  private def releaseCardOver(
+      spark: SparkSession, sfDir: String, keptDocs: DataFrame): DataFrame = {
+    val kept = keptDocs.select(col("doc_id"), lit(1).as("kept"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("toks"))
@@ -1005,6 +1018,49 @@ object Advanced {
             AND doc_id >= ${graft.ext.Dedup.BenchmarkDocs}
             AND doc_id NOT IN (SELECT doc_id FROM losers)
             AND doc_id NOT IN (SELECT doc_id FROM contam)"""
+
+  /** The model-gated release as oracle SQL — the IDENTICAL GD chain
+    * as `text_classifier_train` ([[graft.functions.TextAnalysis.ClassifierChainCtes]])
+    * scores every doc, the final-pass weights gate at the
+    * centered-target midpoint, and the release's non-quality stages
+    * ([[ReleaseGateCtes]]) apply unchanged. Shared by
+    * `corpus_prep_gated` and its per-source card.
+    */
+  private lazy val CorpusPrepGatedSql: String =
+    s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
+        $ReleaseGateCtes,
+        ${graft.functions.TextAnalysis.ClassifierChainCtes},
+        gscored AS (
+          SELECT dn.doc_id, CAST(sum(m.w * dn.xc) AS BIGINT) AS dot
+          FROM dense dn
+          JOIN w${graft.functions.TextAnalysis.ClassifierPasses} m USING (f)
+          GROUP BY 1)
+        SELECT doc_id, dot FROM gscored
+        WHERE dot >= ${graft.functions.TextAnalysis.ClassifierThrSql}
+          AND doc_id >= ${graft.ext.Dedup.BenchmarkDocs}
+          AND doc_id NOT IN (SELECT doc_id FROM losers)
+          AND doc_id NOT IN (SELECT doc_id FROM contam)"""
+
+  /** The per-source data-card SELECT over ANY kept-docs statement —
+    * one definition serving the rule-gated card
+    * (`corpus_release_card`) and the model-gated one
+    * (`corpus_release_gated_card`), so the two cards cannot drift.
+    */
+  private def ReleaseCardSqlOver(keptSql: String): String =
+    s"""WITH kept AS ($keptSql)
+        SELECT d.source,
+               count(*) AS docs_in,
+               CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tokens_in,
+               count(k.doc_id) AS docs_kept,
+               CAST(coalesce(sum(CASE WHEN k.doc_id IS NOT NULL
+                                      THEN len(string_split(d.text, ' ')) END), 0)
+                 AS BIGINT) AS tokens_kept,
+               CAST(coalesce(sum(CASE WHEN k.doc_id IS NOT NULL
+                                      THEN len(string_split(d.text, ' ')) END), 0)
+                    * 1000 // sum(len(string_split(d.text, ' '))) AS BIGINT)
+                 AS survival_pm
+        FROM documents d LEFT JOIN kept k USING (doc_id)
+        GROUP BY d.source"""
 
   /** Z-order layout key derivation — the declared-query face of
     * [[graft.sinks.PartitionedWrite.zOrdered]]: per event, the 16-bit
@@ -1311,20 +1367,8 @@ object Advanced {
     // final-pass weights gate at the centered-target midpoint, and the
     // release's non-quality stages (benchmark/losers/contamination)
     // apply unchanged
-    "corpus_prep_gated" ->
-      s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
-          $ReleaseGateCtes,
-          ${graft.functions.TextAnalysis.ClassifierChainCtes},
-          gscored AS (
-            SELECT dn.doc_id, CAST(sum(m.w * dn.xc) AS BIGINT) AS dot
-            FROM dense dn
-            JOIN w${graft.functions.TextAnalysis.ClassifierPasses} m USING (f)
-            GROUP BY 1)
-          SELECT doc_id, dot FROM gscored
-          WHERE dot >= ${graft.functions.TextAnalysis.ClassifierThrSql}
-            AND doc_id >= ${graft.ext.Dedup.BenchmarkDocs}
-            AND doc_id NOT IN (SELECT doc_id FROM losers)
-            AND doc_id NOT IN (SELECT doc_id FROM contam)""",
+    "corpus_prep_gated" -> CorpusPrepGatedSql,
+    "corpus_release_gated_card" -> ReleaseCardSqlOver(CorpusPrepGatedSql),
     "corpus_drop_reasons" ->
       s"""WITH RECURSIVE ${graft.ext.Dedup.ShingleCte},
           ${graft.ext.Dedup.Comp08Ctes},
@@ -1353,21 +1397,7 @@ object Advanced {
                    AND d.doc_id NOT IN (SELECT doc_id FROM losers)
                    AND c.n_cont * $ContamPerMilleNum <= c.n_sh) AS kept
           FROM documents d JOIN q USING (doc_id) JOIN contam c USING (doc_id)""",
-    "corpus_release_card" ->
-      s"""WITH kept AS ($CorpusPrepFullSql)
-          SELECT d.source,
-                 count(*) AS docs_in,
-                 CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS tokens_in,
-                 count(k.doc_id) AS docs_kept,
-                 CAST(coalesce(sum(CASE WHEN k.doc_id IS NOT NULL
-                                        THEN len(string_split(d.text, ' ')) END), 0)
-                   AS BIGINT) AS tokens_kept,
-                 CAST(coalesce(sum(CASE WHEN k.doc_id IS NOT NULL
-                                        THEN len(string_split(d.text, ' ')) END), 0)
-                      * 1000 // sum(len(string_split(d.text, ' '))) AS BIGINT)
-                   AS survival_pm
-          FROM documents d LEFT JOIN kept k USING (doc_id)
-          GROUP BY d.source""",
+    "corpus_release_card" -> ReleaseCardSqlOver(CorpusPrepFullSql),
     "sample_stratified" -> {
       val rateCase = SampleRatePerMille
         .map { case (t, r) => s"WHEN event_type = '$t' THEN $r" }
@@ -1531,6 +1561,7 @@ object Advanced {
     "corpus_prep_full" -> corpusPrepFull _,
     "corpus_prep_gated" -> corpusPrepGated _,
     "corpus_release_card" -> releaseCard _,
+    "corpus_release_gated_card" -> releaseCardGated _,
     "sample_stratified" -> sampleStratified _,
     "sample_cap_source" -> sampleCapPerSource _,
     "sample_weighted_reservoir" -> sampleWeightedReservoir _,
