@@ -2823,4 +2823,34 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(correct === fx.size)
   }
+
+  /** Cross-relation consistency of the gating-loop surface: the card,
+    * the census, and the release must all be views of the SAME gate
+    * decisions — a drift between them would ship a data card that
+    * miscounts its own corpus.
+    */
+  test("gated release, card, and disagreement census agree on the same gate") {
+    val sf = "/root/testdata/sf0.001"
+    val gated = operators.Advanced.corpusPrepGated(spark, sf)
+    val nGated = gated.count()
+    assert(nGated > 0)
+    // card mass == release mass
+    val cardKept = operators.Advanced.releaseCardGated(spark, sf)
+      .agg(sum(col("docs_kept")), sum(col("docs_in"))).first()
+    assert(cardKept.getLong(0) === nGated)
+    // census covers the whole corpus and its model-keep mass equals
+    // the doc-grain gate's keep set
+    val corpusN = Tables.documents(spark, sf).count()
+    assert(cardKept.getLong(1) === corpusN)
+    val census = functions.TextAnalysis.gateDisagreement(spark, sf)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(census.values.sum === corpusN)
+    val modelKeep = census.collect { case ((_, true), n) => n }.sum
+    val gateKeep = functions.TextAnalysis.modelGate(spark, sf)
+      .filter(col("model_keep")).count()
+    assert(modelKeep === gateKeep)
+    // the release is the model-keep set minus the non-quality gates —
+    // so it can never exceed it
+    assert(nGated <= modelKeep)
+  }
 }
