@@ -228,15 +228,35 @@ object CorpusPrep {
       .join(batch, "doc_id")
   }
 
+  /** One micro-batch LANDING of the gated door — gate with
+    * [[modelGatedBatch]] then write the kept docs into the batch's own
+    * `batch_id=` partition via dynamic-partition overwrite (the
+    * [[TrancheLifecycle.processTranche]] commit idiom): a crash
+    * between the write and the checkpoint commit replays the batch,
+    * which REWRITES its own partition instead of appending a duplicate
+    * copy — duplicate documents in a release stream would be a real
+    * corpus defect, unlike the duplicate-tolerant signature appends of
+    * [[startIndexRefresh]]. Exposed for the spec's replay law.
+    */
+  def landModelGated(
+      outDir: String,
+      model: DataFrame, sums: DataFrame, nDf: DataFrame, thr: Long)(
+      batch: DataFrame, batchId: Long): Unit =
+    modelGatedBatch(model, sums, nDf, thr)(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
+
   /** Model-gated ingest — the streaming twin of the batch
     * `corpus_prep_gated` release: documents pass the watermark-bounded
     * exact-dedup door, then each micro-batch is scored by the FROZEN
-    * distilled model and only model-kept docs land (append-only
-    * parquet, checkpointed). The quality rule is NOT applied — the
-    * model has taken the gating slot, exactly as in the batch gated
-    * release; the rule-vs-model disagreement census
-    * (`corpus_gate_disagreement`) is the standing audit of that
-    * handover.
+    * distilled model and only model-kept docs land (idempotent
+    * `batch_id` partitions, checkpointed — [[landModelGated]]). The
+    * quality rule is NOT applied — the model has taken the gating
+    * slot, exactly as in the batch gated release; the rule-vs-model
+    * disagreement census (`corpus_gate_disagreement`) is the standing
+    * audit of that handover.
     *
     * Scale shape: [[prepared]]'s dedup state plus a stateless scored
     * projection per batch — the frozen artifacts are model-as-data
@@ -256,10 +276,7 @@ object CorpusPrep {
       dedupStage(docs, lateness)
         .writeStream
         .option("checkpointLocation", checkpoint)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          modelGatedBatch(model, sums, nDf, thr)(batch)
-            .write.mode("append").parquet(outDir)
-        }, trigger)
+        .foreachBatch(landModelGated(outDir, model, sums, nDf, thr) _), trigger)
       .start()
 
   /** Incremental index maintenance — the REFRESH leg of the

@@ -201,19 +201,20 @@ class CorpusPrepSpec extends AnyFunSuite {
     * stats) → freeze (model + centering + threshold) → gate at the
     * door (this twin) ≡ gate at release (`corpus_prep_gated`).
     */
-  test("model-gated ingest: stream keep-set equals the batch gate under the frozen model") {
-    implicit val ctx = spark.sqlContext
+  /** Fixture + frozen gate artifacts shared by the stream≡batch and
+    * replay-idempotency laws: varied-vocab corpus (teacher splits, the
+    * trained gate is nontrivial), centering stats, final-pass model,
+    * centered-target threshold, and the batch keep-set under them.
+    */
+  private lazy val frozenGate: (
+      Seq[(Long, String)], org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      Long, Map[Long, Long]) = {
     import graft.functions.TextAnalysis
-    // varied-vocab fixture so the teacher splits and the trained gate
-    // is nontrivial (neither all-keep nor all-drop)
     def text(i: Int): String =
       (1 to 20).map(j => s"w${(i * j) % 37}").mkString(" ")
     val corpus = (1L to 30L).map(i => (i, text(i.toInt)))
     val docsDf = corpus.toDF("doc_id", "text")
-
-    // freeze the artifacts exactly as a shipped gate would: centering
-    // stats (the FeatureRefresh-maintained sums + doc count), the
-    // final-pass model, and the centered-target midpoint threshold
     val rates = TextAnalysis.docRates(docsDf)
     val sums = rates.groupBy("f").agg(sum(col("xr")).as("s"))
     val nDf = docsDf.agg(count(lit(1)).as("n_docs"))
@@ -225,12 +226,17 @@ class CorpusPrepSpec extends AnyFunSuite {
     val ag = teach.agg(count(lit(1)).as("n"), sum(col("y")).as("sy")).first()
     val thr = TextAnalysis.ClassifierYScale / 2 -
       ag.getLong(1) * TextAnalysis.ClassifierYScale / ag.getLong(0)
-
-    // the batch gate under the identical frozen artifacts
     val batchKept = dense.join(model, "f")
       .groupBy("doc_id").agg(sum(col("w") * col("xc")).as("dot"))
       .filter(col("dot") >= thr)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (corpus, model, sums, nDf, thr, batchKept)
+  }
+
+  test("model-gated ingest: stream keep-set equals the batch gate under the frozen model") {
+    implicit val ctx = spark.sqlContext
+    val (corpus, model, sums, nDf, thr, batchKept) = frozenGate
+    def text(i: Int): String = corpus(i - 1)._2
     assert(batchKept.nonEmpty && batchKept.size < corpus.size,
       s"fixture gate is trivial: ${batchKept.size}/${corpus.size} kept")
 
@@ -255,5 +261,35 @@ class CorpusPrepSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(streamed === batchKept) // ids AND scores, weight for weight
     } finally q.stop()
+  }
+
+  /** Exactly-once landing: a crash between the parquet write and the
+    * checkpoint commit replays the batch; the batch_id dynamic-
+    * partition overwrite must REWRITE its own partition, never append
+    * a duplicate copy — duplicate documents in a release stream are a
+    * real corpus defect (unlike the duplicate-tolerant signature
+    * appends of the index refresh).
+    */
+  test("model-gated landing is replay-idempotent; other batches untouched") {
+    val (corpus, model, sums, nDf, thr, batchKept) = frozenGate
+    val outDir = TestSpark.tmpDir("gated-replay") + "/docs"
+    val land = CorpusPrep.landModelGated(outDir, model, sums, nDf, thr) _
+    val (b1, b2) = corpus.splitAt(17)
+    land(b1.toDF("doc_id", "text"), 0L)
+    land(b2.toDF("doc_id", "text"), 1L)
+    def landed(): Map[Long, (Long, Long)] = spark.read.parquet(outDir)
+      // the partition column round-trips as its directory-inferred
+      // type — pin it back to long for the compare
+      .select(col("doc_id"), col("dot"), col("batch_id").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val before = landed()
+    assert(before.view.mapValues(_._1).toMap === batchKept)
+    // crash replay of batch 0: same rows land in the same partition
+    land(b1.toDF("doc_id", "text"), 0L)
+    assert(landed() === before)
+    // no row duplicated anywhere
+    val n = spark.read.parquet(outDir).count()
+    assert(n === batchKept.size.toLong)
   }
 }
