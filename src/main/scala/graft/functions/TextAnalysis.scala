@@ -467,6 +467,26 @@ object TextAnalysis {
       .groupBy((col("y") === 1).as("rule_keep"), col("model_keep"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** The disagreement census at SOURCE grain with token mass — the
+    * release-ops view of the gate handover: for each (source,
+    * rule_keep, model_keep) cell, how many documents and how many
+    * tokens change fate when the distilled model takes the gating
+    * slot. The corpus-level 2×2 ([[gateDisagreement]]) says WHETHER
+    * the handover is safe; this says WHERE it moves token mass — the
+    * number a data-mix owner reads before re-weighting sources after
+    * a gate swap. Same persisted artifacts plus one doc-grain
+    * documents join; output is |sources|×4 rows.
+    */
+  def gateDisagreementBySource(spark: SparkSession, sfDir: String): DataFrame =
+    modelGate(spark, sfDir)
+      .join(classifierTeach(spark, sfDir), "doc_id")
+      .join(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          size(words(col("text"))).cast("long").as("toks")), "doc_id")
+      .groupBy(col("source"), (col("y") === 1).as("rule_keep"),
+        col("model_keep"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+
   private val holdoutModelCache = new graft.SessionCache[DataFrame]
   private val holdoutFeatsCache = new graft.SessionCache[DataFrame]
 
@@ -3205,6 +3225,22 @@ object TextAnalysis {
                  CAST(count(*) AS BIGINT) AS n_docs
           FROM gscored s JOIN teach t USING (doc_id)
           GROUP BY 1, 2""",
+      // the same census at source grain with token mass — WHERE the
+      // gate handover moves corpus weight, not just whether
+      "corpus_gate_disagreement_by_source" ->
+        s"""WITH $ClassifierChainCtes,
+            gscored AS (
+              SELECT dn.doc_id, CAST(sum(m.w * dn.xc) AS BIGINT) AS dot
+              FROM dense dn JOIN w$ClassifierPasses m USING (f) GROUP BY 1)
+          SELECT d.source,
+                 (t.y = 1) AS rule_keep,
+                 (s.dot >= $ClassifierThrSql) AS model_keep,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM gscored s JOIN teach t USING (doc_id)
+               JOIN documents d USING (doc_id)
+          GROUP BY 1, 2, 3""",
       // holdout discipline: the SAME GD chain, but every training CTE
       // (rates, centering, teacher, label mean) restricted to the
       // cluster-atomic train split (Comp08Ctes -> hsplit), and the
@@ -3661,6 +3697,7 @@ object TextAnalysis {
     "text_classifier_train" -> classifierTrain _,
     "text_classifier_holdout" -> classifierHoldout _,
     "corpus_gate_disagreement" -> gateDisagreement _,
+    "corpus_gate_disagreement_by_source" -> gateDisagreementBySource _,
     "vocab_coverage" -> vocabCoverage _,
     "stats_hll_ngrams" -> hllNgrams _,
     "stats_hll_overlap" -> hllOverlap _,
