@@ -129,10 +129,13 @@ object TextAnalysis {
       .withColumn("keep", col("mean_milli") >= mid)
   }
 
-  /** Feature-hash bucket count for the trainable classifier — 64
-    * buckets keeps the model broadcast-trivial while leaving the
-    * 31-word synthetic vocabulary nearly collision-free; production
-    * swaps in 2^18+ buckets, same dataflow.
+  /** Feature-hash bucket count PER VIEW for the trainable classifier
+    * — the feature family is TWO independently-hashed views of this
+    * width ([[ClassifierSalt]]), 2B buckets total: B keeps each view's
+    * model broadcast-trivial, the second view disambiguates the
+    * ~V²/2B hash collisions a single view forces to share weights
+    * (measured +10-16 points of holdout accuracy, r15). Production
+    * swaps in 2^18+ buckets per view, same dataflow.
     */
   private[graft] val ClassifierBuckets = 64L
 
@@ -150,8 +153,52 @@ object TextAnalysis {
     */
   private[graft] val ClassifierLrDen = 4000L
 
-  /** Fixed-point scale of the regression target (ppb). */
+  /** Fixed-point CAP of the regression target scale (ppb) — the
+    * actual scale is corpus-size-derived ([[classifierYScale]]): the
+    * gradient headroom bound |g| ≤ N·yScale·10³ < 2⁶⁰ would otherwise
+    * cap exact GD at ~10⁶ docs, so yScale drops by powers of 10 as N
+    * grows (same dataflow, one decimal digit of target resolution
+    * traded per 10× of corpus — at yScale=1 the ceiling is ~10¹⁵
+    * docs, past any real corpus). Below ~1.15·10⁶ docs the derived
+    * scale IS this cap, so small-corpus integers are unchanged.
+    */
   private[graft] val ClassifierYScale = 1000000000L
+
+  /** The yScale ladder: for each candidate scale 10⁹ … 1, the LARGEST
+    * doc count N satisfying the exact-GD headroom N·yScale·10³ < 2⁶⁰
+    * (= [[ClassifierShift]]). One definition feeds the driver rule
+    * ([[classifierYScale]]), the Column rule ([[yScaleCol]]) and the
+    * oracle-SQL rule ([[yScaleSql]]) so the three engines cannot
+    * disagree on a single document count.
+    */
+  private[graft] lazy val YScaleLadder: Seq[(Long, Long)] =
+    (0 to 8).map { k =>
+      val ys = math.pow(10, 9 - k).toLong
+      ((ClassifierShift - 1) / (ys * 1000L), ys)
+    }
+
+  /** Corpus-size-derived target scale: the largest power of 10 ≤ 10⁹
+    * keeping N·yScale·10³ < 2⁶⁰. Driver-side form, used by the
+    * trainer (which knows N exactly).
+    */
+  private[graft] def classifierYScale(nDocs: Long): Long =
+    YScaleLadder.collectFirst { case (nMax, ys) if nDocs <= nMax => ys }
+      .getOrElse(1L)
+
+  /** [[classifierYScale]] as a Column over a doc-count column — the
+    * serving-side form (the gate threshold derives the scale from the
+    * SAME count aggregate the label mean comes from).
+    */
+  private[graft] def yScaleCol(n: Column): Column =
+    YScaleLadder.foldRight(lit(1L)) { case ((nMax, ys), rest) =>
+      when(n <= nMax, lit(ys)).otherwise(rest)
+    }
+
+  /** [[classifierYScale]] as oracle SQL over a doc-count expression. */
+  private[graft] def yScaleSql(nExpr: String): String =
+    "CASE " + YScaleLadder.map { case (nMax, ys) =>
+      s"WHEN $nExpr <= $nMax THEN $ys"
+    }.mkString(" ") + " ELSE 1 END"
 
   /** Offset for exact cross-engine division of a possibly-NEGATIVE
     * gradient: Spark's `div` truncates toward zero, DuckDB's `//`
@@ -165,9 +212,10 @@ object TextAnalysis {
     * constant on every weight update in both engines, so cross-engine
     * parity and the GD dynamics are unaffected; only the exact-floor
     * reading would be wrong. Headroom: |g| ≤ N·yScale·10³ must stay
-    * below 2⁶⁰, bounding this fixed-point at ~10⁶ docs; a larger
-    * corpus drops yScale by the same factor (or samples the gradient
-    * pass), same dataflow.
+    * below 2⁶⁰ — enforced by DERIVING yScale from the corpus size
+    * ([[classifierYScale]]: drop a decimal digit of target resolution
+    * per 10× of corpus past ~1.15·10⁶ docs), with a loud `require`
+    * backstop in the trainer.
     */
   private[graft] val ClassifierShift = 1L << 60
 
@@ -194,18 +242,38 @@ object TextAnalysis {
     centerRates(docs.select(col("doc_id")), rates, sums, nDf)
   }
 
-  /** (doc_id, f, xr) raw per-mille bucket rates — the PRE-centering
+  /** Salt of the SECOND hashed unigram view (buckets
+    * [[ClassifierBuckets]]..2·[[ClassifierBuckets]]): with V vocabulary
+    * words in B buckets, ~V²/2B pairs collide and are forced to share
+    * one weight — a real capacity loss for a teacher that is exactly
+    * linear in per-token rates. An independently-salted second view
+    * disambiguates every collision with probability 1−1/B. MEASURED
+    * (round 15, sf0.01, the r14 bigram-probe protocol): train 86.6 →
+    * 93.1, valid 78.0 → 94.0, test 80.9 → 91.5 % at the shipped step
+    * size — accepted, unlike the bigram family (measured-and-rejected,
+    * r14). Production swaps wider views, same two-arm dataflow.
+    */
+  private[graft] val ClassifierSalt = "#s1"
+
+  /** (doc_id, f, xr) raw per-mille bucket rates over BOTH hashed
+    * views (plain f∈[0,B), salted f∈[B,2B)) — the PRE-centering
     * half of [[centeredRates]], factored so the streaming twin
     * ([[graft.streaming.FeatureRefresh]]) lands the IDENTICAL
     * derivation per micro-batch (the `wordFreq` no-drift discipline);
     * per-bucket rate SUMS over it are a sum-monoid, which is what
-    * makes the centering statistics streaming-maintainable.
+    * makes the centering statistics streaming-maintainable. One
+    * token-grain pass: each token explodes to its two bucket ids, so
+    * the widened family costs one 2×-token exchange, not two scans.
     */
   private[graft] def docRates(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
     val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     tok
-      .groupBy(col("doc_id"), (hash60(col("tok")) % ClassifierBuckets).as("f"))
+      .select(col("doc_id"), explode(array(
+        hash60(col("tok")) % ClassifierBuckets,
+        hash60(concat(col("tok"), lit(ClassifierSalt))) % ClassifierBuckets
+          + ClassifierBuckets)).as("f"))
+      .groupBy(col("doc_id"), col("f"))
       .agg(count(lit(1)).as("x"))
       .join(nt, "doc_id")
       .select(col("doc_id"), col("f"), expr("x * 1000 div n").as("xr"))
@@ -272,7 +340,8 @@ object TextAnalysis {
     */
   private[graft] def lsGradientTrain(
       spark: SparkSession, denseIn: DataFrame, teachIn: DataFrame,
-      passes: Int = ClassifierPasses): DataFrame = {
+      passes: Int = ClassifierPasses,
+      lrDen: Long = ClassifierLrDen): DataFrame = {
     // dense is read exactly twice (occupied-bucket census + the ONE
     // Gram fold) and teach twice (label mean + the fold's join) — and
     // every production call site feeds storage-backed frames (the
@@ -285,8 +354,17 @@ object TextAnalysis {
     import spark.implicits._
     val agg = teach.agg(count(lit(1)), sum(col("y"))).first()
     val nDocs = agg.getLong(0)
-    val ybar = agg.getLong(1) * ClassifierYScale / nDocs // nonneg: / is floor
-    val den = ClassifierLrDen * nDocs
+    val yScale = classifierYScale(nDocs)
+    // loud-failure backstops mirroring the documented fixed-point
+    // bounds: the b-fold sums ỹ·xc (|ỹ| ≤ yScale, |xc| ≤ 1000) and
+    // the Gram fold sums xc·xc (≤ 10⁶ per doc) in plain Long — an
+    // oversize corpus must fail here, not wrap silently mid-fold
+    require(nDocs <= (ClassifierShift - 1) / (yScale * 1000L),
+      s"classifier fixed-point headroom exceeded: $nDocs docs at yScale=$yScale")
+    require(nDocs <= Long.MaxValue / 1000000L,
+      s"classifier Gram-fold headroom exceeded: $nDocs docs")
+    val ybar = agg.getLong(1) * yScale / nDocs // nonneg: / is floor
+    val den = lrDen * nDocs
     def sdiv(g: Long): Long = // exact cross-engine floor(g / den)
       (g + ClassifierShift) / den - ClassifierShift / den
     val buckets = dense.select("f").distinct().collect()
@@ -299,7 +377,7 @@ object TextAnalysis {
     // per-pass err⋈grad chain summed over.
     val partials = dense.join(teach, "doc_id")
       .select(col("doc_id"), col("f"), col("xc"),
-        (col("y") * ClassifierYScale - ybar).as("ytil"))
+        (col("y") * yScale - ybar).as("ytil"))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("f").as("_1"), col("xc").as("_2"))).as("fx"),
         first(col("ytil")).as("ytil"))
@@ -399,6 +477,19 @@ object TextAnalysis {
         .getOrElse(build)
     }
 
+  /** The centered-target gate threshold (yScale/2 − ȳ) as a 1-row
+    * frame over a teacher frame, with yScale DERIVED from the same
+    * count aggregate the label mean comes from ([[yScaleCol]]) — so
+    * the serving gate always thresholds on the scale the trainer
+    * actually trained at. Factored once for the three serving
+    * censuses; integer `div` end to end (ys is even for every ladder
+    * rung except 1, where both engines floor 1/2 to 0 identically).
+    */
+  private[graft] def thrOf(teach: DataFrame): DataFrame =
+    teach.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      .select(yScaleCol(col("n")).as("ys"), col("n"), col("sy"))
+      .selectExpr("ys div 2 - (sy * ys div n) AS thr")
+
   /** Training-curve census of the distilled classifier — per pass,
     * the corpus-wide confusion summary of the trained weights against
     * the teacher gate (the metric a filter-train pipeline watches
@@ -410,9 +501,7 @@ object TextAnalysis {
     */
   def classifierTrain(spark: SparkSession, sfDir: String): DataFrame = {
     val teach = classifierTeach(spark, sfDir)
-    val thrDf = broadcast(teach
-      .agg((lit(ClassifierYScale / 2) -
-        expr(s"sum(y) * $ClassifierYScale div count(1)")).as("thr")))
+    val thrDf = broadcast(thrOf(teach))
     classifierFeats(spark, sfDir)
       .join(broadcast(classifierModel(spark, sfDir)), "f")
       .groupBy(col("doc_id"), col("pass"))
@@ -439,9 +528,7 @@ object TextAnalysis {
     * re-trains.
     */
   private[graft] def modelGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val thrDf = broadcast(classifierTeach(spark, sfDir)
-      .agg((lit(ClassifierYScale / 2) -
-        expr(s"sum(y) * $ClassifierYScale div count(1)")).as("thr")))
+    val thrDf = broadcast(thrOf(classifierTeach(spark, sfDir)))
     val model = broadcast(classifierModel(spark, sfDir)
       .filter(col("pass") === ClassifierPasses).select("f", "w"))
     classifierFeats(spark, sfDir)
@@ -556,9 +643,7 @@ object TextAnalysis {
     val trainTeach = teach.join(
       graft.ext.Dedup.splitByComponent(spark, sfDir)
         .filter(col("split") === "train").select("doc_id"), "doc_id")
-    val thrDf = broadcast(trainTeach
-      .agg((lit(ClassifierYScale / 2) -
-        expr(s"sum(y) * $ClassifierYScale div count(1)")).as("thr")))
+    val thrDf = broadcast(thrOf(trainTeach))
     val model = broadcast(holdoutModel(spark, sfDir)
       .filter(col("pass") === ClassifierPasses).select("f", "w"))
     holdoutFeats(spark, sfDir)
@@ -1305,6 +1390,43 @@ object TextAnalysis {
         concat(acc, x)).otherwise(concat(acc, lit(BpeSep), x)))
   }
 
+  /** ALL of a round's symbol-disjoint merges in ONE fold pass — the
+    * batched trainer's per-round projection. Disjointness makes the
+    * simultaneous pass equal the sequential [[bpeMergeFold]] stack
+    * (merging (a,b) can neither create, destroy, nor shadow an
+    * occurrence of (c,d) when {a,b,ab} ∩ {c,d,cd} = ∅ — pinned by the
+    * BpeLawsSpec equivalence law), while the expression stays O(batch)
+    * in size: a stack of `batch` nested `aggregate()` folds is
+    * ~4^batch after projection collapse duplicates each fold's input
+    * into the next one's references — measured pathological at
+    * batch=8 (round 3 never finishes planning/codegen; round 15).
+    * The accumulator is a (pre, last) STRUCT so the running string's
+    * last symbol is tracked instead of re-`split` per element.
+    */
+  private[graft] def bpeMergeFoldAll(
+      syms: Column, pairs: Seq[(String, String)]): Column = {
+    val a = split(syms, BpeSep)
+    aggregate(
+      slice(a, lit(2), size(a) - 1),
+      struct(lit("").as("pre"), element_at(a, lit(1)).as("last")),
+      (acc, x) => {
+        val hit = pairs.map { case (s1, s2) =>
+          acc.getField("last") === lit(s1) && x === lit(s2)
+        }.reduce(_ || _)
+        when(hit, struct(acc.getField("pre").as("pre"),
+            concat(acc.getField("last"), x).as("last")))
+          .otherwise(struct(
+            concat(acc.getField("pre"), lit(BpeSep), acc.getField("last"))
+              .as("pre"),
+            x.as("last")))
+      },
+      // pre is either empty or sep-prefixed; gluing pre⊕sep⊕last and
+      // dropping the leading separator restores the exact string
+      acc => substring(
+        concat(acc.getField("pre"), lit(BpeSep), acc.getField("last")),
+        2, Int.MaxValue))
+  }
+
   /** Max merges folded as stacked projections before the encoder
     * re-materializes the symbol table: each [[bpeMergeFold]] is one
     * nested `aggregate()` expression, so an unbounded stack blows
@@ -1692,10 +1814,15 @@ object TextAnalysis {
         picked.foreach { case (s1, s2, c) =>
           learned += ((learned.size + 1L, s1, s2, c))
         }
-        // disjoint folds commute — stack them as one projection chain
-        val merged = picked.foldLeft(state) { case (st, (s1, s2, _)) =>
-          st.select(bpeMergeFold(col("syms"), s1, s2).as("syms"), col("n_w"))
-        }
+        // disjoint folds commute — apply the whole round in ONE fold
+        // pass (bpeMergeFoldAll): stacking them as nested projections
+        // blows the collapsed plan up ~4^batch (measured: batch=8
+        // never finishes round 3), while the simultaneous pass is
+        // equivalent by disjointness and O(batch)-sized
+        val merged = state.select(
+          bpeMergeFoldAll(col("syms"),
+            picked.map { case (s1, s2, _) => (s1, s2) }).as("syms"),
+          col("n_w"))
         if (round % BpeCheckpointEvery == 0) {
           val next = merged.localCheckpoint(true, disk)
           free()
@@ -2834,7 +2961,7 @@ object TextAnalysis {
             FROM dense dn JOIN w${k - 1} w USING (f) GROUP BY 1),
           err$k AS MATERIALIZED (
             SELECT t.doc_id,
-                   d.dot - (t.y * $ClassifierYScale
+                   d.dot - (t.y * (SELECT ys FROM ysc)
                             - (SELECT ybar FROM yb)) AS err
             FROM teach t JOIN dot$k d USING (doc_id)),
           w$k AS MATERIALIZED (
@@ -2852,13 +2979,19 @@ object TextAnalysis {
                FROM tok GROUP BY 1),
         rates AS MATERIALIZED (
           SELECT x.doc_id, x.f, x.x * 1000 // nt.n AS xr
-          FROM (SELECT doc_id,
-                       ('0x' || substr(md5(tok), 1, 15))::BIGINT
-                         % $ClassifierBuckets AS f,
-                       CAST(count(*) AS BIGINT) AS x
-                FROM tok GROUP BY 1, 2) x JOIN nt USING (doc_id)),
+          FROM (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS x
+                FROM (SELECT doc_id,
+                             unnest([('0x' || substr(md5(tok), 1, 15))::BIGINT
+                                       % $ClassifierBuckets,
+                                     ('0x' || substr(md5(tok || '$ClassifierSalt'),
+                                        1, 15))::BIGINT
+                                       % $ClassifierBuckets + $ClassifierBuckets])
+                               AS f
+                      FROM tok)
+                GROUP BY 1, 2) x JOIN nt USING (doc_id)),
         nn AS (SELECT CAST(count(*) AS BIGINT) AS nd
                FROM (SELECT DISTINCT doc_id FROM tok)),
+        ysc AS (SELECT CAST(${yScaleSql("nd")} AS BIGINT) AS ys FROM nn),
         rf AS (SELECT f, CAST(sum(xr) // (SELECT nd FROM nn) AS BIGINT) AS r
                FROM rates GROUP BY f),
         dense AS MATERIALIZED (
@@ -2873,17 +3006,18 @@ object TextAnalysis {
                            >= ${ClassifierWeightMod / 2}
                       THEN 1 ELSE 0 END AS BIGINT) AS y
           FROM tok GROUP BY doc_id),
-        yb AS (SELECT CAST(sum(y) * $ClassifierYScale // count(*) AS BIGINT)
+        yb AS (SELECT CAST(sum(y) * (SELECT ys FROM ysc) // count(*) AS BIGINT)
                  AS ybar FROM teach),
         w0 AS (SELECT f, CAST(0 AS BIGINT) AS w FROM rf),
         ${(1 to ClassifierPasses).map(passCtes).mkString(",\n")}"""
   }
 
   /** The serving-gate threshold as oracle SQL (centered-target
-    * midpoint), shared by every consumer of [[ClassifierChainCtes]].
+    * midpoint at the corpus-derived yScale), shared by every consumer
+    * of [[ClassifierChainCtes]].
     */
   private[graft] lazy val ClassifierThrSql: String =
-    s"${ClassifierYScale / 2} - (SELECT ybar FROM yb)"
+    s"(SELECT ys FROM ysc) // 2 - (SELECT ybar FROM yb)"
 
   val oracleSql: Map[String, String] = {
     val stopList = markerList(Stopwords)
@@ -3253,7 +3387,7 @@ object TextAnalysis {
                 FROM dense dn JOIN w${k - 1} w USING (f) GROUP BY 1),
               err$k AS MATERIALIZED (
                 SELECT t.doc_id,
-                       d.dot - (t.y * $ClassifierYScale
+                       d.dot - (t.y * (SELECT ys FROM ysc)
                                 - (SELECT ybar FROM yb)) AS err
                 FROM teach t JOIN dot$k d USING (doc_id)),
               w$k AS MATERIALIZED (
@@ -3283,13 +3417,19 @@ object TextAnalysis {
                    FROM tok GROUP BY 1),
             arates AS MATERIALIZED (
               SELECT x.doc_id, x.f, x.x * 1000 // nt.n AS xr
-              FROM (SELECT doc_id,
-                           ('0x' || substr(md5(tok), 1, 15))::BIGINT
-                             % $ClassifierBuckets AS f,
-                           CAST(count(*) AS BIGINT) AS x
-                    FROM tok GROUP BY 1, 2) x JOIN nt USING (doc_id)),
+              FROM (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS x
+                    FROM (SELECT doc_id,
+                                 unnest([('0x' || substr(md5(tok), 1, 15))::BIGINT
+                                           % $ClassifierBuckets,
+                                         ('0x' || substr(md5(tok || '$ClassifierSalt'),
+                                            1, 15))::BIGINT
+                                           % $ClassifierBuckets + $ClassifierBuckets])
+                                   AS f
+                          FROM tok)
+                    GROUP BY 1, 2) x JOIN nt USING (doc_id)),
             rates AS (SELECT r.* FROM arates r JOIN tdoc USING (doc_id)),
             nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM tdoc),
+            ysc AS (SELECT CAST(${yScaleSql("nd")} AS BIGINT) AS ys FROM nn),
             rf AS (SELECT f, CAST(sum(xr) // (SELECT nd FROM nn) AS BIGINT) AS r
                    FROM rates GROUP BY f),
             dense AS MATERIALIZED (
@@ -3304,7 +3444,7 @@ object TextAnalysis {
                           THEN 1 ELSE 0 END AS BIGINT) AS y
               FROM tok GROUP BY doc_id),
             teach AS (SELECT t.* FROM ateach t JOIN tdoc USING (doc_id)),
-            yb AS (SELECT CAST(sum(y) * $ClassifierYScale // count(*) AS BIGINT)
+            yb AS (SELECT CAST(sum(y) * (SELECT ys FROM ysc) // count(*) AS BIGINT)
                      AS ybar FROM teach),
             w0 AS (SELECT f, CAST(0 AS BIGINT) AS w FROM rf),
             ${(1 to ClassifierPasses).map(passCtes).mkString(",\n")},
@@ -3319,13 +3459,13 @@ object TextAnalysis {
           SELECT split,
                  CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_true_keep,
-                 CAST(count(*) FILTER (WHERE dot >= ${ClassifierYScale / 2}
-                        - (SELECT ybar FROM yb)) AS BIGINT) AS n_pred_keep,
-                 CAST(count(*) FILTER (WHERE (dot >= ${ClassifierYScale / 2}
-                        - (SELECT ybar FROM yb)) = (y = 1)) AS BIGINT)
+                 CAST(count(*) FILTER (WHERE dot >= $ClassifierThrSql)
+                      AS BIGINT) AS n_pred_keep,
+                 CAST(count(*) FILTER (WHERE (dot >= $ClassifierThrSql)
+                        = (y = 1)) AS BIGINT)
                    AS n_correct,
-                 CAST(count(*) FILTER (WHERE (dot >= ${ClassifierYScale / 2}
-                        - (SELECT ybar FROM yb)) = (y = 1)) * 1000000
+                 CAST(count(*) FILTER (WHERE (dot >= $ClassifierThrSql)
+                        = (y = 1)) * 1000000
                       // count(*) AS BIGINT) AS accuracy_ppm
           FROM scored JOIN ateach USING (doc_id) JOIN hsplit USING (doc_id)
           GROUP BY split"""

@@ -540,23 +540,29 @@ object Advanced {
   private[graft] def dsirModel(spark: SparkSession, sfDir: String): DataFrame =
     dsirModelCache.getOrElseUpdate(spark, sfDir) {
       def build = {
-        val docB = dsirDocBuckets(spark, sfDir)
-        val spine = spark.range(DsirBuckets).select(col("id").as("b"))
-        def bucketModel(counts: DataFrame, lpName: String): DataFrame = {
-          val total = counts.agg(sum(col("c")).as("tot"))
-          spine.join(counts, Seq("b"), "left_outer")
-            .crossJoin(broadcast(total))
-            .select(col("b"),
-              round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
-                (col("tot") + DsirBuckets)), 9).as(lpName))
-        }
-        val target = bucketModel(
-          docB.filter(col("doc_id") < graft.ext.Dedup.BenchmarkDocs)
-            .groupBy("b").agg(sum(col("k")).as("c")), "lt")
-        val raw = bucketModel(
-          docB.groupBy("b").agg(sum(col("k")).as("c")), "lr")
-        target.join(raw, "b")
-          .select(col("b"), (col("lt") - col("lr")).as("dlp"))
+        // ONE token-grain pass straight to bucket grain: the target
+        // (benchmark-head) counts ride the same aggregate as the raw
+        // counts via a conditional sum, so the corpus is scanned once
+        // and never shuffles at (doc, bucket) grain — the exchange
+        // carries 64×partitions map-side-combined rows. Integers are
+        // unchanged: Σ_docs k(d,b) IS the token count of bucket b.
+        val b = (conv(substring(md5(col("t")), 1, 15), 16, 10)
+          .cast("long") % DsirBuckets).as("b")
+        val counts = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .select(b,
+            (col("doc_id") < graft.ext.Dedup.BenchmarkDocs).as("is_t"))
+          .groupBy("b")
+          .agg(count(lit(1)).as("cr"), count_if(col("is_t")).as("ct"))
+        val tot = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+        spark.range(DsirBuckets).select(col("id").as("b"))
+          .join(counts, Seq("b"), "left_outer")
+          .crossJoin(broadcast(tot))
+          .select(col("b"),
+            (round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              (col("tt") + DsirBuckets)), 9) -
+             round(log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+              (col("tr") + DsirBuckets)), 9)).as("dlp"))
       }
       graft.IndexStore.resolve(spark, sfDir, "dsir_model")(build)
         .getOrElse(build

@@ -241,12 +241,20 @@ object CorpusPrep {
   def landModelGated(
       outDir: String,
       model: DataFrame, sums: DataFrame, nDf: DataFrame, thr: Long)(
-      batch: DataFrame, batchId: Long): Unit =
+      batch: DataFrame, batchId: Long): Unit = {
+    // dynamic overwrite only rewrites partitions the frame EMITS — a
+    // replayed batch that keeps ZERO documents would leave partial
+    // files from a crashed earlier attempt untouched, so clear the
+    // batch's own partition explicitly first (idempotent either way)
+    val part = new org.apache.hadoop.fs.Path(outDir, s"batch_id=$batchId")
+    part.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(part, true)
     modelGatedBatch(model, sums, nDf, thr)(batch)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(outDir)
+  }
 
   /** Model-gated ingest — the streaming twin of the batch
     * `corpus_prep_gated` release: documents pass the watermark-bounded

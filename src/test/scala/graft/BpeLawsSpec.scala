@@ -71,6 +71,34 @@ class BpeLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("one-pass disjoint fold == the sequential fold stack it replaces") {
+    val rnd = new scala.util.Random(20260816L)
+    // symbol universe wide enough to draw several DISJOINT pairs
+    val alphabet = Vector("a", "b", "c", "d", "e", "f", "ab", "cd")
+    for (trial <- 1 to 12) {
+      // draw up to 3 pairs respecting the trainer's disjointness rule
+      // (no shared symbol, and no pair reading another's merged string)
+      val used = scala.collection.mutable.Set.empty[String]
+      val pairs = Iterator.continually(
+        (alphabet(rnd.nextInt(alphabet.size)), alphabet(rnd.nextInt(alphabet.size))))
+        .filter { case (s1, s2) =>
+          if (used(s1) || used(s2) || used(s1 + s2)) false
+          else { used += s1; used += s2; used += s1 + s2; true }
+        }.take(1 + rnd.nextInt(3)).toSeq
+      val cases = Vector.fill(40)(
+        List.fill(1 + rnd.nextInt(8))(alphabet(rnd.nextInt(alphabet.size))))
+      val df = cases.map(_.mkString(sep)).toDF("syms")
+      val got = df.select(graft.functions.TextAnalysis
+          .bpeMergeFoldAll(col("syms"), pairs).as("syms"))
+        .collect().map(_.getString(0))
+      val want = pairs.foldLeft(df) { case (d, (s1, s2)) =>
+        d.select(graft.functions.TextAnalysis
+          .bpeMergeFold(col("syms"), s1, s2).as("syms"))
+      }.collect().map(_.getString(0))
+      assert(got.toSeq === want.toSeq, s"trial $trial pairs=$pairs diverged")
+    }
+  }
+
   test("batched trainer at batch=1 == exact trainer on random corpora") {
     val rnd = new scala.util.Random(4141414L)
     for (case_ <- 1 to 3) {

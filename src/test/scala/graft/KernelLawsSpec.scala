@@ -203,4 +203,31 @@ object KernelLawsSpec extends Properties("graft kernels") {
       merged.size <= k &&
         exact.forall { case (key, c) => c * (k + 1) <= n || merged.contains(key) }
     }
+
+  // ── classifierYScale ladder ──────────────────────────────────────
+
+  /** Doc counts biased toward the exact ladder boundaries (±1) plus a
+    * uniform sweep across twelve decades — the headroom law must hold
+    * AT the cutovers, not just between them.
+    */
+  private val genNDocs: Gen[Long] = {
+    val bounds = graft.functions.TextAnalysis.YScaleLadder
+      .flatMap { case (nMax, _) => Seq(nMax - 1, nMax, nMax + 1) }
+    Gen.frequency(
+      1 -> Gen.oneOf(bounds),
+      2 -> Gen.chooseNum(1L, 5L * 1000L * 1000 * 1000 * 1000))
+  }
+
+  property("yScale ladder: exact-GD headroom N*ys*1000 < 2^60 holds and ys is maximal") =
+    Prop.forAll(genNDocs) { n =>
+      import graft.functions.TextAnalysis
+      val ys = TextAnalysis.classifierYScale(n)
+      val shift = BigInt(1) << 60
+      val holds = BigInt(n) * ys * 1000 < shift
+      // maximality: one ladder rung up would break the bound (except
+      // at the 10^9 cap, where small corpora keep full resolution)
+      val maximal = ys == TextAnalysis.ClassifierYScale ||
+        BigInt(n) * (ys * 10) * 1000 >= shift
+      holds && maximal && ys >= 1L
+    }
 }

@@ -2778,6 +2778,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows(200L) === ((0L, 0L)))
   }
 
+  test("yScaleCol == classifierYScale at every ladder boundary (serve-side parity)") {
+    import graft.functions.TextAnalysis
+    val ns = TextAnalysis.YScaleLadder.flatMap { case (nMax, _) =>
+      Seq(nMax - 1, nMax, nMax + 1) } ++ Seq(1L, 500L, 5000L, 3141592653589L)
+    val got = ns.toDF("n")
+      .select(col("n"), TextAnalysis.yScaleCol(col("n")).as("ys"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      assert(got(n) === TextAnalysis.classifierYScale(n), s"n=$n") }
+    // the small-corpus regime keeps the full 10^9 cap: every sf the
+    // driver tests at trains on the UNCHANGED fixed point
+    assert(TextAnalysis.classifierYScale(1152921L) === TextAnalysis.ClassifierYScale)
+    // one rung past the old ceiling: a decade coarser, bound intact
+    assert(TextAnalysis.classifierYScale(1152922L) === TextAnalysis.ClassifierYScale / 10)
+  }
+
   test("LS-gradient trainer == plain-Scala integer reference, pass by pass") {
     import graft.functions.TextAnalysis.{ClassifierLrDen, ClassifierShift, ClassifierYScale}
     // 6 docs over 3 buckets of DENSE centered rates (rows sum to ~0

@@ -291,5 +291,27 @@ class CorpusPrepSpec extends AnyFunSuite {
     // no row duplicated anywhere
     val n = spark.read.parquet(outDir).count()
     assert(n === batchKept.size.toLong)
+
+    // a replayed batch that keeps ZERO documents must still clear its
+    // partition: dynamic overwrite rewrites only partitions the frame
+    // emits, so partial files from a crashed earlier attempt would
+    // otherwise survive the replay untouched
+    val dropped = corpus.filter(c => !batchKept.contains(c._1))
+    assert(dropped.nonEmpty, "fixture gate drops nothing")
+    land(dropped.toDF("doc_id", "text"), 2L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p0 = fs.globStatus(new org.apache.hadoop.fs.Path(
+      outDir + "/batch_id=0/part-*"))(0).getPath
+    val stray = new org.apache.hadoop.fs.Path(
+      outDir + "/batch_id=2/" + p0.getName)
+    org.apache.hadoop.fs.FileUtil.copy(fs, p0, fs, stray, false,
+      spark.sparkContext.hadoopConfiguration)
+    // the partial attempt is visible (stray rows share batch-0 doc_ids,
+    // so count the partition directly rather than through the map)
+    assert(spark.read.parquet(outDir).where("batch_id = 2").count() > 0)
+    land(dropped.toDF("doc_id", "text"), 2L) // crash replay, still zero kept
+    assert(spark.read.parquet(outDir).where("batch_id = 2").count() === 0L)
+    assert(landed() === before) // partial files cleared, other batches intact
   }
 }

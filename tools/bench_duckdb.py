@@ -49,8 +49,11 @@ def main():
             timer = None
             hit = []
             if timeout is not None:
+                # interrupt BEFORE recording the hit so a non-empty
+                # `hit` always implies the interrupt was actually
+                # issued (the drain below keys off it)
                 timer = threading.Timer(timeout,
-                                        lambda: (hit.append(1), con.interrupt()))
+                                        lambda: (con.interrupt(), hit.append(1)))
                 timer.start()
             t0 = time.perf_counter()
             interrupted = False
@@ -63,6 +66,11 @@ def main():
             finally:
                 if timer is not None:
                     timer.cancel()
+                    # cancel() does not stop an ALREADY-RUNNING
+                    # callback; join() waits it out, so after this
+                    # line `hit` is final and any interrupt it issued
+                    # has been issued
+                    timer.join()
                     if hit and not interrupted:
                         # the timer fired in the race window AFTER
                         # fetchall() completed but BEFORE cancel(): a
