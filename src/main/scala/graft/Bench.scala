@@ -181,6 +181,8 @@ object Bench {
     val indexWaves: Seq[Seq[(String, () => Unit)]] = Seq(
       Seq(
         // heavy roots first (LPT): measured solo order at sf0.1
+        "classifier_rates" -> (() => { functions.TextAnalysis.classifierRates(spark, queryDir).count(); () }),
+        "classifier_teach" -> (() => { functions.TextAnalysis.classifierTeach(spark, queryDir).count(); () }),
         "classifier_model" -> (() => { functions.TextAnalysis.classifierModel(spark, queryDir).count(); () }),
         "minhash_sig" -> (() => { ext.Dedup.minhashSignatures(spark, queryDir); () }),
         "bpe_vocab" -> (() => { functions.TextAnalysis.bpeVocab(spark, queryDir).count(); () }),
@@ -249,6 +251,7 @@ object Bench {
       "dup_components_80" -> Seq("lsh_pairs"),
       "knn_cluster_labels" -> Seq("knn_edges"),
       "churn_forests" -> Seq("lsh_pairs", "dup_components_80"),
+      "classifier_model" -> Seq("classifier_rates", "classifier_teach"),
       "classifier_holdout" -> Seq("dup_components_80", "classifier_model"))
     // SPARK_GRAFT_INDEX_PAR caps concurrent builders (dev profiling:
     // PAR=1 gives uncontended sequential per-builder seconds; the

@@ -434,8 +434,27 @@ object TextAnalysis {
     out.toSeq.toDF("pass", "f", "w")
   }
 
+  private val classifierRatesCache = new graft.SessionCache[DataFrame]
   private val classifierFeatsCache = new graft.SessionCache[DataFrame]
   private val classifierTeachCache = new graft.SessionCache[DataFrame]
+
+  /** The RAW per-mille rates ([[docRates]]) persisted train-once —
+    * the one corpus-grain featurization pass. Both centering variants
+    * (all-corpus for [[classifierFeats]], train-split-frozen for
+    * [[holdoutFeats]]) are bucket-grain re-aggregations + joins over
+    * this artifact, so the corpus explodes to tokens exactly ONCE per
+    * index build instead of three times (all-feats, train-rates,
+    * all-rates-under-train-centering — the r15 solo profile put the
+    * classifier chain at 13.4 s of the sf0.1 critical path, most of
+    * it repeated featurization). docRates is doc-grain, so a split
+    * restriction of this frame IS the split's own featurization.
+    */
+  private[graft] def classifierRates(spark: SparkSession, sfDir: String): DataFrame =
+    classifierRatesCache.getOrElseUpdate(spark, sfDir) {
+      def build = docRates(Tables.documents(spark, sfDir))
+      graft.IndexStore.resolve(spark, sfDir, "classifier_rates", Some("doc_id"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
 
   /** The featurized corpus ([[centeredRates]]) persisted train-once:
     * trainer AND per-pass eval read the same frozen feature table
@@ -446,7 +465,16 @@ object TextAnalysis {
     */
   private[graft] def classifierFeats(spark: SparkSession, sfDir: String): DataFrame =
     classifierFeatsCache.getOrElseUpdate(spark, sfDir) {
-      def build = centeredRates(Tables.documents(spark, sfDir))
+      def build = {
+        // centering over the persisted raw-rates artifact — identical
+        // integers to centeredRates(documents) since docRates is
+        // doc-grain, one corpus featurization pass shared with holdout
+        val docs = Tables.documents(spark, sfDir)
+        val rates = classifierRates(spark, sfDir)
+        centerRates(docs.select(col("doc_id")), rates,
+          rates.groupBy("f").agg(sum(col("xr")).as("s")),
+          docs.agg(count(lit(1)).as("n_docs")))
+      }
       graft.IndexStore.resolve(spark, sfDir, "classifier_feats", Some("doc_id"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }
@@ -612,15 +640,18 @@ object TextAnalysis {
   private[graft] def holdoutFeats(spark: SparkSession, sfDir: String): DataFrame =
     holdoutFeatsCache.getOrElseUpdate(spark, sfDir) {
       def build = {
+        // the persisted raw rates restricted to the train split ARE
+        // the train split's featurization (doc-grain derivation), so
+        // the frozen-centering statistics come from a bucket-grain
+        // re-aggregation of the shared artifact — no re-featurizing
         val docs = Tables.documents(spark, sfDir)
-        val trainDocs = docs.join(
-          graft.ext.Dedup.splitByComponent(spark, sfDir)
-            .filter(col("split") === "train").select("doc_id"),
-          "doc_id")
-        val trainRates = docRates(trainDocs)
-        centerRates(docs.select(col("doc_id")), docRates(docs),
-          trainRates.groupBy("f").agg(sum(col("xr")).as("s")),
-          trainDocs.agg(count(lit(1)).as("n_docs")))
+        val trainIds = graft.ext.Dedup.splitByComponent(spark, sfDir)
+          .filter(col("split") === "train").select("doc_id")
+        val rates = classifierRates(spark, sfDir)
+        centerRates(docs.select(col("doc_id")), rates,
+          rates.join(trainIds, "doc_id")
+            .groupBy("f").agg(sum(col("xr")).as("s")),
+          trainIds.agg(count(lit(1)).as("n_docs")))
       }
       graft.IndexStore.resolve(spark, sfDir, "classifier_holdout_feats",
           Some("doc_id"))(build)
