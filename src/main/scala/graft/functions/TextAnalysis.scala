@@ -172,33 +172,52 @@ object TextAnalysis {
     * disagree on a single document count.
     */
   private[graft] lazy val YScaleLadder: Seq[(Long, Long)] =
-    (0 to 8).map { k =>
+    (0 to 9).map { k =>
       val ys = math.pow(10, 9 - k).toLong
       ((ClassifierShift - 1) / (ys * 1000L), ys)
     }
 
   /** Corpus-size-derived target scale: the largest power of 10 ≤ 10⁹
     * keeping N·yScale·10³ < 2⁶⁰. Driver-side form, used by the
-    * trainer (which knows N exactly).
+    * trainer (which knows N exactly). Past the ladder's last rung
+    * (ys=1, N ≈ 1.15·10¹⁵ docs) no scale satisfies the headroom —
+    * fail loudly here exactly as the trainer's `require` and the
+    * serving-side forms do, never wrap silently.
     */
   private[graft] def classifierYScale(nDocs: Long): Long =
     YScaleLadder.collectFirst { case (nMax, ys) if nDocs <= nMax => ys }
-      .getOrElse(1L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"classifier fixed-point headroom exceeded: $nDocs docs is past" +
+          " the yScale ladder (ys=1 ceiling)"))
 
   /** [[classifierYScale]] as a Column over a doc-count column — the
     * serving-side form (the gate threshold derives the scale from the
-    * SAME count aggregate the label mean comes from).
+    * SAME count aggregate the label mean comes from). Past the
+    * ladder's last rung (ys=1, N ≈ 1.15·10¹⁵) the fixed-point
+    * arithmetic would wrap, so the else-branch MIRRORS the trainer's
+    * loud `require` backstop as a `raise_error` instead of silently
+    * serving ys=1 into wrapped thresholds (RaiseError is non-foldable,
+    * and CaseWhen evaluates its else lazily, so in-ladder corpora
+    * never touch it — same contract as the oracle-SQL form below).
     */
   private[graft] def yScaleCol(n: Column): Column =
-    YScaleLadder.foldRight(lit(1L)) { case ((nMax, ys), rest) =>
-      when(n <= nMax, lit(ys)).otherwise(rest)
+    YScaleLadder.foldRight(
+      raise_error(concat(
+        lit("classifier fixed-point headroom exceeded serving-side: "),
+        n.cast("string"), lit(" docs"))).cast("long")) {
+      case ((nMax, ys), rest) => when(n <= nMax, lit(ys)).otherwise(rest)
     }
 
-  /** [[classifierYScale]] as oracle SQL over a doc-count expression. */
+  /** [[classifierYScale]] as oracle SQL over a doc-count expression —
+    * same loud else-branch backstop (DuckDB's CASE is also lazy, so
+    * `error()` fires only past the ladder's last rung).
+    */
   private[graft] def yScaleSql(nExpr: String): String =
     "CASE " + YScaleLadder.map { case (nMax, ys) =>
       s"WHEN $nExpr <= $nMax THEN $ys"
-    }.mkString(" ") + " ELSE 1 END"
+    }.mkString(" ") +
+      " ELSE CAST(error('classifier fixed-point headroom exceeded" +
+      " serving-side') AS BIGINT) END"
 
   /** Offset for exact cross-engine division of a possibly-NEGATIVE
     * gradient: Spark's `div` truncates toward zero, DuckDB's `//`
@@ -248,10 +267,15 @@ object TextAnalysis {
     * one weight — a real capacity loss for a teacher that is exactly
     * linear in per-token rates. An independently-salted second view
     * disambiguates every collision with probability 1−1/B. MEASURED
-    * (round 15, sf0.01, the r14 bigram-probe protocol): train 86.6 →
-    * 93.1, valid 78.0 → 94.0, test 80.9 → 91.5 % at the shipped step
-    * size — accepted, unlike the bigram family (measured-and-rejected,
-    * r14). Production swaps wider views, same two-arm dataflow.
+    * shipped-census numbers (round 15, sf0.01, the r14 bigram-probe
+    * protocol, THIS salt): train 86.6 → 94.3, valid 78.0 → 92.0, test
+    * 80.9 → 89.4 % at the shipped step size — accepted, unlike the
+    * bigram family (measured-and-rejected, r14). The exact collision
+    * set (hence the point estimate) is salt-specific: FeatureProbe's
+    * exploratory run under a different salt read 93.1/94.0/91.5 — the
+    * probe now rides this constant so future runs measure the shipped
+    * configuration. Production swaps wider views, same two-arm
+    * dataflow.
     */
   private[graft] val ClassifierSalt = "#s1"
 
@@ -475,7 +499,12 @@ object TextAnalysis {
           rates.groupBy("f").agg(sum(col("xr")).as("s")),
           docs.agg(count(lit(1)).as("n_docs")))
       }
-      graft.IndexStore.resolve(spark, sfDir, "classifier_feats", Some("doc_id"))(build)
+      // _v2: the two-view 128-bucket / corpus-derived-yScale format
+      // (r15) changed the table's SEMANTICS under what was an unchanged
+      // name — a pre-existing warehouse would silently serve the old
+      // single-view frame against the updated oracle SQL. Versioned
+      // names make a stale warehouse rebuild instead of lie.
+      graft.IndexStore.resolve(spark, sfDir, "classifier_feats_v2", Some("doc_id"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }
 
@@ -501,7 +530,8 @@ object TextAnalysis {
     classifierModelCache.getOrElseUpdate(spark, sfDir) {
       def build = lsGradientTrain(spark,
         classifierFeats(spark, sfDir), classifierTeach(spark, sfDir))
-      graft.IndexStore.resolve(spark, sfDir, "classifier_model")(build)
+      // _v2: two-view format change, see classifier_feats_v2
+      graft.IndexStore.resolve(spark, sfDir, "classifier_model_v2")(build)
         .getOrElse(build)
     }
 
@@ -551,9 +581,9 @@ object TextAnalysis {
     * midpoint. This is the production half of the filter-train loop:
     * the cheap linear model standing in the gating slot where the
     * expensive rule ensemble (the teacher) used to run. Steady-state
-    * cost: one scan of the persisted features + a ≤64-row broadcast
-    * join + a doc-grain aggregate — nothing re-featurizes, nothing
-    * re-trains.
+    * cost: one scan of the persisted features + a ≤128-row broadcast
+    * join (2×ClassifierBuckets) + a doc-grain aggregate — nothing
+    * re-featurizes, nothing re-trains.
     */
   private[graft] def modelGate(spark: SparkSession, sfDir: String): DataFrame = {
     val thrDf = broadcast(thrOf(classifierTeach(spark, sfDir)))
@@ -628,7 +658,8 @@ object TextAnalysis {
           holdoutFeats(spark, sfDir).join(trainIds, "doc_id"),
           classifierTeach(spark, sfDir).join(trainIds, "doc_id"))
       }
-      graft.IndexStore.resolve(spark, sfDir, "classifier_holdout")(build)
+      // _v2: two-view format change, see classifier_feats_v2
+      graft.IndexStore.resolve(spark, sfDir, "classifier_holdout_v2")(build)
         .getOrElse(build)
     }
 
@@ -653,7 +684,8 @@ object TextAnalysis {
             .groupBy("f").agg(sum(col("xr")).as("s")),
           trainIds.agg(count(lit(1)).as("n_docs")))
       }
-      graft.IndexStore.resolve(spark, sfDir, "classifier_holdout_feats",
+      // _v2: two-view format change, see classifier_feats_v2
+      graft.IndexStore.resolve(spark, sfDir, "classifier_holdout_feats_v2",
           Some("doc_id"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }

@@ -214,7 +214,8 @@ object CorpusPrep {
     * train time these are exactly what [[FeatureRefresh]]'s maintained
     * state holds), and `thr` (the centered-target midpoint constant).
     * Nothing here re-trains or re-aggregates the corpus: per batch the
-    * cost is the batch's own tokens plus a ≤64-row broadcast join.
+    * cost is the batch's own tokens plus a ≤128-row broadcast join
+    * (2×ClassifierBuckets — the two hashed views).
     */
   def modelGatedBatch(
       model: DataFrame, sums: DataFrame, nDf: DataFrame, thr: Long)(
@@ -268,7 +269,8 @@ object CorpusPrep {
     *
     * Scale shape: [[prepared]]'s dedup state plus a stateless scored
     * projection per batch — the frozen artifacts are model-as-data
-    * broadcasts (≤64 rows + 2 scalars), never a corpus-grain join.
+    * broadcasts (≤128 rows = 2×ClassifierBuckets, + 2 scalars), never
+    * a corpus-grain join.
     */
   def startModelGated(
       docs: DataFrame,

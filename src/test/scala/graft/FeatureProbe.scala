@@ -35,14 +35,20 @@ object FeatureProbe {
     val teach = docTeacher(docs).persist()
     val trainTeach = teach.join(trainIds, "doc_id").persist()
 
-    // the salted second unigram view, offset to f∈[64,128)
+    // the salted second unigram view, offset to f∈[B,2B) — rides the
+    // SHIPPED salt/width constants so the probe measures the shipped
+    // configuration (the collision set is salt-specific; r15's
+    // exploratory "#salt1" run read a few points off the shipped
+    // census for exactly that reason)
+    val B = TextAnalysis.ClassifierBuckets
     def saltedRates(d: DataFrame): DataFrame = {
       val tok = d.select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
       val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
       tok.groupBy(col("doc_id"),
-          (conv(substring(md5(concat(col("tok"), lit("#salt1"))), 1, 15), 16, 10)
-            .cast("long") % 64L + 64L).as("f"))
+          (conv(substring(md5(concat(col("tok"),
+              lit(TextAnalysis.ClassifierSalt))), 1, 15), 16, 10)
+            .cast("long") % B + B).as("f"))
         .agg(count(lit(1)).as("x"))
         .join(nt, "doc_id")
         .select(col("doc_id"), col("f"), expr("x * 1000 div n").as("xr"))

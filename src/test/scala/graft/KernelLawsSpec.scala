@@ -211,8 +211,10 @@ object KernelLawsSpec extends Properties("graft kernels") {
     * AT the cutovers, not just between them.
     */
   private val genNDocs: Gen[Long] = {
+    val ladderMax = graft.functions.TextAnalysis.YScaleLadder.last._1
     val bounds = graft.functions.TextAnalysis.YScaleLadder
       .flatMap { case (nMax, _) => Seq(nMax - 1, nMax, nMax + 1) }
+      .filter(_ <= ladderMax) // past the ladder the rule RAISES (law below)
     Gen.frequency(
       1 -> Gen.oneOf(bounds),
       2 -> Gen.chooseNum(1L, 5L * 1000L * 1000 * 1000 * 1000))
@@ -229,5 +231,13 @@ object KernelLawsSpec extends Properties("graft kernels") {
       val maximal = ys == TextAnalysis.ClassifierYScale ||
         BigInt(n) * (ys * 10) * 1000 >= shift
       holds && maximal && ys >= 1L
+    }
+
+  property("yScale ladder: past the ys=1 rung the rule fails loudly, never wraps") =
+    Prop.forAll(Gen.chooseNum(1L, 1000L)) { d =>
+      import graft.functions.TextAnalysis
+      val past = TextAnalysis.YScaleLadder.last._1 + d
+      scala.util.Try(TextAnalysis.classifierYScale(past)).failed.toOption
+        .exists(_.isInstanceOf[IllegalArgumentException])
     }
 }

@@ -2780,8 +2780,10 @@ class OperatorSpec extends AnyFunSuite {
 
   test("yScaleCol == classifierYScale at every ladder boundary (serve-side parity)") {
     import graft.functions.TextAnalysis
-    val ns = TextAnalysis.YScaleLadder.flatMap { case (nMax, _) =>
-      Seq(nMax - 1, nMax, nMax + 1) } ++ Seq(1L, 500L, 5000L, 3141592653589L)
+    val ladderMax = TextAnalysis.YScaleLadder.last._1 // ys=1 rung's nMax
+    val ns = (TextAnalysis.YScaleLadder.flatMap { case (nMax, _) =>
+      Seq(nMax - 1, nMax, nMax + 1) } ++ Seq(1L, 500L, 5000L, 3141592653589L))
+      .filter(_ <= ladderMax) // past the ladder both forms RAISE (below)
     val got = ns.toDF("n")
       .select(col("n"), TextAnalysis.yScaleCol(col("n")).as("ys"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -2792,6 +2794,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(TextAnalysis.classifierYScale(1152921L) === TextAnalysis.ClassifierYScale)
     // one rung past the old ceiling: a decade coarser, bound intact
     assert(TextAnalysis.classifierYScale(1152922L) === TextAnalysis.ClassifierYScale / 10)
+    // the ys=1 rung is a real ladder member (serving down to 1 digit
+    // of resolution), and ONE doc past it fails loudly on BOTH the
+    // driver rule and the serving Column — the silent-wrap regime the
+    // trainer's require guards is unreachable through either form
+    assert(TextAnalysis.classifierYScale(ladderMax) === 1L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierYScale(ladderMax + 1)
+    }
+    val ex = intercept[Exception] {
+      Seq(ladderMax + 1).toDF("n")
+        .select(TextAnalysis.yScaleCol(col("n"))).collect()
+    }
+    assert(ex.getMessage.contains("headroom exceeded"), ex.getMessage)
   }
 
   test("LS-gradient trainer == plain-Scala integer reference, pass by pass") {
