@@ -1797,34 +1797,199 @@ object TextAnalysis {
         StructField("merge_count", LongType, nullable = false))))
   }
 
-  /** Batched-merge BPE trainer — the PRODUCTION-scale variant of
-    * [[bpeVocabFromWf]]: per round, ONE pair-count job selects up to
-    * `batch` SYMBOL-DISJOINT top pairs (greedy by the exact trainer's
-    * (count desc, s1, s2) order, skipping any pair sharing a symbol
-    * with one already taken this round), and all of them fold in one
-    * stacked projection pass. Rounds ≈ merges/batch, so a 32k-merge
-    * tokenizer costs ~32k/batch sequential driver round-trips instead
-    * of 32k — the ceiling the exact trainer documents.
-    *
-    * FLAGGED APPROXIMATION, not the oracle path: within a round the
-    * 2nd..batch-th selections use PRE-round counts, while exact BPE
-    * recounts after every merge. Symbol-disjointness makes the folds
-    * commute (merging (a,b) cannot create, destroy, or split an
-    * occurrence of (c,d) when {a,b} ∩ {c,d} = ∅), so the folded STATE
-    * equals the exact trainer's state whenever the selected pairs
-    * would have been the next `batch` exact picks — BpeLawsSpec pins
-    * batch=1 ≡ exact on the corpus recipe and batch>1 ≡ exact on a
-    * disjoint-top fixture. Disjointness also keeps the recorded
-    * merge_counts EXACT (a disjoint merge joins two symbols in place,
-    * so it neither creates nor destroys any other disjoint pair's
-    * adjacencies); what a round CANNOT see is pairs involving its own
-    * newly-merged symbols — those become eligible next round, which is
-    * precisely where the pick sequence can diverge from exact BPE.
-    * `text_bpe_vocab` / the serving encoder stay on the exact trainer.
+  /** Scratch re-derivation cadence of the batched trainer's
+    * MAINTAINED pair-count table: every this-many rounds the counts
+    * are recomputed from the symbol state in one full
+    * vocabulary-grain job and REQUIRED equal to the differentially
+    * maintained table — a loud checksum of the incremental updates
+    * (an off-by-one in the delta accounting must fail the build, not
+    * quietly learn a different vocabulary), at 1/64th of the old
+    * per-round recount cost.
     */
-  private[graft] def bpeVocabBatchedFromWf(
-      spark: SparkSession, wf: DataFrame,
-      merges: Int = BpeVocabMerges, batch: Int = 8): DataFrame = {
+  private[graft] val BpeRederiveEvery = 64
+
+  /** Word-table ceiling of the in-memory batched round loop — ~4M
+    * distinct words × ~100 B of symbol state ≈ a few hundred MB of
+    * driver heap, the [[lsGradientTrain]] model-grain rule applied to
+    * the tokenizer's word table (real pre-tokenized word tables are
+    * 10⁴–10⁶ rows). Past it the trainer falls back to the distributed
+    * round loop, which learns the identical sequence (path-equality
+    * law in BpeLawsSpec).
+    */
+  private[graft] val BpeDriverLoopMaxWords = 4L << 20
+
+  /** Spark's string comparison is unsigned UTF-8 byte order; Java's
+    * is UTF-16 code-unit order — they disagree between supplementary
+    * characters and U+E000..U+FFFF, so the in-memory loop's tie-break
+    * mirrors the byte order explicitly to stay bit-identical to the
+    * distributed `orderBy`.
+    */
+  private val Utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  /** The in-memory batched round loop (see the trainer's INCREMENTAL
+    * PAIR-COUNT MAINTENANCE note): per-word symbol buffers, a
+    * differentially maintained (s1,s2)→count table, and an inverted
+    * pair→word-set index so a round only recounts the words its
+    * merges can touch. The index is a SUPERSET (a word stays listed
+    * under pairs it no longer contains until its next recount) —
+    * recounting an unchanged word is a no-op, so over-approximation
+    * is harmless; missing an affected word is impossible because
+    * every recount re-registers the word's current pairs. Selection
+    * and fold semantics mirror the distributed loop exactly:
+    * top-(4·want) candidates by (count desc, s1, s2) in UTF-8 byte
+    * order, greedy symbol-disjoint take, one simultaneous
+    * (pre, last) fold pass per round.
+    */
+  private[graft] def bpeDriverBatchedLoop(
+      words0: Array[(String, Long)], merges: Int, batch: Int)
+      : Seq[(Long, String, String, Long)] = {
+    val nW = words0.length
+    val syms = new Array[Array[String]](nW)
+    val nws = new Array[Long](nW)
+    var i = 0
+    while (i < nW) {
+      syms(i) = words0(i)._1.map(_.toString).toArray
+      nws(i) = words0(i)._2
+      i += 1
+    }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    def tally(w: Int, sign: Long): Unit = {
+      val s = syms(w)
+      val n = nws(w) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val k = (s(j), s(j + 1))
+        val c = counts.getOrElse(k, 0L) + n
+        if (c == 0L) counts.remove(k) else counts(k) = c
+        if (sign > 0)
+          where.getOrElseUpdate(k, scala.collection.mutable.BitSet.empty) += w
+        j += 1
+      }
+    }
+    i = 0
+    while (i < nW) { tally(i, 1L); i += 1 }
+    // mirror of bpeMergeFoldAll's (pre, last) pass: left-to-right, a
+    // just-merged symbol never re-participates within the pass
+    def foldWord(w: Int, pairs: Seq[(String, String)]): Unit = {
+      val s = syms(w)
+      if (s.length >= 2) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var last = s(0)
+        var j = 1
+        while (j < s.length) {
+          val x = s(j)
+          if (pairs.exists { case (s1, s2) => last == s1 && x == s2 })
+            last += x
+          else { out += last; last = x }
+          j += 1
+        }
+        out += last
+        syms(w) = out.toArray
+      }
+    }
+    val candOrd: Ordering[(String, String, Long)] =
+      Ordering.by[(String, String, Long), Long](-_._3)
+        .orElse(Ordering.by[(String, String, Long), String](_._1)(Utf8Order))
+        .orElse(Ordering.by[(String, String, Long), String](_._2)(Utf8Order))
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var exhausted = false
+    var round = 0
+    while (learned.size < merges && !exhausted) {
+      round += 1
+      val want = math.min(batch, merges - learned.size)
+      if (counts.isEmpty) exhausted = true // every word fully merged
+      else {
+        // top-(4·want) over-fetch then greedy disjoint — the exact
+        // selection the distributed loop runs (a thin fetch can
+        // starve a round; 4× is the measured-sufficient margin).
+        // Bounded max-heap selection, not a full sort: the counts
+        // table holds O(adjacency types) entries and a full
+        // O(P log P) sort per round was most of the measured
+        // 16.8 ms/merge — the heap keeps its WORST kept candidate on
+        // top and most entries fail the guard without a push
+        val k = 4 * want
+        val heap = new scala.collection.mutable
+          .PriorityQueue[(String, String, Long)]()(candOrd)
+        counts.foreach { case ((s1, s2), c) =>
+          val cand = (s1, s2, c)
+          if (heap.size < k) heap.enqueue(cand)
+          else if (candOrd.compare(cand, heap.head) < 0) {
+            heap.dequeue(); heap.enqueue(cand)
+          }
+        }
+        val top = heap.dequeueAll.reverse // best-first under candOrd
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = top.iterator.take(4 * want)
+          .filter { case (s1, s2, _) =>
+            // disjoint on the pair's symbols AND its merged string: a
+            // later pick reading (or producing) a symbol another pick
+            // produces (or reads) would make the simultaneous fold
+            // order-dependent
+            if (used(s1) || used(s2) || used(s1 + s2)) false
+            else { used += s1; used += s2; used += s1 + s2; true }
+          }.take(want).toSeq
+        picked.foreach { case (s1, s2, c) =>
+          learned += ((learned.size + 1L, s1, s2, c))
+        }
+        val foldPairs = picked.map { case (s1, s2, _) => (s1, s2) }
+        val affected = scala.collection.mutable.BitSet.empty
+        foldPairs.foreach(p => where.get(p).foreach(affected |= _))
+        affected.foreach { w =>
+          tally(w, -1L)
+          foldWord(w, foldPairs)
+          tally(w, 1L)
+        }
+        if (round % BpeRederiveEvery == 0) {
+          val fresh = scala.collection.mutable
+            .HashMap.empty[(String, String), Long]
+          var w = 0
+          while (w < nW) {
+            val s = syms(w)
+            var j = 0
+            while (j < s.length - 1) {
+              val k = (s(j), s(j + 1))
+              fresh(k) = fresh.getOrElse(k, 0L) + nws(w)
+              j += 1
+            }
+            w += 1
+          }
+          require(fresh == counts,
+            s"BPE maintained pair counts diverged from scratch at round $round")
+        }
+      }
+    }
+    learned.toSeq
+  }
+
+  /** The distributed batched round loop — the ≫[[BpeDriverLoopMaxWords]]
+    * fallback: one vocabulary-grain pair-count job per round
+    * (TakeOrdered top-(4·want)), one simultaneous fold projection,
+    * lineage checkpointed every [[BpeCheckpointEvery]] rounds.
+    * Measured 456 ms/merge at the 512-merge/batch=8/50k-word probe
+    * (the cost is re-evaluating the interpreted fold lambdas over the
+    * full state each round — which is also why an incremental-delta
+    * variant of THIS loop measured neutral, 486 ms/merge: the delta
+    * job still folds the full state to evaluate its filter).
+    */
+  private def bpeDistributedBatchedLoop(
+      spark: SparkSession, wf: DataFrame, merges: Int, batch: Int)
+      : Seq[(Long, String, String, Long)] = {
     val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val state0 = wf
       .select(array_join(
@@ -1895,6 +2060,78 @@ object TextAnalysis {
       }
     }
     free()
+    learned.toSeq
+  }
+
+  /** Batched-merge BPE trainer — the PRODUCTION-scale variant of
+    * [[bpeVocabFromWf]]: per round, up to `batch` SYMBOL-DISJOINT top
+    * pairs are selected (greedy by the exact trainer's (count desc,
+    * s1, s2) order, skipping any pair sharing a symbol with one
+    * already taken this round), and all of them fold in one stacked
+    * projection pass. Rounds ≈ merges/batch, so a 32k-merge tokenizer
+    * costs ~32k/batch sequential driver round-trips instead of 32k —
+    * the ceiling the exact trainer documents.
+    *
+    * LOUD SEMANTIC FLAG — `batch > 1` LEARNS A DIFFERENT MERGE
+    * SEQUENCE (and hence a different vocabulary) than reference
+    * sequential BPE: within a round the 2nd..batch-th selections use
+    * PRE-round counts, while exact BPE recounts after every merge, so
+    * the two sequences diverge as soon as an exact pick would have
+    * involved a symbol merged earlier in the same round. Measured:
+    * ~18 % merge-set divergence at batch=8 over the first 160 merges
+    * of a 50k-word Zipf table, and the divergence is FIXTURE-DEPENDENT
+    * and non-monotone in batch (0.6–42 % across batch sizes on the
+    * BpeLawsSpec census fixture — one early different pick cascades)
+    * while ENCODE QUALITY stays within 1 % of the exact list
+    * (sometimes better): the census law pins quality within 8 % and
+    * bounds the set divergence. Batch=1 ≡ exact BPE always; batch>1
+    * is a throughput knob for train-once tokenizers whose consumers
+    * accept a batched-greedy vocabulary.
+    * Symbol-disjointness makes the folds commute (merging (a,b)
+    * cannot create, destroy, or split an occurrence of (c,d) when
+    * {a,b} ∩ {c,d} = ∅), so the folded STATE equals the exact
+    * trainer's state whenever the selected pairs would have been the
+    * next `batch` exact picks — BpeLawsSpec pins batch=1 ≡ exact on
+    * the corpus recipe and batch>1 ≡ exact on a disjoint-top fixture.
+    * Disjointness also keeps the recorded merge_counts EXACT (a
+    * disjoint merge joins two symbols in place, so it neither creates
+    * nor destroys any other disjoint pair's adjacencies).
+    * `text_bpe_vocab` / the serving encoder stay on the exact trainer.
+    *
+    * INCREMENTAL PAIR-COUNT MAINTENANCE (the per-round cost): the
+    * word-frequency table is VOCABULARY grain — the same grain as the
+    * Gram matrix in [[lsGradientTrain]] — so the production path
+    * follows the same fold-once-iterate-on-the-driver rule: collect
+    * the word table once, then run the round loop in memory with
+    * differentially maintained pair counts (merging (s1,s2) only
+    * changes counts in words CONTAINING that adjacency, tracked by an
+    * inverted pair→words index — the single-node state every
+    * production BPE trainer holds; Sennrich's reference and HF
+    * tokenizers are exactly this loop). MEASURED at the 512-merge /
+    * batch=8 / 50k-word probe: 456 ms/merge (distributed round loop,
+    * dominated by re-evaluating interpreted fold lambdas over the
+    * full state each round) → the in-memory loop retires the Spark
+    * job per round entirely. Every [[BpeRederiveEvery]] rounds the
+    * maintained counts are re-derived from the symbol state and
+    * REQUIRED equal (loud checksum of the differential updates). A
+    * word table past [[BpeDriverLoopMaxWords]] falls back to the
+    * distributed round loop below — BIT-IDENTICAL merge sequences
+    * (BpeLawsSpec pins path equality on random corpora): both paths
+    * select from the same total order with the same top-(4·want)
+    * candidate fetch, and the in-memory fold mirrors
+    * [[bpeMergeFoldAll]]'s (pre, last) pass.
+    */
+  private[graft] def bpeVocabBatchedFromWf(
+      spark: SparkSession, wf: DataFrame,
+      merges: Int = BpeVocabMerges, batch: Int = 8,
+      driverLoopMaxWords: Long = BpeDriverLoopMaxWords): DataFrame = {
+    val nWords = wf.count()
+    val learned: Seq[(Long, String, String, Long)] =
+      if (nWords <= driverLoopMaxWords)
+        bpeDriverBatchedLoop(
+          wf.select(col("t"), col("n_w")).collect()
+            .map(r => (r.getString(0), r.getLong(1))), merges, batch)
+      else bpeDistributedBatchedLoop(spark, wf, merges, batch)
     val rows = learned.toSeq.map { case (step, s1, s2, c) =>
       org.apache.spark.sql.Row(step, s1, s2, s1 + s2, c)
     }

@@ -149,6 +149,87 @@ class BpeLawsSpec extends AnyFunSuite {
     }
   }
 
+  /** The batched trainer runs two physical paths — the in-memory
+    * incremental round loop (word tables ≤ BpeDriverLoopMaxWords) and
+    * the distributed fallback — that must learn BIT-IDENTICAL merge
+    * sequences: same (count desc, s1, s2) total order, same
+    * top-(4·want) candidate over-fetch, same greedy disjoint take,
+    * same simultaneous (pre, last) fold. Random corpora with a
+    * 2-letter alphabet hit ties, runs, and multi-symbol partners
+    * constantly — exactly where a driver-side mirror drifts.
+    */
+  test("in-memory batched loop == distributed batched loop, merge for merge") {
+    val rnd = new scala.util.Random(16161616L)
+    for (case_ <- 1 to 3; batch <- Seq(1, 3)) {
+      val words = (1 to 6 + rnd.nextInt(8)).map { _ =>
+        (1 to 1 + rnd.nextInt(7)).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
+      }.distinct
+      val wf0 = words.map(w => w -> (1L + rnd.nextInt(3))).toMap
+      val wfDf = wf0.toSeq.toDF("t", "n_w")
+      def run(maxWords: Long) = graft.functions.TextAnalysis
+        .bpeVocabBatchedFromWf(spark, wfDf, merges = 40, batch = batch,
+          driverLoopMaxWords = maxWords)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toList.sortBy(_._1)
+      val driver = run(Long.MaxValue)
+      val distributed = run(0L)
+      assert(driver === distributed,
+        s"case $case_ batch=$batch: paths diverged on corpus $wf0")
+    }
+  }
+
+  /** The batched trainer's LOUD SEMANTIC FLAG, characterized: batch>1
+    * learns a different merge sequence (hence vocabulary) than exact
+    * sequential BPE — this census law BOUNDS the divergence and pins
+    * encode-quality equivalence instead of leaving both in a probe
+    * JSON. (a) encoding the training corpus with the batched list
+    * compresses within 8 % of the exact list's total token count —
+    * the metric a tokenizer consumer actually experiences (measured:
+    * within 1 %, sometimes BETTER than exact — batched-greedy is a
+    * different greedy, not a worse one); (b) merge-SET divergence is
+    * bounded but NOT small or monotone in batch — one early
+    * different pick cascades, so this fixture measures 0.6 % at
+    * batch=2 and ~40 % at batch=4 (the 50k-word probe measured 18 %
+    * at batch=8) — which is exactly why the docstring flags the knob
+    * loudly and quality, not set identity, is the pinned contract.
+    */
+  test("batched trainer divergence vs exact: bounded set-diff, equivalent encode quality") {
+    val rnd = new scala.util.Random(29L)
+    val letters = "abcdefgh"
+    val words = (1 to 400).map(_ =>
+      (1 to 3 + rnd.nextInt(8)).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    ).distinct
+    val wf0 = words.map(w => w -> (1L + rnd.nextInt(5))).toMap
+    val wfDf = wf0.toSeq.toDF("t", "n_w")
+    val merges = 160
+    val exact = refTrain(wf0, merges)
+    assert(exact.size >= merges, s"fixture exhausted at ${exact.size} merges")
+    def encodedTokens(mergeList: Seq[(String, String)]): Long =
+      wf0.iterator.map { case (w, n) =>
+        n * mergeList.foldLeft(w.toList.map(_.toString)) {
+          case (syms, (s1, s2)) => refMerge(syms, s1, s2)
+        }.size
+      }.sum
+    val exactSet = exact.map(t => (t._2, t._3)).toSet
+    val exactEnc = encodedTokens(exact.map(t => (t._2, t._3)))
+    val divBy = scala.collection.mutable.Map.empty[Int, Double]
+    for (batch <- Seq(2, 4, 8)) {
+      val got = graft.functions.TextAnalysis
+        .bpeVocabBatchedFromWf(spark, wfDf, merges, batch)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      assert(got.size === merges, s"batch=$batch exhausted at ${got.size}")
+      val setDiff = exactSet.diff(got.toSet).size.toDouble / merges
+      val enc = encodedTokens(got)
+      info(f"batch=$batch set-divergence=$setDiff%.3f " +
+        f"encoded=$enc tokens (exact=$exactEnc)")
+      assert(setDiff <= 0.60,
+        f"batch=$batch merge-set divergence $setDiff%.3f exceeds the bound")
+      assert(enc <= math.ceil(exactEnc * 1.08).toLong,
+        s"batch=$batch encode quality $enc vs exact $exactEnc is past 8 %")
+      divBy(batch) = setDiff
+    }
+  }
+
   /** Production merge counts: the 10-merge oracle regime folds every
     * merge as one stacked projection, which blows Catalyst plan size
     * at tokenizer-realistic N. Past [[TextAnalysis.BpeEncodeChunk]]

@@ -13,15 +13,18 @@ import org.apache.spark.sql.functions._
   * word-frequency table after pre-tokenization), Zipf-ranked counts,
   * deterministic seed.
   *
-  * Usage: sbt "Test/runMain graft.BpeScaleProbe [merges] [batch] [nWords]"
-  * Prints the wall, rounds, and a divergence-vs-exact census over the
-  * first 160 merges (where exact is cheap enough to run).
+  * Usage: sbt "Test/runMain graft.BpeScaleProbe [merges] [batch] [nWords] [census]"
+  * Prints the wall, rounds, and (census != 0, the default) a
+  * divergence-vs-exact census over the first 160 merges (where exact
+  * is cheap enough to run — ~13 min of sequential exact rounds; pass
+  * census=0 when re-measuring only the batched wall).
   */
 object BpeScaleProbe {
   def main(args: Array[String]): Unit = {
     val merges = args.headOption.map(_.toInt).getOrElse(4096)
     val batch = args.lift(1).map(_.toInt).getOrElse(8)
     val nWords = args.lift(2).map(_.toInt).getOrElse(50000)
+    val census = args.lift(3).forall(_ != "0")
     val spark = TestSpark.spark
     import graft.functions.TextAnalysis
 
@@ -38,15 +41,17 @@ object BpeScaleProbe {
     println(s"[probe] wf: $distinct distinct words")
 
     // divergence-vs-exact census at small N (exact is O(N) jobs)
-    val smallN = 160
-    val exact = TextAnalysis.bpeVocabFromWf(spark, wf, smallN)
-      .collect().map(r => (r.getString(1), r.getString(2)))
-    val batched = TextAnalysis.bpeVocabBatchedFromWf(spark, wf, smallN, batch)
-      .collect().map(r => (r.getString(1), r.getString(2)))
-    val posDiff = exact.zip(batched).count { case (a, b) => a != b }
-    val setDiff = exact.toSet.diff(batched.toSet).size
-    println(s"[probe] divergence at N=$smallN batch=$batch: " +
-      s"position-diff=$posDiff/${exact.length} set-diff=$setDiff")
+    if (census) {
+      val smallN = 160
+      val exact = TextAnalysis.bpeVocabFromWf(spark, wf, smallN)
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      val batched = TextAnalysis.bpeVocabBatchedFromWf(spark, wf, smallN, batch)
+        .collect().map(r => (r.getString(1), r.getString(2)))
+      val posDiff = exact.zip(batched).count { case (a, b) => a != b }
+      val setDiff = exact.toSet.diff(batched.toSet).size
+      println(s"[probe] divergence at N=$smallN batch=$batch: " +
+        s"position-diff=$posDiff/${exact.length} set-diff=$setDiff")
+    }
 
     val t0 = System.nanoTime()
     val learned = TextAnalysis.bpeVocabBatchedFromWf(spark, wf, merges, batch)

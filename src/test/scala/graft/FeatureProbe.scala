@@ -3,23 +3,25 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev probe (measure-first discipline, not shipped surface): does a
-  * SECOND, independently-salted unigram hash family close any of the
-  * holdout generalization gap (shipped: train 86.6 / valid 78.0 /
-  * test 80.9 % at sf0.01)?
+/** Dev probe (measure-first discipline, not shipped surface): which
+  * feature-family widening closes the REMAINING holdout
+  * generalization gap? Shipped two-view census (r15): train 94.3 /
+  * valid 92.0 / test 89.4 % at sf0.01 — the ~5-point train-test gap
+  * suggests capacity may still bind. Candidates (the r15 verdict's
+  * item #5): (a) 128 buckets per view (collisions ~V²/2B halve),
+  * (b) a THIRD independently-salted 64-bucket view, measured against
+  * the shipped 2×64 control under the identical trainer and split.
   *
-  * Rationale: the teacher gate is exactly linear in EXACT per-token
-  * rates, and 31 vocabulary words hashed into 64 buckets collide in
-  * ~7 expected pairs — collided words are forced to share a weight,
-  * which is a real capacity loss the (rejected, r14) bigram family
-  * never addressed. A salted second view at f∈[64,128) disambiguates
-  * every collision with positive probability while riding the exact
-  * `docRates` shape (same integer per-mille rates, same frozen
-  * centering, same trainer).
+  * Probe history: r15's two-view probe measured +14 points of valid
+  * accuracy and shipped ([[graft.functions.TextAnalysis.ClassifierSalt]]);
+  * the r14 bigram probe measured a REGRESSION and was rejected. Every
+  * variant here rides the exact `docRates` shape (integer per-mille
+  * rates, frozen train-split centering, exact-GD trainer) so an
+  * accepted variant ships by changing only the view constants.
   *
   * Usage: sbt "Test/runMain graft.FeatureProbe [sfDir]"
-  * Prints per-(variant, lrDen) split censuses; delete-after-read like
-  * the r14 bigram probe, recording the verdict in COVERAGE.md.
+  * Prints per-variant split censuses; delete-after-read like the r14
+  * bigram probe, recording the verdict in COVERAGE.md.
   */
 object FeatureProbe {
   def main(args: Array[String]): Unit = {
@@ -35,20 +37,18 @@ object FeatureProbe {
     val teach = docTeacher(docs).persist()
     val trainTeach = teach.join(trainIds, "doc_id").persist()
 
-    // the salted second unigram view, offset to f∈[B,2B) — rides the
-    // SHIPPED salt/width constants so the probe measures the shipped
-    // configuration (the collision set is salt-specific; r15's
-    // exploratory "#salt1" run read a few points off the shipped
-    // census for exactly that reason)
-    val B = TextAnalysis.ClassifierBuckets
-    def saltedRates(d: DataFrame): DataFrame = {
+    // one independently-salted hashed view at [offset, offset+width) —
+    // salt "" is the plain view; rides the SHIPPED hash/rate recipe
+    def viewRates(d: DataFrame, salt: String, width: Long, offset: Long)
+        : DataFrame = {
       val tok = d.select(col("doc_id"),
         explode(split(col("text"), " ")).as("tok"))
       val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val keyed = if (salt.isEmpty) col("tok")
+                  else concat(col("tok"), lit(salt))
       tok.groupBy(col("doc_id"),
-          (conv(substring(md5(concat(col("tok"),
-              lit(TextAnalysis.ClassifierSalt))), 1, 15), 16, 10)
-            .cast("long") % B + B).as("f"))
+          (conv(substring(md5(keyed), 1, 15), 16, 10)
+            .cast("long") % width + offset).as("f"))
         .agg(count(lit(1)).as("x"))
         .join(nt, "doc_id")
         .select(col("doc_id"), col("f"), expr("x * 1000 div n").as("xr"))
@@ -80,11 +80,20 @@ object FeatureProbe {
       allDense.unpersist()
     }
 
-    val uni = docRates(docs).persist()
-    val both = uni.unionAll(saltedRates(docs)).persist()
-    for (lrDen <- Seq(4000L, 8000L, 16000L)) {
-      evalVariant("unigram64 (shipped shape)", uni, lrDen)
-      evalVariant("unigram64+salted64", both, lrDen)
+    val salt = TextAnalysis.ClassifierSalt
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "2x64 (shipped control)" -> docRates(docs),
+      "2x128" -> viewRates(docs, "", 128, 0)
+        .unionAll(viewRates(docs, salt, 128, 128)),
+      "3x64" -> viewRates(docs, "", 64, 0)
+        .unionAll(viewRates(docs, salt, 64, 64))
+        .unionAll(viewRates(docs, salt + "#2", 64, 128)),
+      "2x256" -> viewRates(docs, "", 256, 0)
+        .unionAll(viewRates(docs, salt, 256, 256)))
+    for ((name, rates) <- variants; lrDen <- Seq(4000L, 8000L)) {
+      val r = rates.persist()
+      evalVariant(name, r, lrDen)
+      r.unpersist()
     }
     spark.stop()
   }
