@@ -131,13 +131,23 @@ object TextAnalysis {
 
   /** Feature-hash bucket count PER VIEW for the trainable classifier
     * — the feature family is TWO independently-hashed views of this
-    * width ([[ClassifierSalt]]), 2B buckets total: B keeps each view's
-    * model broadcast-trivial, the second view disambiguates the
-    * ~V²/2B hash collisions a single view forces to share weights
-    * (measured +10-16 points of holdout accuracy, r15). Production
-    * swaps in 2^18+ buckets per view, same dataflow.
+    * width ([[ClassifierSalt]]), 2B buckets total: the second view
+    * disambiguates the ~V²/2B hash collisions a single view forces to
+    * share weights (measured +10-16 points of holdout accuracy, r15).
+    * Width is FREE at serving and training time in the
+    * vocabulary-bound regime: the dense frame, the broadcast model,
+    * and the Gram fold are all OCCUPIED-bucket grain (≤ 2·vocab
+    * rows), so widening only thins collisions — the r16 probe
+    * measured 64→256 per view at train 94.3→96.8 / valid 92.0→96.0 /
+    * test 89.4→91.5 % with the SAME 2×-token featurization exchange,
+    * while a third 64-wide view tied on test but pays a 3×-token
+    * exchange on the index build's critical path
+    * (measured-then-accepted, the r14 protocol). Production swaps in
+    * 2^18+ buckets per view, same dataflow; the Gram fold's B²
+    * driver accumulator bounds OCCUPIED width at a few thousand, past
+    * which it shards by bucket block.
     */
-  private[graft] val ClassifierBuckets = 64L
+  private[graft] val ClassifierBuckets = 256L
 
   /** Gradient passes for [[classifierModel]] — the train-accuracy
     * census rises monotonically ~0.72 → ~0.85 across the sf ladder at
@@ -267,15 +277,16 @@ object TextAnalysis {
     * one weight — a real capacity loss for a teacher that is exactly
     * linear in per-token rates. An independently-salted second view
     * disambiguates every collision with probability 1−1/B. MEASURED
-    * shipped-census numbers (round 15, sf0.01, the r14 bigram-probe
-    * protocol, THIS salt): train 86.6 → 94.3, valid 78.0 → 92.0, test
-    * 80.9 → 89.4 % at the shipped step size — accepted, unlike the
-    * bigram family (measured-and-rejected, r14). The exact collision
-    * set (hence the point estimate) is salt-specific: FeatureProbe's
-    * exploratory run under a different salt read 93.1/94.0/91.5 — the
-    * probe now rides this constant so future runs measure the shipped
-    * configuration. Production swaps wider views, same two-arm
-    * dataflow.
+    * shipped-census history (sf0.01, the r14 bigram-probe protocol,
+    * THIS salt, shipped step size): one→two 64-wide views (r15)
+    * train 86.6 → 94.3, valid 78.0 → 92.0, test 80.9 → 89.4 %;
+    * two 64-wide → two 256-wide views (r16, see
+    * [[ClassifierBuckets]]) → 96.8 / 96.0 / 91.5 %. Accepted, unlike
+    * the bigram family (measured-and-rejected, r14). The exact
+    * collision set (hence the point estimate) is salt-specific:
+    * FeatureProbe rides this constant so probe runs measure the
+    * shipped configuration. Production swaps wider views, same
+    * two-arm dataflow.
     */
   private[graft] val ClassifierSalt = "#s1"
 
@@ -356,9 +367,11 @@ object TextAnalysis {
     * exact sums; the mat-vec accumulates in BigInt so association
     * order cannot matter, and the total is inside the documented 2⁶⁰
     * headroom). The B² accumulator bounds this path at B ≲ a few
-    * thousand buckets — far above [[ClassifierBuckets]] = 64 (32 KiB
-    * per partition); a wider model would shard the Gram fold by
-    * bucket block, same dataflow. Driver state is the B²-entry Gram +
+    * thousand buckets — and B here is the OCCUPIED-bucket count
+    * (≤ 2·vocab, 48 at the driver corpora: unoccupied buckets never
+    * enter the distinct-f census), so the bound binds on vocabulary
+    * diversity, not on [[ClassifierBuckets]]; a wider occupied set
+    * would shard the Gram fold by bucket block, same dataflow. Driver state is the B²-entry Gram +
     * the weight vector (model-as-data, the quantizer rule). Exposed
     * for the fixture law in OperatorSpec.
     */
@@ -476,7 +489,10 @@ object TextAnalysis {
   private[graft] def classifierRates(spark: SparkSession, sfDir: String): DataFrame =
     classifierRatesCache.getOrElseUpdate(spark, sfDir) {
       def build = docRates(Tables.documents(spark, sfDir))
-      graft.IndexStore.resolve(spark, sfDir, "classifier_rates", Some("doc_id"))(build)
+      // width-stamped like the rest of the family: f values are
+      // bucket ids, so a differently-hashed stale table must rebuild
+      graft.IndexStore.resolve(spark, sfDir,
+          s"classifier_rates_b$ClassifierBuckets", Some("doc_id"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }
 
@@ -499,12 +515,15 @@ object TextAnalysis {
           rates.groupBy("f").agg(sum(col("xr")).as("s")),
           docs.agg(count(lit(1)).as("n_docs")))
       }
-      // _v2: the two-view 128-bucket / corpus-derived-yScale format
-      // (r15) changed the table's SEMANTICS under what was an unchanged
+      // _v2b<B>: the two-view / corpus-derived-yScale format (r15)
+      // changed the table's SEMANTICS under what was an unchanged
       // name — a pre-existing warehouse would silently serve the old
       // single-view frame against the updated oracle SQL. Versioned
-      // names make a stale warehouse rebuild instead of lie.
-      graft.IndexStore.resolve(spark, sfDir, "classifier_feats_v2", Some("doc_id"))(build)
+      // names (with the per-view width embedded, so any future
+      // widening invalidates automatically) make a stale warehouse
+      // rebuild instead of lie.
+      graft.IndexStore.resolve(spark, sfDir,
+          s"classifier_feats_v2b$ClassifierBuckets", Some("doc_id"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }
 
@@ -524,14 +543,16 @@ object TextAnalysis {
     * half of the corpus-gating loop (train a cheap model on labels
     * from an expensive gate, then serve the model): persisted
     * train-once like every model artifact ([[graft.IndexStore]]),
-    * 3×64 rows, broadcastable anywhere.
+    * passes × occupied-buckets rows (8×48 at the driver corpora),
+    * broadcastable anywhere.
     */
   private[graft] def classifierModel(spark: SparkSession, sfDir: String): DataFrame =
     classifierModelCache.getOrElseUpdate(spark, sfDir) {
       def build = lsGradientTrain(spark,
         classifierFeats(spark, sfDir), classifierTeach(spark, sfDir))
-      // _v2: two-view format change, see classifier_feats_v2
-      graft.IndexStore.resolve(spark, sfDir, "classifier_model_v2")(build)
+      // _v2b<B>: two-view format change, see classifier_feats
+      graft.IndexStore.resolve(spark, sfDir,
+          s"classifier_model_v2b$ClassifierBuckets")(build)
         .getOrElse(build)
     }
 
@@ -581,9 +602,9 @@ object TextAnalysis {
     * midpoint. This is the production half of the filter-train loop:
     * the cheap linear model standing in the gating slot where the
     * expensive rule ensemble (the teacher) used to run. Steady-state
-    * cost: one scan of the persisted features + a ≤128-row broadcast
-    * join (2×ClassifierBuckets) + a doc-grain aggregate — nothing
-    * re-featurizes, nothing re-trains.
+    * cost: one scan of the persisted features + an occupied-bucket
+    * broadcast join (≤ 2·vocab rows, 48 at the driver corpora) + a
+    * doc-grain aggregate — nothing re-featurizes, nothing re-trains.
     */
   private[graft] def modelGate(spark: SparkSession, sfDir: String): DataFrame = {
     val thrDf = broadcast(thrOf(classifierTeach(spark, sfDir)))
@@ -658,8 +679,9 @@ object TextAnalysis {
           holdoutFeats(spark, sfDir).join(trainIds, "doc_id"),
           classifierTeach(spark, sfDir).join(trainIds, "doc_id"))
       }
-      // _v2: two-view format change, see classifier_feats_v2
-      graft.IndexStore.resolve(spark, sfDir, "classifier_holdout_v2")(build)
+      // _v2b<B>: two-view format change, see classifier_feats
+      graft.IndexStore.resolve(spark, sfDir,
+          s"classifier_holdout_v2b$ClassifierBuckets")(build)
         .getOrElse(build)
     }
 
@@ -684,8 +706,9 @@ object TextAnalysis {
             .groupBy("f").agg(sum(col("xr")).as("s")),
           trainIds.agg(count(lit(1)).as("n_docs")))
       }
-      // _v2: two-view format change, see classifier_feats_v2
-      graft.IndexStore.resolve(spark, sfDir, "classifier_holdout_feats_v2",
+      // _v2b<B>: two-view format change, see classifier_feats
+      graft.IndexStore.resolve(spark, sfDir,
+          s"classifier_holdout_feats_v2b$ClassifierBuckets",
           Some("doc_id"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }

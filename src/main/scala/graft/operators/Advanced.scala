@@ -870,8 +870,8 @@ object Advanced {
     * mixing policies.
     *
     * Scale shape: [[corpusPrepFull]]'s composition with the quality
-    * projection swapped for a persisted-feature scan + ≤128-row
-    * (2×ClassifierBuckets, the two hashed views)
+    * projection swapped for a persisted-feature scan + an
+    * occupied-bucket (≤ 2·vocab rows across the two hashed views)
     * broadcast join + doc-grain aggregate; the disagreement census
     * against the rule it replaced is the standing
     * `corpus_gate_disagreement` audit.

@@ -214,8 +214,9 @@ object CorpusPrep {
     * train time these are exactly what [[FeatureRefresh]]'s maintained
     * state holds), and `thr` (the centered-target midpoint constant).
     * Nothing here re-trains or re-aggregates the corpus: per batch the
-    * cost is the batch's own tokens plus a ≤128-row broadcast join
-    * (2×ClassifierBuckets — the two hashed views).
+    * cost is the batch's own tokens plus an occupied-bucket broadcast
+    * join (≤ 2·vocab rows across the two hashed views — the model is
+    * occupied-bucket grain, not 2×ClassifierBuckets).
     */
   def modelGatedBatch(
       model: DataFrame, sums: DataFrame, nDf: DataFrame, thr: Long)(
@@ -269,8 +270,8 @@ object CorpusPrep {
     *
     * Scale shape: [[prepared]]'s dedup state plus a stateless scored
     * projection per batch — the frozen artifacts are model-as-data
-    * broadcasts (≤128 rows = 2×ClassifierBuckets, + 2 scalars), never
-    * a corpus-grain join.
+    * broadcasts (occupied-bucket grain, ≤ 2·vocab rows across the two
+    * hashed views, + 2 scalars), never a corpus-grain join.
     */
   def startModelGated(
       docs: DataFrame,
