@@ -653,6 +653,40 @@ object TextAnalysis {
         col("model_keep"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
 
+  /** Calibration census of the serving gate — the reliability diagram
+    * a filter-train pipeline reads before trusting the model's SCORE
+    * (not just its boolean door decision): documents ranked by the
+    * served dot and cut into ten equal-frequency bins (ties broken by
+    * doc_id, so the ranking is a total order and both engines bin
+    * identically), each bin reporting its doc count, the teacher's
+    * empirical keep count/rate, the model's own keep count, and the
+    * dot range the bin spans. A well-calibrated gate shows the
+    * teacher keep-rate rising through the bins with a sharp
+    * transition at the threshold bin; mass drifting off that shape is
+    * the early warning a gate owner watches between retrains.
+    *
+    * Steady-state: the [[modelGate]] scan (persisted features +
+    * occupied-bucket broadcast join) plus ONE 10-bin ranking of
+    * doc-grain (dot, doc_id) pairs — a monitoring census, not a
+    * serving-path operator; a 100 TB deployment swaps the exact
+    * ntile for fixed dot cut-points off a sampled quantile sketch,
+    * same downstream shape.
+    */
+  def classifierCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    modelGate(spark, sfDir)
+      .join(classifierTeach(spark, sfDir), "doc_id")
+      .withColumn("bin",
+        ntile(10).over(Window.orderBy(col("dot"), col("doc_id"))).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("y") === 1).as("n_rule_keep"),
+        expr("count_if(y = 1) * 1000000 div count(1)").as("keep_rate_ppm"),
+        min(col("dot")).as("min_dot"),
+        max(col("dot")).as("max_dot"),
+        count_if(col("model_keep")).as("n_model_keep"))
+  }
+
   private val holdoutModelCache = new graft.SessionCache[DataFrame]
   private val holdoutFeatsCache = new graft.SessionCache[DataFrame]
 
@@ -3698,6 +3732,31 @@ object TextAnalysis {
           FROM gscored s JOIN teach t USING (doc_id)
                JOIN documents d USING (doc_id)
           GROUP BY 1, 2, 3""",
+      // the calibration reliability diagram: served dots ranked into
+      // ten equal-frequency bins (doc_id tie-break = total order, so
+      // NTILE bins identically in both engines) with the teacher's
+      // empirical keep rate per bin
+      "text_classifier_calibration" ->
+        s"""WITH $ClassifierChainCtes,
+            gscored AS (
+              SELECT dn.doc_id, CAST(sum(m.w * dn.xc) AS BIGINT) AS dot
+              FROM dense dn JOIN w$ClassifierPasses m USING (f) GROUP BY 1),
+            binned AS (
+              SELECT s.doc_id, s.dot, t.y,
+                     (s.dot >= $ClassifierThrSql) AS model_keep,
+                     CAST(ntile(10) OVER (ORDER BY s.dot, s.doc_id)
+                          AS BIGINT) AS bin
+              FROM gscored s JOIN teach t USING (doc_id))
+          SELECT bin,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(*) FILTER (WHERE y = 1) AS BIGINT) AS n_rule_keep,
+                 CAST(count(*) FILTER (WHERE y = 1) * 1000000 // count(*)
+                      AS BIGINT) AS keep_rate_ppm,
+                 min(dot) AS min_dot,
+                 max(dot) AS max_dot,
+                 CAST(count(*) FILTER (WHERE model_keep) AS BIGINT)
+                   AS n_model_keep
+          FROM binned GROUP BY bin""",
       // holdout discipline: the SAME GD chain, but every training CTE
       // (rates, centering, teacher, label mean) restricted to the
       // cluster-atomic train split (Comp08Ctes -> hsplit), and the
@@ -4161,6 +4220,7 @@ object TextAnalysis {
     "text_classifier_holdout" -> classifierHoldout _,
     "corpus_gate_disagreement" -> gateDisagreement _,
     "corpus_gate_disagreement_by_source" -> gateDisagreementBySource _,
+    "text_classifier_calibration" -> classifierCalibration _,
     "vocab_coverage" -> vocabCoverage _,
     "stats_hll_ngrams" -> hllNgrams _,
     "stats_hll_overlap" -> hllOverlap _,
