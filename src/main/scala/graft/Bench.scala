@@ -181,6 +181,9 @@ object Bench {
     val indexWaves: Seq[Seq[(String, () => Unit)]] = Seq(
       Seq(
         // heavy roots first (LPT): measured solo order at sf0.1
+        // the ONE corpus token explode both classifier builders ride
+        // (build-time scaffolding, session-persisted — not an artifact)
+        "classifier_tok" -> (() => { functions.TextAnalysis.classifierTokCounts(spark, queryDir).count(); () }),
         "classifier_rates" -> (() => { functions.TextAnalysis.classifierRates(spark, queryDir).count(); () }),
         "classifier_teach" -> (() => { functions.TextAnalysis.classifierTeach(spark, queryDir).count(); () }),
         "classifier_model" -> (() => { functions.TextAnalysis.classifierModel(spark, queryDir).count(); () }),
@@ -251,6 +254,8 @@ object Bench {
       "dup_components_80" -> Seq("lsh_pairs"),
       "knn_cluster_labels" -> Seq("knn_edges"),
       "churn_forests" -> Seq("lsh_pairs", "dup_components_80"),
+      "classifier_rates" -> Seq("classifier_tok"),
+      "classifier_teach" -> Seq("classifier_tok"),
       "classifier_model" -> Seq("classifier_rates", "classifier_teach"),
       "classifier_holdout" -> Seq("dup_components_80", "classifier_model"))
     // SPARK_GRAFT_INDEX_PAR caps concurrent builders (dev profiling:

@@ -262,7 +262,8 @@ object TextAnalysis {
     * updates ring corpus-wide — measured, not theorized (round 13:
     * the uncentered trainer oscillates between the all-keep and
     * all-drop classifiers at every tested step size). One row per
-    * (doc × occupied bucket), so the frame is 64×corpus at most.
+    * (doc × occupied bucket) — occupied-bucket grain, so the frame is
+    * ≤ 2·[[ClassifierBuckets]]×corpus across the two hashed views.
     */
   private[graft] def centeredRates(docs: DataFrame): DataFrame = {
     val rates = docRates(docs)
@@ -300,16 +301,37 @@ object TextAnalysis {
     * token-grain pass: each token explodes to its two bucket ids, so
     * the widened family costs one 2×-token exchange, not two scans.
     */
-  private[graft] def docRates(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
-    val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    tok
-      .select(col("doc_id"), explode(array(
+  private[graft] def docRates(docs: DataFrame): DataFrame =
+    docRatesFromCounts(docTokenCounts(docs))
+
+  /** (doc_id, tok, c): per-document token MULTISET counts — the one
+    * token-grain reduction both halves of the classifier chain hang
+    * off. [[docRates]] re-aggregates it to (doc × bucket) counts and
+    * [[docTeacher]] folds it to the label; each is a pure function of
+    * the multiset (count-weighted integer sums), so deriving both
+    * from this frame is bit-identical to deriving each from its own
+    * token explode — while the corpus-width explode pays its exchange
+    * ONCE, at (doc, distinct-token) grain with map-side combine,
+    * instead of twice at raw token grain ([[classifierTokCounts]]
+    * shares the materialization across the two index builders).
+    */
+  private[graft] def docTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+
+  /** [[docRates]] over a pre-reduced [[docTokenCounts]] frame: the
+    * per-mille arithmetic is unchanged (x = Σc per bucket, n = Σc per
+    * doc — the same integers the raw-token pass counted).
+    */
+  private[graft] def docRatesFromCounts(tc: DataFrame): DataFrame = {
+    val nt = tc.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    tc
+      .select(col("doc_id"), col("c"), explode(array(
         hash60(col("tok")) % ClassifierBuckets,
         hash60(concat(col("tok"), lit(ClassifierSalt))) % ClassifierBuckets
           + ClassifierBuckets)).as("f"))
       .groupBy(col("doc_id"), col("f"))
-      .agg(count(lit(1)).as("x"))
+      .agg(sum(col("c")).as("x"))
       .join(nt, "doc_id")
       .select(col("doc_id"), col("f"), expr("x * 1000 div n").as("xr"))
   }
@@ -337,10 +359,16 @@ object TextAnalysis {
     * the integer mean is bit-equal).
     */
   private[graft] def docTeacher(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(hash60(col("tok")) % ClassifierWeightMod).as("w_sum"))
+    docTeacherFromCounts(docTokenCounts(docs))
+
+  /** [[docTeacher]] over a pre-reduced [[docTokenCounts]] frame: the
+    * multiset sum Σ h(tok) becomes the count-weighted Σ c·h(tok) —
+    * the identical integer, so the gate is bit-equal.
+    */
+  private[graft] def docTeacherFromCounts(tc: DataFrame): DataFrame =
+    tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum((hash60(col("tok")) % ClassifierWeightMod) * col("c")).as("w_sum"))
       .select(col("doc_id"),
         (expr("w_sum div n_tokens") >= ClassifierWeightMod / 2)
           .cast("long").as("y"))
@@ -474,21 +502,40 @@ object TextAnalysis {
   private val classifierRatesCache = new graft.SessionCache[DataFrame]
   private val classifierFeatsCache = new graft.SessionCache[DataFrame]
   private val classifierTeachCache = new graft.SessionCache[DataFrame]
+  private val classifierTokCountsCache = new graft.SessionCache[DataFrame]
+
+  /** The shared [[docTokenCounts]] materialization behind the
+    * classifier-chain index build: [[classifierRates]] and
+    * [[classifierTeach]] both re-aggregate it, so the corpus explodes
+    * to tokens exactly once per build instead of once per builder
+    * (the r16 sf1 profile put rates at 22.9 s and teach at 20.7 s —
+    * two near-identical token passes). Session-persisted, NOT an
+    * IndexStore artifact: it is build-time scaffolding, dead weight
+    * once the two doc-grain artifacts exist (a warehouse restart
+    * resolves those directly and never recomputes this frame).
+    */
+  private[graft] def classifierTokCounts(spark: SparkSession, sfDir: String): DataFrame =
+    classifierTokCountsCache.getOrElseUpdate(spark, sfDir) {
+      docTokenCounts(Tables.documents(spark, sfDir))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
 
   /** The RAW per-mille rates ([[docRates]]) persisted train-once —
-    * the one corpus-grain featurization pass. Both centering variants
+    * the corpus-grain featurization artifact. Both centering variants
     * (all-corpus for [[classifierFeats]], train-split-frozen for
     * [[holdoutFeats]]) are bucket-grain re-aggregations + joins over
     * this artifact, so the corpus explodes to tokens exactly ONCE per
-    * index build instead of three times (all-feats, train-rates,
-    * all-rates-under-train-centering — the r15 solo profile put the
-    * classifier chain at 13.4 s of the sf0.1 critical path, most of
-    * it repeated featurization). docRates is doc-grain, so a split
-    * restriction of this frame IS the split's own featurization.
+    * index build — via the shared [[classifierTokCounts]] reduction,
+    * which the teacher builder also rides — instead of three times
+    * (all-feats, train-rates, all-rates-under-train-centering — the
+    * r15 solo profile put the classifier chain at 13.4 s of the sf0.1
+    * critical path, most of it repeated featurization). docRates is
+    * doc-grain, so a split restriction of this frame IS the split's
+    * own featurization.
     */
   private[graft] def classifierRates(spark: SparkSession, sfDir: String): DataFrame =
     classifierRatesCache.getOrElseUpdate(spark, sfDir) {
-      def build = docRates(Tables.documents(spark, sfDir))
+      def build = docRatesFromCounts(classifierTokCounts(spark, sfDir))
       // width-stamped like the rest of the family: f values are
       // bucket ids, so a differently-hashed stale table must rebuild
       graft.IndexStore.resolve(spark, sfDir,
@@ -530,7 +577,7 @@ object TextAnalysis {
   /** [[docTeacher]] persisted train-once next to [[classifierFeats]]. */
   private[graft] def classifierTeach(spark: SparkSession, sfDir: String): DataFrame =
     classifierTeachCache.getOrElseUpdate(spark, sfDir) {
-      def build = docTeacher(Tables.documents(spark, sfDir))
+      def build = docTeacherFromCounts(classifierTokCounts(spark, sfDir))
       graft.IndexStore.resolve(spark, sfDir, "classifier_teach", Some("doc_id"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }
@@ -666,18 +713,16 @@ object TextAnalysis {
     * the early warning a gate owner watches between retrains.
     *
     * Steady-state: the [[modelGate]] scan (persisted features +
-    * occupied-bucket broadcast join) plus ONE 10-bin ranking of
-    * doc-grain (dot, doc_id) pairs — a monitoring census, not a
-    * serving-path operator; a 100 TB deployment swaps the exact
-    * ntile for fixed dot cut-points off a sampled quantile sketch,
-    * same downstream shape.
+    * occupied-bucket broadcast join) plus the EXACT distributed
+    * equal-frequency binning of [[calibrationBinned]] — the only
+    * doc-grain exchange is the range repartition; no window, no
+    * doc-grain single-partition funnel (plan-pinned: the sole
+    * SinglePartition exchanges are the chain's 1-row scalar
+    * reductions, and at serving time even those resolve from the
+    * persisted artifacts).
     */
-  def classifierCalibration(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    modelGate(spark, sfDir)
-      .join(classifierTeach(spark, sfDir), "doc_id")
-      .withColumn("bin",
-        ntile(10).over(Window.orderBy(col("dot"), col("doc_id"))).cast("long"))
+  def classifierCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    calibrationBinned(spark, sfDir)
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
         count_if(col("y") === 1).as("n_rule_keep"),
@@ -685,7 +730,71 @@ object TextAnalysis {
         min(col("dot")).as("min_dot"),
         max(col("dot")).as("max_dot"),
         count_if(col("model_keep")).as("n_model_keep"))
-  }
+
+  private val calibrationBinnedCache = new graft.SessionCache[DataFrame]
+
+  /** The served-score frame range-partitioned and locally sorted by
+    * the ranking key — the distributed total order [[calibrationBinned]]
+    * ranks over, factored so the plan pin can assert the ONLY exchange
+    * is the range repartition (never a single-partition funnel).
+    */
+  private[graft] def calibrationSorted(spark: SparkSession, sfDir: String): DataFrame =
+    modelGate(spark, sfDir)
+      .join(classifierTeach(spark, sfDir), "doc_id")
+      .select(col("doc_id"), col("dot"), col("y"), col("model_keep"))
+      .repartitionByRange(col("dot"), col("doc_id"))
+      .sortWithinPartitions(col("dot"), col("doc_id"))
+
+  /** (doc_id, dot, y, model_keep, bin): every served document stamped
+    * with its exact equal-frequency decile — the rank pass behind
+    * [[classifierCalibration]], factored so the plan pin can inspect
+    * the binning shape. Exact DISTRIBUTED binning, no global window:
+    * range-partition + sort-within by (dot, doc_id), collect the
+    * per-partition row COUNTS (one bounded row per partition), then a
+    * per-partition pass stamps global rank = local rank + partition
+    * offset and folds the rank to its NTILE bin arithmetically (the
+    * first n mod 10 bins take one extra row). (dot, doc_id) is a
+    * total order, and an equal-frequency bin is a pure function of
+    * the global rank, so the bins are IDENTICAL to a global
+    * `ntile(10) OVER (ORDER BY dot, doc_id)` — without the
+    * single-partition sort an unpartitioned window plans: the only
+    * data exchange is the range repartition, and the sort runs
+    * per-partition at corpus/P rows. The frame is persisted before
+    * either pass because range bounds are SAMPLED from input order —
+    * two independent executions could split boundary rows across
+    * different partitions, and the count census must describe the
+    * same materialization the rank pass reads.
+    */
+  private[graft] def calibrationBinned(spark: SparkSession, sfDir: String): DataFrame =
+    calibrationBinnedCache.getOrElseUpdate(spark, sfDir) {
+      val sorted = calibrationSorted(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val cnts = sorted.rdd
+        .mapPartitionsWithIndex { case (p, it) => Iterator((p, it.size.toLong)) }
+        .collect().sortBy(_._1).map(_._2)
+      val n = cnts.sum
+      val offsets = cnts.scanLeft(0L)(_ + _).init
+      val q = n / 10              // small-bin size (ntile arithmetic:
+      val rem = n % 10            // the first n mod 10 bins hold q+1)
+      val bigSpan = rem * (q + 1) // ranks covered by the big bins
+      val qDiv = math.max(q, 1L)  // when n < 10 every rank is a big
+                                  // bin, so the q divisor never fires
+      val offB = spark.sparkContext.broadcast(offsets)
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "bin", org.apache.spark.sql.types.LongType, nullable = false))
+      val binned = sorted.rdd.mapPartitionsWithIndex { case (p, it) =>
+        var r = offB.value(p)
+        it.map { row =>
+          val bin =
+            if (r < bigSpan) r / (q + 1) + 1
+            else rem + (r - bigSpan) / qDiv + 1
+          r += 1
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bin)
+        }
+      }
+      spark.createDataFrame(binned, schema)
+    }
 
   private val holdoutModelCache = new graft.SessionCache[DataFrame]
   private val holdoutFeatsCache = new graft.SessionCache[DataFrame]
@@ -1896,6 +2005,26 @@ object TextAnalysis {
     }
   }
 
+  /** Initial symbol alphabet of a word, by CODE POINT — the unit the
+    * distributed trainer splits on (Spark's `substring`/`length`
+    * count code points, not UTF-16 units). A per-char split would
+    * break a supplementary character (emoji, CJK ext-B) into two
+    * lone-surrogate symbols: a DIFFERENT merge universe from the
+    * distributed loop's, and a corrupted [[Utf8Order]] tie-break
+    * (lone surrogates encode to '?' under getBytes(UTF_8)). Pinned by
+    * the non-BMP word in BpeLawsSpec's path-equality fixture.
+    */
+  private[graft] def codePointSymbols(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < w.length) {
+      val cc = Character.charCount(w.codePointAt(j))
+      out += w.substring(j, j + cc)
+      j += cc
+    }
+    out.toArray
+  }
+
   /** The in-memory batched round loop (see the trainer's INCREMENTAL
     * PAIR-COUNT MAINTENANCE note): per-word symbol buffers, a
     * differentially maintained (s1,s2)→count table, and an inverted
@@ -1918,7 +2047,7 @@ object TextAnalysis {
     val nws = new Array[Long](nW)
     var i = 0
     while (i < nW) {
-      syms(i) = words0(i)._1.map(_.toString).toArray
+      syms(i) = codePointSymbols(words0(i)._1)
       nws(i) = words0(i)._2
       i += 1
     }
@@ -1992,7 +2121,7 @@ object TextAnalysis {
         }
         val top = heap.dequeueAll.reverse // best-first under candOrd
         val used = scala.collection.mutable.Set.empty[String]
-        val picked = top.iterator.take(4 * want)
+        val picked = top.iterator
           .filter { case (s1, s2, _) =>
             // disjoint on the pair's symbols AND its merged string: a
             // later pick reading (or producing) a symbol another pick

@@ -156,14 +156,26 @@ class BpeLawsSpec extends AnyFunSuite {
     * top-(4·want) candidate over-fetch, same greedy disjoint take,
     * same simultaneous (pre, last) fold. Random corpora with a
     * 2-letter alphabet hit ties, runs, and multi-symbol partners
-    * constantly — exactly where a driver-side mirror drifts.
+    * constantly — exactly where a driver-side mirror drifts. The
+    * fixed non-BMP words pin the CODE-POINT symbol alphabet: a
+    * per-UTF-16-char split would break U+1F600 into two lone
+    * surrogates (a different merge universe than Spark's code-point
+    * `substring`), and mixing a supplementary code point with a
+    * U+E000.. private-use one exercises exactly the range where
+    * UTF-8 byte order and Java's UTF-16 order disagree on the
+    * tie-break.
     */
   test("in-memory batched loop == distributed batched loop, merge for merge") {
     val rnd = new scala.util.Random(16161616L)
+    // U+1F600 (UTF-8 F0.. / UTF-16 D83D..) vs U+E001 (UTF-8 EE.. /
+    // UTF-16 E001): UTF-8 orders the emoji AFTER the private-use
+    // char, UTF-16 before — their count-1 pair ties force the
+    // tie-break to choose between the two orders
+    val nonBmp = Seq("a\uD83D\uDE00b", "\uD83D\uDE00\uE001a", "\uE001b")
     for (case_ <- 1 to 3; batch <- Seq(1, 3)) {
-      val words = (1 to 6 + rnd.nextInt(8)).map { _ =>
+      val words = ((1 to 6 + rnd.nextInt(8)).map { _ =>
         (1 to 1 + rnd.nextInt(7)).map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
-      }.distinct
+      } ++ nonBmp).distinct
       val wf0 = words.map(w => w -> (1L + rnd.nextInt(3))).toMap
       val wfDf = wf0.toSeq.toDF("t", "n_w")
       def run(maxWords: Long) = graft.functions.TextAnalysis

@@ -605,6 +605,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"\n$plan")
   }
 
+  test("text_classifier_calibration: exact binning never funnels doc-grain rows into one partition") {
+    // every SinglePartition exchange in a plan must be a SCALAR
+    // reduction (global count / label mean — 1-row partial→final
+    // combines), never a doc-grain sort or window funnel: its parent
+    // within the tree print is a keyless HashAggregate (possibly
+    // through an AQE ShuffleQueryStage wrapper)
+    def assertOnlyScalarFunnels(plan: String): Unit = {
+      val lines = plan.split("\n")
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val above = lines.slice(math.max(0, i - 3), i).mkString("\n")
+          assert(above.contains("HashAggregate(keys=[]"),
+            s"SinglePartition exchange at line $i is not a scalar reduction:\n$plan")
+        }
+    }
+    // the rank pass behind the census: range-partition + local sort by
+    // the ranking key — the only doc-grain exchange is the range
+    // repartition, and nothing windows or globally sorts
+    val sorted = functions.TextAnalysis.calibrationSorted(spark, sf)
+    sorted.collect()
+    val sortedPlan = sorted.queryExecution.executedPlan.toString
+    assert(sortedPlan.contains("rangepartitioning(dot"), s"\n$sortedPlan")
+    assert(!sortedPlan.contains("Window"), s"\n$sortedPlan")
+    assertOnlyScalarFunnels(sortedPlan)
+    // the census itself: a 10-row aggregate over the stamped frame —
+    // no global window, no ntile (the global rank is local rank + a
+    // broadcast per-partition offset)
+    val df = SparkEntry.queries("text_classifier_calibration")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"\n$plan")
+    assert(!plan.contains("ntile"), s"\n$plan")
+    assertOnlyScalarFunnels(plan)
+  }
+
   test("retrieval_rrf_multi: both rank lists heap-trim before fusion; window input is bounded") {
     val df = SparkEntry.queries("retrieval_rrf_multi")(spark, sf)
     df.collect()
