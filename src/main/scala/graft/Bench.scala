@@ -181,9 +181,6 @@ object Bench {
     val indexWaves: Seq[Seq[(String, () => Unit)]] = Seq(
       Seq(
         // heavy roots first (LPT): measured solo order at sf0.1
-        // the ONE corpus token explode both classifier builders ride
-        // (build-time scaffolding, session-persisted — not an artifact)
-        "classifier_tok" -> (() => { functions.TextAnalysis.classifierTokCounts(spark, queryDir).count(); () }),
         "classifier_rates" -> (() => { functions.TextAnalysis.classifierRates(spark, queryDir).count(); () }),
         "classifier_teach" -> (() => { functions.TextAnalysis.classifierTeach(spark, queryDir).count(); () }),
         "classifier_model" -> (() => { functions.TextAnalysis.classifierModel(spark, queryDir).count(); () }),
@@ -254,15 +251,25 @@ object Bench {
       "dup_components_80" -> Seq("lsh_pairs"),
       "knn_cluster_labels" -> Seq("knn_edges"),
       "churn_forests" -> Seq("lsh_pairs", "dup_components_80"),
-      "classifier_rates" -> Seq("classifier_tok"),
-      "classifier_teach" -> Seq("classifier_tok"),
       "classifier_model" -> Seq("classifier_rates", "classifier_teach"),
       "classifier_holdout" -> Seq("dup_components_80", "classifier_model"))
     // SPARK_GRAFT_INDEX_PAR caps concurrent builders (dev profiling:
     // PAR=1 gives uncontended sequential per-builder seconds; the
-    // pooled walls include scheduler/codegen contention)
-    val idxPool = java.util.concurrent.Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_INDEX_PAR", "16").toInt)
+    // pooled walls include scheduler/codegen contention).
+    // The DEFAULT width is scale-adaptive — measured r17 sweep on one
+    // host, two reads per point: at sf0.1 width 16 beats 8
+    // (23.3/25.9 vs 27.1/28.1 s — small inputs are stage-latency
+    // bound, more in-flight builders amortize fixed latencies), at
+    // sf1 width 8 beats 16 (41.4 vs 53.1/53.4 s — large inputs are
+    // capacity bound and 16 concurrent 32-thread jobs oversubscribe
+    // local[32]; PAR=6 reads 42.3/44.0, PAR=10 46.5). The 2 MB cut is
+    // the midpoint of that measured decade on the input that
+    // dominates builder work (documents: 0.6 MB at sf0.1, 6 MB at sf1).
+    val idxPar = sys.env.getOrElse("SPARK_GRAFT_INDEX_PAR", {
+      val docBytes = new java.io.File(s"$sfDir/documents.parquet").length
+      if (docBytes > (2L << 20)) "8" else "16"
+    }).toInt
+    val idxPool = java.util.concurrent.Executors.newFixedThreadPool(idxPar)
     val idxEc = scala.concurrent.ExecutionContext.fromExecutor(idxPool)
     val para = scala.concurrent.ExecutionContext.parasitic
     val builders = indexWaves.flatten

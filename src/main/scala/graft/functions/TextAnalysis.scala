@@ -310,29 +310,36 @@ object TextAnalysis {
     * [[docTeacher]] folds it to the label; each is a pure function of
     * the multiset (count-weighted integer sums), so deriving both
     * from this frame is bit-identical to deriving each from its own
-    * token explode — while the corpus-width explode pays its exchange
-    * ONCE, at (doc, distinct-token) grain with map-side combine,
-    * instead of twice at raw token grain ([[classifierTokCounts]]
-    * shares the materialization across the two index builders).
+    * raw token explode — while every downstream hash and exchange
+    * runs at (doc, distinct-token) grain, a measured 2.3× reduction
+    * on the synthetic corpora (d/T = 0.43 at sf0.01 AND sf1). Left
+    * inline in each consumer's lineage, NOT materialized: an r17
+    * experiment that persisted it session-wide cut total work but
+    * SERIALIZED the index pool's critical path (tok 22.1 s → rates
+    * 8.2 s where the fused single job reads the reduction for free).
     */
   private[graft] def docTokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
 
   /** [[docRates]] over a pre-reduced [[docTokenCounts]] frame: the
-    * per-mille arithmetic is unchanged (x = Σc per bucket, n = Σc per
-    * doc — the same integers the raw-token pass counted).
+    * per-mille arithmetic is unchanged — x = Σc per bucket is the
+    * same integer the raw-token pass counted, and the token count n
+    * is read back off the bucket sums themselves (every token lands
+    * in exactly one bucket of EACH view, so Σ_f x = 2n identically)
+    * instead of a second pass over the counts: the x frame is the
+    * only aggregate, reused for its own per-doc total.
     */
   private[graft] def docRatesFromCounts(tc: DataFrame): DataFrame = {
-    val nt = tc.groupBy("doc_id").agg(sum(col("c")).as("n"))
-    tc
+    val xs = tc
       .select(col("doc_id"), col("c"), explode(array(
         hash60(col("tok")) % ClassifierBuckets,
         hash60(concat(col("tok"), lit(ClassifierSalt))) % ClassifierBuckets
           + ClassifierBuckets)).as("f"))
       .groupBy(col("doc_id"), col("f"))
       .agg(sum(col("c")).as("x"))
-      .join(nt, "doc_id")
+    val nt = xs.groupBy("doc_id").agg(expr("sum(x) div 2").as("n"))
+    xs.join(nt, "doc_id")
       .select(col("doc_id"), col("f"), expr("x * 1000 div n").as("xr"))
   }
 
@@ -502,32 +509,13 @@ object TextAnalysis {
   private val classifierRatesCache = new graft.SessionCache[DataFrame]
   private val classifierFeatsCache = new graft.SessionCache[DataFrame]
   private val classifierTeachCache = new graft.SessionCache[DataFrame]
-  private val classifierTokCountsCache = new graft.SessionCache[DataFrame]
-
-  /** The shared [[docTokenCounts]] materialization behind the
-    * classifier-chain index build: [[classifierRates]] and
-    * [[classifierTeach]] both re-aggregate it, so the corpus explodes
-    * to tokens exactly once per build instead of once per builder
-    * (the r16 sf1 profile put rates at 22.9 s and teach at 20.7 s —
-    * two near-identical token passes). Session-persisted, NOT an
-    * IndexStore artifact: it is build-time scaffolding, dead weight
-    * once the two doc-grain artifacts exist (a warehouse restart
-    * resolves those directly and never recomputes this frame).
-    */
-  private[graft] def classifierTokCounts(spark: SparkSession, sfDir: String): DataFrame =
-    classifierTokCountsCache.getOrElseUpdate(spark, sfDir) {
-      docTokenCounts(Tables.documents(spark, sfDir))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    }
 
   /** The RAW per-mille rates ([[docRates]]) persisted train-once —
     * the corpus-grain featurization artifact. Both centering variants
     * (all-corpus for [[classifierFeats]], train-split-frozen for
     * [[holdoutFeats]]) are bucket-grain re-aggregations + joins over
     * this artifact, so the corpus explodes to tokens exactly ONCE per
-    * index build — via the shared [[classifierTokCounts]] reduction,
-    * which the teacher builder also rides — instead of three times
-    * (all-feats, train-rates, all-rates-under-train-centering — the
+    * index build instead of three times (all-feats, train-rates, all-rates-under-train-centering — the
     * r15 solo profile put the classifier chain at 13.4 s of the sf0.1
     * critical path, most of it repeated featurization). docRates is
     * doc-grain, so a split restriction of this frame IS the split's
@@ -535,7 +523,7 @@ object TextAnalysis {
     */
   private[graft] def classifierRates(spark: SparkSession, sfDir: String): DataFrame =
     classifierRatesCache.getOrElseUpdate(spark, sfDir) {
-      def build = docRatesFromCounts(classifierTokCounts(spark, sfDir))
+      def build = docRates(Tables.documents(spark, sfDir))
       // width-stamped like the rest of the family: f values are
       // bucket ids, so a differently-hashed stale table must rebuild
       graft.IndexStore.resolve(spark, sfDir,
@@ -577,7 +565,7 @@ object TextAnalysis {
   /** [[docTeacher]] persisted train-once next to [[classifierFeats]]. */
   private[graft] def classifierTeach(spark: SparkSession, sfDir: String): DataFrame =
     classifierTeachCache.getOrElseUpdate(spark, sfDir) {
-      def build = docTeacherFromCounts(classifierTokCounts(spark, sfDir))
+      def build = docTeacher(Tables.documents(spark, sfDir))
       graft.IndexStore.resolve(spark, sfDir, "classifier_teach", Some("doc_id"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }
