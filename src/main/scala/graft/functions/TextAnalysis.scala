@@ -1758,18 +1758,38 @@ object TextAnalysis {
       val merges = bpeVocab(spark, sfDir)
         .orderBy(col("step")).collect()
         .map(r => (r.getString(1), r.getString(2)))
-      val vocab0 = Tables.documents(spark, sfDir)
+      val wordsDf = Tables.documents(spark, sfDir)
         .select(explode(words(col("text"))).as("t"))
         .filter(length(col("t")) >= 1).distinct()
-        .withColumn("syms", array_join(
+      // the encode relation is VOCABULARY grain — the same bound the
+      // trainer's collect rides. Under it, replay the frozen list in
+      // memory ([[bpeDriverEncodeSyms]]): the r17 full-depth gate
+      // measured the chunked path's 32k/16 = 2048 scheduler
+      // round-trips at 1543 s for a 50k-word table the replay loop
+      // encodes in ~2 s. Past the bound, the chunked distributed
+      // fold chain (bounded plan depth at any merge count) stands.
+      if (wordsDf.count() <= BpeDriverLoopMaxWords) {
+        val ws = wordsDf.collect().map(_.getString(0))
+        val enc = bpeDriverEncodeSyms(ws, merges.toSeq)
+        import org.apache.spark.sql.types._
+        val rows = ws.indices.map(i =>
+          org.apache.spark.sql.Row(ws(i), enc(i).length.toLong))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows),
+          StructType(Seq(
+            StructField("t", StringType, nullable = false),
+            StructField("n_syms", LongType, nullable = false))))
+      } else {
+        val vocab0 = wordsDf.withColumn("syms", array_join(
           expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
           BpeSep))
-      // merge folds stack as PROJECTIONS within a chunk (no exchange
-      // between them); past BpeEncodeChunk merges the fold
-      // re-materializes — bounded plan depth at any merge count
-      val encoded = bpeEncodeSyms(vocab0, merges.toSeq)
-      encoded.select(col("t"),
-        size(split(col("syms"), BpeSep)).cast("long").as("n_syms"))
+        // merge folds stack as PROJECTIONS within a chunk (no exchange
+        // between them); past BpeEncodeChunk merges the fold
+        // re-materializes — bounded plan depth at any merge count
+        bpeEncodeSyms(vocab0, merges.toSeq)
+          .select(col("t"),
+            size(split(col("syms"), BpeSep)).cast("long").as("n_syms"))
+      }
     }
     graft.IndexStore.resolve(spark, sfDir, "bpe_word_tokens", Some("t"))(build)
       .getOrElse(build)
@@ -2027,8 +2047,84 @@ object TextAnalysis {
     * order, greedy symbol-disjoint take, one simultaneous
     * (pre, last) fold pass per round.
     */
+  /** One (pre, last) fold pass of `pairs` over a symbol sequence —
+    * the in-memory mirror of [[bpeMergeFold]]'s left-to-right scan
+    * (a just-merged symbol keeps accumulating as the LEFT operand
+    * within the pass, exactly like the column expression's `last`),
+    * shared by the batched trainer and the replay encoder so the two
+    * fold semantics cannot drift.
+    */
+  private def foldSymbolsPass(
+      s: Array[String], pairs: Seq[(String, String)]): Array[String] = {
+    if (s.length < 2) s
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var last = s(0)
+      var j = 1
+      while (j < s.length) {
+        val x = s(j)
+        if (pairs.exists { case (s1, s2) => last == s1 && x == s2 })
+          last += x
+        else { out += last; last = x }
+        j += 1
+      }
+      out += last
+      out.toArray
+    }
+  }
+
+  /** Driver-side REPLAY ENCODER — [[bpeEncodeSyms]]'s chunked fold
+    * chain collapsed to one in-memory pass per merge over only the
+    * words whose symbol state contains that merge's pair (the batched
+    * trainer's inverted pair→words index, replaying a FROZEN list
+    * instead of learning one). Bit-identical by construction: each
+    * merge applies in training order as the same (pre, last) pass
+    * ([[foldSymbolsPass]] is shared with the trainer), and the index
+    * is a harmless superset — a stale entry replays a pair the word
+    * no longer contains, which the pass leaves unchanged. Pinned
+    * against the chunked encoder AND the plain-Scala reference fold
+    * (incl. non-BMP words) in BpeLawsSpec. The r17 full-depth gate
+    * (32k merges, 50k words) measured the chunked encoder at 1543 s —
+    * 2048 bounded-plan jobs of scheduler round-trips for a
+    * vocabulary-grain relation — which this loop replays in ~2 s;
+    * word tables past [[BpeDriverLoopMaxWords]] keep the distributed
+    * chunked path ([[bpeWordTokens]] switches on the measured count,
+    * the trainer's own collect rule).
+    */
+  private[graft] def bpeDriverEncodeSyms(
+      words: Array[String], merges: Seq[(String, String)])
+      : Array[Array[String]] = {
+    val nW = words.length
+    val syms = new Array[Array[String]](nW)
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    def register(w: Int): Unit = {
+      val s = syms(w)
+      var j = 0
+      while (j < s.length - 1) {
+        where.getOrElseUpdate((s(j), s(j + 1)),
+          scala.collection.mutable.BitSet.empty) += w
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < nW) {
+      syms(i) = codePointSymbols(words(i))
+      register(i)
+      i += 1
+    }
+    merges.foreach { pair =>
+      where.get(pair).foreach(_.foreach { w =>
+        syms(w) = foldSymbolsPass(syms(w), pair :: Nil)
+        register(w)
+      })
+    }
+    syms
+  }
+
   private[graft] def bpeDriverBatchedLoop(
-      words0: Array[(String, Long)], merges: Int, batch: Int)
+      words0: Array[(String, Long)], merges: Int, batch: Int,
+      onRound: Int => Unit = _ => ())
       : Seq[(Long, String, String, Long)] = {
     val nW = words0.length
     val syms = new Array[Array[String]](nW)
@@ -2057,25 +2153,8 @@ object TextAnalysis {
     }
     i = 0
     while (i < nW) { tally(i, 1L); i += 1 }
-    // mirror of bpeMergeFoldAll's (pre, last) pass: left-to-right, a
-    // just-merged symbol never re-participates within the pass
-    def foldWord(w: Int, pairs: Seq[(String, String)]): Unit = {
-      val s = syms(w)
-      if (s.length >= 2) {
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var last = s(0)
-        var j = 1
-        while (j < s.length) {
-          val x = s(j)
-          if (pairs.exists { case (s1, s2) => last == s1 && x == s2 })
-            last += x
-          else { out += last; last = x }
-          j += 1
-        }
-        out += last
-        syms(w) = out.toArray
-      }
-    }
+    def foldWord(w: Int, pairs: Seq[(String, String)]): Unit =
+      syms(w) = foldSymbolsPass(syms(w), pairs)
     val candOrd: Ordering[(String, String, Long)] =
       Ordering.by[(String, String, Long), Long](-_._3)
         .orElse(Ordering.by[(String, String, Long), String](_._1)(Utf8Order))
@@ -2086,6 +2165,7 @@ object TextAnalysis {
     var round = 0
     while (learned.size < merges && !exhausted) {
       round += 1
+      onRound(round)
       val want = math.min(batch, merges - learned.size)
       if (counts.isEmpty) exhausted = true // every word fully merged
       else {

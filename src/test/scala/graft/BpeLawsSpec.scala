@@ -286,4 +286,42 @@ class BpeLawsSpec extends AnyFunSuite {
     }.toMap
     assert(gotEnc === wantEnc)
   }
+
+  /** The r17 replay encoder (driver-side, inverted-index) against the
+    * chunked distributed fold chain it replaces under the
+    * vocabulary-grain bound: full SYMBOL SEQUENCES equal word for
+    * word, with the chunking engaged (merges > BpeEncodeChunk) and
+    * the non-BMP fixture words in the table (a per-UTF-16-char split
+    * in either path would diverge here).
+    */
+  test("driver replay encoder == chunked fold-chain encoder, symbol for symbol") {
+    val rnd = new scala.util.Random(20260817L)
+    val letters = "abcdef"
+    val nonBmp = Seq("a😀b", "😀a", "b")
+    val words = ((1 to 240).map(_ =>
+      (1 to 3 + rnd.nextInt(8)).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    ) ++ nonBmp).distinct
+    val wf0 = words.map(w => w -> (1L + rnd.nextInt(5))).toMap
+    val wfDf = wf0.toSeq.toDF("t", "n_w")
+    val mergeList = graft.functions.TextAnalysis
+      .bpeVocabBatchedFromWf(spark, wfDf, merges = 40, batch = 3)
+      .orderBy(col("step"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(mergeList.size > graft.functions.TextAnalysis.BpeEncodeChunk)
+
+    val vocab0 = words.toDF("t").select(col("t"),
+      org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.expr(
+          "transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
+        sep).as("syms"))
+    val chunked = graft.functions.TextAnalysis.bpeEncodeSyms(vocab0, mergeList)
+      .collect().map(r => r.getString(0) -> r.getString(1).split(sep, -1).toList)
+      .toMap
+    val wordsArr = words.toArray
+    val replayed = graft.functions.TextAnalysis
+      .bpeDriverEncodeSyms(wordsArr, mergeList)
+    val driver = wordsArr.indices
+      .map(i => wordsArr(i) -> replayed(i).toList).toMap
+    assert(driver === chunked)
+  }
 }

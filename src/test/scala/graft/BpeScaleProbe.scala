@@ -53,13 +53,52 @@ object BpeScaleProbe {
         s"position-diff=$posDiff/${exact.length} set-diff=$setDiff")
     }
 
+    // full-depth gate (r16 verdict #4): run the driver loop directly
+    // so the round count — and with it the number of every-64-round
+    // scratch-rederive checksums that FIRED (each is a loud require)
+    // — is part of the committed artifact, then rebuild the serving
+    // (word → n_syms) relation from the learned merges through the
+    // SAME chunked encoder bpeWordTokens ships
+    val words0 = wf.select(col("t"), col("n_w")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var rounds = 0
     val t0 = System.nanoTime()
-    val learned = TextAnalysis.bpeVocabBatchedFromWf(spark, wf, merges, batch)
-      .collect()
+    val learned = TextAnalysis.bpeDriverBatchedLoop(
+      words0, merges, batch, onRound = r => rounds = r)
     val wall = (System.nanoTime() - t0) / 1e9
     println(f"[probe] batched BPE: ${learned.length} merges " +
       f"(asked $merges, batch=$batch) in $wall%.1f s " +
-      f"(${wall / math.max(1, learned.length) * 1000}%.1f ms/merge)")
+      f"(${wall / math.max(1, learned.length) * 1000}%.1f ms/merge); " +
+      f"$rounds rounds, ${rounds / TextAnalysis.BpeRederiveEvery} " +
+      "rederive checksums fired (all required equal)")
+    // serving rebuild through BOTH encoder forms: the driver replay
+    // loop (what bpeWordTokens ships under the vocabulary-grain
+    // bound) and, behind arg 5 != 0, the chunked distributed fold
+    // chain (the >bound fallback — 2048 scheduler round-trips at 32k
+    // merges, measured 1543 s on this table, so off by default)
+    val mergeList = learned.map { case (_, s1, s2, _) => (s1, s2) }
+    val t1 = System.nanoTime()
+    val replayed = TextAnalysis.bpeDriverEncodeSyms(words0.map(_._1), mergeList)
+    val drvWall = (System.nanoTime() - t1) / 1e9
+    println(f"[probe] served rebuild (driver replay): ${replayed.length} " +
+      f"words -> ${replayed.iterator.map(_.length.toLong).sum} total " +
+      f"symbols in $drvWall%.1f s")
+    if (args.lift(4).exists(_ != "0")) {
+      val t2 = System.nanoTime()
+      val vocab0 = wf.select(col("t"))
+        .withColumn("syms", array_join(
+          expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
+          TextAnalysis.BpeSep))
+      val served = TextAnalysis.bpeEncodeSyms(vocab0, mergeList)
+        .select(col("t"),
+          size(split(col("syms"), TextAnalysis.BpeSep)).cast("long").as("n_syms"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("total_syms"))
+        .collect()(0)
+      val encWall = (System.nanoTime() - t2) / 1e9
+      println(f"[probe] served rebuild (chunked encoder, chunk=" +
+        f"${TextAnalysis.BpeEncodeChunk}): ${served.getLong(0)} words -> " +
+        f"${served.getLong(1)} total symbols in $encWall%.1f s")
+    }
     spark.stop()
   }
 }

@@ -67,11 +67,12 @@ object GdSweepProbe {
         .agg(count(lit(1)).as("n"),
           count_if((col("dot") >= col("thr")) === (col("y") === 1)).as("ok"))
         .withColumn("acc_pct", round(col("ok") * 100.0 / col("n"), 1))
+        .select("pass", "split", "acc_pct")
         .orderBy("pass", "split")
         .collect()
       rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).foreach { case (p, rs) =>
         val cells = rs.sortBy(_.getString(1)).map(r =>
-          s"${r.getString(1)}=${r.getDouble(3)}%").mkString("  ")
+          s"${r.getString(1)}=${r.getDouble(2)}%").mkString("  ")
         println(s"[probe] $label pass=$p  $cells")
       }
       allDense.unpersist()
