@@ -24,6 +24,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.warehouse.dir", s"$warehouse/catalog")
       .config("spark.sql.shuffle.partitions", cpus)
+      // FAIR scheduling with one pool per concurrent index builder
+      // (set thread-locally below): under the default FIFO, a
+      // latency-bound builder — bpe_vocab is ~200 sequential
+      // sub-second jobs — queues every tiny job behind whole 32-task
+      // shuffle stages of its pool neighbors, inflating it from a
+      // 3.5 s solo to 44-72 s in-pool at sf1 (r17 measurement).
+      // Undeclared pools share the cluster equally (weight 1), which
+      // is exactly the multi-tenant layout a real cluster runs its
+      // concurrent train-once builds under. Steady-state queries run
+      // one job at a time from one thread, so their numbers are
+      // unaffected by the mode.
+      .config("spark.scheduler.mode", "FAIR")
       // AQE ON — the Spark default and what every cluster deployment
       // runs (the hint-free joins in this library rely on it for the
       // SMJ→BHJ decision at real scale). Early rounds ran the bench
@@ -283,8 +295,12 @@ object Bench {
         .map(d => doneP(d).future)
         .foldLeft(Future.unit)((acc, d) => acc.flatMap(_ => d)(para))
       val f = gate.flatMap { _ => Future {
+        // one FAIR pool per builder (thread-local, cleared after:
+        // pool threads are reused) — see the scheduler.mode config
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"idx_$name")
         val t0 = System.nanoTime()
-        build()
+        try build()
+        finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] index $name: $sec%.3f s")
         idxSecs.put(name, sec)
