@@ -200,6 +200,7 @@ object Bench {
         "bpe_vocab" -> (() => { functions.TextAnalysis.bpeVocab(spark, queryDir).count(); () }),
         "dsir_model" -> (() => { operators.Advanced.dsirModel(spark, queryDir); () }),
         "ivf_index" -> (() => { ext.Similarity.ivfIndex(spark, queryDir); () }),
+        "ivf_base_index" -> (() => { ext.Similarity.ivfBaseIndex(spark, queryDir); () }),
         "emb_lsh_buckets" -> (() => { ext.Similarity.lshIndex(spark, queryDir); () }),
         "sem_cells" -> (() => { ext.Similarity.semAssigned(spark, queryDir).count(); () }),
         "tfidf_vocab" -> (() => { functions.TextAnalysis.vocabulary(spark, queryDir); () }),

@@ -1131,6 +1131,95 @@ object Similarity {
         round(col("col._2"), 6).as("score"))
   }
 
+  private val ivfBaseCache = new graft.SessionCache[(DataFrame, DataFrame)]
+
+  /** The LANDED-half IVF index — the [[ivfIndex]] recipe scoped to the
+    * even-vec_id half of the corpus (`emb_drift`'s epoch convention:
+    * even = landed, odd = arriving), persisted as its own train-once
+    * artifact pair so [[ivfIncremental]] can demonstrate index
+    * MAINTENANCE against a quantizer that was genuinely frozen before
+    * the tranche existed. Same storage rule as [[ivfIndex]]: the 1-row
+    * quantizer may live in memory, the inverted file is DISK_ONLY /
+    * cell-bucketed in the warehouse.
+    */
+  private[graft] def ivfBaseIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    ivfBaseCache.getOrElseUpdate(spark, sfDir) {
+      GraftFunctions.register(spark)
+      val landed = Tables.embeddings(spark, sfDir)
+        .filter(pmod(col("vec_id"), lit(2)) === 0)
+      def buildQuant = landed
+        .agg(graft.functions.CentroidAgg.centroids(
+          col("label").cast("long"), col("embedding")).as("raw"))
+        .select(transform(col("raw"), c =>
+          struct(c.getField("_1").as("cell"),
+            transform(c.getField("_3"),
+              s => round(s / c.getField("_2"), 6).cast("float")).as("cw"))).as("qcells"))
+      val quant = graft.IndexStore.resolve(spark, sfDir, "ivf_quantizer_base")(buildQuant)
+        .getOrElse(buildQuant
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      def buildAssigned = landed.crossJoin(broadcast(quant))
+        .select(col("vec_id"), col("embedding"),
+          get(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 1), lit(0))
+            .as("cell"))
+      val assigned =
+        graft.IndexStore.resolve(spark, sfDir, "ivf_inverted_base", Some("cell"))(
+          buildAssigned)
+        .getOrElse(buildAssigned
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      (quant, assigned)
+    }
+
+  /** Incremental IVF maintenance — the lifecycle step every deployed
+    * ANN index runs daily and [[ivfTopK]] alone cannot show: a tranche
+    * of ARRIVING vectors (odd vec_ids, the `emb_drift` epoch
+    * convention) is folded into the serving index by assigning it
+    * under the FROZEN coarse quantizer — one broadcast-join projection
+    * pass over the tranche only — and the query serves top-3 over
+    * base ∪ delta. No centroid retrain, no base re-scan, no index
+    * rebuild: at 100 TB the quantizer retrains on a schedule (weeks)
+    * while arrivals land continuously, so the maintenance path MUST be
+    * tranche-sized. Assignment is row-wise under a fixed quantizer, so
+    * base ∪ delta is bit-identical to a scratch one-pass assignment of
+    * the whole corpus under the same frozen cells (the maintenance
+    * law OperatorSpec pins); recall vs a fresh full-corpus quantizer
+    * degrades only as the arrival distribution drifts — which
+    * [[embDrift]] monitors, closing the retrain-trigger loop.
+    *
+    * Scale shape: the delta pass touches |tranche| rows against the
+    * broadcast ~|cells|-row quantizer (zero shuffle); serving probes
+    * [[NumProbe]] cells exactly like [[ivfTopK]]. The union introduces
+    * no exchange — both sides are cell-keyed and the probe join
+    * broadcasts the query side.
+    */
+  def ivfIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val (quant, base) = ivfBaseIndex(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val delta = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .crossJoin(broadcast(quant))
+      .select(col("vec_id"), col("embedding"),
+        get(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 1), lit(0))
+          .as("cell"))
+    val inverted = base.unionByName(delta)
+    val probes = emb.filter(col("vec_id") < NumQueryVecs)
+      .crossJoin(broadcast(quant))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(GraftFunctions.cellTopK(col("embedding"), col("qcells"), NumProbe))
+          .as("cell"))
+    inverted.join(broadcast(probes),
+        inverted("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        GraftFunctions.cosineSim(col("embedding"), col("q_emb")).as("score"))
+      .groupBy("query_id")
+      .agg(topK(3)(col("vec_id"), col("score")).as("hits"))
+      .select(col("query_id"), posexplode(col("hits")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("neighbor_id"),
+        round(col("col._2"), 6).as("score"))
+  }
+
   /** Int8 scalar quantization of the embedding column — the
     * compression step a billion-vector corpus applies before ANN
     * serving (the FAISS IVF-SQ8 shape): per-vector symmetric scale
@@ -2067,6 +2156,40 @@ object Similarity {
                    row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell ASC) AS rn
             FROM scoredc WHERE vec_id < $NumQueryVecs) WHERE rn <= $NumProbe)"""
 
+  /** [[IvfAssignCtes]] with the coarse quantizer FROZEN on the landed
+    * (even-vec_id) half — the oracle of [[ivfIncremental]]'s
+    * maintenance semantics. Only the centroid CTE is scoped; scoring /
+    * assignment / probing run over ALL vectors, which IS base ∪ delta
+    * because assignment under a fixed quantizer is row-wise.
+    */
+  private val IvfBaseAssignCtes =
+    s"""cent AS (
+          SELECT label, i AS pos,
+                 CAST(round(sum(CAST(embedding[i+1] AS DOUBLE)) / count(*), 6) AS FLOAT) AS cf
+          FROM embeddings, range($Dim) t(i)
+          WHERE vec_id % 2 = 0
+          GROUP BY label, i),
+        cells AS (SELECT label AS cell, list(cf ORDER BY pos) AS cw FROM cent GROUP BY label),
+        scoredc AS (
+          SELECT e.vec_id, cl.cell,
+                 list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(cl.cw[i+1] AS DOUBLE)
+                           for i in range(len(e.embedding))])
+                 / (sqrt(list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)
+                           for i in range(len(e.embedding))]))
+                    * sqrt(list_sum([CAST(cl.cw[i+1] AS DOUBLE) * CAST(cl.cw[i+1] AS DOUBLE)
+                           for i in range(len(cl.cw))]))) AS cscore
+          FROM embeddings e, cells cl),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell ASC) AS rn
+            FROM scoredc) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell ASC) AS rn
+            FROM scoredc WHERE vec_id < $NumQueryVecs) WHERE rn <= $NumProbe)"""
+
   val oracleSql: Map[String, String] = Map(
     "emb_pq_codes" ->
       s"""WITH $PqCodesCtes
@@ -2555,6 +2678,20 @@ object Similarity {
                           ORDER BY score DESC, neighbor_id ASC) AS rn
                 FROM scored)
           WHERE rn <= 3""",
+    "sim_ivf_incremental" ->
+      s"""WITH $IvfBaseAssignCtes,
+          scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id, $CosExpr AS score
+            FROM probes p
+            JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.query_id
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN embeddings c ON c.vec_id = a.vec_id)
+          SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+                 round(score, 6) AS score
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id ASC) AS rn
+                FROM scored)
+          WHERE rn <= 3""",
     "sim_ivf_topk" ->
       s"""WITH $IvfAssignCtes,
           scored AS (
@@ -2742,6 +2879,7 @@ object Similarity {
     "sim_triangle_census" -> triangleCensus _,
     "emb_incremental_neardup" -> embIncrementalNearDup _,
     "sim_ivf_topk" -> ivfTopK _,
+    "sim_ivf_incremental" -> ivfIncremental _,
     "emb_quantize" -> quantize _,
     "emb_covariance" -> covariance _,
     "sim_topk_sq8" -> sq8TopK _,

@@ -666,6 +666,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("sim_ivf_incremental: frozen-quantizer delta union equals a scratch full-corpus assignment") {
+    // the maintenance law: assignment under a FIXED quantizer is
+    // row-wise, so the served index (landed inverted file ∪ the
+    // tranche assigned under the frozen cells) must equal assigning
+    // the WHOLE corpus in one scratch pass under the same cells —
+    // i.e. folding arrivals in is lossless, not an approximation.
+    val (quant, base) = ext.Similarity.ivfBaseIndex(spark, sf)
+    def assignAll = Tables.embeddings(spark, sf).crossJoin(broadcast(quant))
+      .select(col("vec_id"),
+        get(GraftFunctions.cellTopK(col("embedding"), col("qcells"), 1), lit(0))
+          .as("cell"))
+    val scratch = assignAll.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val delta = assignAll.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val union = (base.select(col("vec_id"), col("cell")).collect() ++
+        delta.collect()).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(union === scratch)
+    // served shape: per query at most 3 hits, ranks contiguous from 1
+    val out = SparkEntry.queries("sim_ivf_incremental")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    assert(out.nonEmpty)
+    out.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1 to rows.length).map(_.toLong))
+    }
+  }
+
   test("decontaminate counts benchmark 5-gram overlap; clean and short docs score zero") {
     val dir = TestSpark.tmpDir("decon")
     Seq(
