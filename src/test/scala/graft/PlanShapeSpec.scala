@@ -222,6 +222,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val ivfExchanges = "Exchange hashpartitioning".r.findAllIn(ivf).length
     assert(ivfExchanges <= 3, s"\n$ivf")
     assert(!ivf.contains("Exchange hashpartitioning(vec_id"), s"\n$ivf")
+    // incremental maintenance keeps the same discipline: the tranche
+    // assignment is a broadcast-quantizer projection and the union
+    // introduces no exchange — the corpus never hash-exchanges here
+    // either, and the probe join stays broadcast
+    val inc = executedPlan("sim_ivf_incremental")
+    assert(inc.contains("BroadcastHashJoin"), s"\n$inc")
+    assert(!inc.contains("SortAggregate"), s"\n$inc")
+    assert(!inc.contains("Exchange hashpartitioning(vec_id"), s"\n$inc")
   }
 
   test("rolling time-window: one exchange on the partition key, RANGE frame") {
