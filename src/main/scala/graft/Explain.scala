@@ -30,12 +30,13 @@ object Explain {
     // through the persisted IndexStore tables of a prior Bench run
     // (pass the SAME dir as sfDir to hit the catalog path).
     sys.env.get("SPARK_GRAFT_WAREHOUSE").foreach { w =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.conf.set(Tables.CatalogDirKey, w)
-      // fresh index location: the in-memory catalog can't adopt a prior
-      // process's managed tables, and saveAsTable refuses a non-empty one
-      spark.conf.set(IndexStore.IndexDirKey,
-        s"$w/index_explain_${System.nanoTime()}")
+      // The bucketed fact tables (events/orders/lineitem) and the
+      // built index tables live in the BENCH process's in-memory
+      // catalog — a later session cannot see them, so ADOPT the
+      // existing on-disk layout as external tables (identical scan
+      // plans) instead of silently falling back to raw single-file
+      // scans that the bench never executes.
+      graft.BenchIngest.adopt(spark, sfDir, w)
     }
     // per-stage timing listener: SPARK_GRAFT_STAGES=true prints each
     // completed stage's wall time and task count during the runs below

@@ -1768,8 +1768,14 @@ object TextAnalysis {
       // round-trips at 1543 s for a 50k-word table the replay loop
       // encodes in ~2 s. Past the bound, the chunked distributed
       // fold chain (bounded plan depth at any merge count) stands.
-      if (wordsDf.count() <= BpeDriverLoopMaxWords) {
-        val ws = wordsDf.collect().map(_.getString(0))
+      // ONE action both decides the branch and collects (limit
+      // bound+1: a bound+1'th row proves overflow) — the previous
+      // count()-then-collect() shape re-ran the full explode+distinct
+      // shuffle twice just to pick the path (r17 ADVICE).
+      val capped = wordsDf
+        .limit((BpeDriverLoopMaxWords + 1).toInt).collect()
+      if (capped.length <= BpeDriverLoopMaxWords) {
+        val ws = capped.map(_.getString(0))
         val enc = bpeDriverEncodeSyms(ws, merges.toSeq)
         import org.apache.spark.sql.types._
         val rows = ws.indices.map(i =>
@@ -1986,7 +1992,12 @@ object TextAnalysis {
     * distinct words × ~100 B of symbol state ≈ a few hundred MB of
     * driver heap, the [[lsGradientTrain]] model-grain rule applied to
     * the tokenizer's word table (real pre-tokenized word tables are
-    * 10⁴–10⁶ rows). Past it the trainer falls back to the distributed
+    * 10⁴–10⁶ rows). The pair→words inverted index (trainer AND replay
+    * encoder) adds O(distinctPairs × nWords/8) of BitSet bytes on top
+    * of the symbol state — at this bound that is the larger term
+    * (~0.5 MB per distinct adjacent pair), so RAISING the ceiling
+    * must re-estimate the index, not just the symbols (r17 ADVICE).
+    * Past it the trainer falls back to the distributed
     * round loop, which learns the identical sequence (path-equality
     * law in BpeLawsSpec).
     */
@@ -2114,7 +2125,14 @@ object TextAnalysis {
       i += 1
     }
     merges.foreach { pair =>
-      where.get(pair).foreach(_.foreach { w =>
+      // SNAPSHOT the pair's word set before folding: register(w) can
+      // grow other pairs' BitSets (fine) but also this pair's if a
+      // fold ever left a residual occurrence — foldSymbolsPass's
+      // single (pre, last) pass leaves none today, yet iterating a
+      // BitSet that a future edit grows mid-iteration would be
+      // undefined, so the invariant is enforced structurally instead
+      // of assumed (r17 ADVICE).
+      where.get(pair).map(_.toArray).foreach(_.foreach { w =>
         syms(w) = foldSymbolsPass(syms(w), pair :: Nil)
         register(w)
       })
