@@ -300,8 +300,15 @@ object Similarity {
             greatest(col("mc"),
               GraftFunctions.cosineSim(col("embedding"), col("c_emb")))
               .as("mc"))
-      ).localCheckpoint(true, // corpus-sized ⇒ the storage-level rule
+      ).localCheckpoint(false, // corpus-sized ⇒ the storage-level rule
         org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // LAZY checkpoint (r18): the argmin pick below is a TakeOrdered
+      // over every partition of `next`, so ONE action both selects the
+      // farthest point and materializes the round's checkpoint blocks —
+      // the previous eager checkpoint paid a separate materialization
+      // job per round (2 driver round-trips per center instead of 1).
+      // The prior round's blocks are still released only AFTER the
+      // pick materializes `next` (which reads them).
       val pick = next
         .select(col("vec_id"), round(col("mc"), 9).as("mc"))
         .orderBy(col("mc").asc, col("vec_id").asc).limit(1)

@@ -1253,9 +1253,14 @@ object TextAnalysis {
     // exercised by the streaming refresh in `SketchRefresh`): max is
     // duplicate-insensitive, so both derivations are bit-identical.
     val byNg = ngramSourceSets(spark, sfDir)
+    // register-grain (|sources|×256) — materialized once so the
+    // __all__ union fold below reads a leaf instead of re-running the
+    // explode+max over the vocabulary index (same rationale as the
+    // [[hllOverlap]] register checkpoint, r18)
     val perSrc = byNg
       .select(col("j"), col("rho"), explode(col("srcs")).as("source"))
       .groupBy("source", "j").agg(max("rho").as("m"))
+      .localCheckpoint(true)
     // the __all__ union row re-maxes the per-source REGISTER TABLE —
     // the max-monoid mergeability law, never a second corpus pass
     val regs = perSrc.unionByName(
@@ -1332,10 +1337,20 @@ object TextAnalysis {
     // registers derive from the index's precomputed (j, ρ) exploded
     // per source — the same distinct frame a scan-direct derivation
     // folds (max over a set equals max over the multiset), bit-
-    // identical registers with zero query-time hashing
+    // identical registers with zero query-time hashing.
+    // MATERIALIZED ONCE (r18): six downstream subtrees consume the
+    // register table (per-source estimate, source grid, both union-
+    // register sides and their folds) and Catalyst planned each as an
+    // independent scan+explode+max over the vocabulary index — the
+    // r18 plan audit counted 11 index scans per run with zero
+    // exchange reuse. The frame is register-grain (|sources|×256
+    // rows), so an eager localCheckpoint pays one tiny job and every
+    // consumer reads a leaf (guide §2.4: share the pass, and §3.3:
+    // the pair-grid plan shrinks too).
     val regs = byNg
       .select(col("j"), col("rho"), explode(col("srcs")).as("source"))
       .groupBy("source", "j").agg(max("rho").as("m"))
+      .localCheckpoint(true)
     val est = hllEstimate(regs, Seq("source")).select("source", "est_hll")
     val srcs = regs.select("source").distinct()
     val pairs = srcs.select(col("source").as("src_a"))

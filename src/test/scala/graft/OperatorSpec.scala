@@ -365,6 +365,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(warmRounds <= coldRounds)
   }
 
+  test("warm quotient: delta-grain contraction == direct forest ∪ delta contraction") {
+    import spark.implicits._
+    // prior world: clusters {1,2,3}, {10,11}, singleton {20}, and
+    // vertex 30 absent from the prior graph entirely
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val prior = ext.Dedup.starComponents(oldPairs)._1
+      // add prior singleton self labels (a real prior index has them):
+      // 20 is touched by the delta below, 21 is not
+      .unionByName(Seq((20L, 20L), (21L, 21L)).toDF("v", "comp"))
+    // delta: bridges the two clusters via new doc 100, touches the old
+    // singleton 20 via new doc 101, pairs prior-absent old doc 30 with
+    // new doc 102, and a new-new only pair (103, 104)
+    val newPairs = Seq((3L, 100L), (11L, 100L), (20L, 101L), (30L, 102L),
+      (103L, 104L)).toDF("doc_a", "doc_b")
+    val direct = ext.Dedup.starComponents(
+      prior.filter(col("v") =!= col("comp"))
+        .select(col("v").as("doc_a"), col("comp").as("doc_b"))
+        .unionByName(newPairs))._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quotient = ext.Dedup.warmQuotient(prior, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quotient === direct)
+    // and the merged bridge resolves to the global min id
+    assert(quotient.contains((100L, 1L)) && quotient.contains((11L, 1L)))
+    // the touched prior singleton joins its delta component; the
+    // untouched one stays OUT of the warm graph (the vertex-set
+    // contract of the direct contraction)
+    assert(quotient.contains((20L, 20L)) && quotient.contains((101L, 20L)))
+    assert(!quotient.exists(_._1 == 21L) && !direct.exists(_._1 == 21L))
+  }
+
   test("allpairs-exact core: hot keys stay complete, threshold boundary is >=") {
     // 10 docs sharing one corpus-hot element (everything else unique):
     // pairwise J = 1/9, no output rows — and rarest-first ordering puts
