@@ -449,7 +449,14 @@ object Dedup {
 
   private[graft] def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
     winnowCache.getOrElseUpdate(spark, sfDir) {
-      def build = graft.functions.TextAnalysis.winnow(spark, sfDir)
+      // df attached at build exactly like [[explodedShingleHashes]]
+      // (r18): [[winnowPairs]] filters the scanned column instead of
+      // re-running a fingerprint census + anti-join per query
+      def build = {
+        val fp = graft.functions.TextAnalysis.winnow(spark, sfDir)
+        fp.join(fp.groupBy("fingerprint").agg(count(lit(1)).as("df")),
+          "fingerprint")
+      }
       graft.IndexStore.resolve(spark, sfDir, "winnow_fp", Some("fingerprint"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }
@@ -471,11 +478,10 @@ object Dedup {
     * rows.
     */
   def winnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = winnowFingerprints(spark, sfDir)
-    val hot = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
-      .filter(col("df") > WinnowDfCap)
-      .select("fingerprint")
-    val kept = fp.join(hot, Seq("fingerprint"), "left_anti")
+    // df rides the persisted index (attached at build) — the cap is a
+    // scanned-column filter, not a per-query census + anti-join
+    val kept = winnowFingerprints(spark, sfDir)
+      .filter(col("df") <= WinnowDfCap)
     val l = kept.select(col("fingerprint"), col("doc_id").as("doc_a"))
     val r = kept.select(col("fingerprint").as("fp_r"), col("doc_id").as("doc_b"))
     l.join(r, col("fingerprint") === col("fp_r") && col("doc_a") < col("doc_b"))
