@@ -134,10 +134,14 @@ object Dedup {
         // recallEval truth side) previously re-ran a corpus-grain
         // census + anti-join PER QUERY to find hot shingles — a full
         // pass over the exploded index each time (guide §1.2: the
-        // index should carry what every consumer recomputes). Both
-        // census and join key on h, so the build pays one reused
-        // exchange; consumers filter a scanned column instead.
-        ex.join(ex.groupBy("h").agg(count(lit(1)).as("df")), "h")
+        // index should carry what every consumer recomputes). df is a
+        // count-over-window on the SAME hash(h) clustering (and h
+        // sort) the bucketed index write needs anyway — one explode,
+        // one exchange, no self-join (a census+join form measured the
+        // sf1 build 6× slower: two extra corpus-grain exchanges and a
+        // doubled explode).
+        ex.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("h")))
           .select("doc_id", "sz", "h", "df")
       }
       graft.IndexStore.resolve(spark, sfDir, "shingle_hashes", Some("h"))(build)
@@ -451,12 +455,13 @@ object Dedup {
     winnowCache.getOrElseUpdate(spark, sfDir) {
       // df attached at build exactly like [[explodedShingleHashes]]
       // (r18): [[winnowPairs]] filters the scanned column instead of
-      // re-running a fingerprint census + anti-join per query
-      def build = {
-        val fp = graft.functions.TextAnalysis.winnow(spark, sfDir)
-        fp.join(fp.groupBy("fingerprint").agg(count(lit(1)).as("df")),
-          "fingerprint")
-      }
+      // re-running a fingerprint census + anti-join per query; the
+      // count-over-window rides the same hash(fingerprint) clustering
+      // the bucketed write needs anyway
+      def build =
+        graft.functions.TextAnalysis.winnow(spark, sfDir)
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
       graft.IndexStore.resolve(spark, sfDir, "winnow_fp", Some("fingerprint"))(build)
         .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     }

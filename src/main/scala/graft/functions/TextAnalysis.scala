@@ -1663,10 +1663,16 @@ object TextAnalysis {
     * re-materializes the symbol table: each [[bpeMergeFold]] is one
     * nested `aggregate()` expression, so an unbounded stack blows
     * Catalyst plan size (and codegen) at tokenizer-realistic merge
-    * counts — 16 keeps the 10-merge oracle regime on the identical
-    * single-chunk plan while bounding depth at any N.
+    * counts. The 10-merge oracle regime stays on the identical
+    * single-chunk plan at any value ≥ 10; the >4M-word fallback's
+    * wall is SCHEDULER round-trips (r17 full-depth gate: 32k/16 =
+    * 2048 jobs × ~0.75 s ≈ 1543 s, compute a small fraction), so the
+    * chunk is sized to the largest stack that still plans/compiles
+    * cleanly — 64 cuts the job count 4× (r18, VERDICT #6; measured in
+    * scaling_r18/bpe_fallback_chunk64.json, equality law in
+    * BpeLawsSpec unchanged).
     */
-  private[graft] val BpeEncodeChunk = 16
+  private[graft] val BpeEncodeChunk = 64
 
   /** Fold a learned merge list into a symbol-string column, plan-depth
     * bounded: merges apply in training order as stacked projections
@@ -1783,14 +1789,20 @@ object TextAnalysis {
       // round-trips at 1543 s for a 50k-word table the replay loop
       // encodes in ~2 s. Past the bound, the chunked distributed
       // fold chain (bounded plan depth at any merge count) stands.
-      // ONE action both decides the branch and collects (limit
-      // bound+1: a bound+1'th row proves overflow) — the previous
-      // count()-then-collect() shape re-ran the full explode+distinct
-      // shuffle twice just to pick the path (r17 ADVICE).
-      val capped = wordsDf
-        .limit((BpeDriverLoopMaxWords + 1).toInt).collect()
-      if (capped.length <= BpeDriverLoopMaxWords) {
-        val ws = capped.map(_.getString(0))
+      // ONE computation of the explode+distinct shuffle serves both
+      // the branch decision and the collect (r17 ADVICE): the word
+      // table persists (vocabulary-grain, bounded by the branch
+      // itself), count() picks the path, the driver branch collects
+      // from the cache. (A limit(bound+1).collect() form was tried
+      // first and measured WORSE in-pool: CollectLimit's incremental
+      // partition scale-up turns one action into up to four
+      // sequential jobs — r18 sf1 gate.)
+      val wordsMat = wordsDf.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nWords = wordsMat.count()
+      if (nWords <= BpeDriverLoopMaxWords) {
+        val ws = wordsMat.collect().map(_.getString(0))
+        wordsMat.unpersist(blocking = false)
         val enc = bpeDriverEncodeSyms(ws, merges.toSeq)
         import org.apache.spark.sql.types._
         val rows = ws.indices.map(i =>
@@ -1801,6 +1813,11 @@ object TextAnalysis {
             StructField("t", StringType, nullable = false),
             StructField("n_syms", LongType, nullable = false))))
       } else {
+        // >bound: release the branch-decision cache before the chunked
+        // fold chain (its first chunk re-derives the word table once —
+        // the pre-r18 behavior — instead of pinning >4M cached rows
+        // for the chain's whole lifetime)
+        wordsMat.unpersist(blocking = false)
         val vocab0 = wordsDf.withColumn("syms", array_join(
           expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))"),
           BpeSep))

@@ -303,8 +303,11 @@ class BpeLawsSpec extends AnyFunSuite {
     ) ++ nonBmp).distinct
     val wf0 = words.map(w => w -> (1L + rnd.nextInt(5))).toMap
     val wfDf = wf0.toSeq.toDF("t", "n_w")
+    // merges > BpeEncodeChunk (64 as of r18) so the chunking genuinely
+    // engages — the assert below keeps this law honest if the chunk
+    // size is ever raised again
     val mergeList = graft.functions.TextAnalysis
-      .bpeVocabBatchedFromWf(spark, wfDf, merges = 40, batch = 3)
+      .bpeVocabBatchedFromWf(spark, wfDf, merges = 80, batch = 3)
       .orderBy(col("step"))
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     assert(mergeList.size > graft.functions.TextAnalysis.BpeEncodeChunk)
