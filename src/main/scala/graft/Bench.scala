@@ -12,6 +12,35 @@ import org.apache.spark.sql.SparkSession
   * measure an empty scan.)
   */
 object Bench {
+
+  /** Fixed membership of the compact stdout contract line — exactly
+    * the names the r18 line carried, in its cost order, so the
+    * driver's round-over-round diff sees a stable set (an absent
+    * entry can only be a real drop, never cost-rank churn). Queries
+    * outside this set are still reported on the full contract line
+    * and in the committed artifact.
+    */
+  private[graft] val CompactPinned: Seq[String] = Seq(
+    "phase_index_build", "dedup_components_warm", "corpus_release_gated_card",
+    "q16_part_supplier", "stats_hll_overlap", "emb_kcenter_coreset",
+    "corpus_prep_gated", "corpus_prep_full", "text_classifier_train",
+    "basket_pairs", "sim_label_prop", "sim_recall_eval", "stats_bootstrap",
+    "q21_late_supplier", "events_hll_cube", "stats_hll_ngrams",
+    "text_boilerplate_spans", "corpus_drop_reasons", "dedup_lsh_sweep",
+    "sim_lexsem_agreement", "q20_potential_promotion", "tfidf_doc_terms",
+    "dedup_source_overlap", "q11_value_concentration", "events_rolling_dau",
+    "text_bigram_logprob", "q9_profit_by_nation", "sample_dsir",
+    "text_classifier_holdout", "dedup_recall_eval", "q10_returned_items",
+    "dedup_winnow_pairs", "dedup_graph_rank", "retrieval_rrf_multi",
+    "text_heavy_hitters", "stats_mannwhitney", "stats_countmin",
+    "corpus_prep_best", "stats_ks_test", "text_ngram_profile",
+    "q2_min_supplier", "q17_small_quantity", "sim_lexsem_calibration",
+    "semdedup", "q7_volume_shipping", "q3_shipping_priority",
+    "sim_triangle_census", "q15_top_supplier", "decontaminate_bloom",
+    "text_oov_rate", "corpus_release_card", "decontaminate",
+    "q8_market_share", "text_hash_features", "q1_pricing_summary",
+    "dedup_ngram_jaccard", "agg_rollup")
+
   def main(args: Array[String]): Unit = {
     // both JSON outputs are built with f"%.3f" interpolators, which
     // format through the default locale — a comma-decimal locale would
@@ -162,6 +191,10 @@ object Bench {
         "bm25_scores" -> (() => { functions.Retrieval.bm25Scores(spark, queryDir).count(); () }),
         "bloom_bitmap" -> (() => { ext.Dedup.bloomIndex(spark, queryDir); () }),
         "sq8_codes" -> (() => { ext.Similarity.sq8Index(spark, queryDir); () }),
+        // the release pipeline's contamination verdicts — computed
+        // once per (corpus, benchmark) release, read by every
+        // corpus_prep/release-card consumer (r19, VERDICT #5)
+        "contam_counts" -> (() => { ext.Dedup.contamCounts(spark, queryDir).count(); () }),
         "user_triples" -> (() => { operators.EventAnalytics.userTriples(spark, queryDir).count(); () })),
       // derived builders — each declares its upstream edges in
       // idxDeps below and starts the moment those complete
@@ -364,13 +397,21 @@ object Bench {
     // train-once phase builder-by-builder across rounds
     println(
       f"""{"metric":"total_query_seconds","value":$total%.3f,"unit":"sec","queries":$qs,"index_seconds":$indexJson,"sf":"$sfDir"}""")
-    // compact line: most-expensive-first entries under a 1500-char map
-    // budget (line stays well inside the driver's 2000-char tail even
-    // with sbt's epilogue after it)
-    val byCost = (results :+ ("phase_index_build" -> indexBuildSec))
-      .sortBy { case (_, v) => -v }
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-    val budgeted = byCost.foldLeft(List.empty[String]) { (acc, e) =>
+    // compact line: PINNED membership (r19) — the round-over-round
+    // PERF diff keys off whichever names appear here, so the old
+    // most-expensive-first selection manufactured phantom
+    // "dropped_from_bench"/"new_in_bench" entries every round as
+    // queries crossed the cost cut-line (r18: four of each, all
+    // phantom). Membership is now the FIXED set the r18 contract line
+    // carried (57 names, ~1490 chars with 3-decimal values — inside
+    // the driver's ~2000-char tail window with sbt's epilogue), so a
+    // missing entry can only mean an actual drop. Every other query
+    // still rides the full line + committed artifact above. The
+    // 1500-char budget stays as a backstop against value-width drift.
+    val resMap = (results :+ ("phase_index_build" -> indexBuildSec)).toMap
+    val pinned = CompactPinned.filter(resMap.contains)
+      .map(k => "\"" + k + "\":" + f"${resMap(k)}%.3f")
+    val budgeted = pinned.foldLeft(List.empty[String]) { (acc, e) =>
       if ((acc.map(_.length + 1).sum + e.length) <= 1500) e :: acc else acc
     }.reverse.mkString("{", ",", "}")
     println(

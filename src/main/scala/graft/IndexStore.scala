@@ -35,6 +35,14 @@ object IndexStore {
     */
   val AdoptOrphansKey = "spark.graft.indexAdoptOrphans"
 
+  /** Bucket count every persisted index table uses — public so a
+    * build that must cluster by the bucket key anyway (e.g. the
+    * shingle/winnow df-census join) can pre-partition identically and
+    * pass `prePartitioned = true` instead of paying a redundant
+    * re-shuffle of the same rows on write.
+    */
+  val DefaultBuckets = 32
+
   private val Db = "graft_index"
 
   private def sanitize(s: String): String =
@@ -47,7 +55,8 @@ object IndexStore {
     */
   def resolve(
       spark: SparkSession, sfDir: String, name: String,
-      bucketCol: Option[String] = None, nBuckets: Int = 32)(
+      bucketCol: Option[String] = None, nBuckets: Int = DefaultBuckets,
+      prePartitioned: Boolean = false)(
       build: => DataFrame): Option[DataFrame] =
     spark.conf.getOption(IndexDirKey).map { dir =>
       Warehouse.attach(spark, Db, dir)
@@ -77,8 +86,12 @@ object IndexStore {
         // layout at sf0.1. Same discipline as Bench's fact-table ingest.
         bucketCol match {
           case Some(c) =>
-            build.repartition(nBuckets, org.apache.spark.sql.functions.col(c))
-              .write.bucketBy(nBuckets, c).sortBy(c).saveAsTable(tbl)
+            // a build that already ends in repartition(nBuckets, c)
+            // (prePartitioned) skips the redundant re-shuffle
+            val clustered =
+              if (prePartitioned) build
+              else build.repartition(nBuckets, org.apache.spark.sql.functions.col(c))
+            clustered.write.bucketBy(nBuckets, c).sortBy(c).saveAsTable(tbl)
           case None => build.write.saveAsTable(tbl)
         }
       }

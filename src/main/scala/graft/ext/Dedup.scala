@@ -125,27 +125,49 @@ object Dedup {
       // shingle_hashes is the native one-pass kernel — see
       // expressions/ShingleHashes.scala for the equivalence proof vs
       // the declarative transform/array_join/xxhash64 composition.
+      // Attach each shingle's document frequency AT BUILD TIME (r18):
+      // the df-capped consumers (ngramJaccard, containmentPairs, the
+      // recallEval truth side) previously re-ran a corpus-grain
+      // census + anti-join PER QUERY to find hot shingles — a full
+      // pass over the exploded index each time (guide §1.2: the
+      // index should carry what every consumer recomputes).
+      // SKEW-GUARDED form (r19, guide §2.2/§2.5): r18 computed df as
+      // count(1) OVER (PARTITION BY h), which buffers every row of
+      // one shingle hash in a single task's window group — a
+      // stopword-grade hot shingle at 100 TB is millions of rows in
+      // one window buffer/spill, where a groupBy census is
+      // partial-aggregated map-side with constant per-key state.
+      // The census+join form needs the exploded frame TWICE; naive
+      // recomputation doubles the shingle-kernel pass (measured 6×
+      // slower at sf1 in r18), and exchange-subtree reuse dies to
+      // column pruning (the census branch plans a narrower scan → no
+      // ReusedExchange). So PERSIST the exploded frame once
+      // (DISK_ONLY — corpus-sized, the storage-level rule; released
+      // after the warehouse write), census from the cache (map-side
+      // partials → the exchange carries per-partition distinct h,
+      // never corpus rows), join back on the cache riding the explicit
+      // hash(h) clustering the bucketed write needs anyway
+      // (prePartitioned). The hot key costs a streaming count + hash
+      // probe, never a buffer.
+      val exM = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+        .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       def build = {
-        val ex = Tables.documents(spark, sfDir)
-          .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
-          .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
-        // Attach each shingle's document frequency AT BUILD TIME (r18):
-        // the df-capped consumers (ngramJaccard, containmentPairs, the
-        // recallEval truth side) previously re-ran a corpus-grain
-        // census + anti-join PER QUERY to find hot shingles — a full
-        // pass over the exploded index each time (guide §1.2: the
-        // index should carry what every consumer recomputes). df is a
-        // count-over-window on the SAME hash(h) clustering (and h
-        // sort) the bucketed index write needs anyway — one explode,
-        // one exchange, no self-join (a census+join form measured the
-        // sf1 build 6× slower: two extra corpus-grain exchanges and a
-        // doubled explode).
-        ex.withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("h")))
-          .select("doc_id", "sz", "h", "df")
+        val census = exM.groupBy("h").agg(count(lit(1)).as("df"))
+        exM.repartition(graft.IndexStore.DefaultBuckets, col("h"))
+          .join(census, Seq("h")).select("doc_id", "sz", "h", "df")
       }
-      graft.IndexStore.resolve(spark, sfDir, "shingle_hashes", Some("h"))(build)
-        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      graft.IndexStore.resolve(spark, sfDir, "shingle_hashes", Some("h"),
+          prePartitioned = true)(build) match {
+        case Some(table) =>
+          // the warehouse table is written (or already existed): the
+          // scratch cache has served its one build and is released
+          exM.unpersist()
+          table
+        case None =>
+          build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      }
     }
 
   def ngramJaccard(spark: SparkSession, sfDir: String,
@@ -453,17 +475,27 @@ object Dedup {
 
   private[graft] def winnowFingerprints(spark: SparkSession, sfDir: String): DataFrame =
     winnowCache.getOrElseUpdate(spark, sfDir) {
-      // df attached at build exactly like [[explodedShingleHashes]]
-      // (r18): [[winnowPairs]] filters the scanned column instead of
-      // re-running a fingerprint census + anti-join per query; the
-      // count-over-window rides the same hash(fingerprint) clustering
-      // the bucketed write needs anyway
-      def build =
-        graft.functions.TextAnalysis.winnow(spark, sfDir)
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
-      graft.IndexStore.resolve(spark, sfDir, "winnow_fp", Some("fingerprint"))(build)
-        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+      // df attached at build exactly like [[explodedShingleHashes]]:
+      // [[winnowPairs]] filters the scanned column instead of
+      // re-running a fingerprint census + anti-join per query. Same
+      // r19 skew guard as the shingle index: persist the fingerprint
+      // frame once, partial-agg census from the cache, join back
+      // riding the bucketed write's hash(fingerprint) clustering — no
+      // per-key window buffer, no doubled winnow pass.
+      val fpM = graft.functions.TextAnalysis.winnow(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      def build = {
+        val census = fpM.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+        fpM.repartition(graft.IndexStore.DefaultBuckets, col("fingerprint"))
+          .join(census, Seq("fingerprint"))
+          .select("doc_id", "fingerprint", "df")
+      }
+      graft.IndexStore.resolve(spark, sfDir, "winnow_fp", Some("fingerprint"),
+          prePartitioned = true)(build) match {
+        case Some(table) => fpM.unpersist(); table
+        case None =>
+          build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      }
     }
 
   /** Partial-overlap near-dup pairs over WINNOWING fingerprints
@@ -559,6 +591,28 @@ object Dedup {
       .agg(count(col("hit")).cast("int").as("n_contaminated"))
       .select("doc_id", "n_shingles", "n_contaminated")
   }
+
+  /** The release pipeline's TRAIN-ONCE view of [[decontaminate]] —
+    * (doc_id, n_shingles, n_contaminated) verdicts, memoized
+    * in-session and warehouse-persisted bucketed on doc_id under
+    * [[graft.IndexStore.IndexDirKey]], exactly like [[dupComponents]]:
+    * a production release computes its contamination census once per
+    * (corpus, benchmark) and every release-side consumer
+    * ([[graft.operators.Advanced.corpusPrepFull]] / `corpusPrepGated`
+    * / `corpusDropReasons` and both release cards) reads the persisted
+    * verdicts instead of re-running the corpus-grain shingle pass per
+    * query (guide §1.2/§2.4 — r19, VERDICT #5). The declared
+    * `decontaminate` query itself still computes the live operator —
+    * it IS the census; this artifact is its once-per-release output.
+    */
+  private val contamCache = new graft.SessionCache[DataFrame]
+
+  private[graft] def contamCounts(spark: SparkSession, sfDir: String): DataFrame =
+    contamCache.getOrElseUpdate(spark, sfDir) {
+      def build = decontaminate(spark, sfDir)
+      graft.IndexStore.resolve(spark, sfDir, "contam_counts", Some("doc_id"))(build)
+        .getOrElse(build.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
 
   /** Span width (tokens) for [[spanDedup]]. */
   private val SpanTokens = 16
@@ -1439,8 +1493,17 @@ object Dedup {
         .join(m, Seq("v"), "left")
         .select(col("v"), coalesce(col("m"), col("v")).as("m")))
       .distinct()
+    // the warm forest ends in an eagerly materialized LEAF — the same
+    // contract [[starComponents]] keeps (labels.localCheckpoint(true)):
+    // consumers (the churn census unions four forests and joins them;
+    // the bench noop-saves the warm labels) must see `Scan
+    // ExistingRDD`, never a live fold-back plan that re-executes the
+    // corpus-grain joins on every downstream action (r18 shipped the
+    // live plan and regressed dedup_components_warm 1.84→2.55 s while
+    // breaking the split_assignment_churn ≤1-shuffle-join pin)
     verts.join(qlab, Seq("m"), "left")
       .select(col("v"), coalesce(col("qcomp"), col("m")).as("comp"))
+      .localCheckpoint(true)
   }
 
   private val priorComponentCache = new graft.SessionCache[DataFrame]

@@ -1669,8 +1669,8 @@ object TextAnalysis {
     * 2048 jobs × ~0.75 s ≈ 1543 s, compute a small fraction), so the
     * chunk is sized to the largest stack that still plans/compiles
     * cleanly — 64 cuts the job count 4× (r18, VERDICT #6; measured in
-    * scaling_r18/bpe_fallback_chunk64.json, equality law in
-    * BpeLawsSpec unchanged).
+    * scaling_r19/bpe_fallback_chunk64.json via [[graft.BpeChunkAb]],
+    * equality law in BpeLawsSpec unchanged).
     */
   private[graft] val BpeEncodeChunk = 64
 
@@ -1687,9 +1687,13 @@ object TextAnalysis {
     * result as a train-once artifact anyway ([[bpeWordTokens]]).
     */
   private[graft] def bpeEncodeSyms(
-      vocab0: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+      vocab0: DataFrame, merges: Seq[(String, String)],
+      chunkSize: Int = BpeEncodeChunk): DataFrame = {
+    // chunkSize is an override for the committed chunk-size A/B
+    // (scaling_r19/bpe_fallback_chunk64.json); production always
+    // folds at [[BpeEncodeChunk]]
     val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
-    val chunks = merges.grouped(BpeEncodeChunk).toSeq
+    val chunks = merges.grouped(chunkSize).toSeq
     var state = vocab0
     var free: () => Unit = () => ()
     chunks.zipWithIndex.foreach { case (chunk, i) =>

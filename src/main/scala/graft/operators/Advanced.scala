@@ -847,7 +847,7 @@ object Advanced {
     * per-stage-consumer.
     */
   def corpusPrepFull(spark: SparkSession, sfDir: String): DataFrame = {
-    val contaminated = graft.ext.Dedup.decontaminate(spark, sfDir)
+    val contaminated = graft.ext.Dedup.contamCounts(spark, sfDir)
       .filter(col("n_contaminated") * ContamPerMilleNum > col("n_shingles"))
       .select("doc_id")
     corpusPrepCc(spark, sfDir)
@@ -880,7 +880,7 @@ object Advanced {
     val losers = graft.ext.Dedup.dupComponents(spark, sfDir, 0.8)
       .filter(col("v") =!= col("comp"))
       .select(col("v").as("doc_id"))
-    val contaminated = graft.ext.Dedup.decontaminate(spark, sfDir)
+    val contaminated = graft.ext.Dedup.contamCounts(spark, sfDir)
       .filter(col("n_contaminated") * ContamPerMilleNum > col("n_shingles"))
       .select("doc_id")
     graft.functions.TextAnalysis.modelGate(spark, sfDir)
@@ -913,7 +913,7 @@ object Advanced {
     val losers = graft.ext.Dedup.dupComponents(spark, sfDir, 0.8)
       .filter(col("v") =!= col("comp"))
       .select(col("v").as("doc_id"), lit(true).as("is_loser"))
-    val contam = graft.ext.Dedup.decontaminate(spark, sfDir)
+    val contam = graft.ext.Dedup.contamCounts(spark, sfDir)
       .select(col("doc_id"),
         (col("n_contaminated") * ContamPerMilleNum > col("n_shingles")).as("is_contam"))
     q.join(losers, Seq("doc_id"), "left_outer")

@@ -69,6 +69,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Aggregate"))
   }
 
+  test("shingle/winnow df attach: partial-agg census over the persisted frame — no per-key window buffer, no doubled kernel pass") {
+    // guide §2.2/§2.5: a stopword-grade hot shingle must never buffer
+    // in a single task's window group. The df census must be a
+    // partial-aggregating groupBy (constant per-key state, map-side
+    // partials) over the PERSISTED exploded frame, so the shingle /
+    // winnow kernel runs exactly once — both the census and the join
+    // probe read the cache, never a second corpus pass.
+    val dir = TestSpark.tmpDir("dfplan")
+    import spark.implicits._
+    (0 until 30).map(i =>
+        (i.toLong, s"the quick brown fox jumps over the lazy dog unique$i"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Seq(ext.Dedup.explodedShingleHashes(spark, dir),
+        ext.Dedup.winnowFingerprints(spark, dir)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"\n$plan")
+      // census aggregates map-side before any exchange
+      assert(plan.contains("partial_count"), s"\n$plan")
+      // both the census and the join probe read the persisted frame
+      // (InMemoryTableScan), never a second run of the shingle/winnow
+      // kernel: the outer memo cache plus the two cache readers
+      assert("InMemoryTableScan".r.findAllIn(plan).size >= 3, s"\n$plan")
+    }
+  }
+
   test("no declared query plans a cartesian product or a scalar UDF") {
     // global anti-pattern sweep: every 1-row/crossJoin in the library
     // must plan as a broadcast join (BNLJ/BHJ), and every custom
